@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.ops.AsOfJoin
+
+/** Wide analytics surface (SURVEY.md §2b): windows, rollup, set ops, semi/
+  * anti joins, scalar functions, range & as-of joins, distinct aggregates,
+  * event-time bucketing — the concrete form of the reference's "arbitrary
+  * SQL over the warehouse table" capability (K7, `README.md:141-147`).
+  */
+object Analytics {
+
+  /** Running totals + sliding 3-row average per customer — frame-based
+    * window aggregates. One shuffle (partition by customer). */
+  def q12RunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("running_spend",
+        round(sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("avg3",
+        // scale 4, not 2: a 2-row window of cent-exact prices averages to an
+        // exact half-cent, where Spark (HALF_UP) and DuckDB disagree.
+        round(avg($"o_totalprice").over(w.rowsBetween(-2, 0)), 4))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice",
+        $"running_spend", $"avg3")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** Month-over-month revenue growth: date_trunc + lag window. */
+  def q13MomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy($"month")
+    monthly
+      .withColumn("prev_revenue", lag($"revenue", 1).over(w))
+      .withColumn("growth",
+        when($"prev_revenue".isNotNull,
+          round(($"revenue" - $"prev_revenue") / $"prev_revenue", 6)))
+      .orderBy($"month")
+  }
+
+  /** ROLLUP region→nation revenue with explicit grouping level — hierarchy
+    * totals in one pass (Expand + single aggregate). */
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        (grouping($"r_name") * 2 + grouping($"n_name")).cast("int").as("lvl"),
+        round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(
+        $"lvl",
+        coalesce($"r_name", lit("ALL")).as("region_name"),
+        coalesce($"n_name", lit("ALL")).as("nation_name"),
+        $"revenue", $"n_orders")
+      .orderBy($"lvl", $"region_name", $"nation_name")
+  }
+
+  /** Set operations: INTERSECT then EXCEPT (both DISTINCT semantics, matching
+    * SQL). Buyers in the BUILDING segment who have a >100k order, minus those
+    * who ever placed a finished ('F') order. */
+  def q15SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+    val bigSpenders = o.filter($"o_totalprice" > 100000).select($"o_custkey".as("custkey"))
+    val finished = o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
+    building.intersect(bigSpenders).except(finished).orderBy($"custkey")
+  }
+
+  /** Semi/anti joins: every customer flagged by order existence — the
+    * EXISTS / NOT EXISTS pair as Spark join types. */
+  def q16SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val withOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .withColumn("has_orders", lit(true))
+    val withoutOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .withColumn("has_orders", lit(false))
+    withOrders.unionByName(withoutOrders)
+      .select($"c_custkey", $"c_name", $"has_orders")
+      .orderBy($"c_custkey")
+  }
+
+  /** Scalar function surface: string/math/date built-ins (all codegen'd,
+    * no UDFs), aligned with DuckDB spellings in the oracle. */
+  def q17ScalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        upper($"p_brand").as("brand_upper"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        substring($"p_name", 1, 5).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        ($"p_partkey" % 7).as("key_mod"),
+        ($"p_retailprice" * 1.21).as("price_vat"),
+        round(sqrt($"p_retailprice"), 6).as("price_sqrt"),
+        floor($"p_retailprice").cast("long").as("price_floor"),
+        ceil($"p_retailprice").cast("long").as("price_ceil"),
+        abs($"p_size" - 25).as("size_dist"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Range (theta) join: parts classified into size bands via a broadcast
+    * non-equi join — the band table never forces a shuffle of the fact. */
+  def q18RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq((0, 10, "S"), (10, 25, "M"), (25, 40, "L"), (40, 100, "XL"))
+      .toDF("lo", "hi", "band")
+    Tables.part(spark, dir)
+      .join(broadcast(bands), $"p_size" >= $"lo" && $"p_size" < $"hi")
+      .select($"p_partkey", $"p_size", $"band")
+      .orderBy($"p_partkey")
+  }
+
+  /** As-of join over events: each click picks up the most recent prior (or
+    * same-instant) view's value per user. Exact ns ordering via ts_ns. */
+  def q19AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_ns", $"event_id", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts_ns", $"value".as("view_value"))
+    AsOfJoin.lookup(clicks, views, Seq("user_id"), "ts_ns", Seq("view_value"))
+      .select($"event_id", $"user_id", $"value", $"asof_view_value")
+      .orderBy($"event_id")
+  }
+
+  /** Distinct aggregates per segment (exact). */
+  def q20DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"o_custkey").as("n_buyers"),
+        countDistinct($"o_orderstatus").as("n_statuses"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Approximate distinct (HyperLogLog++): the sketch path for 100 TB
+    * cardinality estimation. No DuckDB oracle (different sketch) — driver
+    * records a rows-only check; the exact/approx agreement is unit-tested. */
+  def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(approx_count_distinct($"o_custkey", 0.01).as("approx_buyers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Event-time tumbling window (batch form): hourly per-type counts/sums.
+    * The same aggregation runs as a Structured Streaming query in
+    * q23 (streaming/EventsStream) with identical results. */
+  def q22EventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("bucket_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** Sessionization (batch): 30-minute-gap sessions per user via
+    * session_window; output keyed by session start epoch-second. */
+  def q24Sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id", unix_timestamp($"w.start").as("session_start_s"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start_s")
+  }
+}

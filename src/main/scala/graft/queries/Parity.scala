@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.ops.Merge
+
+/** Reference-parity operators (SURVEY.md §2a) expressed over the driver's
+  * testdata so every one gets a DuckDB-oracle twin. The emissions-shaped
+  * originals (exact strings/dims) are covered by unit tests on fixture CSVs;
+  * these queries prove the same operator semantics on oracle-checkable data.
+  */
+object Parity {
+
+  /** P1+P3: projection + equality/IN-list predicate (`scripts/etl_process.py:82-85`).
+    * Both the filter and the 4-column projection reach the parquet scan. */
+  def q02ProjectFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_linestatus")
+      .filter($"l_returnflag" === "R" && $"l_linestatus".isin("F", "O"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** P2: null-drop `how='any'` over a column subset (`scripts/etl_process.py:83`).
+    * Nulls are introduced with NULLIF so the drop is observable on null-free
+    * testdata. */
+  def q03NullDrop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        nullif($"event_type", lit("error")).as("et"), $"value")
+      .na.drop("any", Seq("et"))
+      .orderBy($"event_id")
+  }
+
+  /** P4+P5: conditional derived column + conditional value rewrite
+    * (`scripts/etl_process.py:86-89`). */
+  def q04CaseWhenEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("order_class",
+        when($"o_totalprice" > 150000, lit("BIG"))
+          .when($"o_totalprice" > 50000, lit("MID"))
+          .otherwise(lit("SMALL")))
+      .withColumn("status_label",
+        when($"o_orderstatus" === "O", lit("OPEN"))
+          .when($"o_orderstatus" === "F", lit("FINISHED"))
+          .otherwise($"o_orderstatus"))
+      .select($"o_orderkey", $"o_totalprice", $"order_class", $"status_label")
+      .orderBy($"o_orderkey")
+  }
+
+  /** P6+P8: column rename + final projection order (`scripts/etl_process.py:90-93`). */
+  def q05RenameShape(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumnRenamed("l_extendedprice", "price")
+      .select($"l_orderkey".as("order_id"), $"l_linenumber".as("line_no"), $"price")
+      .orderBy($"order_id", $"line_no")
+  }
+
+  /** P7: dimension decode, both shapes — broadcast dim join (the scale path)
+    * and the reference's literal-map lookup (`scripts/etl_process.py:67,92`),
+    * map miss → null (here: no miss, keys are dense). */
+  def q06DimDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zoneMap = typedLit(Map(
+      0 -> "Z-ALPHA", 1 -> "Z-BRAVO", 2 -> "Z-CHARLIE", 3 -> "Z-DELTA", 4 -> "Z-ECHO"))
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .withColumn("zone", zoneMap($"r_regionkey"))
+      .select($"n_nationkey", $"n_name", $"r_name".as("region_name"), $"zone")
+      .orderBy($"n_nationkey")
+  }
+
+  /** K4: keyed upsert, anti-join + union strategy. Updates = all OPEN orders
+    * repriced; target never shuffles (update keys broadcast). */
+  def q07Upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    val target = Tables.orders(spark, dir).select(cols: _*)
+    // No round(): per-row IEEE multiply is bit-identical across engines,
+    // while round() diverges on exact half-cent ties.
+    val updates = target.filter($"o_orderstatus" === "O")
+      .withColumn("o_totalprice", $"o_totalprice" * 1.1)
+    Merge.upsert(target, updates, Seq("o_orderkey"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** S1+K1: CSV sink + source round-trip with the reference's option
+    * semantics (header, explicit delimiter, explicit schema —
+    * `scripts/etl_process.py:71-74,99-102`). Result must equal the input. */
+  def q08CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.nation(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    n.write.mode("overwrite").option("header", "true").option("delimiter", "|").csv(tmp)
+    Tables.csv(spark, tmp, StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))), header = true, delimiter = "|")
+      .orderBy($"n_nationkey")
+  }
+
+  /** K4 (versioned variant): three sequential update batches merged in one
+    * pass, highest batch ordinal wins — mirrors the reference's sequential
+    * per-file loop semantics (`scripts/lambda_handler_warehouse.py:79`). */
+  def q09UpsertVersioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    val b0 = base.withColumn("__v", lit(0))
+    val b1 = base.filter($"o_orderstatus" === "O")
+      .withColumn("o_totalprice", $"o_totalprice" * 1.05).withColumn("__v", lit(1))
+    val b2 = base.filter($"o_orderstatus" === "P")
+      .withColumn("o_totalprice", $"o_totalprice" * 0.95).withColumn("__v", lit(2))
+    Merge.upsertVersioned(b0.unionByName(b1).unionByName(b2), Seq("o_orderkey"), "__v")
+      .orderBy($"o_orderkey")
+  }
+}
