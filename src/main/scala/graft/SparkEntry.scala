@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Analytics, Flagship, Parity}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,7 +36,20 @@ object SparkEntry {
     "q20_distinct_agg" -> (Analytics.q20DistinctAgg _),
     "q21_approx_distinct" -> (Analytics.q21ApproxDistinct _),
     "q22_events_hourly" -> (Analytics.q22EventsHourly _),
+    "q23_streaming_hourly" -> (EventsStream.q23StreamingHourly _),
     "q24_sessions" -> (Analytics.q24Sessions _),
+    "q30_text_stats" -> (TextAnalysis.q30TextStats _),
+    "q31_lang_id" -> (TextAnalysis.q31LangId _),
+    "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
+    "q33_fingerprint" -> (TextAnalysis.q33Fingerprint _),
+    "q34_minhash_neardup" -> (Dedup.q34MinhashNearDup _),
+    "q35_simhash_neardup" -> (Dedup.q35SimhashNearDup _),
+    "q36_ngram_jaccard" -> (Dedup.q36NgramJaccard _),
+    "q37_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.q37TopKBruteForce(s, d)),
+    "q38_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.q38AnnLsh(s, d)),
+    "q39_embedding_neardup" -> (Similarity.q39EmbeddingNearDup _),
+    "q40_media_decode" -> (Multimodal.q40MediaDecode _),
+    "q41_frame_sample" -> (Multimodal.q41FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,5 +283,142 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_s""".stripMargin,
+    "q23_streaming_hourly" ->
+      """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "q30_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, length(text) AS n_chars_measured,
+        |    regexp_split_to_array(text, '\s+') AS toks,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, n_chars_measured,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','on','for','with'], x))) AS INTEGER)
+        |      AS n_stopwords,
+        |    CAST(n_punct AS INTEGER) AS n_punct
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, CAST(n_chars_measured AS INTEGER) AS n_chars_measured,
+        |  n_tokens, n_stopwords, n_punct,
+        |  round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  round(least(1.0, n_tokens / 200.0) * 0.5
+        |    + round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) * 0.3
+        |    + (1.0 - least(1.0, n_punct / 20.0)) * 0.2, 6) AS quality_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q31_lang_id" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    (length(padded) - length(replace(padded, ' the ', ''))) / 5
+        |      + (length(padded) - length(replace(padded, ' a ', ''))) / 3 AS score_en,
+        |    (length(padded) - length(replace(padded, ' der ', ''))) / 5
+        |      + (length(padded) - length(replace(padded, ' und ', ''))) / 5 AS score_de,
+        |    (length(padded) - length(replace(padded, ' el ', ''))) / 4
+        |      + (length(padded) - length(replace(padded, ' los ', ''))) / 5 AS score_es,
+        |    (length(padded) - length(replace(padded, ' le ', ''))) / 4
+        |      + (length(padded) - length(replace(padded, ' la ', ''))) / 4 AS score_fr,
+        |    (length(padded) - length(replace(padded, ' de ', ''))) / 4
+        |      + (length(padded) - length(replace(padded, ' shi ', ''))) / 5 AS score_zh
+        |  FROM p
+        |)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es
+        |      AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_de > 0 AND score_de >= score_es AND score_de >= score_fr
+        |      AND score_de >= score_zh THEN 'de'
+        |    WHEN score_es > 0 AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_fr > 0 AND score_fr >= score_zh THEN 'fr'
+        |    WHEN score_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS lang_pred,
+        |  (CASE
+        |    WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es
+        |      AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        |    WHEN score_de > 0 AND score_de >= score_es AND score_de >= score_fr
+        |      AND score_de >= score_zh THEN 'de'
+        |    WHEN score_es > 0 AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        |    WHEN score_fr > 0 AND score_fr >= score_zh THEN 'fr'
+        |    WHEN score_zh > 0 THEN 'zh'
+        |    ELSE 'und' END) = lang AS is_match
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q32_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 30
+        |)
+        |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM corpus GROUP BY text
+        |ORDER BY canonical_id""".stripMargin,
+    "q36_ngram_jaccard" ->
+      """WITH orig AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents
+        |  WHERE doc_id < 20
+        |), near AS (
+        |  SELECT doc_id, regexp_split_to_array(text || ' xtra', '\s+') AS toks
+        |  FROM documents WHERE doc_id < 20
+        |), os AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS ls
+        |  FROM orig
+        |), ns AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS rs
+        |  FROM near
+        |)
+        |SELECT os.doc_id AS doc_id,
+        |  round(CAST(len(list_distinct(list_intersect(ls, rs))) AS DOUBLE)
+        |    / len(list_distinct(list_concat(ls, rs))), 6) AS jaccard3
+        |FROM os JOIN ns ON os.doc_id = ns.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q37_topk_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(qe, ne), 6) AS cos
+        |  FROM q, c WHERE neighbor_id != query_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q40_media_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |  FROM documents
+        |)
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(n_bytes % 640 + 16 AS INTEGER) AS width,
+        |  CAST(n_bytes % 480 + 16 AS INTEGER) AS height,
+        |  CAST(CASE WHEN kind = 'video' THEN n_bytes % 24 + 1 ELSE 1 END AS INTEGER)
+        |    AS n_frames
+        |FROM m ORDER BY media_id""".stripMargin,
+    "q41_frame_sample" ->
+      """SELECT media_id,
+        |  CAST(frame_idx // 4 AS INTEGER) AS sample_idx,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    unnest(generate_series(0, octet_length(encode(text)) % 24, 4)) AS frame_idx
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |ORDER BY media_id, sample_idx""".stripMargin,
   )
 }

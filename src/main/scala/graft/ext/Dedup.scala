@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash hamming-banding, n-gram
+  * Jaccard verification. All candidate generation is bucket-local — the only
+  * shuffles are on (band, signature) keys, never an all-pairs cross join, so
+  * the pipelines scale to 100 TB corpora.
+  *
+  * The driver's documents table has no duplicates, so each query plants
+  * deterministic copies/near-copies (offset doc_ids) — the operator output is
+  * then provably non-empty and checkable.
+  */
+object Dedup {
+
+  val ExactDupIdOffset = 2000000L
+  val NearDupIdOffset = 1000000L
+
+  /** Corpus with exact copies of the first `n` docs planted. */
+  def withPlantedExact(docs: DataFrame, n: Int): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") < n)
+        .withColumn("doc_id", col("doc_id") + ExactDupIdOffset))
+
+  /** Corpus with near-copies (one appended token) of the first `n` docs. */
+  def withPlantedNear(docs: DataFrame, n: Int): DataFrame =
+    docs.unionByName(
+      docs.filter(col("doc_id") < n)
+        .withColumn("doc_id", col("doc_id") + NearDupIdOffset)
+        .withColumn("text", concat(col("text"), lit(" xtra"))))
+
+  /** Exact dedup = hash aggregation on content: canonical row keeps the
+    * minimum doc_id; groups with n_copies > 1 are the duplicate sets. */
+  def q32ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPlantedExact(Tables.documents(spark, dir), 30)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select($"canonical_id", $"n_copies")
+      .orderBy($"canonical_id")
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Distinct word k-shingles of a text column. 0-based `get` (not
+    * `element_at`): out-of-range reads on degenerate short docs yield null —
+    * skipped by concat_ws — instead of an ANSI-mode error. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*)))
+  }
+
+  /** Deterministic per-hash-function coefficients (31-bit, so
+    * h31 * a + b stays well inside a long — no ANSI overflow). */
+  private def coeffs(numHashes: Int, seed: Long): Seq[Long] = {
+    var x = seed
+    (0 until numHashes).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33) | 1L
+    }
+  }
+
+  val NumHashes = 64
+  val NumBands = 16
+  val RowsPerBand: Int = NumHashes / NumBands
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+
+  /** MinHash signature (array of NumHashes longs) over a shingle array.
+    * One pass of codegen'd higher-order functions — no explode, no shuffle. */
+  def minhashSignature(shingles: Column): Column = {
+    val as = coeffs(NumHashes, 42L)
+    val bs = coeffs(NumHashes, 1337L)
+    array((0 until NumHashes).map { h =>
+      array_min(transform(shingles,
+        s => pmod(xxhash64(s).bitwiseAND(lit(0x7fffffffL)) * as(h) + bs(h), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** LSH banding: (doc_id, band, band_sig) rows; docs sharing a band sig are
+    * candidate pairs. */
+  def lshBands(docsWithSig: DataFrame): DataFrame = {
+    val bandSigs = array((0 until NumBands).map { b =>
+      xxhash64(concat_ws("_",
+        (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*))
+    }: _*)
+    docsWithSig
+      .select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "band_sig")))
+  }
+
+  /** Candidate pairs (left_id < right_id) from shared LSH buckets. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("band"), col("band_sig"), col("doc_id").as("left_id"))
+    val r = bands.select(col("band"), col("band_sig"), col("doc_id").as("right_id"))
+    l.join(r, Seq("band", "band_sig"))
+      .filter(col("left_id") < col("right_id"))
+      .select("left_id", "right_id")
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets (set semantics on both sides). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash→LSH→exact-verify near-dup pipeline on a corpus with planted
+    * near-copies. Output: verified pairs with exact 3-shingle Jaccard. */
+  def q34MinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = withPlantedNear(Tables.documents(spark, dir), 20)
+      .select($"doc_id", wordShingles($"text", 3).as("shingles"))
+    val sigs = docs.select($"doc_id", minhashSignature($"shingles").as("sig"))
+    val pairs = candidatePairs(lshBands(sigs))
+    pairs
+      .join(docs.select($"doc_id".as("left_id"), $"shingles".as("ls")), "left_id")
+      .join(docs.select($"doc_id".as("right_id"), $"shingles".as("rs")), "right_id")
+      .withColumn("jaccard", round(jaccard($"ls", $"rs"), 6))
+      .filter($"jaccard" >= 0.5)
+      .select($"left_id", $"right_id", $"jaccard")
+      .orderBy($"left_id", $"right_id")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash of a token array: per-token xxhash64, ±1 vote per bit,
+    * sign of the vote sum sets the bit. Pure expression fold — no explode. */
+  def simhash64(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc,
+          array((0 until 64).map(i =>
+            when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
+              .otherwise(lit(-1))): _*),
+          (a, b) => a + b)
+      })
+    (0 until 64).map(i =>
+        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup: band the 64-bit hash into 4×16-bit chunks (pigeonhole
+    * guarantee for hamming ≤ 3; wider distances need multi-probe), bucket-join
+    * candidates, verify exact hamming distance ≤ maxHamming via bit_count. */
+  def q35SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxHamming = 8
+    val docs = withPlantedNear(Tables.documents(spark, dir), 20)
+      .select($"doc_id", simhash64(split($"text", "\\s+")).as("sh"))
+    val chunks = docs.select($"doc_id", $"sh",
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned($"sh", j * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val l = chunks.select($"chunk_idx", $"chunk", $"doc_id".as("left_id"), $"sh".as("lsh"))
+    val r = chunks.select($"chunk_idx", $"chunk", $"doc_id".as("right_id"), $"sh".as("rsh"))
+    l.join(r, Seq("chunk_idx", "chunk"))
+      .filter($"left_id" < $"right_id")
+      .select($"left_id", $"right_id",
+        bit_count($"lsh".bitwiseXOR($"rsh")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"left_id", $"right_id")
+  }
+
+  /** Direct n-gram Jaccard similarity metric on known pairs (each planted
+    * near-copy vs its original) — the SQL-expressible face of the verify
+    * stage, with a DuckDB oracle. */
+  def q36NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+    val orig = base.filter($"doc_id" < 20)
+      .select($"doc_id", wordShingles($"text", 3).as("ls"))
+    val near = base.filter($"doc_id" < 20)
+      .select($"doc_id",
+        wordShingles(concat($"text", lit(" xtra")), 3).as("rs"))
+    orig.join(near, "doc_id")
+      .select($"doc_id", round(jaccard($"ls", $"rs"), 6).as("jaccard3"))
+      .orderBy($"doc_id")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Two paths, as a large-scale pipeline needs both:
+  *  - brute-force cosine top-k: exact baseline. The query set is broadcast
+  *    (it is small by construction), so the corpus is scanned once with no
+  *    shuffle of the big side — at 100 TB this is scan-bound, which is the
+  *    best an exact search can do.
+  *  - LSH-bucketed ANN (random hyperplanes): candidates only from matching
+  *    signature buckets; corpus shuffles once on the bucket key. Recall vs
+  *    the exact baseline is asserted in tests.
+  */
+object Similarity {
+
+  val NumTables = 3
+  val PlanesPerTable = 6
+
+  /** Deterministic ±1 hyperplanes (seeded LCG — data-independent, identical
+    * on every executor without broadcast variables). */
+  private def planes: Seq[Seq[Seq[Double]]] = {
+    var x = 0x5DEECE66DL
+    Seq.fill(NumTables)(Seq.fill(PlanesPerTable)(Seq.fill(64) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 40) & 1L) == 1L) 1.0 else -1.0
+    }))
+  }
+
+  /** Multi-table random-hyperplane signatures: an array of NumTables bucket
+    * keys (table index folded in). Candidates = union over tables — the
+    * standard recall lever for hyperplane LSH. */
+  def lshSignatures(emb: Column): Column = {
+    val e = VectorOps.toDoubleArr(emb)
+    array(planes.zipWithIndex.map { case (tablePlanes, t) =>
+      tablePlanes.zipWithIndex.map { case (p, i) =>
+        when(VectorOps.dot(e, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+        .bitwiseOR(lit(t << 16))
+    }: _*)
+  }
+
+  /** Exact cosine top-k: first `nQueries` vectors against the whole corpus.
+    * Query side broadcast; per-query ranking via window. */
+  def q37TopKBruteForce(spark: SparkSession, dir: String,
+                        nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id".asc)
+    corpus.join(broadcast(queries), $"neighbor_id" =!= $"query_id")
+      .withColumn("cos", round(VectorOps.cosine($"qe", $"ne"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** ANN via hyperplane-LSH buckets: candidates share the full signature;
+    * top-k within candidates. Scale path — no cross join anywhere. */
+  def q38AnnLsh(spark: SparkSession, dir: String,
+                nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        explode(lshSignatures($"embedding")).as("sig"))
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"sig")
+    val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"sig")
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id".asc)
+    corpus.join(broadcast(queries), Seq("sig"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"qe", $"neighbor_id", $"ne").distinct()
+      .withColumn("cos", round(VectorOps.cosine($"qe", $"ne"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Embedding near-dup detection: plant exact copies of the first 10
+    * vectors, find pairs with cosine ≥ 0.99 via LSH buckets + exact verify. */
+  def q39EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, dir)
+    val corpus = base.unionByName(
+        base.filter($"vec_id" < 10).withColumn("vec_id", $"vec_id" + 100000L))
+      .select($"vec_id", $"embedding",
+        explode(lshSignatures($"embedding")).as("sig"))
+    val l = corpus.select($"sig", $"vec_id".as("left_id"), $"embedding".as("le"))
+    val r = corpus.select($"sig", $"vec_id".as("right_id"), $"embedding".as("re"))
+    l.join(r, Seq("sig"))
+      .filter($"left_id" < $"right_id")
+      .select($"left_id", $"le", $"right_id", $"re").distinct()
+      .withColumn("cos", round(VectorOps.cosine($"le", $"re"), 6))
+      .filter($"cos" >= 0.99)
+      .select($"left_id", $"right_id", $"cos")
+      .orderBy($"left_id", $"right_id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.RollingHash
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token counting, quality scoring, n-gram language ID,
+  * document fingerprinting. All per-row expression work — narrow plans, no
+  * shuffles, codegen end-to-end; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** Non-overlapping occurrence count of `needle` in `padded` text, via the
+    * replace trick — exactly reproducible in any SQL engine. */
+  private def occurrences(text: Column, needle: String): Column =
+    (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Tokens, characters, punctuation, stopword ratio and a composite quality
+    * score per document. */
+  def q30TextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val stopArr = typedLit(stopwords)
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id", $"lang",
+        length($"text").as("n_chars_measured"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stopwords"),
+        (length($"text") - length(regexp_replace($"text", "[.,!?;:]", ""))).as("n_punct"))
+      .withColumn("stop_ratio",
+        round($"n_stopwords".cast("double") / $"n_tokens", 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), $"n_tokens" / 200.0) * 0.5
+          + $"stop_ratio" * 0.3
+          + (lit(1.0) - least(lit(1.0), $"n_punct" / 20.0)) * 0.2, 6))
+      .orderBy($"doc_id")
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " los "),
+    "fr" -> Seq(" le ", " la "),
+    "zh" -> Seq(" de ", " shi "))
+
+  /** N-gram-heuristic language ID: count per-language marker words (space
+    * padded, replace-trick) and take the argmax with a fixed preference
+    * order. Compared against the table's `lang` label. */
+  def q31LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val padded = concat(lit(" "), $"text", lit(" "))
+    val scored = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", padded.as("padded"))
+    val withScores = langMarkers.foldLeft(scored) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang",
+        markers.map(m => occurrences(col("padded"), m)).reduce(_ + _))
+    }
+    // argmax with preference order = langMarkers order on ties: a language
+    // wins if its score is positive and >= every later language's score
+    // (earlier clauses already failed, so it is the overall max).
+    val langs = langMarkers.map(_._1)
+    val pred = langs.zipWithIndex.reverse
+      .foldLeft(lit("und")) { case (acc, (lang, idx)) =>
+        val c = col(s"score_$lang")
+        val geLater = langs.drop(idx + 1)
+          .map(o => c >= col(s"score_$o"))
+          .foldLeft(lit(true))(_ && _)
+        when(geLater && c > 0, lit(lang)).otherwise(acc)
+      }
+    withScores
+      .withColumn("lang_pred", pred)
+      .withColumn("is_match", $"lang_pred" === $"lang")
+      .select($"doc_id", $"lang", $"lang_pred", $"is_match")
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing-style fingerprint per document via the native
+    * [[graft.functions.RollingHashMin]] expression (codegen'd). Documents
+    * sharing a fingerprint share a minimal substring window — a cheap
+    * near-dup prefilter. No SQL oracle (engine-specific hash); golden-tested. */
+  def q33Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        RollingHash.rollingHashMin($"text", 32).as("fingerprint"),
+        length($"text").as("n_chars_measured"))
+      .orderBy($"doc_id")
+  }
+}
