@@ -1,0 +1,61 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** Dedup / similarity pipelines: the planted duplicates must be found, and
+  * the ANN path must agree with the exact baseline on most neighbors. */
+class ExtSpec extends SparkSpec {
+
+  test("exact dedup: 30 planted copies collapse, n_copies = 2") {
+    val out = Dedup.q32ExactDedup(spark, sf0001).collect()
+    val dups = out.filter(_.getLong(1) == 2L)
+    assert(dups.length == 30)
+    assert(out.length == 500) // 500 distinct texts remain canonical
+  }
+
+  test("minhash LSH finds every planted near-dup pair") {
+    val pairs = Dedup.q34MinhashNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { id =>
+      assert(pairs.contains((id.toLong, id + Dedup.NearDupIdOffset)),
+        s"planted pair $id missing")
+    }
+  }
+
+  test("simhash banding finds planted near-dups within hamming budget") {
+    val pairs = Dedup.q35SimhashNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 20).count(id => pairs.contains((id.toLong, id + Dedup.NearDupIdOffset)))
+    assert(found >= 18, s"only $found/20 planted simhash pairs found")
+  }
+
+  test("embedding near-dup finds all 10 planted copies at cosine 1") {
+    val pairs = Similarity.q39EmbeddingNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    (0 until 10).foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 100000L && p._3 >= 0.999999),
+        s"planted embedding copy $id missing")
+    }
+  }
+
+  test("ANN LSH recall vs brute-force top-5 is useful (>= 40%)") {
+    val exact = Similarity.q37TopKBruteForce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.q38AnnLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("multimodal: frame sampling emits stride-4 indices bounded by n_frames") {
+    val meta = Multimodal.q40MediaDecode(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    val frames = Multimodal.q41FrameSample(spark, sf0001).collect()
+    frames.foreach { r =>
+      val (id, sampleIdx, frameIdx) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(frameIdx % 4 == 0 && frameIdx / 4 == sampleIdx)
+      assert(frameIdx < meta(id))
+    }
+    assert(frames.nonEmpty)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Merge
+
+/** K4 upsert semantics: last-write-wins, key uniqueness, idempotence,
+  * batch-order determinism — the invariants the reference enforces via the
+  * Postgres UNIQUE constraint + ON CONFLICT
+  * (`scripts/lambda_handler_warehouse.py:53-101`). */
+class MergeSpec extends SparkSpec {
+
+  private def df(rows: Seq[(String, Int, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k1", "k2", "v")
+  }
+
+  private def canon(d: DataFrame): Set[(String, Int, Double)] =
+    d.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+
+  val keys = Seq("k1", "k2")
+
+  test("upsert: updates win, unmatched target rows survive") {
+    val target = df(Seq(("a", 1, 1.0), ("b", 2, 2.0)))
+    val updates = df(Seq(("a", 1, 10.0), ("c", 3, 3.0)))
+    assert(canon(Merge.upsert(target, updates, keys)) ==
+      Set(("a", 1, 10.0), ("b", 2, 2.0), ("c", 3, 3.0)))
+  }
+
+  test("upsert is idempotent: re-applying the same batch is a no-op") {
+    val target = df(Seq(("a", 1, 1.0), ("b", 2, 2.0)))
+    val updates = df(Seq(("a", 1, 10.0)))
+    val once = Merge.upsert(target, updates, keys)
+    assert(canon(Merge.upsert(once, updates, keys)) == canon(once))
+  }
+
+  test("upsertVersioned: highest version wins per key regardless of union order") {
+    val b0 = df(Seq(("a", 1, 1.0), ("b", 2, 2.0))).withColumn("__v", org.apache.spark.sql.functions.lit(0))
+    val b1 = df(Seq(("a", 1, 5.0))).withColumn("__v", org.apache.spark.sql.functions.lit(1))
+    val fwd = Merge.upsertVersioned(b0.unionByName(b1), keys, "__v")
+    val rev = Merge.upsertVersioned(b1.unionByName(b0), keys, "__v")
+    assert(canon(fwd) == Set(("a", 1, 5.0), ("b", 2, 2.0)))
+    assert(canon(fwd) == canon(rev))
+  }
+
+  val rowGen: Gen[(String, Int, Double)] = for {
+    k1 <- Gen.oneOf("a", "b", "c", "d")
+    k2 <- Gen.choose(0, 3)
+    v <- Gen.choose(0, 1000).map(_.toDouble)
+  } yield (k1, k2, v)
+
+  test("property: merged table is unique on keys and upsert is idempotent") {
+    val prop = Prop.forAll(Gen.listOf(rowGen), Gen.listOf(rowGen)) {
+      (t: List[(String, Int, Double)], u: List[(String, Int, Double)]) =>
+        // make both sides key-unique first (the operator's precondition)
+        val tu = Merge.latestPerKey(df(t), keys, Seq("v"))
+        val uu = Merge.latestPerKey(df(u), keys, Seq("v"))
+        val merged = Merge.upsert(tu, uu, keys)
+        val rows = merged.collect()
+        val keyset = rows.map(r => (r.getString(0), r.getInt(1)))
+        keyset.distinct.length == keyset.length &&
+          canon(Merge.upsert(merged, uu, keys)) == canon(merged)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+}

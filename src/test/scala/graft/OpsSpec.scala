@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.AsOfJoin
+import graft.functions.{RollingHash, RollingHashKernel, VectorOps}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** As-of join semantics and native-expression kernels. */
+class OpsSpec extends SparkSpec {
+
+  test("as-of join picks latest right row at or before left time, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 100L, "l3"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 50L, 5.0), (1L, 150L, 15.0), (1L, 200L, 20.0), (2L, 300L, 30.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v"))
+      .select("payload", "asof_v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("l1") == 5.0)   // latest right at t<=100 is t=50
+    assert(out("l2") == 20.0)  // right at exactly t=200 counts (ties: right first)
+    assert(out("l3") == null)  // no right row at or before t=100 for k=2
+  }
+
+  test("rolling-hash fingerprint: codegen result equals kernel; equal text equal hash") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "a completely different document body here")
+    val out = texts.toDF("text")
+      .select(RollingHash.rollingHashMin($"text", 8)).collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+    assert(out(0) == RollingHashKernel.minRollingHash(UTF8String.fromString(texts.head), 8))
+  }
+
+  test("vector ops: cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorOps.cosine($"a", $"b"), VectorOps.cosine($"a", $"c")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+}
