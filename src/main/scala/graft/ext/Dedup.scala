@@ -70,14 +70,26 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / NumBands
   private val MersennePrime = 2305843009213693951L // 2^61 - 1
 
-  /** MinHash signature (array of NumHashes longs) over a shingle array.
-    * One pass of codegen'd higher-order functions — no explode, no shuffle. */
-  def minhashSignature(shingles: Column): Column = {
+  /** Base 31-bit hash per shingle — computed ONCE and reused by all
+    * NumHashes permutations (re-hashing strings per permutation is the
+    * classic MinHash perf bug: 64× the string-hash cost). */
+  def hashedShingles(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
+
+  /** MinHash signature (array of NumHashes longs) over pre-hashed shingles —
+    * native kernel expression: one pass over the shingles updating all 64
+    * permutation minima. (The equivalent 64×`array_min(transform(...))` HOF
+    * tree exceeds codegen limits and falls back to interpreted eval —
+    * [[minhashSignatureHof]] kept for the equivalence test.) */
+  def minhashSignature(hashed: Column): Column =
+    graft.functions.NativeKernels.minhashSig(hashed)
+
+  /** Reference HOF formulation of [[minhashSignature]]. */
+  def minhashSignatureHof(hashed: Column): Column = {
     val as = coeffs(NumHashes, 42L)
     val bs = coeffs(NumHashes, 1337L)
     array((0 until NumHashes).map { h =>
-      array_min(transform(shingles,
-        s => pmod(xxhash64(s).bitwiseAND(lit(0x7fffffffL)) * as(h) + bs(h), lit(MersennePrime))))
+      array_min(transform(hashed, x => pmod(x * as(h) + bs(h), lit(MersennePrime))))
     }: _*)
   }
 
@@ -108,16 +120,24 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** MinHash→LSH→exact-verify near-dup pipeline on a corpus with planted
-    * near-copies. Output: verified pairs with exact 3-shingle Jaccard. */
+    * near-copies. Output: verified pairs with exact 3-shingle Jaccard.
+    *
+    * Shape notes for scale: the hashed-shingle table is computed ONCE and
+    * persisted (at 100 TB: materialized to a table) — it feeds signature
+    * generation and both sides of the verify join. Verification runs on the
+    * 31-bit shingle hashes (long arrays), not shingle strings: same Jaccard
+    * up to negligible collision mass, ~10× less data moved. */
   def q34MinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = withPlantedNear(Tables.documents(spark, dir), 20)
-      .select($"doc_id", wordShingles($"text", 3).as("shingles"))
-    val sigs = docs.select($"doc_id", minhashSignature($"shingles").as("sig"))
+    val hdocs = withPlantedNear(Tables.documents(spark, dir), 20)
+      .select($"doc_id",
+        graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
+      .persist()
+    val sigs = hdocs.select($"doc_id", minhashSignature($"hs").as("sig"))
     val pairs = candidatePairs(lshBands(sigs))
     pairs
-      .join(docs.select($"doc_id".as("left_id"), $"shingles".as("ls")), "left_id")
-      .join(docs.select($"doc_id".as("right_id"), $"shingles".as("rs")), "right_id")
+      .join(hdocs.select($"doc_id".as("left_id"), $"hs".as("ls")), "left_id")
+      .join(hdocs.select($"doc_id".as("right_id"), $"hs".as("rs")), "right_id")
       .withColumn("jaccard", round(jaccard($"ls", $"rs"), 6))
       .filter($"jaccard" >= 0.5)
       .select($"left_id", $"right_id", $"jaccard")
@@ -126,24 +146,10 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash of a token array: per-token xxhash64, ±1 vote per bit,
-    * sign of the vote sum sets the bit. Pure expression fold — no explode. */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc,
-          array((0 until 64).map(i =>
-            when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
-              .otherwise(lit(-1))): _*),
-          (a, b) => a + b)
-      })
-    (0 until 64).map(i =>
-        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash from an array of per-token hashes: majority vote per
+    * bit, one native-kernel pass ([[graft.functions.SimHash64]]). */
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.NativeKernels.simhash64(hashes)
 
   /** SimHash near-dup: band the 64-bit hash into 4×16-bit chunks (pigeonhole
     * guarantee for hamming ≤ 3; wider distances need multi-probe), bucket-join
@@ -152,7 +158,8 @@ object Dedup {
     import spark.implicits._
     val maxHamming = 8
     val docs = withPlantedNear(Tables.documents(spark, dir), 20)
-      .select($"doc_id", simhash64(split($"text", "\\s+")).as("sh"))
+      .withColumn("th", transform(split($"text", "\\s+"), t => xxhash64(t)))
+      .select($"doc_id", simhashFromHashes($"th").as("sh"))
     val chunks = docs.select($"doc_id", $"sh",
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned($"sh", j * 16).bitwiseAND(lit(0xffffL))): _*))

@@ -38,8 +38,14 @@ object Similarity {
 
   /** Multi-table random-hyperplane signatures: an array of NumTables bucket
     * keys (table index folded in). Candidates = union over tables — the
-    * standard recall lever for hyperplane LSH. */
-  def lshSignatures(emb: Column): Column = {
+    * standard recall lever for hyperplane LSH. Native kernel expression
+    * (24 plane projections in one pass); [[lshSignaturesHof]] is the
+    * composable reference formulation. */
+  def lshSignatures(emb: Column): Column =
+    graft.functions.NativeKernels.lshSigs(emb)
+
+  /** Reference HOF formulation of [[lshSignatures]] (same planes/seed). */
+  def lshSignaturesHof(emb: Column): Column = {
     val e = VectorOps.toDoubleArr(emb)
     array(planes.zipWithIndex.map { case (tablePlanes, t) =>
       tablePlanes.zipWithIndex.map { case (p, i) =>
@@ -74,16 +80,20 @@ object Similarity {
                 nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding",
-        explode(lshSignatures($"embedding")).as("sig"))
-    val queries = emb.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"sig")
-    val corpus = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"sig")
+    val sigs = emb.select($"vec_id", explode(lshSignatures($"embedding")).as("sig"))
+    // Candidate id pairs via bucket join (ids only), dedup across tables,
+    // then fetch vectors and score once per candidate.
+    val cand = sigs
+      .join(broadcast(sigs.filter($"vec_id" < nQueries)
+        .select($"sig", $"vec_id".as("query_id"))), Seq("sig"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos".desc, $"neighbor_id".asc)
-    corpus.join(broadcast(queries), Seq("sig"))
-      .filter($"neighbor_id" =!= $"query_id")
-      .select($"query_id", $"qe", $"neighbor_id", $"ne").distinct()
+    cand
+      .join(broadcast(emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))), "query_id")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")), "neighbor_id")
       .withColumn("cos", round(VectorOps.cosine($"qe", $"ne"), 6))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
@@ -98,13 +108,19 @@ object Similarity {
     val base = Tables.embeddings(spark, dir)
     val corpus = base.unionByName(
         base.filter($"vec_id" < 10).withColumn("vec_id", $"vec_id" + 100000L))
-      .select($"vec_id", $"embedding",
-        explode(lshSignatures($"embedding")).as("sig"))
-    val l = corpus.select($"sig", $"vec_id".as("left_id"), $"embedding".as("le"))
-    val r = corpus.select($"sig", $"vec_id".as("right_id"), $"embedding".as("re"))
-    l.join(r, Seq("sig"))
+    // Candidate ids first (cheap distinct on two longs), THEN fetch vectors
+    // and score each distinct pair once — never shuffle or dedup on the
+    // embedding arrays themselves.
+    val sigs = corpus.select($"vec_id",
+      explode(lshSignatures($"embedding")).as("sig"))
+    val cand = sigs.select($"sig", $"vec_id".as("left_id"))
+      .join(sigs.select($"sig", $"vec_id".as("right_id")), Seq("sig"))
       .filter($"left_id" < $"right_id")
-      .select($"left_id", $"le", $"right_id", $"re").distinct()
+      .select($"left_id", $"right_id").distinct()
+    val emb = corpus.select($"vec_id", $"embedding")
+    cand
+      .join(emb.select($"vec_id".as("left_id"), $"embedding".as("le")), "left_id")
+      .join(emb.select($"vec_id".as("right_id"), $"embedding".as("re")), "right_id")
       .withColumn("cos", round(VectorOps.cosine($"le", $"re"), 6))
       .filter($"cos" >= 0.99)
       .select($"left_id", $"right_id", $"cos")

@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+
+/** Native Catalyst expressions for the similarity/dedup hot paths.
+  *
+  * The composable higher-order-function formulations (64 `transform`s for a
+  * MinHash signature, 24 `aggregate`s for an LSH signature) generate code far
+  * past the JVM's method-size sweet spot and degrade to interpreted eval —
+  * a 10-100× per-row penalty that dominates at 100 TB. Each expression here
+  * is one tight static-kernel loop, wired into whole-stage codegen via
+  * `defineCodeGen` (the generated code is a single static call).
+  */
+object Kernels {
+
+  /** Cosine similarity over float arrays, double accumulation in index
+    * order — bit-identical to the sequential-fold HOF formulation. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  private def coeffs(numHashes: Int, seed: Long): Array[Long] = {
+    var x = seed
+    Array.fill(numHashes) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 33) | 1L
+    }
+  }
+
+  val MinHashCount = 64
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+  private val CoefA = coeffs(MinHashCount, 42L)
+  private val CoefB = coeffs(MinHashCount, 1337L)
+
+  /** MinHash signature over pre-hashed (31-bit) shingles: one pass over the
+    * shingles, updating all 64 permutation minima. */
+  def minhashSig(hashed: ArrayData): ArrayData = {
+    val out = Array.fill(MinHashCount)(Long.MaxValue)
+    val n = hashed.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashed.getLong(i)
+      var j = 0
+      while (j < MinHashCount) {
+        val v = (h * CoefA(j) + CoefB(j)) % MersennePrime
+        val vv = if (v < 0) v + MersennePrime else v
+        if (vv < out(j)) out(j) = vv
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(out, 0L)
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over per-token hashes: majority vote per bit. */
+  def simhash64(hashes: ArrayData): Long = {
+    val ones = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        ones(j) += ((h >>> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (ones(j) * 2 > n) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Deterministic ±1 hyperplanes shared with all executors (same LCG seed
+    * as the HOF formulation — data-independent). planes(t*ppt+p)(dim). */
+  def planeMatrix(numTables: Int, planesPerTable: Int, dims: Int): Array[Array[Double]] = {
+    var x = 0x5DEECE66DL
+    Array.fill(numTables * planesPerTable)(Array.fill(dims) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 40) & 1L) == 1L) 1.0 else -1.0
+    })
+  }
+
+  private val LshTables = 6
+  private val LshPlanes = 4
+  private val LshDims = 64
+  private val Planes = planeMatrix(LshTables, LshPlanes, LshDims)
+
+  /** Distinct 31-bit hashes of word k-shingles, computed straight off the
+    * UTF-8 bytes: tokenize on whitespace, FNV-1a per token, combine k token
+    * hashes per window. No shingle strings are ever materialized — the
+    * string-building HOF formulation spends ~2 ms/doc on allocation alone. */
+  def shingleHashes(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // per-token FNV-1a 64-bit hashes
+    var tokenHashes = new Array[Long](math.max(8, n / 4))
+    var nTokens = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && (bytes(i) & 0xff) <= ' ') i += 1
+      if (i < n) {
+        var h = 0xcbf29ce484222325L
+        while (i < n && (bytes(i) & 0xff) > ' ') {
+          h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        if (nTokens == tokenHashes.length)
+          tokenHashes = java.util.Arrays.copyOf(tokenHashes, nTokens * 2)
+        tokenHashes(nTokens) = h
+        nTokens += 1
+      }
+    }
+    val windows = math.max(nTokens - k + 1, if (nTokens == 0) 0 else 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w < windows) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k && w + j < nTokens) {
+        h = (h ^ tokenHashes(w + j)) * 0x100000001b3L
+        j += 1
+      }
+      seen.add(h & 0x7fffffffL)
+      w += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Multi-table hyperplane signatures of a float embedding: array of
+    * NumTables ints, table index folded into bits 16+. */
+  def lshSignatures(emb: ArrayData): ArrayData = {
+    val n = math.min(emb.numElements(), LshDims)
+    val out = new Array[Int](LshTables)
+    var t = 0
+    while (t < LshTables) {
+      var sig = t << 16
+      var p = 0
+      while (p < LshPlanes) {
+        val plane = Planes(t * LshPlanes + p)
+        var proj = 0.0
+        var i = 0
+        while (i < n) { proj += emb.getFloat(i).toDouble * plane(i); i += 1 }
+        if (proj > 0) sig |= (1 << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashSig(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class LshSigs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.lshSignatures(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshSignatures($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column-API entry points for the native kernels. */
+object NativeKernels {
+  def cosineSim(a: Column, b: Column): Column =
+    columnOf(CosineSimF(expressionOf(a), expressionOf(b)))
+  def minhashSig(hashed: Column): Column =
+    columnOf(MinHashSig(expressionOf(hashed)))
+  def simhash64(hashes: Column): Column =
+    columnOf(SimHash64(expressionOf(hashes)))
+  def lshSigs(emb: Column): Column =
+    columnOf(LshSigs(expressionOf(emb)))
+  def shingleHashes(text: Column, k: Int): Column =
+    columnOf(ShingleHashes(expressionOf(text), k))
+}

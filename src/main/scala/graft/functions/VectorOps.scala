@@ -19,8 +19,15 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 for zero-norm inputs. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 for zero-norm inputs. Delegates to the native
+    * kernel expression ([[NativeKernels.cosineSim]]) — one static call per
+    * row inside whole-stage codegen. [[cosineHof]] is the semantically
+    * identical composable formulation (same accumulation order). */
+  def cosine(a: Column, b: Column): Column = NativeKernels.cosineSim(a, b)
+
+  /** Reference HOF formulation of [[cosine]] (kept for equivalence tests —
+    * big lambda trees degrade to interpreted eval on the hot path). */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = toDoubleArr(a)
     val bd = toDoubleArr(b)
     val denom = norm(ad) * norm(bd)

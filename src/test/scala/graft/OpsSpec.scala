@@ -33,6 +33,34 @@ class OpsSpec extends SparkSpec {
     assert(out(0) == RollingHashKernel.minRollingHash(UTF8String.fromString(texts.head), 8))
   }
 
+  test("native kernels equal their HOF reference formulations on real data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001).limit(50)
+    val pair = emb.select($"vec_id", $"embedding")
+      .crossJoin(emb.select($"embedding".as("e2")).limit(3))
+    val cosDiff = pair.select(
+        abs(VectorOps.cosine($"embedding", $"e2") -
+          VectorOps.cosineHof($"embedding", $"e2")).as("d"))
+      .agg(max($"d")).collect().head.getDouble(0)
+    assert(cosDiff == 0.0)
+
+    val lshEq = emb.select(
+        (graft.ext.Similarity.lshSignatures($"embedding") ===
+         graft.ext.Similarity.lshSignaturesHof($"embedding")).as("eq"))
+      .collect().forall(_.getBoolean(0))
+    assert(lshEq)
+
+    val docs = graft.sources.Tables.documents(spark, sf0001).limit(50)
+      .withColumn("hs", graft.ext.Dedup.hashedShingles(
+        graft.ext.Dedup.wordShingles($"text", 3)))
+    val mhEq = docs.select(
+        (graft.ext.Dedup.minhashSignature($"hs") ===
+         graft.ext.Dedup.minhashSignatureHof($"hs")).as("eq"))
+      .collect().forall(_.getBoolean(0))
+    assert(mhEq)
+  }
+
   test("vector ops: cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
