@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.registerTempFunction
+
+/** SQL-surface registration of the engine's native expressions, so the K7
+  * ad-hoc SQL capability (SURVEY.md §2) covers them too:
+  *
+  *   SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  *   SELECT minhash_sig(shingle_hashes(text, 3)) FROM documents
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]]: `SparkSessionExtensions.injectFunction` for
+  *    sessions built with `.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`;
+  *  - [[GraftFunctions.registerAll]]: runtime registration on any live
+  *    session (used by Verify/Bench/tests).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimF(es(0), es(1))),
+    "minhash_sig" -> (es => MinHashSig(es(0))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "lsh_sigs" -> (es => LshSigs(es(0))),
+    "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle width"))),
+    "rolling_hash_min" -> (es => RollingHashMin(es(0), intLit(es(1), "window width"))))
+
+  /** Register every native function as a temp function on a live session. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => registerTempFunction(spark, name, b) }
+}
+
+/** Builder-time injection: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.NativeKernels", name),
+        b))
+    }
+}

@@ -42,9 +42,13 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` works against the
-    * same names the DuckDB oracle uses. */
+    * same names the DuckDB oracle uses. `events` goes through its ns-safe
+    * loader. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** CSV reader with the reference's option semantics (S1,
     * `scripts/etl_process.py:71-74`): header, explicit delimiter, explicit

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on a live session (the runtime counterpart
+    * of SparkSessionExtensions.injectFunction, which only applies at session
+    * build time). */
+  def registerTempFunction(spark: SparkSession, name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

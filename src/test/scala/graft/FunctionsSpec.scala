@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.GraftFunctions
+
+/** SQL registration of the native expressions (K7 surface). */
+class FunctionsSpec extends SparkSpec {
+
+  test("native kernels are callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    graft.sources.Tables.registerAll(spark, sf0001)
+    val row = spark.sql(
+      """SELECT cosine_sim(embedding, embedding) AS self_cos,
+        |       size(lsh_sigs(embedding)) AS n_sigs
+        |FROM embeddings WHERE vec_id = 0""".stripMargin).collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getInt(1) == 6)
+
+    val doc = spark.sql(
+      """SELECT simhash64(transform(split(text, '\\s+'), t -> xxhash64(t))) AS sh,
+        |       size(minhash_sig(shingle_hashes(text, 3))) AS n_mh,
+        |       rolling_hash_min(text, 16) AS fp
+        |FROM documents WHERE doc_id = 0""".stripMargin).collect().head
+    assert(doc.getInt(1) == 64)
+    assert(doc.getLong(0) != 0L)
+  }
+
+  test("GraftExtensions injects functions at session build time") {
+    // The shared session already exists; what we can check cheaply is that
+    // the extension class instantiates and exposes the same builder set.
+    val ext = new graft.functions.GraftExtensions
+    assert(GraftFunctions.builders.map(_._1).toSet ==
+      Set("cosine_sim", "minhash_sig", "simhash64", "lsh_sigs",
+        "shingle_hashes", "rolling_hash_min"))
+    assert(ext != null)
+  }
+}
