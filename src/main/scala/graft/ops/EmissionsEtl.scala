@@ -55,9 +55,11 @@ object EmissionsEtl {
   val mergeKeys: Seq[String] =
     Seq("Country", "Year", "Scenario", "Category", "Gas", "Unit")
 
-  /** P1: keep exactly the 6 touched columns (`scripts/etl_process.py:82`). */
-  def project(df: DataFrame): DataFrame =
-    df.select(projectedCols.map(col): _*)
+  /** P1: keep exactly the 6 touched columns (`scripts/etl_process.py:82`);
+    * `carryCols` lets pipeline plumbing (e.g. source-file lineage) ride
+    * along without widening the operator's contract. */
+  def project(df: DataFrame, carryCols: Seq[String] = Nil): DataFrame =
+    df.select((projectedCols ++ carryCols).map(col): _*)
 
   /** P2: drop rows with a null in any projected column (`:83`). */
   def dropNullKeys(df: DataFrame): DataFrame =
@@ -100,27 +102,28 @@ object EmissionsEtl {
 
   /** P8 + typing: final column order (`:93`) with warehouse types applied
     * (the reference defers typing to the Postgres DDL). */
-  def finalShape(df: DataFrame): DataFrame =
-    df.select(
+  def finalShape(df: DataFrame, carryCols: Seq[String] = Nil): DataFrame =
+    df.select(Seq(
       col("Country"),
       col("Year").cast(IntegerType).as("Year"),
       col("Scenario"), col("Category"), col("Gas"),
       col("ReportedValue").cast(DoubleType).as("ReportedValue"),
-      col("Unit"))
+      col("Unit")) ++ carryCols.map(col): _*)
 
   /** Full P1→P8 chain — the reference's `transform_data`
     * (`scripts/etl_process.py:78-95`). Narrow throughout: scan → project →
     * filter → case-when → broadcast-join; zero shuffles. */
-  def transform(raw: DataFrame)(implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  def transform(raw: DataFrame, carryCols: Seq[String] = Nil)
+               (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val chained =
-      (project _)
-        .andThen(dropNullKeys)
+      ((df: DataFrame) => project(df, carryCols))
+        .andThen(df => df.na.drop("any", projectedCols))
         .andThen(filterGasAndCountries)
         .andThen(deriveUnit)
         .andThen(normalizeGas)
         .andThen(renameReportedValue)
         .andThen(df => decodeCountry(df))
         .apply(raw)
-    finalShape(chained)
+    finalShape(chained, carryCols)
   }
 }

@@ -26,6 +26,9 @@ object Merge {
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(updates(_))
     target.join(broadcast(updates.select(keyCols: _*)), keys, "left_anti")
+      // using-column joins hoist the keys to the front; restore the
+      // target's column order so merge is schema-stable.
+      .select(target.columns.map(col): _*)
       .unionByName(updates)
   }
 

@@ -1,16 +1,22 @@
 package graft.tools
 
 import graft.GraftSession
+import java.nio.file.Files
 
-/** Dev scratchpad main for quick plan/schema checks. Not part of the API. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.build("scratch", "8")
-    val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q01_pricing_summary", "q02_project_filter", "q10_revenue_by_nation", "q19_asof_join")) {
-      println(s"==== $q ====")
-      graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
-    }
+    val spark = GraftSession.build("scratch", "4")
+    val landing = Files.createTempDirectory("sl_")
+    val wh = Files.createTempDirectory("sw_").toString
+    val ck = Files.createTempDirectory("sc_").toString
+    val gas = graft.ops.EmissionsEtl.totalGhgRaw
+    Files.writeString(landing.resolve("001.csv"),
+      "CountryCode,Year,Scenario,Category,Gas,Reported Value\n" +
+      s"AT,2030,WEM,Energy,\"$gas\",100.0\n")
+    graft.streaming.UpsertPipeline.runOnce(spark, landing.toString, wh, ck)
+    val t = graft.streaming.UpsertPipeline.currentTable(spark, wh)
+    t.printSchema()
+    t.show(5, false)
     spark.stop()
   }
 }

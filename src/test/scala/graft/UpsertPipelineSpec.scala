@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.streaming.UpsertPipeline
+import graft.ops.EmissionsEtl
+
+/** End-to-end reference lifecycle: files land → streaming pickup → transform
+  * → keyed merge into the versioned warehouse; re-delivery is idempotent. */
+class UpsertPipelineSpec extends SparkSpec {
+
+  private def writeCsv(dir: Path, name: String, rows: Seq[String]): Unit = {
+    val header = "CountryCode,Year,Scenario,Category,Gas,Reported Value"
+    Files.writeString(dir.resolve(name), (header +: rows).mkString("\n"))
+  }
+
+  test("landing files are transformed, merged last-write-wins, idempotently") {
+    val landing = Files.createTempDirectory("graft_landing_")
+    val warehouse = Files.createTempDirectory("graft_warehouse_").toString
+    val checkpoint = Files.createTempDirectory("graft_ckpt_").toString
+    val gas = EmissionsEtl.totalGhgRaw
+
+    writeCsv(landing, "001.csv", Seq(
+      s"""AT,2030,WEM,Energy,"$gas",100.0""",
+      s"""DE,2030,WEM,Energy,"$gas",50.0"""))
+    UpsertPipeline.runOnce(spark, landing.toString, warehouse, checkpoint)
+    val after1 = UpsertPipeline.currentTable(spark, warehouse).collect()
+      .map(r => (r.getString(0), r.getDouble(5))).toMap
+    assert(after1 == Map("Austria" -> 100.0, "Germany" -> 50.0))
+
+    // second file: update AT, add FR; also a dirty row that must be dropped
+    writeCsv(landing, "002.csv", Seq(
+      s"""AT,2030,WEM,Energy,"$gas",200.0""",
+      s"""FR,2030,WEM,Energy,"$gas",75.0""",
+      s"""XX,2030,WEM,Energy,"$gas",1.0"""))
+    UpsertPipeline.runOnce(spark, landing.toString, warehouse, checkpoint)
+    val after2 = UpsertPipeline.currentTable(spark, warehouse).collect()
+      .map(r => (r.getString(0), r.getDouble(5))).toMap
+    assert(after2 == Map("Austria" -> 200.0, "Germany" -> 50.0, "France" -> 75.0))
+
+    // re-run with nothing new: no state change (idempotent pickup)
+    UpsertPipeline.runOnce(spark, landing.toString, warehouse, checkpoint)
+    val after3 = UpsertPipeline.currentTable(spark, warehouse).collect()
+      .map(r => (r.getString(0), r.getDouble(5))).toMap
+    assert(after3 == after2)
+  }
+
+  test("within one batch, the later file wins on key conflict") {
+    val landing = Files.createTempDirectory("graft_landing2_")
+    val warehouse = Files.createTempDirectory("graft_warehouse2_").toString
+    val checkpoint = Files.createTempDirectory("graft_ckpt2_").toString
+    val gas = EmissionsEtl.totalGhgRaw
+    writeCsv(landing, "001.csv", Seq(s"""AT,2030,WEM,Energy,"$gas",1.0"""))
+    writeCsv(landing, "002.csv", Seq(s"""AT,2030,WEM,Energy,"$gas",2.0"""))
+    UpsertPipeline.runOnce(spark, landing.toString, warehouse, checkpoint)
+    val rows = UpsertPipeline.currentTable(spark, warehouse).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(5) == 2.0)
+  }
+}
