@@ -48,6 +48,7 @@ object SparkEntry {
     "q37_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.q37TopKBruteForce(s, d)),
     "q38_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.q38AnnLsh(s, d)),
     "q39_embedding_neardup" -> (Similarity.q39EmbeddingNearDup _),
+    "q42_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.q42AnnIvf(s, d)),
     "q40_media_decode" -> (Multimodal.q40MediaDecode _),
     "q41_frame_sample" -> (Multimodal.q41FrameSample _),
   )

@@ -101,6 +101,53 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus; a
+    * query probes only its nProbe nearest cells. Vectors are L2-normalized
+    * first so euclidean cells align with cosine neighborhoods. At 100 TB the
+    * assignment table is the index (bucketed by cell); training samples a
+    * fraction — centroid count, not corpus size, bounds the driver state. */
+  def q42AnnIvf(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("norm_e", normalizeArr($"embedding"))
+    val featurized = emb.withColumn("features", array_to_vector($"norm_e"))
+    val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(8)
+      .fit(featurized)
+    val assigned = model.transform(featurized)
+      .select($"vec_id", $"embedding", $"prediction".as("cell"))
+    val centers = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "center")
+    // query → nProbe nearest cells (tiny cross join: nQueries × nCells)
+    val probeW = Window.partitionBy($"query_id").orderBy($"center_dist".asc, $"cell".asc)
+    val probes = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"norm_e".as("qn"), $"embedding".as("qe"))
+      .crossJoin(broadcast(centers))
+      .withColumn("center_dist", -VectorOps.cosine($"qn", $"center"))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter($"probe_rank" <= nProbe)
+      .select($"query_id", $"qe", $"cell")
+    val rankW = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id".asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", round(VectorOps.cosine($"qe", $"embedding"), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** L2-normalize a float array to a double array. */
+  private def normalizeArr(a: Column): Column = {
+    val ad = VectorOps.toDoubleArr(a)
+    val n = VectorOps.norm(ad)
+    transform(ad, x => when(n === 0.0, lit(0.0)).otherwise(x / n))
+  }
+
   /** Embedding near-dup detection: plant exact copies of the first 10
     * vectors, find pairs with cosine ≥ 0.99 via LSH buckets + exact verify. */
   def q39EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -34,6 +34,21 @@ object Kernels {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** Cosine over double arrays (normalized vectors, centroids). */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
   private def coeffs(numHashes: Int, seed: Long): Array[Long] = {
     var x = seed
     Array.fill(numHashes) {
@@ -177,10 +192,17 @@ object Kernels {
 
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  private def kernel: String = left.dataType match {
+    case ArrayType(FloatType, _) => "cosineF"
+    case _ => "cosineD"
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (kernel == "cosineF")
+      Kernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      Kernels.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.$kernel($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -47,6 +47,18 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("IVF ANN recall vs brute-force top-5 is useful (>= 25%) and is deterministic") {
+    val exact = Similarity.q37TopKBruteForce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf1 = Similarity.q42AnnIvf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf2 = Similarity.q42AnnIvf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf1 == ivf2, "IVF result must be deterministic (seeded k-means)")
+    val recall = (exact & ivf1).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
   test("multimodal: frame sampling emits stride-4 indices bounded by n_frames") {
     val meta = Multimodal.q40MediaDecode(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getInt(5)).toMap
