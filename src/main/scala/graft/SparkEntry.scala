@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Flagship, Parity}
+import graft.queries.{Advanced, Analytics, Flagship, Parity}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
@@ -38,6 +38,12 @@ object SparkEntry {
     "q22_events_hourly" -> (Analytics.q22EventsHourly _),
     "q23_streaming_hourly" -> (EventsStream.q23StreamingHourly _),
     "q24_sessions" -> (Analytics.q24Sessions _),
+    "q25_sliding_windows" -> (Advanced.q25SlidingWindows _),
+    "q26_percentiles" -> (Advanced.q26Percentiles _),
+    "q27_cube" -> (Advanced.q27Cube _),
+    "q28_partitioned_sink" -> (Advanced.q28PartitionedSink _),
+    "q43_embedding_stats" -> (Advanced.q43EmbeddingStats _),
+    "q44_token_frequencies" -> (Advanced.q44TokenFrequencies _),
     "q30_text_stats" -> (TextAnalysis.q30TextStats _),
     "q31_lang_id" -> (TextAnalysis.q31LangId _),
     "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
@@ -284,6 +290,61 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_s""".stripMargin,
+    "q25_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + CAST(floor(epoch(ts) / 1800) AS BIGINT) * (INTERVAL 30 MINUTE)
+        |      AS t30
+        |  FROM events
+        |), x AS (
+        |  SELECT event_type, value,
+        |    unnest([t30, t30 - INTERVAL 30 MINUTE]) AS bucket_start
+        |  FROM e
+        |)
+        |SELECT bucket_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "q26_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q27_cube" ->
+      """SELECT
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS lvl,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY lvl, status, priority""".stripMargin,
+    "q28_partitioned_sink" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q43_embedding_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(l2), 4) AS avg_norm,
+        |  round(min(l2), 4) AS min_norm,
+        |  round(max(l2), 4) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q44_token_frequencies" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
+        |)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "q23_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value

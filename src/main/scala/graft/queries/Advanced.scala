@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.VectorOps
+
+/** Second wave of SQL-surface coverage (SURVEY.md §2b): sliding event-time
+  * windows, exact percentiles, CUBE, partitioned sinks with pruned re-reads,
+  * array aggregates over embeddings, explode + top-k token frequencies.
+  */
+object Advanced {
+
+  /** Sliding event-time windows (1 h window, 30 min slide): each event lands
+    * in two buckets — the streaming-compatible overlap aggregation. */
+  def q25SlidingWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("bucket_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** Exact percentiles (sort-based, order-insensitive) per order status. */
+  def q26Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** CUBE over status × priority: all four grouping levels in one pass. */
+  def q27Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        (grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority"))
+          .cast("int").as("lvl"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .select($"lvl",
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"revenue")
+      .orderBy($"lvl", $"status", $"priority")
+  }
+
+  /** Partitioned parquet sink + pruned re-read: write orders partitioned by
+    * status, read back one partition (pruning verified in plan audits), and
+    * aggregate — the K1 sink upgraded to a partition-aware lake layout. */
+  def q28PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter($"o_orderstatus" === "O")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Array aggregates over embeddings: per-label mean L2 norm and count —
+    * the "vector column statistics" pass a pipeline runs before indexing. */
+  def q43EmbeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .withColumn("l2", sqrt(VectorOps.dot(
+        VectorOps.toDoubleArr($"embedding"), VectorOps.toDoubleArr($"embedding"))))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg($"l2"), 4).as("avg_norm"),
+        round(min($"l2"), 4).as("min_norm"),
+        round(max($"l2"), 4).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  /** Token frequency top-20: explode + aggregate + deterministic top-k. */
+  def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(split($"text", "\\s+")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token".asc)
+      .limit(20)
+  }
+}
