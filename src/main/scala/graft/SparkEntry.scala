@@ -44,6 +44,8 @@ object SparkEntry {
     "q28_partitioned_sink" -> (Advanced.q28PartitionedSink _),
     "q43_embedding_stats" -> (Advanced.q43EmbeddingStats _),
     "q44_token_frequencies" -> (Advanced.q44TokenFrequencies _),
+    "q45_interval_join" -> (Advanced.q45IntervalJoin _),
+    "q46_grouping_sets" -> (Advanced.q46GroupingSets _),
     "q30_text_stats" -> (TextAnalysis.q30TextStats _),
     "q31_lang_id" -> (TextAnalysis.q31LangId _),
     "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
@@ -345,6 +347,27 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
         |)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q45_interval_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  v.event_id AS view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 300000000
+        |ORDER BY click_id, view_id""".stripMargin,
+    "q46_grouping_sets" ->
+      """SELECT
+        |  CAST(grouping(r_name) * 2 + grouping(n_name) AS INTEGER) AS lvl,
+        |  coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY lvl, region_name, nation_name""".stripMargin,
     "q23_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS bucket_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -83,6 +83,45 @@ object Advanced {
       .orderBy($"label")
   }
 
+  /** Interval (two-sided range) join: click→view pairs of the same user
+    * within a ±5-minute window. Equi-join on user_id carries the shuffle;
+    * the interval predicate filters inside each key group — never a cross
+    * join. Exact ns arithmetic via ts_ns. */
+  def q45IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts_ns".as("click_ns"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts_ns".as("view_ns"))
+    // µs-truncated arithmetic end-to-end: ns-native and µs-native engines
+    // then agree exactly, including at the window boundary.
+    val fiveMinUs = 5L * 60 * 1000 * 1000
+    clicks.join(views, Seq("user_id"))
+      .filter(abs(expr("(click_ns div 1000) - (view_ns div 1000)")) <= fiveMinUs)
+      .select($"user_id", $"click_id", $"view_id",
+        expr("(click_ns div 1000) - (view_ns div 1000)").as("gap_us"))
+      .orderBy($"click_id", $"view_id")
+  }
+
+  /** GROUPING SETS via the SQL entry path (K7): region totals, nation
+    * totals, and grand total — no redundant intermediate levels. */
+  def q46GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT
+        |  CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl,
+        |  coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY lvl, region_name, nation_name""".stripMargin)
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

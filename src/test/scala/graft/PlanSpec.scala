@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import graft.queries.{Flagship, Parity}
+import graft.ops.SkewJoin
+
+/** Plan-shape regression guards: the properties PERFORMANCE.md claims must
+  * stay true — filters reach the scan, projections prune columns, dimension
+  * joins broadcast, salting balances skew without changing results. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val plan = planOf(Parity.q02ProjectFilter(spark, sf0001))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), "filter not pushed")
+    assert(plan.contains("In(l_linestatus, [F,O])"), "IN-list not pushed")
+    assert(!plan.contains("l_extendedprice"), "untouched column not pruned")
+  }
+
+  test("q10: all dimension joins broadcast; no sort-merge join") {
+    val plan = planOf(Flagship.q10RevenueByNation(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("salted join equals plain join and spreads a hot key across salts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i.toDouble))
+      .toDF("k", "v") // key 1 owns 90% of rows
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = fact.join(dim, "k").agg(count(lit(1)), sum($"v")).collect().head
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", 8, Seq("k", "v"))
+      .agg(count(lit(1)), sum($"v")).collect().head
+    assert(plain == salted)
+    val nSalts = fact.withColumn("s",
+        pmod(xxhash64($"k", $"v"), lit(8)).cast("int"))
+      .filter($"k" === 1L).select("s").distinct().count()
+    assert(nSalts == 8, s"hot key only spread over $nSalts salts")
+  }
+}
