@@ -57,6 +57,7 @@ object SparkEntry {
     "q38_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.q38AnnLsh(s, d)),
     "q39_embedding_neardup" -> (Similarity.q39EmbeddingNearDup _),
     "q42_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.q42AnnIvf(s, d)),
+    "q47_topk_aggregated" -> ((s: SparkSession, d: String) => Similarity.q47TopKAggregated(s, d)),
     "q40_media_decode" -> (Multimodal.q40MediaDecode _),
     "q41_frame_sample" -> (Multimodal.q41FrameSample _),
   )
@@ -464,6 +465,24 @@ object SparkEntry {
         |FROM os JOIN ns ON os.doc_id = ns.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q37_topk_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(qe, ne), 6) AS cos
+        |  FROM q, c WHERE neighbor_id != query_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "q47_topk_aggregated" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id < 8

@@ -101,6 +101,32 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Exact cosine top-k via the typed bounded-heap [[graft.functions.TopKAggregator]]
+    * instead of a ranking window: partial top-k on every partition before the
+    * shuffle — same result as q37, shuffle volume k·partitions instead of
+    * every scored candidate. */
+  def q47TopKAggregated(spark: SparkSession, dir: String,
+                        nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{Scored, TopK}
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val scored = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"))
+      .join(broadcast(queries), $"neighbor_id" =!= $"query_id")
+      .select($"query_id",
+        struct($"neighbor_id".as("id"),
+          round(VectorOps.cosine($"qe", $"ne"), 6).as("score")).as("scored"))
+      .as[(Long, Scored)]
+    scored.groupByKey(_._1).mapValues(_._2)
+      .agg(new TopK(k).toColumn)
+      .flatMap { case (q, items) =>
+        items.zipWithIndex.map { case (s, i) => (q, i + 1, s.id, s.score) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus; a
     * query probes only its nProbe nearest cells. Vectors are L2-normalized
     * first so euclidean cells align with cosine neighborhoods. At 100 TB the
