@@ -140,8 +140,12 @@ object Similarity {
 
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm_e", normalizeArr($"embedding"))
+    // Cache + right-size partitions for the iterative trainer: k-means runs
+    // several jobs over this input, and at any corpus size you train on a
+    // bounded sample, not the full table.
     val featurized = emb.withColumn("features", array_to_vector($"norm_e"))
-    val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(8)
+      .coalesce(8).cache()
+    val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(4)
       .fit(featurized)
     val assigned = model.transform(featurized)
       .select($"vec_id", $"embedding", $"prediction".as("cell"))
