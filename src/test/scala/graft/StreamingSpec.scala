@@ -15,6 +15,54 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("watermark drops late events in append-mode windowed aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val agg = input.toDS().toDF("ts", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append).start()
+    input.addData((ts(1), 1.0), (ts(5), 1.0))      // window 10:00
+    q.processAllAvailable()
+    input.addData((ts(31), 1.0))                   // watermark → 10:26, closes 10:00
+    q.processAllAvailable()
+    input.addData((ts(2), 99.0))                   // LATE: before watermark → dropped
+    q.processAllAvailable()
+    input.addData((ts(59), 1.0))                   // closes 10:30 window
+    q.processAllAvailable()
+    val rows = spark.table("late_test").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    q.stop()
+    // late event did NOT bump the 10:00 window's count
+    assert(rows("2024-01-01 10:00:00.0") == 2L)
+    assert(rows("2024-01-01 10:30:00.0") == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark deduplicates re-delivered events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val deduped = input.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append).start()
+    input.addData((1L, ts(0)), (2L, ts(1)))
+    q.processAllAvailable()
+    input.addData((1L, ts(2)), (3L, ts(3)))        // event 1 re-delivered
+    q.processAllAvailable()
+    val n = spark.table("dedup_test").count()
+    q.stop()
+    assert(n == 3, s"expected 3 unique events, got $n")
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
