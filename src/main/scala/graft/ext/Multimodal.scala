@@ -41,6 +41,40 @@ object Multimodal {
           .otherwise(lit(1)))
   }
 
+  /** Typed record for the batch-decode path. */
+  case class MediaRecord(media_id: Long, payload: Array[Byte], kind: String)
+  case class DecodedMedia(media_id: Long, kind: String, n_bytes: Int,
+                          width: Int, height: Int, feature: Array[Float])
+
+  /** Batch decode via `mapPartitions` over a typed Dataset — the Scala
+    * analogue of `mapInPandas`: the decoder sees an iterator of records per
+    * partition, so a real codec can amortize model/codec init once per
+    * partition and process in batches. The decode kernel itself is a STUB
+    * (deterministic pseudo-features from payload bytes); schema, partition
+    * shape, and batch iteration are production-real.
+    *
+    * Upstream `repartition(media_id)` spreads decode work evenly — decode is
+    * CPU-bound, so partition count should track cores, not input splits. */
+  def decodeBatched(media: DataFrame, partitions: Int = 0): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    val ds = media.select($"media_id", $"payload", $"kind").as[MediaRecord]
+    val repartitioned =
+      if (partitions > 0) ds.repartition(partitions, $"media_id") else ds
+    repartitioned.mapPartitions { records =>
+      // (real pipeline: initialize codec / feature model HERE, once)
+      records.map { r =>
+        val n = r.payload.length
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < n) { h = (h ^ (r.payload(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+        val feature = Array.tabulate(8) { j =>
+          (((h >>> (j * 8)) & 0xffL).toFloat) / 255f
+        }
+        DecodedMedia(r.media_id, r.kind, n, (n % 640) + 16, (n % 480) + 16, feature)
+      }
+    }
+  }
+
   /** Decoded metadata per media row — binary in, typed features out. */
   def q40MediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -59,6 +59,25 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("multimodal: typed batch decode yields deterministic features and matches expression path") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val decoded = Multimodal.decodeBatched(media, partitions = 4)
+    val rows = decoded.collect()
+    assert(rows.length == 500)
+    rows.foreach { d =>
+      assert(d.feature.length == 8)
+      assert(d.feature.forall(f => f >= 0f && f <= 1f))
+    }
+    // widths agree with the expression-based decode
+    val exprWidths = Multimodal.q40MediaDecode(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    rows.foreach(d => assert(d.width == exprWidths(d.media_id)))
+    // determinism across runs
+    val again = Multimodal.decodeBatched(media, partitions = 2).collect()
+      .map(d => d.media_id -> d.feature.toSeq).toMap
+    rows.foreach(d => assert(again(d.media_id) == d.feature.toSeq))
+  }
+
   test("multimodal: frame sampling emits stride-4 indices bounded by n_frames") {
     val meta = Multimodal.q40MediaDecode(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getInt(5)).toMap
