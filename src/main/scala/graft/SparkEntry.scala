@@ -33,6 +33,7 @@ object SparkEntry {
     "q17_scalar_functions" -> (Analytics.q17ScalarFunctions _),
     "q18_range_join" -> (Analytics.q18RangeJoin _),
     "q19_asof_join" -> (Analytics.q19AsOfJoin _),
+    "q48_asof_join_native" -> (Analytics.q48AsOfJoinNative _),
     "q20_distinct_agg" -> (Analytics.q20DistinctAgg _),
     "q21_approx_distinct" -> (Analytics.q21ApproxDistinct _),
     "q22_events_hourly" -> (Analytics.q22EventsHourly _),
@@ -243,6 +244,21 @@ object SparkEntry {
         |  ON p_size >= lo AND p_size < hi
         |ORDER BY p_partkey""".stripMargin,
     "q19_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CASE WHEN event_type = 'view' THEN value END AS vval,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), w AS (
+        |  SELECT *, last_value(vval IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, side
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_value
+        |  FROM tagged
+        |)
+        |SELECT event_id, user_id, value, asof_view_value
+        |FROM w WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
+    "q48_asof_join_native" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts, value,
         |    CASE WHEN event_type = 'view' THEN value END AS vval,

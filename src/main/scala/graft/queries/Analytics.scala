@@ -139,6 +139,21 @@ object Analytics {
       .orderBy($"event_id")
   }
 
+  /** Same as-of semantics as q19, executed by the native custom operator
+    * ([[graft.plans.NativeAsOfJoin]]: LogicalPlan + Strategy + sort-merge
+    * SparkPlan) — both hash-match the same DuckDB oracle. */
+  def q48AsOfJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_ns", $"event_id", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts_ns", $"value".as("view_value"))
+    graft.plans.NativeAsOfJoin.lookup(clicks, views, Seq("user_id"), "ts_ns", Seq("view_value"))
+      .select($"event_id", $"user_id", $"value", $"asof_view_value")
+      .orderBy($"event_id")
+  }
+
   /** Distinct aggregates per segment (exact). */
   def q20DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

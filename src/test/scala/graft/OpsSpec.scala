@@ -33,6 +33,31 @@ class OpsSpec extends SparkSpec {
     assert(out(0) == RollingHashKernel.minRollingHash(UTF8String.fromString(texts.head), 8))
   }
 
+  test("native as-of join exec equals the composed formulation (handcrafted + events)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 100L, "l3"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 50L, 5.0), (1L, 150L, 15.0), (1L, 200L, 20.0), (2L, 300L, 30.0))
+      .toDF("k", "t", "v")
+    val composed = AsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v"))
+      .select("k", "t", "payload", "asof_v").collect().map(_.toSeq).toSet
+    val native = graft.plans.NativeAsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v"))
+      .select("k", "t", "payload", "asof_v").collect().map(_.toSeq).toSet
+    assert(native == composed)
+
+    // real events data: clicks pick up the latest prior view value
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id", "ts_ns", "event_id", "value")
+    val views = ev.filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .selectExpr("user_id", "ts_ns", "value AS view_value")
+    val c2 = AsOfJoin.lookup(clicks, views, Seq("user_id"), "ts_ns", Seq("view_value"))
+      .select("event_id", "asof_view_value").collect().map(_.toSeq).toSet
+    val n2 = graft.plans.NativeAsOfJoin.lookup(clicks, views, Seq("user_id"), "ts_ns", Seq("view_value"))
+      .select("event_id", "asof_view_value").collect().map(_.toSeq).toSet
+    assert(n2 == c2)
+  }
+
   test("native kernels equal their HOF reference formulations on real data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
