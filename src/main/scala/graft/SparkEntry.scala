@@ -47,6 +47,7 @@ object SparkEntry {
     "q44_token_frequencies" -> (Advanced.q44TokenFrequencies _),
     "q45_interval_join" -> (Advanced.q45IntervalJoin _),
     "q46_grouping_sets" -> (Advanced.q46GroupingSets _),
+    "q49_stratified_sample" -> (Advanced.q49StratifiedSample _),
     "q30_text_stats" -> (TextAnalysis.q30TextStats _),
     "q31_lang_id" -> (TextAnalysis.q31LangId _),
     "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
@@ -258,6 +259,17 @@ object SparkEntry {
         |SELECT event_id, user_id, value, asof_view_value
         |FROM w WHERE side = 1
         |ORDER BY event_id""".stripMargin,
+    "q49_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang
+        |), s AS (
+        |  SELECT lang, count(*) AS n_sampled FROM documents
+        |  WHERE doc_id % 10 < 3 GROUP BY lang
+        |)
+        |SELECT t.lang AS lang, n_total, n_sampled,
+        |  round(CAST(n_sampled AS DOUBLE) / n_total, 4) AS rate
+        |FROM t JOIN s ON t.lang = s.lang
+        |ORDER BY lang""".stripMargin,
     "q48_asof_join_native" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts, value,

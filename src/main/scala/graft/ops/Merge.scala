@@ -22,7 +22,13 @@ object Merge {
 
   /** Last-write-wins merge of `updates` into `target` on `keys`.
     * Requires `updates` unique on `keys` (enforce upstream with
-    * [[latestPerKey]] if needed). Schema of both sides must match. */
+    * [[latestPerKey]] if needed). Schema of both sides must match.
+    *
+    * Null keys: SQL join semantics — a null key never matches, so null-key
+    * rows on both sides are retained side-by-side. This mirrors the
+    * reference warehouse, where the Postgres UNIQUE constraint treats NULLs
+    * as distinct (`scripts/lambda_handler_warehouse.py:63`); the reference
+    * additionally drops null-key rows upstream (P2), as does our pipeline. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(updates(_))
     target.join(broadcast(updates.select(keyCols: _*)), keys, "left_anti")

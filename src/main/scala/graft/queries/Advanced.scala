@@ -122,6 +122,20 @@ object Advanced {
         |ORDER BY lvl, region_name, nation_name""".stripMargin)
   }
 
+  /** Deterministic stratified sampling: ~30% of documents per language via
+    * an id-modulo predicate — reproducible across runs/retries (no RNG state),
+    * the property a training-data subsampling step actually needs. Output
+    * proves per-stratum proportions. */
+  def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sampled = docs.filter($"doc_id" % 10 < 3)
+    docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+      .join(sampled.groupBy($"lang").agg(count(lit(1)).as("n_sampled")), Seq("lang"))
+      .withColumn("rate", round($"n_sampled".cast("double") / $"n_total", 4))
+      .orderBy($"lang")
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

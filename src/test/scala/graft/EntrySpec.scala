@@ -1,0 +1,24 @@
+package graft
+
+/** The driver calls `SparkEntry.entry` with ITS OWN session (no graft
+  * configs, no registered functions) — it must work on a vanilla session
+  * state. `newSession()` gives exactly that: fresh SQL conf, empty temp
+  * catalog, no temp functions. */
+class EntrySpec extends SparkSpec {
+
+  test("entry runs on a vanilla session and returns rows") {
+    val vanilla = spark.newSession()
+    val df = SparkEntry.entry(vanilla)
+    assert(df.count() > 0)
+  }
+
+  test("every query has either an oracle or is a documented rows-only op") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // hash-based / approximate ops legitimately have no SQL oracle
+    assert(noOracle == Set("q21_approx_distinct", "q33_fingerprint",
+      "q34_minhash_neardup", "q35_simhash_neardup", "q38_ann_lsh",
+      "q39_embedding_neardup", "q42_ann_ivf"))
+    // and every oracle key must have a query
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}

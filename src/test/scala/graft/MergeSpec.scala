@@ -43,6 +43,16 @@ class MergeSpec extends SparkSpec {
     assert(canon(fwd) == canon(rev))
   }
 
+  test("null keys never match: both sides' null-key rows are retained (Postgres UNIQUE NULL semantics)") {
+    import spark.implicits._
+    val target = Seq((Option("a"), 1, 1.0), (Option.empty[String], 1, 2.0))
+      .toDF("k1", "k2", "v")
+    val updates = Seq((Option.empty[String], 1, 9.0)).toDF("k1", "k2", "v")
+    val out = Merge.upsert(target, updates, keys).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getDouble(2))).toSet
+    assert(out == Set(("a", 1.0), (null, 2.0), (null, 9.0)))
+  }
+
   val rowGen: Gen[(String, Int, Double)] = for {
     k1 <- Gen.oneOf("a", "b", "c", "d")
     k2 <- Gen.choose(0, 3)
