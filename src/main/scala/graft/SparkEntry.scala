@@ -228,7 +228,7 @@ object SparkEntry {
         |  upper(p_brand) AS brand_upper,
         |  concat_ws('|', p_brand, p_type) AS brand_type,
         |  substring(p_name, 1, 5) AS name_prefix,
-        |  length(p_name) AS name_len,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
         |  p_partkey % 7 AS key_mod,
         |  p_retailprice * 1.21 AS price_vat,
         |  round(sqrt(p_retailprice), 6) AS price_sqrt,

@@ -47,6 +47,18 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("approx_count_distinct stays within its 1% error bound vs exact") {
+    val exact = graft.queries.Analytics.q20DistinctAgg(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.Analytics.q21ApproxDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (seg, n) =>
+      val a = approx(seg)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"$seg: approx $a vs exact $n")
+    }
+  }
+
   test("IVF ANN recall vs brute-force top-5 is useful (>= 25%) and is deterministic") {
     val exact = Similarity.q37TopKBruteForce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
