@@ -48,6 +48,7 @@ object SparkEntry {
     "q45_interval_join" -> (Advanced.q45IntervalJoin _),
     "q46_grouping_sets" -> (Advanced.q46GroupingSets _),
     "q49_stratified_sample" -> (Advanced.q49StratifiedSample _),
+    "q50_json_extract" -> (Advanced.q50JsonExtract _),
     "q30_text_stats" -> (TextAnalysis.q30TextStats _),
     "q31_lang_id" -> (TextAnalysis.q31LangId _),
     "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
@@ -270,6 +271,15 @@ object SparkEntry {
         |  round(CAST(n_sampled AS DOUBLE) / n_total, 4) AS rate
         |FROM t JOIN s ON t.lang = s.lang
         |ORDER BY lang""".stripMargin,
+    "q50_json_extract" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |  FROM events
+        |)
+        |SELECT k % 10 AS k_bucket, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
     "q48_asof_join_native" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts, value,

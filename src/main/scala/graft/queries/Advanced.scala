@@ -136,6 +136,22 @@ object Advanced {
       .orderBy($"lang")
   }
 
+  /** JSON column extraction (`events.props` is a JSON string): schema-on-read
+    * with from_json, then aggregate on the extracted field — the
+    * semi-structured path of the scalar-function surface. */
+  def q50JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    Tables.events(spark, dir)
+      .withColumn("k",
+        from_json($"props", StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"k_bucket")
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
