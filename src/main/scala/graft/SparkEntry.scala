@@ -49,6 +49,8 @@ object SparkEntry {
     "q46_grouping_sets" -> (Advanced.q46GroupingSets _),
     "q49_stratified_sample" -> (Advanced.q49StratifiedSample _),
     "q50_json_extract" -> (Advanced.q50JsonExtract _),
+    "q51_media_resize" -> (Multimodal.q51MediaResize _),
+    "q52_bpe_token_estimate" -> (TextAnalysis.q52BpeTokenEstimate _),
     "q30_text_stats" -> (TextAnalysis.q30TextStats _),
     "q31_lang_id" -> (TextAnalysis.q31LangId _),
     "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
@@ -280,6 +282,30 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q51_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+        |    CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), s AS (
+        |  SELECT media_id, width, height,
+        |    224.0 / greatest(width, height) AS scale
+        |  FROM m
+        |)
+        |SELECT media_id, width, height,
+        |  CAST(greatest(1, floor(width * scale)) AS INTEGER) AS new_width,
+        |  CAST(greatest(1, floor(height * scale)) AS INTEGER) AS new_height,
+        |  round(scale, 6) AS scale
+        |FROM s ORDER BY media_id""".stripMargin,
+    "q52_bpe_token_estimate" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+        |    AS n_pieces,
+        |  CAST(list_sum(list_transform(
+        |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_estimate
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q48_asof_join_native" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts, value,

@@ -83,6 +83,22 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** Resize stage (STUB geometry, real pipeline shape): fit each image into
+    * a 224×224 box preserving aspect ratio — the metadata arithmetic every
+    * vision-model preprocessor runs before the (stubbed) pixel resample. */
+  def q51MediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fakeDecode(mediaTable(spark, dir))
+      .filter($"kind" === "image")
+      .withColumn("scale",
+        lit(224.0) / greatest($"width", $"height").cast("double"))
+      .select($"media_id", $"width", $"height",
+        greatest(lit(1), floor($"width" * $"scale").cast("int")).as("new_width"),
+        greatest(lit(1), floor($"height" * $"scale").cast("int")).as("new_height"),
+        round($"scale", 6).as("scale"))
+      .orderBy($"media_id")
+  }
+
   /** Frame sampling: one row per sampled frame index (stride 4) — the
     * explode-shaped stage a video pipeline runs before per-frame featurize.
     * Partitioned by media_id bucket upstream so decode parallelism is even. */

@@ -44,6 +44,21 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** BPE-ish token count estimate: pre-tokenize with a GPT-style regex
+    * (letter runs / digit runs / single punctuation), then charge
+    * ceil(len/4) subword tokens per word — the standard cheap proxy for
+    * tokenizer budgeting when the real BPE vocab isn't in the loop. */
+  def q52BpeTokenEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pieces = regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(pieces).as("n_pieces"),
+        aggregate(pieces, lit(0L),
+          (acc, w) => acc + ceil(length(w) / 4.0).cast("long")).as("bpe_estimate"))
+      .orderBy($"doc_id")
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " a "),
     "de" -> Seq(" der ", " und "),
