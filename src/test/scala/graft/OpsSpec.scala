@@ -58,6 +58,35 @@ class OpsSpec extends SparkSpec {
     assert(n2 == c2)
   }
 
+  test("property: both as-of implementations equal a naive reference on random inputs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 50L); v <- Gen.choose(0, 99)
+    } yield (k, t, v.toDouble)
+    val prop = Prop.forAll(Gen.listOfN(12, rowGen), Gen.listOfN(12, rowGen)) { (l, r) =>
+      // right side unique on (k,t): equal-time ties between right rows are
+      // undefined order in every implementation
+      val rs = r.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val left = l.toDF("k", "t", "payload")
+      val right = rs.toDF("k", "t", "v")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "t", "payload", "asof_v").collect()
+          .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+            if (row.isNullAt(3)) None else Some(row.getDouble(3))))
+          .sortBy(x => (x._1, x._2, x._3)).toSeq
+      val composed = canon(AsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v")))
+      val native = canon(graft.plans.NativeAsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v")))
+      val naive = l.map { case (k, t, p) =>
+        val m = rs.filter(x => x._1 == k && x._2 <= t)
+        (k, t, p, if (m.isEmpty) None else Some(m.maxBy(_._2)._3))
+      }.sortBy(x => (x._1, x._2, x._3)).toSeq
+      composed == naive && native == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("native kernels equal their HOF reference formulations on real data") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
