@@ -192,6 +192,7 @@ object Kernels {
 
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def foldable: Boolean = left.foldable && right.foldable
   private def kernel: String = left.dataType match {
     case ArrayType(FloatType, _) => "cosineF"
     case _ => "cosineD"
@@ -208,6 +209,7 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
 }
 
 case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Kernels.minhashSig(v.asInstanceOf[ArrayData])
@@ -217,6 +219,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
+  override def foldable: Boolean = child.foldable
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     Kernels.simhash64(v.asInstanceOf[ArrayData])
@@ -226,6 +229,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Kernels.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
@@ -235,6 +239,7 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 }
 
 case class LshSigs(child: Expression) extends UnaryExpression {
+  override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Kernels.lshSignatures(v.asInstanceOf[ArrayData])

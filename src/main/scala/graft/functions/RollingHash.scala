@@ -49,6 +49,7 @@ object RollingHashKernel {
 case class RollingHashMin(child: Expression, width: Int)
     extends UnaryExpression {
 
+  override def foldable: Boolean = child.foldable
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =

@@ -24,6 +24,17 @@ class FunctionsSpec extends SparkSpec {
     assert(doc.getLong(0) != 0L)
   }
 
+  test("custom expressions constant-fold: literal inputs collapse in the optimized plan") {
+    GraftFunctions.registerAll(spark)
+    val df = spark.sql("SELECT rolling_hash_min('hello world hello', 8) AS fp")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("rolling_hash_min"),
+      s"expected ConstantFolding to collapse the call:\n$optimized")
+    assert(df.collect().head.getLong(0) ==
+      graft.functions.RollingHashKernel.minRollingHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world hello"), 8))
+  }
+
   test("GraftExtensions injects functions at session build time") {
     // The shared session already exists; what we can check cheaply is that
     // the extension class instantiates and exposes the same builder set.
