@@ -31,9 +31,16 @@ object ScaleProbe {
     // timestamps a raw copy can't round-trip).
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
+    // documents: replicate with doc_id offsets (keeps planted-dup ids intact
+    // for replica 0 only; the other replicas add corpus bulk)
+    val docs = Tables.documents(spark, base)
+    (0 until replicas).map(r => docs.withColumn("doc_id", $"doc_id" + r * OffsetStep))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
 
     val headline = Seq("q01_pricing_summary", "q10_revenue_by_nation",
-      "q12_running_totals", "q07_upsert", "q11_top_customers_per_region")
+      "q12_running_totals", "q07_upsert", "q11_top_customers_per_region",
+      "q34_minhash_neardup", "q30_text_stats", "q52_bpe_token_estimate")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
