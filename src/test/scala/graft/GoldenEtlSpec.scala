@@ -10,6 +10,26 @@ import graft.sources.Tables
   * expected table. */
 class GoldenEtlSpec extends SparkSpec {
 
+  test("CSV read modes: permissive nulls bad casts (reference tolerance), failfast rejects") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_badcsv_")
+    Files.writeString(dir.resolve("bad.csv"),
+      "a,b\n1,x\nnot_an_int,y\n3,z\n")
+    val schema = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    // PERMISSIVE (default): unparseable cell → null, row survives — the
+    // tolerance the reference relies on by reading untyped.
+    val permissive = Tables.csv(spark, dir.toString, schema).collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(_.isNullAt(0)) == 1)
+    // FAILFAST: strict typing at the edge fails the read, like the
+    // reference's Postgres COPY would (SURVEY.md §7 hard parts).
+    val strict = spark.read.schema(schema)
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(dir.toString)
+    intercept[org.apache.spark.SparkException] { strict.collect() }
+  }
+
   test("eea_mini.csv through the full chain matches the golden table") {
     implicit val s = spark
     val path = getClass.getResource("/eea_mini.csv").getPath
