@@ -49,6 +49,10 @@ object SparkEntry {
     "q46_grouping_sets" -> (Advanced.q46GroupingSets _),
     "q49_stratified_sample" -> (Advanced.q49StratifiedSample _),
     "q50_json_extract" -> (Advanced.q50JsonExtract _),
+    "q53_pivot" -> (Advanced.q53Pivot _),
+    "q54_unpivot" -> (Advanced.q54Unpivot _),
+    "q55_ntile" -> (Advanced.q55Ntile _),
+    "q56_stats" -> (Advanced.q56Stats _),
     "q51_media_resize" -> (Multimodal.q51MediaResize _),
     "q52_bpe_token_estimate" -> (TextAnalysis.q52BpeTokenEstimate _),
     "q30_text_stats" -> (TextAnalysis.q30TextStats _),
@@ -282,6 +286,50 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q53_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q54_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+        |    round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+        |    round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, status_col, revenue FROM (
+        |  SELECT o_orderpriority, 'rev_f' AS status_col, rev_f AS revenue FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'rev_o', rev_o FROM p
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'rev_p', rev_p FROM p
+        |)
+        |WHERE revenue IS NOT NULL
+        |ORDER BY o_orderpriority, status_col""".stripMargin,
+    "q55_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER)
+        |    AS quartile,
+        |  round(percent_rank() OVER (ORDER BY c_acctbal ASC, c_custkey ASC), 6)
+        |    AS pct_rank
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q56_stats" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c_mktsegment,
+        |  round(stddev_samp(c_acctbal), 4) AS bal_stddev,
+        |  round(var_samp(c_acctbal), 2) AS bal_var,
+        |  round(corr(c_acctbal, n_orders), 4) AS bal_orders_corr
+        |FROM customer JOIN pc ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q51_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

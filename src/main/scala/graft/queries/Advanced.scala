@@ -152,6 +152,56 @@ object Advanced {
       .orderBy($"k_bucket")
   }
 
+  /** Pivot: order status → columns, one row per priority (conditional
+    * aggregation under the hood — the oracle spells it out). */
+  def q53Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum($"o_totalprice"), 2))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Unpivot (melt): wide per-status revenue back to long form. */
+  def q54Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    q53Pivot(spark, dir)
+      .unpivot(Array($"o_orderpriority"),
+        Array($"rev_f", $"rev_o", $"rev_p"), "status_col", "revenue")
+      .orderBy($"o_orderpriority", $"status_col")
+  }
+
+  /** NTILE quartiles + percent_rank over a deterministic total order. */
+  def q55Ntile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_acctbal",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Statistical aggregates per segment: sample stddev/variance, Pearson
+    * correlation of balance vs order count. */
+  def q56Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice").as("spend"))
+    Tables.customer(spark, dir)
+      .join(perCust, $"c_custkey" === $"o_custkey", "inner")
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(stddev_samp($"c_acctbal"), 4).as("bal_stddev"),
+        round(var_samp($"c_acctbal"), 2).as("bal_var"),
+        round(corr($"c_acctbal", $"n_orders"), 4).as("bal_orders_corr"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
