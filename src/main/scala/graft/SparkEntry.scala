@@ -50,6 +50,7 @@ object SparkEntry {
     "q49_stratified_sample" -> (Advanced.q49StratifiedSample _),
     "q50_json_extract" -> (Advanced.q50JsonExtract _),
     "q53_pivot" -> (Advanced.q53Pivot _),
+    "q57_correlated_subquery" -> (Advanced.q57CorrelatedSubquery _),
     "q54_unpivot" -> (Advanced.q54Unpivot _),
     "q55_ntile" -> (Advanced.q55Ntile _),
     "q56_stats" -> (Advanced.q56Stats _),
@@ -286,6 +287,13 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q57_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice >= 1.5 * (
+        |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        |)
+        |ORDER BY o_orderkey""".stripMargin,
     "q53_pivot" ->
       """SELECT o_orderpriority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,

@@ -202,6 +202,20 @@ object Advanced {
       .orderBy($"c_mktsegment")
   }
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join (SURVEY.md §4 "subquery decorrelation"): orders that
+    * are ≥ 1.5× their own customer's average order value. */
+  def q57CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice >= 1.5 * (
+        |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        |)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -25,6 +25,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("with broadcast disabled the big join falls back to sort-merge (both strategies live)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf0001)
+      val o = graft.sources.Tables.orders(spark, sf0001)
+      val plan = planOf(li.join(o, li("l_orderkey") === o("o_orderkey")))
+      assert(plan.contains("SortMergeJoin"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("correlated scalar subquery is decorrelated into an aggregate + join") {
+    val plan = planOf(graft.queries.Advanced.q57CorrelatedSubquery(spark, sf0001))
+    assert(!plan.toLowerCase.contains("subquery") || plan.contains("Join"),
+      "expected decorrelation into a join")
+    assert(plan.contains("Join"))
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
