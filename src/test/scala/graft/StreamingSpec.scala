@@ -63,6 +63,33 @@ class StreamingSpec extends SparkSpec {
     assert(n == 3, s"expected 3 unique events, got $n")
   }
 
+  test("stream-stream interval join pairs clicks with views within the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("user_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val v = views.toDS().toDF("v_user_id", "view_ts").withWatermark("view_ts", "10 minutes")
+    val joined = c.join(v,
+      $"user_id" === $"v_user_id" &&
+        $"view_ts" >= $"click_ts" - expr("INTERVAL 5 MINUTES") &&
+        $"view_ts" <= $"click_ts")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData((1L, ts(10)), (2L, ts(10)))
+    views.addData((1L, ts(7)), (1L, ts(20)), (2L, ts(1)))
+    q.processAllAvailable()
+    val rows = spark.table("ss_join")
+      .select($"user_id", $"view_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    q.stop()
+    // user 1: view at 10:07 is within [10:05, 10:10] → joined;
+    // view at 10:20 is after the click; user 2's view at 10:01 is too old.
+    assert(rows == Set((1L, ts(7))))
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
