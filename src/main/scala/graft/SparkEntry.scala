@@ -51,6 +51,8 @@ object SparkEntry {
     "q50_json_extract" -> (Advanced.q50JsonExtract _),
     "q53_pivot" -> (Advanced.q53Pivot _),
     "q57_correlated_subquery" -> (Advanced.q57CorrelatedSubquery _),
+    "q58_dedup_stats" -> (Dedup.q58DedupStats _),
+    "q59_first_last_value" -> (Advanced.q59FirstLastValue _),
     "q54_unpivot" -> (Advanced.q54Unpivot _),
     "q55_ntile" -> (Advanced.q55Ntile _),
     "q56_stats" -> (Advanced.q56Stats _),
@@ -287,6 +289,27 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q58_dedup_stats" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT text FROM documents WHERE doc_id < 30
+        |)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_unique,
+        |  count(*) - count(DISTINCT text) AS n_dup_docs,
+        |  round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 6)
+        |    AS dup_rate
+        |FROM corpus""".stripMargin,
+    "q59_first_last_value" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q57_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

@@ -43,6 +43,19 @@ object Dedup {
       .orderBy($"canonical_id")
   }
 
+  /** Corpus duplication report — the summary a dedup pass emits before/after
+    * filtering: totals, unique contents, duplicate mass. */
+  def q58DedupStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPlantedExact(Tables.documents(spark, dir), 30)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"text").as("n_unique"),
+        (count(lit(1)) - countDistinct($"text")).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round($"n_dup_docs".cast("double") / $"n_docs", 6))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Distinct word k-shingles of a text column. 0-based `get` (not

@@ -216,6 +216,21 @@ object Advanced {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** first/last/nth value window functions over each customer's order
+    * history (deterministic order; full frame for last/nth). */
+  def q59FirstLastValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        first($"o_totalprice").over(full).as("first_price"),
+        last($"o_totalprice").over(full).as("last_price"),
+        nth_value($"o_totalprice", 2).over(full).as("second_price"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
