@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Analytics, Flagship, Parity}
+import graft.queries.{Advanced, Analytics, EventAnalytics, Flagship, Parity}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
@@ -53,6 +53,8 @@ object SparkEntry {
     "q57_correlated_subquery" -> (Advanced.q57CorrelatedSubquery _),
     "q58_dedup_stats" -> (Dedup.q58DedupStats _),
     "q59_first_last_value" -> (Advanced.q59FirstLastValue _),
+    "q60_funnel" -> (EventAnalytics.q60Funnel _),
+    "q61_retention" -> (EventAnalytics.q61Retention _),
     "q54_unpivot" -> (Advanced.q54Unpivot _),
     "q55_ntile" -> (Advanced.q55Ntile _),
     "q56_stats" -> (Advanced.q56Stats _),
@@ -289,6 +291,50 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q60_funnel" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS ns,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ns
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_type, ns,
+        |    CASE WHEN prev_ns IS NULL OR ns - prev_ns > 1800000000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o
+        |), s AS (
+        |  SELECT user_id, event_type, ns,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ns
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |), ps AS (
+        |  SELECT user_id, sid,
+        |    min(CASE WHEN event_type = 'view' THEN ns END) AS v_ns,
+        |    min(CASE WHEN event_type = 'click' THEN ns END) AS c_ns,
+        |    min(CASE WHEN event_type = 'purchase' THEN ns END) AS p_ns
+        |  FROM s GROUP BY user_id, sid
+        |)
+        |SELECT count(*) AS n_sessions,
+        |  count(v_ns) AS n_with_view,
+        |  CAST(sum(CASE WHEN c_ns > v_ns THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_view_then_click,
+        |  CAST(sum(CASE WHEN c_ns > v_ns AND p_ns > c_ns THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full_funnel
+        |FROM ps""".stripMargin,
+    "q61_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+        |), cohorts AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+        |)
+        |SELECT cohort_week,
+        |  count(DISTINCT ev.user_id) AS cohort_size,
+        |  count(DISTINCT CASE WHEN week = cohort_week + INTERVAL 7 DAY
+        |    THEN ev.user_id END) AS retained_w1,
+        |  count(DISTINCT CASE WHEN week = cohort_week + INTERVAL 14 DAY
+        |    THEN ev.user_id END) AS retained_w2
+        |FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+        |GROUP BY cohort_week
+        |ORDER BY cohort_week""".stripMargin,
     "q58_dedup_stats" ->
       """WITH corpus AS (
         |  SELECT text FROM documents

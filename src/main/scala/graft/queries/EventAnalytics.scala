@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-pipeline analytics over the events stream table: funnel conversion
+  * and weekly retention — the queries a product/event warehouse answers
+  * daily, here over exact ns ordering.
+  */
+object EventAnalytics {
+
+  /** Session funnel: per 30-minute-gap session, did a view precede a click
+    * precede a purchase? Output: global funnel counts. Sessionization mirrors
+    * q24 (lag + cumulative break sum) so the oracle can reproduce it exactly. */
+  def q60Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns")
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ns", lag($"ts_ns", 1).over(byUser))
+      .withColumn("brk",
+        when($"prev_ns".isNull || $"ts_ns" - $"prev_ns" > gapNs, 1).otherwise(0))
+      .withColumn("sid", sum($"brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = sessions.groupBy($"user_id", $"sid").agg(
+      min(when($"event_type" === "view", $"ts_ns")).as("v_ns"),
+      min(when($"event_type" === "click", $"ts_ns")).as("c_ns"),
+      min(when($"event_type" === "purchase", $"ts_ns")).as("p_ns"))
+    perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      count($"v_ns").as("n_with_view"),
+      sum(when($"c_ns" > $"v_ns", 1).otherwise(0)).as("n_view_then_click"),
+      sum(when($"c_ns" > $"v_ns" && $"p_ns" > $"c_ns", 1).otherwise(0))
+        .as("n_full_funnel"))
+  }
+
+  /** Weekly retention: for each signup-week cohort (first event week), how
+    * many users were active 1 and 2 weeks later. */
+  def q61Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("week"))
+      .distinct()
+    val cohorts = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy($"cohort_week")
+      .agg(
+        countDistinct($"user_id").as("cohort_size"),
+        countDistinct(when($"week" === $"cohort_week" + expr("INTERVAL 7 DAYS"),
+          $"user_id")).as("retained_w1"),
+        countDistinct(when($"week" === $"cohort_week" + expr("INTERVAL 14 DAYS"),
+          $"user_id")).as("retained_w2"))
+      .orderBy($"cohort_week")
+  }
+}
