@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom stateful streaming operators via flatMapGroupsWithState — the
@@ -12,6 +12,29 @@ object StatefulOps {
 
   case class Ev(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  case class ScoredCandidate(query_id: Long, neighbor_id: Long, score: Double)
+  case class TopKSnapshot(query_id: Long, neighbor_ids: List[Long], scores: List[Double])
+
+  /** Streaming top-k similarity (SURVEY.md §7): as scored candidates stream
+    * in, keep the best k per query in state and emit the updated snapshot
+    * each micro-batch. State is the bounded [[graft.functions.TopKAggregator.TopKBuf]]
+    * — O(k) per query regardless of stream length. */
+  def streamingTopK(candidates: Dataset[ScoredCandidate], k: Int): Dataset[TopKSnapshot] = {
+    import graft.functions.TopKAggregator.{Scored, TopKBuf}
+    implicit val bufEnc: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    implicit val outEnc: Encoder[TopKSnapshot] = Encoders.product[TopKSnapshot]
+    val agg = new graft.functions.TopKAggregator.TopK(k)
+    candidates.groupByKey(_.query_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (queryId: Long, batch: Iterator[ScoredCandidate], state: GroupState[TopKBuf]) => {
+          var buf = state.getOption.getOrElse(agg.zero)
+          batch.foreach(c => buf = agg.reduce(buf, Scored(c.neighbor_id, c.score)))
+          state.update(buf)
+          val items = agg.finish(buf)
+          Iterator.single(TopKSnapshot(queryId, items.map(_.id), items.map(_.score)))
+        })
+  }
 
   /** Per-user running (count, sum) emitted on every update — an
     * incrementally-maintained aggregate with explicit state. */

@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpec {
     assert(n == 3, s"expected 3 unique events, got $n")
   }
 
+  test("streaming top-k keeps the best k per query across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulOps.ScoredCandidate
+    val input = MemoryStream[ScoredCandidate]
+    val q = StatefulOps.streamingTopK(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      ScoredCandidate(1L, 10L, 0.5), ScoredCandidate(1L, 11L, 0.9),
+      ScoredCandidate(1L, 12L, 0.1))
+    q.processAllAvailable()
+    input.addData(ScoredCandidate(1L, 13L, 0.7), ScoredCandidate(2L, 20L, 0.3))
+    q.processAllAvailable()
+    val rows = spark.table("topk_stream").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    q.stop()
+    // batch 1 snapshot: [11 (0.9), 10 (0.5)]; batch 2 folds 13 (0.7) into state
+    assert(rows.contains((1L, List(11L, 10L))))
+    assert(rows.contains((1L, List(11L, 13L))))
+    assert(rows.contains((2L, List(20L))))
+  }
+
   test("stream-stream interval join pairs clicks with views within the window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
