@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-files compaction — the maintenance pass every file-based warehouse
+  * needs: streaming/incremental sinks (e.g. the versioned upsert pipeline)
+  * accumulate many small part files; scans then pay per-file open/footer
+  * costs. Compaction rewrites a table directory into ~`targetBytes` files.
+  *
+  * At cluster scale the same code runs per partition directory; the repartition
+  * count derives from actual data size, not a guess.
+  */
+object Compaction {
+
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+  }
+
+  def parquetFileCount(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Rewrite `dir` (a parquet table directory) into ceil(size/targetBytes)
+    * files via an exchange-free coalesce when shrinking. Writes to a temp
+    * sibling then swaps, so readers never observe a half-written table. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val bytes = math.max(dataBytes(spark, dir), 1L)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(dir.stripSuffix("/") + ".compact-old")
+    fs.delete(bak, true)
+    fs.rename(p, bak)
+    fs.rename(new Path(tmp), p)
+    fs.delete(bak, true)
+  }
+}

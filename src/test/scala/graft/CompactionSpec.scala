@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.Compaction
+
+class CompactionSpec extends SparkSpec {
+
+  test("compaction collapses many small files into few, preserving content") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_").toString + "/table"
+    (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(32).write.parquet(dir)
+    assert(Compaction.parquetFileCount(spark, dir) >= 16)
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+
+    Compaction.compact(spark, dir)
+
+    assert(Compaction.parquetFileCount(spark, dir) == 1)
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+  }
+
+  test("shingle-hash kernel edge cases: empty, single token, duplicates") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Kernels
+    assert(Kernels.shingleHashes(UTF8String.fromString(""), 3).numElements() == 0)
+    assert(Kernels.shingleHashes(UTF8String.fromString("word"), 3).numElements() == 1)
+    assert(Kernels.shingleHashes(UTF8String.fromString("   "), 3).numElements() == 0)
+    // identical repeated windows dedupe
+    val rep = Kernels.shingleHashes(UTF8String.fromString("a a a a a a"), 3)
+    assert(rep.numElements() == 1)
+    // minhash of empty shingles is the defined zero signature
+    val mh = Kernels.minhashSig(Kernels.shingleHashes(UTF8String.fromString(""), 3))
+    assert((0 until 64).forall(i => mh.getLong(i) == 0L))
+  }
+}
