@@ -20,6 +20,30 @@ class CompactionSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("sorted layout yields disjoint per-file ranges (file-skipping precondition)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_layout_").toString + "/li"
+    graft.ops.Layout.sortedWrite(
+      graft.sources.Tables.lineitem(spark, sf001), dir, 8, "l_shipdate")
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_shipdate").as("lo"), max($"l_shipdate").as("hi"))
+      .collect().map { r =>
+        // l_shipdate reads back as TIMESTAMP_NTZ → LocalDateTime
+        val lo = r.getAs[java.time.LocalDateTime]("lo")
+        val hi = r.getAs[java.time.LocalDateTime]("hi")
+        (lo, hi)
+      }.sortBy(_._1)
+    assert(ranges.length == 8)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(!hi1.isAfter(lo2), "file ranges overlap")
+      case _ =>
+    }
+  }
+
   test("shingle-hash kernel edge cases: empty, single token, duplicates") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.Kernels
