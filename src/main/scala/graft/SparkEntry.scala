@@ -52,6 +52,7 @@ object SparkEntry {
     "q53_pivot" -> (Advanced.q53Pivot _),
     "q57_correlated_subquery" -> (Advanced.q57CorrelatedSubquery _),
     "q58_dedup_stats" -> (Dedup.q58DedupStats _),
+    "q62_neardup_corpus" -> (Dedup.q62NearDupCorpus _),
     "q59_first_last_value" -> (Advanced.q59FirstLastValue _),
     "q60_funnel" -> (EventAnalytics.q60Funnel _),
     "q61_retention" -> (EventAnalytics.q61Retention _),

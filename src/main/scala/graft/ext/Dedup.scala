@@ -188,6 +188,54 @@ object Dedup {
       .orderBy($"left_id", $"right_id")
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each doc's label converges to the minimum doc_id reachable
+    * through dup edges. Converges in O(log n) rounds of joins (driver loop
+    * only controls iteration count — all data work is distributed); the
+    * standard last stage before dropping non-canonical duplicates at scale. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // undirected edge list, both directions
+    val edges = pairs.select($"left_id".as("src"), $"right_id".as("dst"))
+      .unionByName(pairs.select($"right_id".as("src"), $"left_id".as("dst")))
+      .distinct().persist()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), $"dst" === $"dst2")
+        .groupBy($"src").agg(min($"label").as("nbr_label"))
+      val next = labels.join(neighborMin, $"id" === $"src", "left")
+        .select($"id",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup corpus dedup: MinHash→LSH→verify pairs, connected
+    * components, keep only component-canonical docs. Output: corpus size
+    * before/after and removed count — the operational dedup report. */
+  def q62NearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = withPlantedNear(Tables.documents(spark, dir), 20)
+    val pairs = q34MinhashNearDup(spark, dir).select($"left_id", $"right_id")
+    val labels = connectedComponents(pairs)
+    val nonCanonical = labels.filter($"label" =!= $"id").select($"id".as("doc_id"))
+    val deduped = corpus.join(nonCanonical, Seq("doc_id"), "left_anti")
+    Seq((corpus.count(), deduped.count()))
+      .toDF("n_before", "n_after")
+      .withColumn("n_removed", $"n_before" - $"n_after")
+  }
+
   /** Direct n-gram Jaccard similarity metric on known pairs (each planted
     * near-copy vs its original) — the SQL-expressible face of the verify
     * stage, with a DuckDB oracle. */

@@ -47,6 +47,25 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("near-dup corpus dedup removes planted copies via connected components") {
+    val row = Dedup.q62NearDupCorpus(spark, sf0001).collect().head
+    val (before, after, removed) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(before == 520)
+    // at least the 20 planted near-copies collapse; organic word-salad
+    // near-dups may collapse additional docs
+    assert(removed >= 20 && after <= 500)
+    assert(before - after == removed)
+  }
+
+  test("connected components: chains collapse to the minimum id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("left_id", "right_id")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
   test("approx_count_distinct stays within its 1% error bound vs exact") {
     val exact = graft.queries.Analytics.q20DistinctAgg(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
