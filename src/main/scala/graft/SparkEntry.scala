@@ -54,6 +54,9 @@ object SparkEntry {
     "q58_dedup_stats" -> (Dedup.q58DedupStats _),
     "q62_neardup_corpus" -> (Dedup.q62NearDupCorpus _),
     "q59_first_last_value" -> (Advanced.q59FirstLastValue _),
+    "q63_except_all" -> (Advanced.q63ExceptAll _),
+    "q64_collect_sorted" -> (Advanced.q64CollectSorted _),
+    "q65_string_agg" -> (Advanced.q65StringAgg _),
     "q60_funnel" -> (EventAnalytics.q60Funnel _),
     "q61_retention" -> (EventAnalytics.q61Retention _),
     "q54_unpivot" -> (Advanced.q54Unpivot _),
@@ -292,6 +295,37 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q63_except_all" ->
+      """WITH big AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+        |), open_o AS (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |), ex AS (
+        |  SELECT custkey, count(*) AS n, 'except_all' AS op FROM (
+        |    SELECT custkey FROM big EXCEPT ALL SELECT custkey FROM open_o
+        |  ) GROUP BY custkey
+        |), inx AS (
+        |  SELECT custkey, count(*) AS n, 'intersect_all' AS op FROM (
+        |    SELECT custkey FROM big INTERSECT ALL SELECT custkey FROM open_o
+        |  ) GROUP BY custkey
+        |)
+        |SELECT custkey, n, op FROM ex
+        |UNION ALL SELECT custkey, n, op FROM inx
+        |ORDER BY op, custkey""".stripMargin,
+    "q64_collect_sorted" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+        |    AS line_numbers,
+        |  CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines
+        |FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+    "q65_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
     "q60_funnel" ->
       """WITH o AS (
         |  SELECT user_id, event_type, epoch_ns(ts) AS ns,

@@ -231,6 +231,44 @@ object Advanced {
       .orderBy($"o_orderkey")
   }
 
+  /** Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL preserve
+    * duplicates — the semantics DISTINCT variants destroy. */
+  def q63ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val big = o.filter($"o_totalprice" > 100000).select($"o_custkey".as("custkey"))
+    val open = o.filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey"))
+    val ex = big.exceptAll(open)
+      .groupBy($"custkey").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = big.intersectAll(open)
+      .groupBy($"custkey").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).orderBy($"op", $"custkey")
+  }
+
+  /** collect_list with deterministic ordering (sort_array) — array
+    * aggregation that survives cross-engine comparison. */
+  def q64CollectSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" <= 100)
+      .groupBy($"l_orderkey")
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list($"l_linenumber")),
+          _.cast("string"))).as("line_numbers"),
+        size(collect_list($"l_linenumber")).as("n_lines"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** Ordered string aggregation per group. */
+  def q65StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(concat_ws(",", array_sort(collect_list($"n_name"))).as("nations"))
+      .orderBy($"r_name")
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

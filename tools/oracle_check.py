@@ -27,7 +27,8 @@ with open(f"{outdir}/oracle_sql.json") as f:
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes: timestamps -> ns, ints -> int64, floats -> float64
+    # normalize dtypes: timestamps -> us, ints -> int64, floats -> float64,
+    # list/array cells -> tuples (hashable/sortable)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
@@ -35,6 +36,9 @@ def canon(df):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
