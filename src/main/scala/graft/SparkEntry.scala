@@ -55,6 +55,8 @@ object SparkEntry {
     "q62_neardup_corpus" -> (Dedup.q62NearDupCorpus _),
     "q59_first_last_value" -> (Advanced.q59FirstLastValue _),
     "q63_except_all" -> (Advanced.q63ExceptAll _),
+    "q66_date_functions" -> (Advanced.q66DateFunctions _),
+    "q67_regexp_functions" -> (Advanced.q67RegexpFunctions _),
     "q64_collect_sorted" -> (Advanced.q64CollectSorted _),
     "q65_string_agg" -> (Advanced.q65StringAgg _),
     "q60_funnel" -> (EventAnalytics.q60Funnel _),
@@ -295,6 +297,24 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q66_date_functions" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS INTEGER) AS days_since_95
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "q67_regexp_functions" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER)
+        |    AS n_consonant_chars,
+        |  regexp_matches(text, 'merge.*join|join.*merge') AS mentions_merge_join
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q63_except_all" ->
       """WITH big AS (
         |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000

@@ -269,6 +269,33 @@ object Advanced {
       .orderBy($"r_name")
   }
 
+  /** Date/time function surface: component extraction + ISO weekday +
+    * day difference from a fixed epoch. */
+  def q66DateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" <= 500)
+      .select($"o_orderkey", $"o_orderdate",
+        year($"o_orderdate").as("y"),
+        quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        (weekday($"o_orderdate") + 1).as("iso_dow"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("days_since_95"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Regexp surface: group extraction, global replace, full-match test. */
+  def q67RegexpFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_extract($"text", "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        length(regexp_replace($"text", "[aeiou]", "")).as("n_consonant_chars"),
+        $"text".rlike("merge.*join|join.*merge").as("mentions_merge_join"))
+      .orderBy($"doc_id")
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
