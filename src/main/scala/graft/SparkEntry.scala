@@ -56,6 +56,9 @@ object SparkEntry {
     "q59_first_last_value" -> (Advanced.q59FirstLastValue _),
     "q63_except_all" -> (Advanced.q63ExceptAll _),
     "q66_date_functions" -> (Advanced.q66DateFunctions _),
+    "q68_gap_fill" -> (Advanced.q68GapFill _),
+    "q69_histogram" -> (Advanced.q69Histogram _),
+    "q70_data_quality" -> (Advanced.q70DataQuality _),
     "q67_regexp_functions" -> (Advanced.q67RegexpFunctions _),
     "q64_collect_sorted" -> (Advanced.q64CollectSorted _),
     "q65_string_agg" -> (Advanced.q65StringAgg _),
@@ -297,6 +300,38 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q68_gap_fill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events
+        |), grid AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+        |), actual AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1
+        |)
+        |SELECT grid.hour AS hour, coalesce(n, 0) AS n_events
+        |FROM grid LEFT JOIN actual ON grid.hour = actual.hour
+        |ORDER BY hour""".stripMargin,
+    "q69_histogram" ->
+      """SELECT bin, CAST(bin * 50000 AS BIGINT) AS bin_lo, count(*) AS n_orders FROM (
+        |  SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) AS bin
+        |  FROM orders
+        |)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+    "q70_data_quality" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_quantity,
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bad_discount,
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nonpositive_price,
+        |  CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS bad_returnflag,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey))
+        |    AS orphan_lineitems
+        |FROM lineitem""".stripMargin,
     "q66_date_functions" ->
       """SELECT o_orderkey, o_orderdate,
         |  CAST(year(o_orderdate) AS INTEGER) AS y,

@@ -296,6 +296,58 @@ object Advanced {
       .orderBy($"doc_id")
   }
 
+  /** Time-grid gap filling: a complete hourly scaffold for the events
+    * window, left-joined to actual per-hour counts — missing hours surface
+    * as zeros instead of absent rows (the resampling every time-series
+    * consumer needs). */
+  def q68GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(
+      date_trunc("hour", min($"ts")).as("lo"),
+      date_trunc("hour", max($"ts")).as("hi")).collect().head
+    val (lo, hi) = (bounds.getAs[java.sql.Timestamp](0),
+      bounds.getAs[java.sql.Timestamp](1))
+    val grid = spark.range(1).select(
+        explode(sequence(lit(lo), lit(hi), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val actual = ev.groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(actual, Seq("hour"), "left")
+      .select($"hour", coalesce($"n", lit(0L)).as("n_events"))
+      .orderBy($"hour")
+  }
+
+  /** Fixed-width histogram of order values: 10 bins over [0, 500k), overflow
+    * clamped into the last bin. Deterministic integer binning. */
+  def q69Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(least(floor($"o_totalprice" / 50000.0).cast("int"), lit(9)).as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n_orders"))
+      .withColumn("bin_lo", $"bin" * 50000L)
+      .select($"bin", $"bin_lo", $"n_orders")
+      .orderBy($"bin")
+  }
+
+  /** Data-quality report over lineitem: null counts, domain violations, and
+    * referential orphans — the validation pass a pipeline runs before
+    * publishing a table. */
+  def q70DataQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val orphans = li.join(Tables.orders(spark, dir),
+      $"l_orderkey" === $"o_orderkey", "left_anti").count()
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"l_quantity".isNull, 1).otherwise(0)).as("null_quantity"),
+        sum(when($"l_discount" < 0 || $"l_discount" > 1, 1).otherwise(0))
+          .as("bad_discount"),
+        sum(when($"l_extendedprice" <= 0, 1).otherwise(0)).as("nonpositive_price"),
+        sum(when($"l_returnflag".isin("A", "N", "R"), 0).otherwise(1))
+          .as("bad_returnflag"))
+      .withColumn("orphan_lineitems", lit(orphans))
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
