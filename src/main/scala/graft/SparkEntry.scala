@@ -57,6 +57,8 @@ object SparkEntry {
     "q63_except_all" -> (Advanced.q63ExceptAll _),
     "q66_date_functions" -> (Advanced.q66DateFunctions _),
     "q68_gap_fill" -> (Advanced.q68GapFill _),
+    "q71_scd2_intervals" -> (Advanced.q71Scd2Intervals _),
+    "q72_rank_variants" -> (Advanced.q72RankVariants _),
     "q69_histogram" -> (Advanced.q69Histogram _),
     "q70_data_quality" -> (Advanced.q70DataQuality _),
     "q67_regexp_functions" -> (Advanced.q67RegexpFunctions _),
@@ -300,6 +302,25 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q71_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS effective_from,
+        |  lead(o_orderdate) OVER w AS effective_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin,
+    "q72_rank_variants" ->
+      """SELECT p_partkey, p_brand, p_size,
+        |  CAST(row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_size DESC, p_partkey ASC) AS INTEGER) AS rn,
+        |  CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS INTEGER)
+        |    AS rk,
+        |  CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)
+        |    AS INTEGER) AS drk
+        |FROM part WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin,
     "q68_gap_fill" ->
       """WITH bounds AS (
         |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi

@@ -348,6 +348,38 @@ object Advanced {
       .withColumn("orphan_lineitems", lit(orphans))
   }
 
+  /** SCD Type-2 shape: per-customer order history as validity intervals —
+    * each order effective until the next one (open-ended tail), the lead
+    * window that builds every slowly-changing dimension. */
+  def q71Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" <= 100)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"o_orderdate".as("effective_from"),
+        lead($"o_orderdate", 1).over(w).as("effective_to"),
+        (lead($"o_orderdate", 1).over(w).isNull).as("is_current"))
+      .orderBy($"o_custkey", $"effective_from", $"o_orderkey")
+  }
+
+  /** rank vs dense_rank vs row_number on a tie-heavy column — the three
+    * ranking semantics side by side. */
+  def q72RankVariants(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"p_brand").orderBy($"p_size".desc, $"p_partkey".asc)
+    val wTies = Window.partitionBy($"p_brand").orderBy($"p_size".desc)
+    Tables.part(spark, dir)
+      .filter($"p_partkey" <= 300)
+      .select($"p_partkey", $"p_brand", $"p_size",
+        row_number().over(w).as("rn"),
+        rank().over(wTies).as("rk"),
+        dense_rank().over(wTies).as("drk"))
+      .orderBy($"p_partkey")
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
