@@ -190,10 +190,17 @@ object Dedup {
 
   /** Connected components over near-dup pairs by iterative min-label
     * propagation: each doc's label converges to the minimum doc_id reachable
-    * through dup edges. Converges in O(log n) rounds of joins (driver loop
-    * only controls iteration count — all data work is distributed); the
-    * standard last stage before dropping non-canonical duplicates at scale. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    * through dup edges. Needs O(component diameter) rounds — dup chains are
+    * shallow in practice, but the loop runs until an actual fixed point (a
+    * silent cap would under-merge long chains) and throws if `maxIters` is
+    * hit unconverged. Driver-loop hygiene for scale:
+    *  - each generation is `localCheckpoint`ed, so the plan stays O(1) tall
+    *    instead of growing one join per round (superseded generations are
+    *    freed by the context cleaner once unreferenced);
+    *  - the convergence flag is computed in the SAME pass that builds the new
+    *    labels (a per-row `changed` bit max-aggregated over the materialized
+    *    checkpoint), not as a separate join job. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // undirected edge list, both directions
@@ -202,22 +209,26 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), $"dst" === $"dst2")
         .groupBy($"src").agg(min($"label").as("nbr_label"))
+      val newLabel = least($"label", coalesce($"nbr_label", $"label"))
       val next = labels.join(neighborMin, $"id" === $"src", "left")
-        .select($"id",
-          least($"label", coalesce($"nbr_label", $"label")).as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" =!= $"old").limit(1).count() > 0
-      labels = next
-      converged = !changed
+        .select($"id", newLabel.as("label"), (newLabel =!= $"label").as("changed"))
+        .localCheckpoint() // eager: the one full job this round
+      val maxChanged = next.agg(max($"changed")).collect().head // cached scan
+      converged = maxChanged.isNullAt(0) || !maxChanged.getBoolean(0)
+      labels = next.select($"id", $"label")
       i += 1
     }
+    edges.unpersist(blocking = false)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixed point after $maxIters rounds " +
+        "(component diameter exceeds maxIters — raise it)")
     labels
   }
 

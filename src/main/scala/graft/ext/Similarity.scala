@@ -23,8 +23,20 @@ object Similarity {
   // top-5 cosine ≈ 0.3): short 4-bit codes, many tables. At cos θ≈0.3 this
   // gives ≈55% recall while probing ~35% of the corpus; stronger cluster
   // structure (real embeddings) shifts the tradeoff sharply in LSH's favor.
+  // Short codes are ONLY for the query-vs-corpus path (q38), where candidate
+  // volume is nQueries·probeFraction·N — linear in N.
   val NumTables = 6
   val PlanesPerTable = 4
+
+  // The all-pairs near-dup path (q39) uses LONG codes: at cos ≥ 0.99 a bit
+  // agrees with p = 1 − θ/π ≈ 0.955, so a 16-bit code still matches with
+  // p ≈ 0.48 per table (≈ 98% over 6 tables; exact copies always collide),
+  // while background collisions among unrelated vectors drop to
+  // ≈ tables·N²/2^17 — the lever that keeps candidate pairs linear in N
+  // instead of Θ(N²/2^5). Scale rule: grow NearDupPlanes with log2(N) to
+  // hold expected bucket occupancy constant.
+  val NearDupTables = 6
+  val NearDupPlanes = 16
 
   /** Deterministic ±1 hyperplanes (seeded LCG — data-independent, identical
     * on every executor without broadcast variables). */
@@ -43,6 +55,11 @@ object Similarity {
     * composable reference formulation. */
   def lshSignatures(emb: Column): Column =
     graft.functions.NativeKernels.lshSigs(emb)
+
+  /** Long-code signatures for the all-pairs near-dup path — see
+    * [[NearDupPlanes]]. */
+  def nearDupSignatures(emb: Column): Column =
+    graft.functions.NativeKernels.lshSigsCfg(emb, NearDupTables, NearDupPlanes)
 
   /** Reference HOF formulation of [[lshSignatures]] (same planes/seed). */
   def lshSignaturesHof(emb: Column): Column = {
@@ -140,13 +157,26 @@ object Similarity {
 
     val emb = Tables.embeddings(spark, dir)
       .withColumn("norm_e", normalizeArr($"embedding"))
-    // Cache + right-size partitions for the iterative trainer: k-means runs
-    // several jobs over this input, and at any corpus size you train on a
-    // bounded sample, not the full table.
     val featurized = emb.withColumn("features", array_to_vector($"norm_e"))
-      .coalesce(8).cache()
+    // Train on a BOUNDED sample: centroid quality needs only ~1000 points per
+    // cell, so the trainer's input is capped regardless of corpus size. Only
+    // the sample is coalesced + cached (k-means runs several jobs over it);
+    // the full corpus is touched exactly once, by the assignment pass below.
+    val maxTrainRows = math.max(nCells * 1000, 16 * 1024)
+    val corpusRows = emb.count()
+    val trainSet = {
+      val base =
+        if (corpusRows <= maxTrainRows) featurized
+        else featurized
+          .sample(withReplacement = false,
+            math.min(1.0, maxTrainRows * 1.2 / corpusRows), seed = 7L)
+          .limit(maxTrainRows)
+      base.select($"features").coalesce(8).cache()
+    }
     val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(4)
-      .fit(featurized)
+      .fit(trainSet)
+    trainSet.unpersist(blocking = false) // fit is eager; the sample is done
+    // Assignment = one narrow pass over the corpus (model broadcast by ML).
     val assigned = model.transform(featurized)
       .select($"vec_id", $"embedding", $"prediction".as("cell"))
     val centers = model.clusterCenters.zipWithIndex.toSeq
@@ -187,9 +217,10 @@ object Similarity {
         base.filter($"vec_id" < 10).withColumn("vec_id", $"vec_id" + 100000L))
     // Candidate ids first (cheap distinct on two longs), THEN fetch vectors
     // and score each distinct pair once — never shuffle or dedup on the
-    // embedding arrays themselves.
+    // embedding arrays themselves. Long 16-bit codes (not q38's 4-bit ones)
+    // keep the self-join's candidate set linear in corpus size.
     val sigs = corpus.select($"vec_id",
-      explode(lshSignatures($"embedding")).as("sig"))
+      explode(nearDupSignatures($"embedding")).as("sig"))
     val cand = sigs.select($"sig", $"vec_id".as("left_id"))
       .join(sigs.select($"sig", $"vec_id".as("right_id")), Seq("sig"))
       .filter($"left_id" < $"right_id")

@@ -166,6 +166,45 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // Plane matrices per (numTables, planesPerTable) config — computed once per
+  // JVM (executor), deterministic (same LCG seed), so no broadcast needed.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Array[Double]]]()
+
+  /** Configurable multi-table hyperplane signatures: array of `numTables`
+    * ints, `planesPerTable` code bits each (≤ 24), table index folded into
+    * bits 24+. Longer codes shrink bucket occupancy geometrically — the lever
+    * that keeps all-pairs candidate generation linear in corpus size: expected
+    * background collisions ≈ tables · N² / 2^(planes+1), so code length is
+    * chosen per corpus size (16 bits ⇒ 65 536 buckets/table). */
+  def lshSignaturesCfg(emb: ArrayData, numTables: Int, planesPerTable: Int): ArrayData = {
+    val key: java.lang.Long = (numTables.toLong << 32) | planesPerTable.toLong
+    var planes = planeCache.get(key)
+    if (planes == null) {
+      planes = planeMatrix(numTables, planesPerTable, LshDims)
+      planeCache.putIfAbsent(key, planes)
+      planes = planeCache.get(key)
+    }
+    val n = math.min(emb.numElements(), LshDims)
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = t << 24
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = planes(t * planesPerTable + p)
+        var proj = 0.0
+        var i = 0
+        while (i < n) { proj += emb.getFloat(i).toDouble * plane(i); i += 1 }
+        if (proj > 0) sig |= (1 << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Multi-table hyperplane signatures of a float embedding: array of
     * NumTables ints, table index folded into bits 16+. */
   def lshSignatures(emb: ArrayData): ArrayData = {
@@ -238,6 +277,19 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class LshSigsCfg(child: Expression, numTables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+  require(planesPerTable >= 1 && planesPerTable <= 24, "planesPerTable must be in [1, 24]")
+  override def foldable: Boolean = child.foldable
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.lshSignaturesCfg(v.asInstanceOf[ArrayData], numTables, planesPerTable)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.lshSignaturesCfg($c, $numTables, $planesPerTable)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class LshSigs(child: Expression) extends UnaryExpression {
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -258,6 +310,8 @@ object NativeKernels {
     columnOf(SimHash64(expressionOf(hashes)))
   def lshSigs(emb: Column): Column =
     columnOf(LshSigs(expressionOf(emb)))
+  def lshSigsCfg(emb: Column, numTables: Int, planesPerTable: Int): Column =
+    columnOf(LshSigsCfg(expressionOf(emb), numTables, planesPerTable))
   def shingleHashes(text: Column, k: Int): Column =
     columnOf(ShingleHashes(expressionOf(text), k))
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join: attach to each left row the most recent right
   * row with `rightTime <= leftTime` within the same key group.
@@ -12,6 +13,16 @@ import org.apache.spark.sql.expressions.Window
   * a single shuffle on the key, no ordering assumptions between the inputs,
   * fully whole-stage-codegen'd. This scales: state per key group is bounded
   * by the window sort, which Spark spills externally.
+  *
+  * All carried values are packed into ONE struct before the window, so every
+  * output column comes from the same most-recent right row and a genuinely
+  * null right value survives (per-column `last(_, ignoreNulls)` would instead
+  * reach back to an older row for that column alone).
+  *
+  * Null semantics (matching [[graft.plans.NativeAsOfJoin]] and SQL
+  * comparison): a null `rightTime` never satisfies `rightTime <= leftTime`,
+  * so such right rows are dropped; a null `leftTime` matches nothing and
+  * yields null `asof_*` values.
   *
   * Ties (right row at exactly leftTime) count as "at or before" — right rows
   * sort before left rows at equal time via the side tag.
@@ -28,23 +39,29 @@ object AsOfJoin {
   def lookup(left: DataFrame, right: DataFrame, keys: Seq[String],
              timeCol: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val otherLeft = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+    val valsType = StructType(rightVals.map(v =>
+      StructField(s"asof_$v", right.schema(v).dataType, nullable = true)))
     val tagged =
       left.withColumn("__graft_side", lit(1))
-        .select(keys.map(col) ++ Seq(col(timeCol), col("__graft_side")) ++
-          rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"asof_$v")) ++
-          leftCols.filterNot(c => keys.contains(c) || c == timeCol).map(col): _*)
+        .select(keys.map(col) ++ Seq(col(timeCol), col("__graft_side"),
+          lit(null).cast(valsType).as("__graft_vals")) ++
+          otherLeft.map(col): _*)
     val rightTagged =
-      right.withColumn("__graft_side", lit(0))
-        .select(keys.map(col) ++ Seq(col(timeCol), col("__graft_side")) ++
-          rightVals.map(v => col(v).as(s"asof_$v")) ++
-          leftCols.filterNot(c => keys.contains(c) || c == timeCol)
-            .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      right.filter(col(timeCol).isNotNull)
+        .withColumn("__graft_side", lit(0))
+        .select(keys.map(col) ++ Seq(col(timeCol), col("__graft_side"),
+          struct(rightVals.map(v => col(v).as(s"asof_$v")): _*)
+            .cast(valsType).as("__graft_vals")) ++
+          otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(tagged.unionByName(rightTagged)) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__graft_side") === 1).drop("__graft_side")
+    tagged.unionByName(rightTagged)
+      .withColumn("__graft_vals", last(col("__graft_vals"), ignoreNulls = true).over(w))
+      .filter(col("__graft_side") === 1)
+      .select(keys.map(col) ++ Seq(col(timeCol)) ++
+        rightVals.map(v => col(s"__graft_vals.asof_$v").as(s"asof_$v")) ++
+        otherLeft.map(col): _*)
   }
 }

@@ -31,7 +31,19 @@ object Merge {
     * additionally drops null-key rows upstream (P2), as does our pipeline. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(updates(_))
-    target.join(broadcast(updates.select(keyCols: _*)), keys, "left_anti")
+    val updateKeys = updates.select(keyCols: _*)
+    // Broadcast the update-key set only when the optimizer's own size
+    // estimate says it fits the session broadcast threshold — a forced hint
+    // would OOM the driver on a large batch (e.g. an initial full load)
+    // regardless of autoBroadcastJoinThreshold. Unknown/huge stats fall back
+    // to a shuffle anti-join, which AQE can still convert at runtime.
+    val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val probe =
+      if (threshold > 0 &&
+          updateKeys.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+        broadcast(updateKeys)
+      else updateKeys
+    target.join(probe, keys, "left_anti")
       // using-column joins hoist the keys to the front; restore the
       // target's column order so merge is schema-stable.
       .select(target.columns.map(col): _*)

@@ -113,12 +113,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = lIter.next()
           val lk = lKeyProj(l)
           val lt = boundLTime.eval(l)
-          // consume right rows at keys < lk, or same key with time <= lt
+          // Consume right rows at keys < lk, or same key with time <= lt.
+          // Null times never satisfy `rightTime <= leftTime` (SQL comparison
+          // semantics, matching the composed form and DuckDB ASOF): a null
+          // right time is skipped outright — it must not stall the advance,
+          // since nulls sort FIRST under Ascending and valid rows follow —
+          // and a null left time matches nothing (no comparison attempted).
           var continue = rRow != null
           while (continue) {
             val c = keyOrd.compare(rKeyRow, lk)
             if (c < 0) advanceRight()
-            else if (c == 0 && rTimeVal != null && timeOrd.asInstanceOf[Ordering[Any]]
+            else if (c == 0 && rTimeVal == null) advanceRight()
+            else if (c == 0 && lt != null && timeOrd.asInstanceOf[Ordering[Any]]
                        .compare(rTimeVal, lt) <= 0) {
               lastVals = valProj(rRow).copy()
               lastValsKey = lk.copy()
@@ -127,7 +133,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (rRow == null) continue = false
           }
           val valsRow: InternalRow =
-            if (lastValsKey != null && keyOrd.compare(lastValsKey, lk) == 0) lastVals
+            if (lt != null && lastValsKey != null && keyOrd.compare(lastValsKey, lk) == 0)
+              lastVals
             else nullVals
           outProj(joined(l, valsRow))
         }
