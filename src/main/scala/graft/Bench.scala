@@ -41,7 +41,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // `value` (the headline total) is printed AFTER the long queries map so a
+    // tail-capture of stdout never truncates it; the full line is also written
+    // to a file so the whole artifact survives any console truncation.
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -194,22 +194,29 @@ object Dedup {
     * shallow in practice, but the loop runs until an actual fixed point (a
     * silent cap would under-merge long chains) and throws if `maxIters` is
     * hit unconverged. Driver-loop hygiene for scale:
-    *  - each generation is `localCheckpoint`ed, so the plan stays O(1) tall
+    *  - each generation is checkpointed, so the plan stays O(1) tall
     *    instead of growing one join per round (superseded generations are
-    *    freed by the context cleaner once unreferenced);
+    *    freed by the context cleaner once unreferenced). When the session has
+    *    a reliable checkpoint dir configured, `checkpoint()` is used so an
+    *    executor loss mid-loop can recover from durable storage;
+    *    `localCheckpoint` (executor-block storage, no recompute path) is the
+    *    fallback for sessions without one — fine locally, set a checkpoint
+    *    dir on a real cluster with dynamic allocation;
     *  - the convergence flag is computed in the SAME pass that builds the new
     *    labels (a per-row `changed` bit max-aggregated over the materialized
     *    checkpoint), not as a separate join job. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // undirected edge list, both directions
     val edges = pairs.select($"left_id".as("src"), $"right_id".as("dst"))
       .unionByName(pairs.select($"right_id".as("src"), $"left_id".as("dst")))
       .distinct().persist()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = checkpointed(
+      edges.select($"src".as("id")).distinct().withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -217,9 +224,9 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst2"), $"dst" === $"dst2")
         .groupBy($"src").agg(min($"label").as("nbr_label"))
       val newLabel = least($"label", coalesce($"nbr_label", $"label"))
-      val next = labels.join(neighborMin, $"id" === $"src", "left")
-        .select($"id", newLabel.as("label"), (newLabel =!= $"label").as("changed"))
-        .localCheckpoint() // eager: the one full job this round
+      val next = checkpointed( // eager: the one full job this round
+        labels.join(neighborMin, $"id" === $"src", "left")
+          .select($"id", newLabel.as("label"), (newLabel =!= $"label").as("changed")))
       val maxChanged = next.agg(max($"changed")).collect().head // cached scan
       converged = maxChanged.isNullAt(0) || !maxChanged.getBoolean(0)
       labels = next.select($"id", $"label")

@@ -155,25 +155,36 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("norm_e", normalizeArr($"embedding"))
+    val base = Tables.embeddings(spark, dir)
+    val emb = base.withColumn("norm_e", normalizeArr($"embedding"))
     val featurized = emb.withColumn("features", array_to_vector($"norm_e"))
     // Train on a BOUNDED sample: centroid quality needs only ~1000 points per
-    // cell, so the trainer's input is capped regardless of corpus size. Only
-    // the sample is coalesced + cached (k-means runs several jobs over it);
-    // the full corpus is touched exactly once, by the assignment pass below.
+    // cell, so the trainer's input is capped regardless of corpus size. The
+    // sample fraction comes from the optimizer's size estimate of the scan —
+    // no dedicated count() job, so the full corpus is scanned exactly twice:
+    // once (partially, short-circuited by the limit) to draw the training
+    // sample, once by the assignment pass below. Only the bounded sample is
+    // cached (k-means runs several jobs over it); 2× oversampling before the
+    // exact limit absorbs the row-size estimate's error.
     val maxTrainRows = math.max(nCells * 1000, 16 * 1024)
-    val corpusRows = emb.count()
+    val estRowBytes = 200L // vec_id + 64 packed floats; deliberately low so
+                           // the row-count estimate errs high (fraction low)
+    val estRows = math.max(1L,
+      (base.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
+    val fraction = math.min(1.0, 2.0 * maxTrainRows / estRows)
     val trainSet = {
-      val base =
-        if (corpusRows <= maxTrainRows) featurized
-        else featurized
-          .sample(withReplacement = false,
-            math.min(1.0, maxTrainRows * 1.2 / corpusRows), seed = 7L)
-          .limit(maxTrainRows)
-      base.select($"features").coalesce(8).cache()
+      val sampled =
+        if (fraction >= 1.0) featurized
+        else featurized.sample(withReplacement = false, fraction, seed = 7L)
+      // limit() funnels through one partition; repartition restores trainer
+      // parallelism (≤ maxTrainRows rows — a trivial shuffle).
+      sampled.limit(maxTrainRows).select($"features").repartition(8).cache()
     }
+    // Random init (seeded): k-means|| costs several extra distributed passes
+    // per init step, and IVF centroids only need to partition space roughly —
+    // Lloyd iterations from a random seed are the standard IVF training.
     val model = new KMeans().setK(nCells).setSeed(7L).setMaxIter(4)
+      .setInitMode("random")
       .fit(trainSet)
     trainSet.unpersist(blocking = false) // fit is eager; the sample is done
     // Assignment = one narrow pass over the corpus (model broadcast by ML).
@@ -201,8 +212,15 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** L2-normalize a float array to a double array. */
-  private def normalizeArr(a: Column): Column = {
+  /** L2-normalize a float array to a double array. Native kernel: the HOF
+    * form ([[normalizeArrHof]]) nests the norm aggregate inside the
+    * per-element lambda, re-evaluating it per element outside codegen —
+    * measured ~3× the whole q42 runtime on its own. */
+  def normalizeArr(a: Column): Column =
+    graft.functions.NativeKernels.normalizeL2(a)
+
+  /** Reference HOF formulation of [[normalizeArr]] (equivalence tests). */
+  def normalizeArrHof(a: Column): Column = {
     val ad = VectorOps.toDoubleArr(a)
     val n = VectorOps.norm(ad)
     transform(ad, x => when(n === 0.0, lit(0.0)).otherwise(x / n))

@@ -34,6 +34,31 @@ object Kernels {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** L2-normalize a float array to doubles (zero-norm input → all zeros),
+    * accumulating in index order — bit-identical to the HOF formulation
+    * (`transform` + `sqrt(aggregate(x*x))`), which nests the norm aggregate
+    * inside the per-element lambda and so re-evaluates it per element. */
+  def normalizeF(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    if (nrm != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = a.getFloat(i).toDouble / nrm
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine over double arrays (normalized vectors, centroids). */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -257,6 +282,16 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class NormalizeL2F(child: Expression) extends UnaryExpression {
+  override def foldable: Boolean = child.foldable
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.normalizeF(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normalizeF($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = LongType
@@ -280,6 +315,9 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 case class LshSigsCfg(child: Expression, numTables: Int, planesPerTable: Int)
     extends UnaryExpression {
   require(planesPerTable >= 1 && planesPerTable <= 24, "planesPerTable must be in [1, 24]")
+  // table index is folded into the bucket key as (t << 24); more than 255
+  // tables would wrap and silently share keyspace across tables.
+  require(numTables >= 1 && numTables <= 255, "numTables must be in [1, 255]")
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -308,6 +346,8 @@ object NativeKernels {
     columnOf(MinHashSig(expressionOf(hashed)))
   def simhash64(hashes: Column): Column =
     columnOf(SimHash64(expressionOf(hashes)))
+  def normalizeL2(emb: Column): Column =
+    columnOf(NormalizeL2F(expressionOf(emb)))
   def lshSigs(emb: Column): Column =
     columnOf(LshSigs(expressionOf(emb)))
   def lshSigsCfg(emb: Column, numTables: Int, planesPerTable: Int): Column =

@@ -38,30 +38,35 @@ object AsOfJoin {
     */
   def lookup(left: DataFrame, right: DataFrame, keys: Seq[String],
              timeCol: String, rightVals: Seq[String]): DataFrame = {
+    // Every by-name reference goes through `c` (backtick-quoted, embedded
+    // backticks escaped): a bare col("a.b") parses as a struct path and fails
+    // on column names containing dots or other special characters.
+    def c(name: String): org.apache.spark.sql.Column =
+      col("`" + name.replace("`", "``") + "`")
     val leftCols = left.columns
-    val otherLeft = leftCols.filterNot(c => keys.contains(c) || c == timeCol)
+    val otherLeft = leftCols.filterNot(x => keys.contains(x) || x == timeCol)
     val valsType = StructType(rightVals.map(v =>
       StructField(s"asof_$v", right.schema(v).dataType, nullable = true)))
     val tagged =
       left.withColumn("__graft_side", lit(1))
-        .select(keys.map(col) ++ Seq(col(timeCol), col("__graft_side"),
+        .select(keys.map(c) ++ Seq(c(timeCol), col("__graft_side"),
           lit(null).cast(valsType).as("__graft_vals")) ++
-          otherLeft.map(col): _*)
+          otherLeft.map(c): _*)
     val rightTagged =
-      right.filter(col(timeCol).isNotNull)
+      right.filter(c(timeCol).isNotNull)
         .withColumn("__graft_side", lit(0))
-        .select(keys.map(col) ++ Seq(col(timeCol), col("__graft_side"),
-          struct(rightVals.map(v => col(v).as(s"asof_$v")): _*)
+        .select(keys.map(c) ++ Seq(c(timeCol), col("__graft_side"),
+          struct(rightVals.map(v => c(v).as(s"asof_$v")): _*)
             .cast(valsType).as("__graft_vals")) ++
-          otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__graft_side").asc)
+          otherLeft.map(x => lit(null).cast(left.schema(x).dataType).as(x)): _*)
+    val w = Window.partitionBy(keys.map(c): _*)
+      .orderBy(c(timeCol).asc, col("__graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged.unionByName(rightTagged)
       .withColumn("__graft_vals", last(col("__graft_vals"), ignoreNulls = true).over(w))
       .filter(col("__graft_side") === 1)
-      .select(keys.map(col) ++ Seq(col(timeCol)) ++
-        rightVals.map(v => col(s"__graft_vals.asof_$v").as(s"asof_$v")) ++
-        otherLeft.map(col): _*)
+      .select(keys.map(c) ++ Seq(c(timeCol)) ++
+        rightVals.map(v => col("__graft_vals").getField(s"asof_$v").as(s"asof_$v")) ++
+        otherLeft.map(c): _*)
   }
 }

@@ -335,17 +335,21 @@ object Advanced {
   def q70DataQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val orphans = li.join(Tables.orders(spark, dir),
-      $"l_orderkey" === $"o_orderkey", "left_anti").count()
-    li.agg(
+    // Referential orphans fold into the same single aggregate via a left join
+    // against the (broadcastable) order-key side: an unmatched row surfaces as
+    // a null o_orderkey, so the whole report is ONE job — no separate
+    // count() action for the orphan check.
+    val orderKeys = Tables.orders(spark, dir).select($"o_orderkey")
+    li.join(orderKeys, $"l_orderkey" === $"o_orderkey", "left")
+      .agg(
         count(lit(1)).as("n_rows"),
         sum(when($"l_quantity".isNull, 1).otherwise(0)).as("null_quantity"),
         sum(when($"l_discount" < 0 || $"l_discount" > 1, 1).otherwise(0))
           .as("bad_discount"),
         sum(when($"l_extendedprice" <= 0, 1).otherwise(0)).as("nonpositive_price"),
         sum(when($"l_returnflag".isin("A", "N", "R"), 0).otherwise(1))
-          .as("bad_returnflag"))
-      .withColumn("orphan_lineitems", lit(orphans))
+          .as("bad_returnflag"),
+        sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("orphan_lineitems"))
   }
 
   /** SCD Type-2 shape: per-customer order history as validity intervals —

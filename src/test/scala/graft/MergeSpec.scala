@@ -53,6 +53,31 @@ class MergeSpec extends SparkSpec {
     assert(out == Set(("a", 1.0), (null, 2.0), (null, 9.0)))
   }
 
+  test("upsert with an over-threshold batch takes the shuffle path (no BroadcastExchange) and LWW holds") {
+    val target = df((1 to 200).map(i => (s"k$i", i, i.toDouble)))
+    val updates = df((1 to 150).map(i => (s"k$i", i, i + 0.5)))
+    val expected = canon(Merge.upsert(target, updates, keys))
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Any realistic batch exceeds a 1-byte threshold — the guard must NOT
+      // plant a broadcast hint, and AQE (same threshold) must not convert.
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val merged = Merge.upsert(target, updates, keys)
+      assert(canon(merged) == expected, "LWW result must not depend on join strategy")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"over-threshold update batch must not be broadcast:\n$plan")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    // sanity: with a normal threshold the same small batch IS broadcast
+    val small = Merge.upsert(target, updates, keys)
+    small.collect() // finalize the adaptive plan before inspecting it
+    val broadcastPlan = small.queryExecution.executedPlan.toString
+    assert(broadcastPlan.contains("BroadcastExchange"),
+      s"small update batch should broadcast under the default threshold:\n$broadcastPlan")
+  }
+
   val rowGen: Gen[(String, Int, Double)] = for {
     k1 <- Gen.oneOf("a", "b", "c", "d")
     k2 <- Gen.choose(0, 3)

@@ -58,6 +58,66 @@ class OpsSpec extends SparkSpec {
     assert(n2 == c2)
   }
 
+  test("as-of join: null right-times are dropped, null left-time matches nothing (both impls)") {
+    import spark.implicits._
+    // Null right rows interleaved among valid ones: they must neither stall
+    // the merge advance nor be selected as the as-of value; a null left time
+    // must yield a row with null asof_* (DuckDB ASOF comparison semantics:
+    // NULL <= t is never true).
+    val left = Seq(
+      (1L, Option(100L), "l1"),
+      (1L, Option(200L), "l2"),
+      (1L, Option.empty[Long], "lnull"),
+      (2L, Option(100L), "l3")).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, Option(50L), Option(5.0)),
+      (1L, Option.empty[Long], Option(99.0)),  // null time: must be ignored
+      (1L, Option(150L), Option(15.0)),
+      (1L, Option.empty[Long], Option(77.0)),  // and again, interleaved
+      (2L, Option.empty[Long], Option(42.0)),  // k=2 has ONLY null-time rows
+      (2L, Option(300L), Option(30.0))).toDF("k", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("payload", "asof_v").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val expected = Map(
+      "l1" -> Some(5.0),   // t=50 wins; null-time 99.0 ignored
+      "l2" -> Some(15.0),  // t=150 wins; null-time 77.0 ignored
+      "lnull" -> None,     // null left time matches nothing
+      "l3" -> None)        // k=2: only a null-time and a later right row
+    val composed = canon(AsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v")))
+    val native = canon(graft.plans.NativeAsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v")))
+    assert(composed == expected)
+    assert(native == expected)
+  }
+
+  test("as-of join: a genuine null in the most recent right row survives (multi rightVals)") {
+    import spark.implicits._
+    // The winning right row (t=150) has v2 = null. Per-column
+    // last(ignoreNulls) would reach back to t=50's v2=1.0 — the struct-packed
+    // carry must instead report (15.0, null) from the single winning row.
+    val left = Seq((1L, 200L, "l1")).toDF("k", "t", "payload")
+    val right = Seq(
+      (1L, 50L, Option(5.0), Option(1.0)),
+      (1L, 150L, Option(15.0), Option.empty[Double])).toDF("k", "t", "v1", "v2")
+    for (impl <- Seq(
+        AsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v1", "v2")),
+        graft.plans.NativeAsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v1", "v2")))) {
+      val r = impl.select("asof_v1", "asof_v2").collect().head
+      assert(r.getDouble(0) == 15.0)
+      assert(r.isNullAt(1), "null v2 from the winning row must survive, not back-fill")
+    }
+  }
+
+  test("as-of join: rightVals column names with dots resolve via struct getField") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 50L, 5.0)).toDF("k", "t", "v.dotted")
+    val out = AsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v.dotted"))
+    assert(out.columns.contains("asof_v.dotted"))
+    assert(out.select(out("`asof_v.dotted`")).collect().head.getDouble(0) == 5.0)
+  }
+
   test("property: both as-of implementations equal a naive reference on random inputs") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -104,6 +164,12 @@ class OpsSpec extends SparkSpec {
          graft.ext.Similarity.lshSignaturesHof($"embedding")).as("eq"))
       .collect().forall(_.getBoolean(0))
     assert(lshEq)
+
+    val normEq = emb.select(
+        (graft.ext.Similarity.normalizeArr($"embedding") ===
+         graft.ext.Similarity.normalizeArrHof($"embedding")).as("eq"))
+      .collect().forall(_.getBoolean(0))
+    assert(normEq)
 
     val docs = graft.sources.Tables.documents(spark, sf0001).limit(50)
       .withColumn("hs", graft.ext.Dedup.hashedShingles(
