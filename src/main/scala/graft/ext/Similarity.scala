@@ -226,30 +226,46 @@ object Similarity {
     transform(ad, x => when(n === 0.0, lit(0.0)).otherwise(x / n))
   }
 
+  /** LSH candidate id pairs for the all-pairs near-dup path: distinct
+    * (left_id, right_id) sharing at least one long-code bucket. Cheap
+    * distinct on two longs — the embedding arrays are never shuffled. Long
+    * 16-bit codes (not q38's 4-bit ones) keep this self-join's output linear
+    * in corpus size (expected ≈ true-pairs + tables·N²/2¹⁷ background); the
+    * linearity is asserted in ExtSpec at two corpus sizes. */
+  def nearDupCandidates(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sigs = corpus.select($"vec_id",
+      explode(nearDupSignatures($"embedding")).as("sig"))
+    sigs.select($"sig", $"vec_id".as("left_id"))
+      .join(sigs.select($"sig", $"vec_id".as("right_id")), Seq("sig"))
+      .filter($"left_id" < $"right_id")
+      .select($"left_id", $"right_id").distinct()
+  }
+
+  /** Exact-verify LSH candidates: fetch both vectors per distinct pair, keep
+    * cosine ≥ `minCos`. */
+  def nearDupPairs(corpus: DataFrame, minCos: Double = 0.99): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus.select($"vec_id", $"embedding")
+    nearDupCandidates(corpus)
+      .join(emb.select($"vec_id".as("left_id"), $"embedding".as("le")), "left_id")
+      .join(emb.select($"vec_id".as("right_id"), $"embedding".as("re")), "right_id")
+      .withColumn("cos", round(VectorOps.cosine($"le", $"re"), 6))
+      .filter($"cos" >= minCos)
+      .select($"left_id", $"right_id", $"cos")
+      .orderBy($"left_id", $"right_id")
+  }
+
   /** Embedding near-dup detection: plant exact copies of the first 10
-    * vectors, find pairs with cosine ≥ 0.99 via LSH buckets + exact verify. */
+    * vectors, find pairs with cosine ≥ 0.99 via LSH buckets + exact verify
+    * ([[nearDupCandidates]] → [[nearDupPairs]]). */
   def q39EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.embeddings(spark, dir)
     val corpus = base.unionByName(
         base.filter($"vec_id" < 10).withColumn("vec_id", $"vec_id" + 100000L))
-    // Candidate ids first (cheap distinct on two longs), THEN fetch vectors
-    // and score each distinct pair once — never shuffle or dedup on the
-    // embedding arrays themselves. Long 16-bit codes (not q38's 4-bit ones)
-    // keep the self-join's candidate set linear in corpus size.
-    val sigs = corpus.select($"vec_id",
-      explode(nearDupSignatures($"embedding")).as("sig"))
-    val cand = sigs.select($"sig", $"vec_id".as("left_id"))
-      .join(sigs.select($"sig", $"vec_id".as("right_id")), Seq("sig"))
-      .filter($"left_id" < $"right_id")
-      .select($"left_id", $"right_id").distinct()
-    val emb = corpus.select($"vec_id", $"embedding")
-    cand
-      .join(emb.select($"vec_id".as("left_id"), $"embedding".as("le")), "left_id")
-      .join(emb.select($"vec_id".as("right_id"), $"embedding".as("re")), "right_id")
-      .withColumn("cos", round(VectorOps.cosine($"le", $"re"), 6))
-      .filter($"cos" >= 0.99)
-      .select($"left_id", $"right_id", $"cos")
-      .orderBy($"left_id", $"right_id")
+    nearDupPairs(corpus)
   }
 }

@@ -26,9 +26,15 @@ object Compaction {
     fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
-  /** Rewrite `dir` (a parquet table directory) into ceil(size/targetBytes)
-    * files via an exchange-free coalesce when shrinking. Writes to a temp
-    * sibling then swaps, so readers never observe a half-written table. */
+  /** Rewrite `dir` (a flat parquet table directory) into
+    * ceil(size/targetBytes) files via an exchange-free coalesce when
+    * shrinking. NOT atomic: the swap is two directory renames, so a reader
+    * listing `dir` between them sees a missing directory, and a crash
+    * between them leaves the data at `dir + ".compact-old"` (recover by
+    * renaming it back). Use [[compactVersioned]] on a
+    * [[VersionedTable]]-layout table for an atomic maintenance pass —
+    * this flat-dir variant exists for tables whose path readers hold
+    * directly and cannot re-resolve. */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val bytes = math.max(dataBytes(spark, dir), 1L)
@@ -43,5 +49,27 @@ object Compaction {
     fs.rename(p, bak)
     fs.rename(new Path(tmp), p)
     fs.delete(bak, true)
+  }
+
+  /** Atomic compaction for a [[VersionedTable]]-layout table (`root/v=N`):
+    * the latest committed version is rewritten into ~`targetBytes` files as
+    * version N+1, which becomes visible only when its `_SUCCESS` marker
+    * lands. A reader resolving through [[VersionedTable.latest]] at any
+    * point sees the old complete version or the new complete one — no
+    * rename window, no missing-directory state; a mid-write crash leaves an
+    * uncommitted directory that the next attempt overwrites. Old versions
+    * are vacuumed after the new commit (pass `keepOld = true` to defer). */
+  def compactVersioned(spark: SparkSession, root: String,
+                       targetBytes: Long = 128L * 1024 * 1024,
+                       keepOld: Boolean = false): Unit = {
+    VersionedTable.latest(spark, root).foreach { case (_, latestPath) =>
+      val bytes = math.max(dataBytes(spark, latestPath.toString), 1L)
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(latestPath.toString)
+        .coalesce(nFiles)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(VersionedTable.nextVersionPath(spark, root))
+      if (!keepOld) VersionedTable.vacuum(spark, root)
+    }
   }
 }

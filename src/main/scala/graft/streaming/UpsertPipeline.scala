@@ -23,31 +23,18 @@ import graft.ops.{EmissionsEtl, Merge}
   */
 object UpsertPipeline {
 
-  private def versionDirs(spark: SparkSession, warehouseDir: String): Seq[(Int, Path)] = {
-    val p = new Path(warehouseDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(s => s.getPath.getName.stripPrefix("v=").toInt -> s.getPath)
-      .sortBy(_._1)
-  }
-
   /** Latest committed warehouse state (empty with the warehouse schema if
-    * nothing has been committed yet). */
+    * nothing has been committed yet). Resolution and the `_SUCCESS`-gated
+    * commit discipline live in [[graft.ops.VersionedTable]]. */
   def currentTable(spark: SparkSession, warehouseDir: String): DataFrame =
-    versionDirs(spark, warehouseDir).lastOption match {
-      case Some((_, path)) => spark.read.parquet(path.toString)
-      case None => spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), EmissionsEtl.warehouseSchema)
-    }
+    graft.ops.VersionedTable.read(spark, warehouseDir, EmissionsEtl.warehouseSchema)
 
   /** Merge one transformed batch into the warehouse (new version dir). */
   def commitBatch(spark: SparkSession, warehouseDir: String, transformed: DataFrame): Unit = {
-    val next = versionDirs(spark, warehouseDir).lastOption.map(_._1 + 1).getOrElse(0)
     val merged = Merge.upsert(currentTable(spark, warehouseDir), transformed,
       EmissionsEtl.mergeKeys)
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$warehouseDir/v=$next")
+    merged.write.mode(SaveMode.Overwrite)
+      .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
   }
 
   /** Run the pipeline over everything currently in `landingDir`, then stop

@@ -20,6 +20,37 @@ class CompactionSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("versioned compaction is atomic: readers resolve only committed versions") {
+    import org.apache.hadoop.fs.Path
+    import graft.ops.VersionedTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_vcompact_").toString + "/table"
+    val data = (1 to 10000).map(i => (i.toLong, s"row$i"))
+    data.toDF("id", "s").repartition(32).write.parquet(s"$root/v=0")
+    assert(Compaction.parquetFileCount(spark, s"$root/v=0") >= 16)
+
+    // A half-written new version (no _SUCCESS) must be invisible to readers:
+    // this is the exact state a reader observes DURING compaction.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/v=1"))
+    fs.create(new Path(s"$root/v=1/part-00000.parquet")).close() // torn write
+    assert(VersionedTable.latest(spark, root).map(_._1).contains(0),
+      "uncommitted version directory must not be resolved as current")
+    val during = VersionedTable.read(spark, root, data.toDF("id", "s").schema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(during == data.map(_._1), "reader mid-compaction must see the old complete table")
+
+    // Compaction claims v=1 (overwriting the torn leftover), commits, vacuums.
+    Compaction.compactVersioned(spark, root)
+    assert(VersionedTable.latest(spark, root).map(_._1).contains(1))
+    val latestDir = s"$root/v=1"
+    assert(Compaction.parquetFileCount(spark, latestDir) == 1)
+    val after = VersionedTable.read(spark, root, data.toDF("id", "s").schema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == data.map(_._1))
+    assert(!fs.exists(new Path(s"$root/v=0")), "old version vacuumed after commit")
+  }
+
   test("sorted layout yields disjoint per-file ranges (file-skipping precondition)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._

@@ -38,6 +38,59 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("near-dup LSH candidate set stays linear in corpus size (<= c*N at two sizes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The sub-quadratic guarantee of the long-code design: candidates ≈
+    // true-pairs + tables·N²/2¹⁷. Locally that bound is ≪ 3·N at both sizes;
+    // an accidental return to short codes (Θ(N²/2⁵) background) would blow
+    // straight through it.
+    val base = graft.sources.Tables.embeddings(spark, sf0001)
+    val doubled = base.unionByName(
+      base.withColumn("vec_id", $"vec_id" + 500000L))
+    for ((corpus, label) <- Seq((base, "N"), (doubled, "2N"))) {
+      val n = corpus.count()
+      val cands = Similarity.nearDupCandidates(corpus).count()
+      assert(cands <= 3 * n,
+        s"candidate pairs at $label: $cands > 3*$n — candidate set is not linear")
+    }
+  }
+
+  test("noisy near-dups (cos 0.99-0.999) are recalled by the long-code LSH path") {
+    import spark.implicits._
+    // ADVICE r3: the exact-copy test always collides, so it cannot see a
+    // recall regression. Plant 50 perturbed copies at controlled cosine:
+    // v' = cosφ·v̂ + sinφ·û with û ⟂ v̂, φ from the target cosine.
+    val base = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val rng = new scala.util.Random(1234L)
+    val originals = base.filter($"vec_id" < 50)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = originals.map { case (id, v) =>
+      val targetCos = 0.9905 + rng.nextDouble() * 0.008 // [0.9905, 0.9985]
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val vhat = v.map(_ / vn)
+      // random direction, Gram-Schmidt away from v, normalized
+      val g = Array.fill(v.length)(rng.nextGaussian())
+      val proj = vhat.zip(g).map { case (a, b) => a * b }.sum
+      val orth = g.zip(vhat).map { case (b, a) => b - proj * a }
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      val uhat = orth.map(_ / on)
+      val phi = math.acos(targetCos)
+      val out = vhat.zip(uhat).map { case (a, u) =>
+        (vn * (math.cos(phi) * a + math.sin(phi) * u)).toFloat }
+      (id + 200000L, out)
+    }
+    val corpus = base.unionByName(
+      spark.createDataFrame(planted.toSeq).toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>")))
+    val found = Similarity.nearDupPairs(corpus, minCos = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = originals.count { case (id, _) => found.contains((id, id + 200000L)) }
+    // expected per-pair miss ≤ ~2% at the hardest cosine; 0.9 is a hard floor
+    assert(recalled >= 45, s"noisy near-dup recall $recalled/50 below floor 45/50")
+  }
+
   test("ANN LSH recall vs brute-force top-5 is useful (>= 40%)") {
     val exact = Similarity.q37TopKBruteForce(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
