@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.Duration
+
+/** HTTP → landing-directory ingest utility — the reference's
+  * `DataDownloader` (`data_downloader.py:17-32`: GET a CSV endpoint, write
+  * the body to a named file, return the path or None on a non-200).
+  *
+  * Deliberately OUT of the engine (SURVEY §2a S2): ingest drops a file into
+  * the landing directory and the engine boundary starts there —
+  * [[graft.streaming.UpsertPipeline]] picks up whatever lands. Kept to plain
+  * `java.net.http` (no Spark session, no cluster resources): fetching one
+  * file over HTTP is driver/cron work, not distributed work. At scale this
+  * runs wherever the scheduler runs; many-file feeds fan out by calling it
+  * per URL.
+  *
+  * Download is staged to a `.part` sibling and atomically renamed into the
+  * landing dir so a file-watching stream never observes a half-written
+  * file (the same torn-read discipline as [[graft.ops.VersionedTable]]).
+  */
+object HttpIngest {
+
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofSeconds(30))
+    .build()
+
+  /** Fetch `url` into `landingDir/fileName`. Returns the landed path, or
+    * None on a non-2xx status (reference behavior: report and skip — the
+    * pipeline simply sees no new file). */
+  def fetch(url: String, landingDir: String, fileName: String): Option[String] = {
+    val dir = Paths.get(landingDir)
+    Files.createDirectories(dir)
+    val part = dir.resolve(fileName + ".part")
+    val dest = dir.resolve(fileName)
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMinutes(5)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(part))
+    if (resp.statusCode() / 100 == 2) {
+      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      Some(dest.toString)
+    } else {
+      Files.deleteIfExists(part)
+      None
+    }
+  }
+}

@@ -31,16 +31,37 @@ object ScaleProbe {
     // timestamps a raw copy can't round-trip).
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
-    // documents: replicate with doc_id offsets (keeps planted-dup ids intact
-    // for replica 0 only; the other replicas add corpus bulk)
+    // documents: replicate with doc_id offsets, salting every token in
+    // replicas r>0 with the replica id — raw copies would make every doc an
+    // 8-way exact dup (shingle sets identical), turning the near-dup probes
+    // into a quadratically growing all-dups workload instead of 8× bulk.
+    // Salted replicas share no shingles with each other or replica 0, so
+    // true-pair structure (the planted dups in replica 0) stays constant.
     val docs = Tables.documents(spark, base)
-    (0 until replicas).map(r => docs.withColumn("doc_id", $"doc_id" + r * OffsetStep))
-      .reduce(_ unionByName _)
+    (0 until replicas).map { r =>
+      val salted = if (r == 0) docs else docs.withColumn("text",
+        regexp_replace($"text", "(\\S+)", "$1r" + r))
+      salted.withColumn("doc_id", $"doc_id" + r * OffsetStep)
+    }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    // embeddings: replicate with vec_id offsets AND a per-replica cyclic
+    // dimension shift — raw copies would make every vector an 8-way exact
+    // dup, turning the near-dup probes into a different (all-dups) workload;
+    // shifted replicas are mutually near-orthogonal, so true-pair structure
+    // stays constant while corpus bulk grows 8×.
+    val emb = Tables.embeddings(spark, base)
+    (0 until replicas).map { r =>
+      val k = r * 8
+      val shifted = if (k == 0) emb else emb.withColumn("embedding",
+        concat(slice($"embedding", k + 1, 64 - k), slice($"embedding", 1, k)))
+      shifted.withColumn("vec_id", $"vec_id" + r * OffsetStep)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
 
     val headline = Seq("q01_pricing_summary", "q10_revenue_by_nation",
       "q12_running_totals", "q07_upsert", "q11_top_customers_per_region",
-      "q34_minhash_neardup", "q30_text_stats", "q52_bpe_token_estimate")
+      "q34_minhash_neardup", "q30_text_stats", "q52_bpe_token_estimate",
+      "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
