@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Analytics, EventAnalytics, Flagship, Parity}
+import graft.queries.{Advanced, Analytics, EventAnalytics, Extra, Flagship, Parity}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
@@ -85,6 +85,12 @@ object SparkEntry {
     "q47_topk_aggregated" -> ((s: SparkSession, d: String) => Similarity.q47TopKAggregated(s, d)),
     "q40_media_decode" -> (Multimodal.q40MediaDecode _),
     "q41_frame_sample" -> (Multimodal.q41FrameSample _),
+    "q73_rolling_interval" -> (Extra.q73RollingInterval _),
+    "q74_tfidf" -> (Extra.q74Tfidf _),
+    "q75_only_slow_supplier" -> (Extra.q75OnlySlowSupplier _),
+    "q76_equi_depth_histogram" -> (Extra.q76EquiDepthHistogram _),
+    "q77_filtered_agg" -> (Extra.q77FilteredAgg _),
+    "q78_daily_ohlc" -> (Extra.q78DailyOhlc _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -824,5 +830,79 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 3 = 2
         |)
         |ORDER BY media_id, sample_idx""".stripMargin,
+    "q73_rolling_interval" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER w, 2) AS rolling_30d_total,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM (
+        |  SELECT *, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |    AS day_idx
+        |  FROM orders WHERE o_custkey <= 200
+        |)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_idx
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q74_tfidf" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 50
+        |), tokens AS (
+        |  SELECT doc_id, unnest(string_split_regex(t, '[^a-z]+')) AS term
+        |  FROM corpus
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tokens
+        |  WHERE term <> '' GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id) AS n_docs FROM corpus
+        |), scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, term, tf, df, score FROM ranked
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q75_only_slow_supplier" -> Extra.q75Sql,
+    "q76_equi_depth_histogram" ->
+      """SELECT decile, count(*) AS n_orders,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM (
+        |  SELECT o_totalprice, CAST(ntile(10) OVER (
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+        |  FROM orders
+        |)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q77_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_total,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+        |  round(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000.0), 2)
+        |    AS sum_large,
+        |  round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4)
+        |    AS avg_f_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q78_daily_ohlc" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day, epoch_us(ts) AS ts_us,
+        |    event_id, value
+        |  FROM events
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY day ORDER BY ts_us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY day ORDER BY ts_us DESC, event_id DESC)
+        |      AS rn_d
+        |  FROM b
+        |)
+        |SELECT day, count(*) AS n_events, min(value) AS low, max(value) AS high,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
   )
 }

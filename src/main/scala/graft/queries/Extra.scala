@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Round-4 query surface: interval-range window frames, TF-IDF scoring,
+  * EXISTS/NOT EXISTS decorrelation, equi-depth histograms, FILTER-style
+  * conditional aggregation, and time-series OHLC — each with a DuckDB
+  * oracle twin in [[graft.SparkEntry.oracleSql]]. */
+object Extra {
+
+  /** Rolling 30-day order totals per customer via a RANGE frame over a
+    * day-index ordering column — the interval-window idiom (DuckDB/Postgres
+    * `RANGE BETWEEN INTERVAL`) expressed portably: a calendar-day ordinal
+    * makes the frame `[day-29, day]`, including ALL same-day rows regardless
+    * of row position (what a ROWS frame gets wrong). One shuffle on the
+    * customer key; frame state is bounded by the 30-day span. */
+  def q73RollingInterval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"day_idx")
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" <= 200)
+      .withColumn("day_idx",
+        datediff($"o_orderdate", lit("1990-01-01").cast("date")).cast("long"))
+      .withColumn("rolling_30d_total", round(sum($"o_totalprice").over(w), 2))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        $"rolling_30d_total", $"n_orders_30d")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** TF-IDF top-5 terms per document over a bounded corpus slice — the
+    * classic relevance score as pure relational ops: tokenize → tf →
+    * document frequency → join → rank. The corpus-size scalar rides along
+    * as a broadcast one-row frame, not a driver-side collect. */
+  def q74Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter($"doc_id" < 50)
+    val tf = docs
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct($"doc_id").as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** EXISTS + correlated NOT EXISTS (TPC-H Q21 shape on the available
+    * columns): suppliers that were the ONLY slow shipper (>60 days after
+    * order date) in a multi-supplier order. Exercises Catalyst's
+    * decorrelation of both quantified predicates into semi/anti joins —
+    * the same SQL text runs on DuckDB as the oracle. */
+  def q75OnlySlowSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q75Sql)
+  }
+
+  private[graft] val q75Sql =
+    """SELECT s_suppkey, s_name, count(*) AS n_slow
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY n_slow DESC, s_suppkey""".stripMargin
+
+  /** Equi-depth (decile) histogram of order values: global ntile over a
+    * deterministic total order, then per-bucket bounds/mass. Global ntile is
+    * inherently a single total-order pass — the exact counterpart of the
+    * approx-percentile path (q26), which is what runs at 100 TB. */
+  def q76EquiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"),
+        round(avg($"o_totalprice"), 4).as("avg_price"))
+      .orderBy($"decile")
+  }
+
+  /** Conditional aggregation matrix (SQL `FILTER (WHERE …)` semantics) per
+    * order priority: one scan, many masked aggregates — the shape every
+    * report query uses instead of N self-joins. */
+  def q77FilteredAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+        count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+        count(when($"o_orderstatus" === "P", 1)).as("n_p"),
+        round(sum(when($"o_totalprice" > 200000.0, $"o_totalprice")), 2)
+          .as("sum_large"),
+        round(avg(when($"o_orderstatus" === "F", $"o_totalprice")), 4)
+          .as("avg_f_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Daily OHLC over the events stream: open/close picked by deterministic
+    * (µs, event_id) first/last rows, low/high as plain min/max. Time is
+    * compared at µs on both engines (ns-native Spark side truncates) so
+    * ordering ties resolve identically. */
+  def q78DailyOhlc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select(date_trunc("day", $"ts").as("day"),
+        expr("ts_ns div 1000").as("ts_us"), $"event_id", $"value")
+    val wA = Window.partitionBy($"day").orderBy($"ts_us".asc, $"event_id".asc)
+    val wD = Window.partitionBy($"day").orderBy($"ts_us".desc, $"event_id".desc)
+    base
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_d", row_number().over(wD))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_events"),
+        min($"value").as("low"),
+        max($"value").as("high"),
+        max(when($"rn_a" === 1, $"value")).as("open"),
+        max(when($"rn_d" === 1, $"value")).as("close"))
+      .orderBy($"day")
+  }
+}

@@ -4,17 +4,12 @@ import graft.GraftSession
 
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.build("scratch", "32")
-    def time(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // warmup then timed, as Bench does
-    time("q42_ann_ivf", "/root/testdata/sf0.001")
-    for (i <- 1 to 3)
-      println(f"q42_ann_ivf sf0.1 run$i: ${time("q42_ann_ivf", "/root/testdata/sf0.1")}%.2f s")
+    val spark = GraftSession.build("scratch", "8")
+    val plan = graft.queries.Extra.q75OnlySlowSupplier(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    println("q75 decorrelated joins: " +
+      "semi=" + plan.contains("LeftSemi") + " anti=" + plan.contains("LeftAnti") +
+      " nestedLoop=" + plan.contains("BroadcastNestedLoopJoin"))
     spark.stop()
   }
 }
