@@ -91,6 +91,9 @@ object SparkEntry {
     "q76_equi_depth_histogram" -> (Extra.q76EquiDepthHistogram _),
     "q77_filtered_agg" -> (Extra.q77FilteredAgg _),
     "q78_daily_ohlc" -> (Extra.q78DailyOhlc _),
+    "q79_corpus_curation" -> (Extra.q79CorpusCuration _),
+    "q80_sequence_packing" -> ((s: SparkSession, d: String) => Extra.q80SequencePacking(s, d)),
+    "q81_repetition" -> (Extra.q81Repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -904,5 +907,68 @@ object SparkEntry {
         |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
         |  max(CASE WHEN rn_d = 1 THEN value END) AS close
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q79_corpus_curation" ->
+      """WITH flagged AS (
+        |  SELECT lang, doc_id,
+        |    (n_chars BETWEEN 100 AND 20000 AND regexp_matches(text, '[a-z]'))
+        |      AS ok_quality,
+        |    row_number() OVER (
+        |      PARTITION BY text,
+        |        (n_chars BETWEEN 100 AND 20000 AND regexp_matches(text, '[a-z]'))
+        |      ORDER BY doc_id) AS dedup_rn
+        |  FROM documents
+        |), f2 AS (
+        |  SELECT lang, doc_id, ok_quality,
+        |    (ok_quality AND dedup_rn = 1) AS ok_dedup,
+        |    (ok_quality AND dedup_rn = 1 AND doc_id % 10 < 3) AS ok_sampled
+        |  FROM flagged
+        |)
+        |SELECT lang, count(*) AS n_raw,
+        |  count(*) FILTER (WHERE ok_quality) AS n_quality,
+        |  count(*) FILTER (WHERE ok_dedup) AS n_deduped,
+        |  count(*) FILTER (WHERE ok_sampled) AS n_sampled
+        |FROM f2 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q80_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t
+        |)
+        |SELECT CAST(off // 4096 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(sum(n_tokens) / 4096.0, 4) AS fill_rate
+        |FROM o GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q81_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ts
+        |  FROM documents WHERE doc_id < 100
+        |), tokens AS (
+        |  SELECT doc_id, i - 1 AS idx, ts[i] AS term
+        |  FROM toks, UNNEST(generate_series(1, len(ts))) AS g(i)
+        |  WHERE ts[i] <> ''
+        |), islands AS (
+        |  SELECT doc_id, term,
+        |    idx - row_number() OVER (PARTITION BY doc_id, term ORDER BY idx) AS grp
+        |  FROM tokens
+        |), runs AS (
+        |  SELECT doc_id, max(run_len) AS max_run FROM (
+        |    SELECT doc_id, term, grp, count(*) AS run_len
+        |    FROM islands GROUP BY 1, 2, 3
+        |  ) GROUP BY doc_id
+        |), stats AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    count(DISTINCT term) AS n_distinct,
+        |    round(1.0 - count(DISTINCT term) / CAST(count(*) AS DOUBLE), 4)
+        |      AS rep_ratio
+        |  FROM tokens GROUP BY doc_id
+        |)
+        |SELECT s.doc_id AS doc_id, n_tokens, n_distinct, rep_ratio, max_run
+        |FROM stats s JOIN runs r ON s.doc_id = r.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -117,6 +117,78 @@ object Extra {
       .orderBy($"o_orderpriority")
   }
 
+  /** Corpus-curation funnel — the composed pre-training data pass: raw →
+    * quality gate (length + has-letters) → exact dedup on content → 30%
+    * deterministic sample, reported per language. Each stage is a count in
+    * ONE aggregation pass over flags, not four scans. */
+  def q79CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val flagged = docs
+      .withColumn("ok_quality",
+        $"n_chars".between(100L, 20000L) && $"text".rlike("[a-z]"))
+      // exact-dedup winner: lowest doc_id per distinct text among quality docs
+      .withColumn("dedup_rn", row_number().over(
+        Window.partitionBy($"text", $"ok_quality").orderBy($"doc_id")))
+      .withColumn("ok_dedup", $"ok_quality" && $"dedup_rn" === 1)
+      .withColumn("ok_sampled", $"ok_dedup" && $"doc_id" % 10 < 3)
+    flagged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_raw"),
+        count(when($"ok_quality", 1)).as("n_quality"),
+        count(when($"ok_dedup", 1)).as("n_deduped"),
+        count(when($"ok_sampled", 1)).as("n_sampled"))
+      .orderBy($"lang")
+  }
+
+  /** Greedy sequence packing for a 4096-token context window: documents in
+    * doc_id order are assigned to the bin where their running token offset
+    * starts (no doc splitting — a straddling doc belongs to its start bin).
+    * The cumulative sum is one window pass; at 100 TB the same shape runs
+    * per shard with per-shard offsets. Reports per-bin fill. */
+  def q80SequencePacking(spark: SparkSession, dir: String,
+                         contextLen: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split(lower($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("bin", ($"offset" / contextLen).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        round(sum($"n_tokens") / lit(contextLen.toDouble), 4).as("fill_rate"))
+      .orderBy($"bin")
+  }
+
+  /** Token-repetition report (training-data quality: high repetition ⇒
+    * boilerplate/degenerate text) via gaps-and-islands: consecutive equal
+    * tokens form an island under `idx − row_number() per (doc, term)`;
+    * the longest island is the max run. */
+  def q81Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, dir)
+      .filter($"doc_id" < 100)
+      .select($"doc_id",
+        posexplode(split(lower($"text"), "\\s+")).as(Seq("idx", "term")))
+      .filter($"term" =!= "")
+    val islands = tokens
+      .withColumn("grp", $"idx" - row_number().over(
+        Window.partitionBy($"doc_id", $"term").orderBy($"idx")))
+      .groupBy($"doc_id", $"term", $"grp")
+      .agg(count(lit(1)).as("run_len"))
+    val runs = islands.groupBy($"doc_id").agg(max($"run_len").as("max_run"))
+    val stats = tokens.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct($"term").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - $"n_distinct" / $"n_tokens".cast("double"), 4))
+    stats.join(runs, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"rep_ratio", $"max_run")
+      .orderBy($"doc_id")
+  }
+
   /** Daily OHLC over the events stream: open/close picked by deterministic
     * (µs, event_id) first/last rows, low/high as plain min/max. Time is
     * compared at µs on both engines (ns-native Spark side truncates) so
