@@ -94,7 +94,32 @@ object SparkEntry {
     "q79_corpus_curation" -> (Extra.q79CorpusCuration _),
     "q80_sequence_packing" -> ((s: SparkSession, d: String) => Extra.q80SequencePacking(s, d)),
     "q81_repetition" -> (Extra.q81Repetition _),
+    "q82_streaming_sessions" -> (EventsStream.q82StreamingSessions _),
   )
+
+  /** Shared by q24 (batch) and q82 (streaming): identical session
+    * semantics, one oracle. */
+  private val sessionsOracleSql: String =
+  """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_s""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -581,27 +606,7 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
-    "q24_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-        |  FROM events
-        |), g AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM o
-        |), s AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM g
-        |)
-        |SELECT user_id,
-        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM s GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_s""".stripMargin,
+    "q24_sessions" -> sessionsOracleSql,
     "q25_sliding_windows" ->
       """WITH e AS (
         |  SELECT event_type, value,
@@ -970,5 +975,6 @@ object SparkEntry {
         |SELECT s.doc_id AS doc_id, n_tokens, n_distinct, rep_ratio, max_run
         |FROM stats s JOIN runs r ON s.doc_id = r.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q82_streaming_sessions" -> sessionsOracleSql,
   )
 }

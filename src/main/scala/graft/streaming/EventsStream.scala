@@ -54,4 +54,37 @@ object EventsStream {
       .select($"w.start".as("bucket_start"), $"event_type", $"n_events", $"sum_value")
       .orderBy($"bucket_start", $"event_type")
   }
+
+  /** Sessionization as a streaming query — session windows (30-minute gap)
+    * over the same file-arrival source, identical result (and DuckDB oracle)
+    * to the batch q24. Session state is merged across micro-batches by the
+    * session-window state store; at scale the watermark bounds how long an
+    * open session's state lives. */
+  def q82StreamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val watchDir = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
+    java.nio.file.Files.createSymbolicLink(
+      watchDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(watchDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select($"user_id", unix_timestamp($"w.start").as("session_start_s"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start_s")
+  }
 }
