@@ -42,6 +42,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"))
   }
 
+  test("q75: EXISTS/NOT EXISTS decorrelate into hash semi/anti joins, no nested loop") {
+    val plan = planOf(graft.queries.Extra.q75OnlySlowSupplier(spark, sf0001))
+    assert(plan.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "correlated predicates must not plan as a nested loop")
+  }
+
+  test("q77: conditional aggregation matrix is one scan, no join, one aggregate pair") {
+    val plan = planOf(graft.queries.Extra.q77FilteredAgg(spark, sf0001))
+    assert(!plan.contains("Join"), "masked aggregates must not become self-joins")
+    assert(plan.contains("HashAggregate"))
+    // partial + final of ONE aggregation — not one aggregation per mask
+    val exec = graft.queries.Extra.q77FilteredAgg(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllIn(exec).length
+    assert(scans == 1, s"expected a single scan, saw $scans")
+  }
+
+  test("q73: interval rolling window runs as a RANGE frame, single window exchange") {
+    val plan = planOf(graft.queries.Extra.q73RollingInterval(spark, sf0001))
+    assert(plan.contains("RANGE BETWEEN 29 PRECEDING AND CURRENT ROW")
+      || plan.toLowerCase.contains("specifiedwindowframe(rangeframe"),
+      s"expected a RANGE frame in:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
