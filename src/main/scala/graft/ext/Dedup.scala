@@ -36,8 +36,12 @@ object Dedup {
     * minimum doc_id; groups with n_copies > 1 are the duplicate sets. */
   def q32ExactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Group on the 256-bit content hash, not the text: the grouping key is
+    // what shuffles, and at corpus scale that is 32 bytes instead of the
+    // whole document (collision probability ~2⁻¹²⁸ — the standard exact-dedup
+    // contract). The DuckDB oracle groups by raw text; results are identical.
     withPlantedExact(Tables.documents(spark, dir), 30)
-      .groupBy($"text")
+      .groupBy(sha2($"text", 256).as("content_hash"))
       .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
       .select($"canonical_id", $"n_copies")
       .orderBy($"canonical_id")
@@ -50,8 +54,9 @@ object Dedup {
     withPlantedExact(Tables.documents(spark, dir), 30)
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct($"text").as("n_unique"),
-        (count(lit(1)) - countDistinct($"text")).as("n_dup_docs"))
+        // distinct on the content hash — 32-byte shuffle keys, see q32
+        countDistinct(sha2($"text", 256)).as("n_unique"),
+        (count(lit(1)) - countDistinct(sha2($"text", 256))).as("n_dup_docs"))
       .withColumn("dup_rate",
         round($"n_dup_docs".cast("double") / $"n_docs", 6))
   }

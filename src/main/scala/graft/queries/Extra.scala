@@ -127,9 +127,11 @@ object Extra {
     val flagged = docs
       .withColumn("ok_quality",
         $"n_chars".between(100L, 20000L) && $"text".rlike("[a-z]"))
-      // exact-dedup winner: lowest doc_id per distinct text among quality docs
+      // exact-dedup winner: lowest doc_id per distinct content; partition on
+      // the 256-bit content hash so the window shuffles 32-byte keys, not
+      // whole documents (same groups — see Dedup.q32ExactDedup)
       .withColumn("dedup_rn", row_number().over(
-        Window.partitionBy($"text", $"ok_quality").orderBy($"doc_id")))
+        Window.partitionBy(sha2($"text", 256), $"ok_quality").orderBy($"doc_id")))
       .withColumn("ok_dedup", $"ok_quality" && $"dedup_rn" === 1)
       .withColumn("ok_sampled", $"ok_dedup" && $"doc_id" % 10 < 3)
     flagged.groupBy($"lang")
@@ -190,25 +192,23 @@ object Extra {
   }
 
   /** Daily OHLC over the events stream: open/close picked by deterministic
-    * (µs, event_id) first/last rows, low/high as plain min/max. Time is
-    * compared at µs on both engines (ns-native Spark side truncates) so
-    * ordering ties resolve identically. */
+    * (µs, event_id) ordering via `min_by`/`max_by` over the time struct —
+    * ONE partial-aggregating pass, no per-day window sort (a day of events
+    * at corpus scale must never need a total order). Time is compared at µs
+    * on both engines (ns-native Spark side truncates) so ordering ties
+    * resolve identically; the oracle states the same semantics as
+    * row_number over (ts_us, event_id). */
   def q78DailyOhlc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(date_trunc("day", $"ts").as("day"),
         expr("ts_ns div 1000").as("ts_us"), $"event_id", $"value")
-    val wA = Window.partitionBy($"day").orderBy($"ts_us".asc, $"event_id".asc)
-    val wD = Window.partitionBy($"day").orderBy($"ts_us".desc, $"event_id".desc)
-    base
-      .withColumn("rn_a", row_number().over(wA))
-      .withColumn("rn_d", row_number().over(wD))
       .groupBy($"day")
       .agg(count(lit(1)).as("n_events"),
         min($"value").as("low"),
         max($"value").as("high"),
-        max(when($"rn_a" === 1, $"value")).as("open"),
-        max(when($"rn_d" === 1, $"value")).as("close"))
+        min_by($"value", struct($"ts_us", $"event_id")).as("open"),
+        max_by($"value", struct($"ts_us", $"event_id")).as("close"))
       .orderBy($"day")
   }
 }
