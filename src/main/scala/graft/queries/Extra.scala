@@ -43,10 +43,15 @@ object Extra {
       .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count_distinct($"doc_id").as("n_docs"))
+    // document frequency as a whole-partition window over tf — ONE
+    // tokenize+aggregate pass feeding both tf and df (a groupBy+self-join
+    // would recompute the expensive explode chain; no exchange reuse fires
+    // across an aggregate boundary)
+    val byTerm = Window.partitionBy($"term")
+    val n = docs.agg(count_distinct($"doc_id").as("n_docs")) // doc_id-only scan
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
-    tf.join(dfreq, "term").crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         round($"tf" * log(($"n_docs" + 1.0) / ($"df" + 1.0)), 6))
       .withColumn("rank", row_number().over(w))
