@@ -31,6 +31,7 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimF(es(0), es(1))),
     "minhash_sig" -> (es => MinHashSig(es(0))),
     "simhash64" -> (es => SimHash64(es(0))),
+    "normalize_l2" -> (es => NormalizeL2F(es(0))),
     "lsh_sigs" -> (es => LshSigs(es(0))),
     "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle width"))),
     "rolling_hash_min" -> (es => RollingHashMin(es(0), intLit(es(1), "window width"))))

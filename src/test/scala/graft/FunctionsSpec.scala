@@ -10,10 +10,13 @@ class FunctionsSpec extends SparkSpec {
     graft.sources.Tables.registerAll(spark, sf0001)
     val row = spark.sql(
       """SELECT cosine_sim(embedding, embedding) AS self_cos,
-        |       size(lsh_sigs(embedding)) AS n_sigs
+        |       size(lsh_sigs(embedding)) AS n_sigs,
+        |       aggregate(normalize_l2(embedding), 0.0D, (a, x) -> a + x * x)
+        |         AS unit_norm_sq
         |FROM embeddings WHERE vec_id = 0""".stripMargin).collect().head
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
     assert(row.getInt(1) == 6)
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-9, "normalize_l2 must yield a unit vector")
 
     val doc = spark.sql(
       """SELECT simhash64(transform(split(text, '\\s+'), t -> xxhash64(t))) AS sh,
@@ -40,7 +43,7 @@ class FunctionsSpec extends SparkSpec {
     // the extension class instantiates and exposes the same builder set.
     val ext = new graft.functions.GraftExtensions
     assert(GraftFunctions.builders.map(_._1).toSet ==
-      Set("cosine_sim", "minhash_sig", "simhash64", "lsh_sigs",
+      Set("cosine_sim", "minhash_sig", "simhash64", "normalize_l2", "lsh_sigs",
         "shingle_hashes", "rolling_hash_min"))
     assert(ext != null)
   }
