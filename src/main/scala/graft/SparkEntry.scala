@@ -95,6 +95,7 @@ object SparkEntry {
     "q80_sequence_packing" -> ((s: SparkSession, d: String) => Extra.q80SequencePacking(s, d)),
     "q81_repetition" -> (Extra.q81Repetition _),
     "q82_streaming_sessions" -> (EventsStream.q82StreamingSessions _),
+    "q83_heavy_hitters" -> ((s: SparkSession, d: String) => Extra.q83HeavyHitters(s, d)),
   )
 
   /** Shared by q24 (batch) and q82 (streaming): identical session

@@ -196,6 +196,32 @@ object Extra {
       .orderBy($"doc_id")
   }
 
+  /** Heavy hitters via count-min sketch: estimated frequencies of the
+    * top-visited part keys, the one-pass bounded-memory companion to the
+    * HLL cardinality path (q21). The sketch merges associatively across
+    * partitions — at 100 TB it is the only way to get per-key frequency
+    * estimates without shuffling the raw keys. No DuckDB oracle (sketch
+    * internals differ); the ε-bound vs exact counts is unit-tested. */
+  def q83HeavyHitters(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val li = Tables.lineitem(spark, dir)
+    // one distributed pass builds the sketch (treeAggregate-backed)
+    val sketch: CountMinSketch = li.stat.countMinSketch(
+      $"l_partkey", eps = 0.0001, confidence = 0.99, seed = 42)
+    // exact top-k keys come from a normal aggregation; the sketch then
+    // reports its estimate for each — the point of the query is comparing
+    // the two paths, which is also exactly what a production heavy-hitter
+    // monitor does (sketch online, exact offline).
+    val topExact = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"l_partkey".asc).limit(k)
+    val est = udf((pk: Long) => sketch.estimateCount(pk))
+    topExact
+      .withColumn("sketch_n", est($"l_partkey"))
+      .withColumn("overcount", $"sketch_n" - $"exact_n")
+      .orderBy($"exact_n".desc, $"l_partkey".asc)
+  }
+
   /** Daily OHLC over the events stream: open/close picked by deterministic
     * (µs, event_id) ordering via `min_by`/`max_by` over the time struct —
     * ONE partial-aggregating pass, no per-day window sort (a day of events

@@ -119,6 +119,21 @@ class ExtSpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("count-min heavy hitters: estimates never undercount and respect the eps*N bound") {
+    import spark.implicits._
+    val rows = graft.queries.Extra.q83HeavyHitters(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    val n = graft.sources.Tables.lineitem(spark, sf001).count()
+    rows.foreach { case (pk, exact, est) =>
+      assert(est >= exact, s"count-min must never undercount (part $pk: $est < $exact)")
+      // eps = 1e-4, confidence 0.99 per hash row; the joint bound over 10
+      // keys is looser, so allow 3x headroom
+      assert(est - exact <= math.max(1L, (3 * 0.0001 * n).toLong),
+        s"part $pk overcount ${est - exact} exceeds bound at N=$n")
+    }
+  }
+
   test("approx_count_distinct stays within its 1% error bound vs exact") {
     val exact = graft.queries.Analytics.q20DistinctAgg(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
