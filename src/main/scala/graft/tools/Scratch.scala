@@ -4,26 +4,22 @@ import graft.GraftSession
 
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.build("scratch", "32")
+    val spark = GraftSession.build("scratch", "8")
     import spark.implicits._
-    val dir = "/root/testdata/sf0.1"
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"  [$name] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    for (rnd <- 1 to 2) {
-      println(s"--- round $rnd ---")
-      val pairs = t("pairs (q34 pipeline)")(
-        graft.ext.Dedup.q34MinhashNearDup(spark, dir)
-          .select($"left_id", $"right_id").persist())
-      t("pairs count")(println("    n_pairs=" + pairs.count()))
-      val labels = t("connectedComponents")(
-        graft.ext.Dedup.connectedComponents(pairs))
-      t("labels count")(println("    n_labeled=" + labels.count()))
-      pairs.unpersist()
-      t("full q62")(graft.SparkEntry.queries("q62_neardup_corpus")(spark, dir)
-        .write.mode("overwrite").format("noop").save())
-    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // force the shuffle-join path so the runtime filter has something to prune
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    println("bloom default enabled: " +
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"))
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val o = graft.sources.Tables.orders(spark, "/root/testdata/sf0.01")
+      .filter($"o_orderpriority" === "1-URGENT")
+    val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+    val plan = j.queryExecution.optimizedPlan.toString
+    println("HAS bloom: " + plan.toLowerCase.contains("bloom"))
+    println(plan.split("\n").take(12).mkString("\n"))
     spark.stop()
   }
 }

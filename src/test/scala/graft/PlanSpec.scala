@@ -69,6 +69,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // At 100 TB this is the difference between scanning the whole fact table
+    // and scanning only rows that can possibly join: Spark injects a
+    // bloom_filter_agg over the selective build side and a might_contain
+    // pre-filter on the probe side. Thresholds are lowered because the local
+    // fixtures are far under the production defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join path
+      val li = graft.sources.Tables.lineitem(spark, sf001)
+      val o = graft.sources.Tables.orders(spark, sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the probe side:\n$optimized")
+      // and the filter must not change the result
+      val n = joined.count()
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val nNoBloom = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == nNoBloom)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
