@@ -59,6 +59,22 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Morton (Z-order) interleave of two 32-bit values: bit i of `a` lands at
+    * position 2i, of `b` at 2i+1. Locality in the z-curve preserves locality
+    * in BOTH dimensions — the basis of multi-column file clustering. */
+  def mortonInterleave(a: Long, b: Long): Long = {
+    def spread(x: Long): Long = {
+      var v = x & 0xffffffffL
+      v = (v | (v << 16)) & 0x0000ffff0000ffffL
+      v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+      v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
   /** Cosine over double arrays (normalized vectors, centroids). */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -282,6 +298,18 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class MortonInterleave(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def foldable: Boolean = left.foldable && right.foldable
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.mortonInterleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.mortonInterleave($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class NormalizeL2F(child: Expression) extends UnaryExpression {
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -348,6 +376,8 @@ object NativeKernels {
     columnOf(SimHash64(expressionOf(hashes)))
   def normalizeL2(emb: Column): Column =
     columnOf(NormalizeL2F(expressionOf(emb)))
+  def mortonInterleave(a: Column, b: Column): Column =
+    columnOf(MortonInterleave(expressionOf(a), expressionOf(b)))
   def lshSigs(emb: Column): Column =
     columnOf(LshSigs(expressionOf(emb)))
   def lshSigsCfg(emb: Column, numTables: Int, planesPerTable: Int): Column =

@@ -17,4 +17,35 @@ object Layout {
     df.repartitionByRange(nFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Z-order (Morton-curve) clustering on TWO numeric columns: each column
+    * is min-max scaled to 32 bits, interleaved by the native
+    * [[graft.functions.NativeKernels.mortonInterleave]] kernel, and the data
+    * range-partitioned + sorted on the z-value. Unlike [[sortedWrite]] —
+    * which gives one column disjoint file ranges and leaves the other
+    * spanning everything — every file then covers a COMPACT range of both
+    * columns, so filters on either prune files from parquet min/max stats.
+    * The min/max pre-pass is two scalar aggregates (one scan), the same
+    * price every z-order implementation pays. */
+  def zorderWrite(df: DataFrame, dir: String, nFiles: Int,
+                  colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect().head
+    val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1),
+      b.getDouble(2), b.getDouble(3))
+    def scaled(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      ((col(c).cast("double") - lit(lo)) / lit(span) * lit(4294967295.0))
+        .cast("long")
+    }
+    val z = graft.functions.NativeKernels.mortonInterleave(
+      scaled(colA, loA, hiA), scaled(colB, loB, hiB))
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 }

@@ -75,6 +75,42 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout keeps per-file ranges compact on BOTH columns (file-skipping on either)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey")
+    def fileSpans(dir: String): Seq[(Double, Double)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min($"l_orderkey").as("loA"), max($"l_orderkey").as("hiA"),
+          min($"l_partkey").as("loB"), max($"l_partkey").as("hiB"))
+        .collect().map(r => ((r.getLong(2) - r.getLong(1)).toDouble,
+          (r.getLong(4) - r.getLong(3)).toDouble)).toSeq
+    val bounds = li.agg(
+      (max($"l_orderkey") - min($"l_orderkey")).cast("double"),
+      (max($"l_partkey") - min($"l_partkey")).cast("double")).collect().head
+    val (fullA, fullB) = (bounds.getDouble(0), bounds.getDouble(1))
+
+    val sortedDir = Files.createTempDirectory("graft_zsorted_").toString + "/li"
+    graft.ops.Layout.sortedWrite(li, sortedDir, 8, "l_orderkey")
+    val zDir = Files.createTempDirectory("graft_zorder_").toString + "/li"
+    graft.ops.Layout.zorderWrite(li, zDir, 8, "l_orderkey", "l_partkey")
+
+    val zSpans = fileSpans(zDir)
+    assert(zSpans.length == 8)
+    val avgA = zSpans.map(_._1).sum / zSpans.length / fullA
+    val avgB = zSpans.map(_._2).sum / zSpans.length / fullB
+    assert(avgA < 0.6, f"z-order files span $avgA%.2f of orderkey — not compact")
+    assert(avgB < 0.6, f"z-order files span $avgB%.2f of partkey — not compact")
+    // the single-column layout cannot skip on the OTHER column: its files
+    // span essentially the whole partkey domain
+    val sortedAvgB = fileSpans(sortedDir).map(_._2).sum / 8 / fullB
+    assert(sortedAvgB > 0.9, f"expected near-full partkey span, got $sortedAvgB%.2f")
+    // and the clustered copy is a faithful copy
+    assert(spark.read.parquet(zDir).count() == li.count())
+  }
+
   test("shingle-hash kernel edge cases: empty, single token, duplicates") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.Kernels
