@@ -194,11 +194,15 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs by iterative min-label
-    * propagation: each doc's label converges to the minimum doc_id reachable
-    * through dup edges. Needs O(component diameter) rounds — dup chains are
-    * shallow in practice, but the loop runs until an actual fixed point (a
-    * silent cap would under-merge long chains) and throws if `maxIters` is
-    * hit unconverged. Driver-loop hygiene for scale:
+    * propagation WITH pointer jumping: each round a node takes the minimum
+    * of its own label, its neighbors' labels, and its label's label
+    * (path compression). The jump halves the effective chain length per
+    * round, so convergence is O(log diameter) rounds instead of
+    * O(diameter) — on a 100 TB corpus where a dup CHAIN can be thousands
+    * of documents long, that is the difference between ~12 rounds and
+    * thousands. The loop still runs to an actual fixed point (a silent cap
+    * would under-merge long chains) and throws if `maxIters` is hit
+    * unconverged. Driver-loop hygiene for scale:
     *  - each generation is checkpointed, so the plan stays O(1) tall
     *    instead of growing one join per round (superseded generations are
     *    freed by the context cleaner once unreferenced). When the session has
@@ -228,9 +232,14 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), $"dst" === $"dst2")
         .groupBy($"src").agg(min($"label").as("nbr_label"))
-      val newLabel = least($"label", coalesce($"nbr_label", $"label"))
+      // pointer jump: my label's current label (labels are always node ids,
+      // so the self-join always resolves; left join for safety)
+      val jump = labels.select($"id".as("jump_id"), $"label".as("jump_label"))
+      val newLabel = least($"label",
+        coalesce($"nbr_label", $"label"), coalesce($"jump_label", $"label"))
       val next = checkpointed( // eager: the one full job this round
         labels.join(neighborMin, $"id" === $"src", "left")
+          .join(jump, $"label" === $"jump_id", "left")
           .select($"id", newLabel.as("label"), (newLabel =!= $"label").as("changed")))
       val maxChanged = next.agg(max($"changed")).collect().head // cached scan
       converged = maxChanged.isNullAt(0) || !maxChanged.getBoolean(0)

@@ -119,6 +119,20 @@ class ExtSpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("connected components: pointer jumping converges a 64-node chain in O(log d) rounds") {
+    import spark.implicits._
+    // A path graph is the worst case for plain min-label propagation: the
+    // min id advances one hop per round, so a 63-edge chain would need ~63
+    // rounds and blow a maxIters of 15. With the label-of-label jump the
+    // effective distance roughly doubles per round — convergence in ~log2(64)
+    // rounds. This test FAILS (IllegalStateException) without the jump.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val labels = Dedup.connectedComponents(chain, maxIters = 15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 0L), "all chain nodes must label to the min id")
+  }
+
   test("count-min heavy hitters: estimates never undercount and respect the eps*N bound") {
     import spark.implicits._
     val rows = graft.queries.Extra.q83HeavyHitters(spark, sf001).collect()
