@@ -86,6 +86,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, List(20L))))
   }
 
+  test("left-outer stream-stream join emits the null row once the watermark closes the match window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("user_id", "click_ts").withWatermark("click_ts", "5 minutes")
+    val v = views.toDS().toDF("v_user_id", "view_ts").withWatermark("view_ts", "5 minutes")
+    val joined = c.join(v,
+      $"user_id" === $"v_user_id" &&
+        $"view_ts" >= $"click_ts" - expr("INTERVAL 5 MINUTES") &&
+        $"view_ts" <= $"click_ts",
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_left_join")
+      .outputMode(OutputMode.Append).start()
+    // user 1 gets a matching view; user 2 never does
+    clicks.addData((1L, ts(10)), (2L, ts(10)))
+    views.addData((1L, ts(7)))
+    q.processAllAvailable()
+    val early = spark.table("ss_left_join").collect()
+    // user 2's null result CANNOT be emitted yet: a matching view could
+    // still arrive until the watermark passes the join window
+    assert(!early.exists(r => r.getLong(0) == 2L),
+      "unmatched row must be withheld while the match window is open")
+    // advance both watermarks far past the window; the unmatched click
+    // must now surface exactly once, with a null view side
+    clicks.addData((9L, ts(45)))
+    views.addData((9L, ts(45)))
+    q.processAllAvailable()
+    clicks.addData((8L, ts(55)))
+    views.addData((8L, ts(55)))
+    q.processAllAvailable()
+    val rows = spark.table("ss_left_join").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getTimestamp(3))))
+    q.stop()
+    assert(rows.count(_._1 == 2L) == 1, s"expected exactly one user-2 row in ${rows.toSeq}")
+    assert(rows.find(_._1 == 2L).get._2.isEmpty, "user 2's view side must be null")
+    assert(rows.find(_._1 == 1L).get._2.contains(ts(7)))
+  }
+
   test("stream-stream interval join pairs clicks with views within the window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
