@@ -233,14 +233,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst2"), $"dst" === $"dst2")
         .groupBy($"src").agg(min($"label").as("nbr_label"))
       // pointer jump: my label's current label (labels are always node ids,
-      // so the self-join always resolves; left join for safety)
-      val jump = labels.select($"id".as("jump_id"), $"label".as("jump_label"))
+      // so the self-join always resolves; left join for safety). Round 0's
+      // jump is the identity (label == id), so it starts at round 1.
+      val base = labels.join(neighborMin, $"id" === $"src", "left")
+      val joined =
+        if (i == 0) base.withColumn("jump_label", $"label")
+        else base.join(
+          labels.select($"id".as("jump_id"), $"label".as("jump_label")),
+          $"label" === $"jump_id", "left")
       val newLabel = least($"label",
         coalesce($"nbr_label", $"label"), coalesce($"jump_label", $"label"))
       val next = checkpointed( // eager: the one full job this round
-        labels.join(neighborMin, $"id" === $"src", "left")
-          .join(jump, $"label" === $"jump_id", "left")
-          .select($"id", newLabel.as("label"), (newLabel =!= $"label").as("changed")))
+        joined.select($"id", newLabel.as("label"),
+          (newLabel =!= $"label").as("changed")))
       val maxChanged = next.agg(max($"changed")).collect().head // cached scan
       converged = maxChanged.isNullAt(0) || !maxChanged.getBoolean(0)
       labels = next.select($"id", $"label")
