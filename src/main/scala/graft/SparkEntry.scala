@@ -96,7 +96,18 @@ object SparkEntry {
     "q81_repetition" -> (Extra.q81Repetition _),
     "q82_streaming_sessions" -> (EventsStream.q82StreamingSessions _),
     "q83_heavy_hitters" -> ((s: SparkSession, d: String) => Extra.q83HeavyHitters(s, d)),
+    "q84_range_join_bucketed" -> (Extra.q84RangeJoinBucketed _),
   )
+
+  /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
+    * equi-join form): identical semantics, one oracle. */
+  private val rangeJoinOracleSql: String =
+    """SELECT p_partkey, p_size, band
+      |FROM part
+      |JOIN (VALUES (0, 10, 'S'), (10, 25, 'M'), (25, 40, 'L'), (40, 100, 'XL'))
+      |  AS bands(lo, hi, band)
+      |  ON p_size >= lo AND p_size < hi
+      |ORDER BY p_partkey""".stripMargin
 
   /** Shared by q24 (batch) and q82 (streaming): identical session
     * semantics, one oracle. */
@@ -295,13 +306,7 @@ object SparkEntry {
         |  abs(p_size - 25) AS size_dist
         |FROM part
         |ORDER BY p_partkey""".stripMargin,
-    "q18_range_join" ->
-      """SELECT p_partkey, p_size, band
-        |FROM part
-        |JOIN (VALUES (0, 10, 'S'), (10, 25, 'M'), (25, 40, 'L'), (40, 100, 'XL'))
-        |  AS bands(lo, hi, band)
-        |  ON p_size >= lo AND p_size < hi
-        |ORDER BY p_partkey""".stripMargin,
+    "q18_range_join" -> rangeJoinOracleSql,
     "q19_asof_join" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts, value,
@@ -977,5 +982,6 @@ object SparkEntry {
         |FROM stats s JOIN runs r ON s.doc_id = r.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q82_streaming_sessions" -> sessionsOracleSql,
+    "q84_range_join_bucketed" -> rangeJoinOracleSql,
   )
 }

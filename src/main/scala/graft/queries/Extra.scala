@@ -196,6 +196,21 @@ object Extra {
       .orderBy($"doc_id")
   }
 
+  /** q18's size-band classification through the bucketized
+    * [[graft.ops.RangeJoin.pointInInterval]] — identical result (same
+    * oracle), but as a hash equi-join on grid cells instead of a broadcast
+    * nested loop: the form that still works when the interval side is far
+    * past broadcast size. Plan-guarded NLJ-free in PlanSpec. */
+  def q84RangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq((0, 10, "S"), (10, 25, "M"), (25, 40, "L"), (40, 100, "XL"))
+      .toDF("lo", "hi", "band")
+    graft.ops.RangeJoin.pointInInterval(
+        Tables.part(spark, dir), bands, "p_size", "lo", "hi", step = 16.0)
+      .select($"p_partkey", $"p_size", $"band")
+      .orderBy($"p_partkey")
+  }
+
   /** Heavy hitters via count-min sketch: estimated frequencies of the
     * top-visited part keys, the one-pass bounded-memory companion to the
     * HLL cardinality path (q21). The sketch merges associatively across

@@ -181,6 +181,29 @@ class OpsSpec extends SparkSpec {
     assert(mhEq)
   }
 
+  test("property: bucketized range join equals the naive non-equi join on random inputs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pointGen = Gen.choose(-50, 150)
+    val intervalGen = for {
+      lo <- Gen.choose(-60, 140); span <- Gen.choose(0, 40)
+    } yield (lo, lo + span)
+    val prop = Prop.forAll(Gen.listOfN(30, pointGen), Gen.listOfN(8, intervalGen),
+        Gen.oneOf(1.0, 7.0, 16.0, 100.0)) { (ps, ivs, step) =>
+      val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "x")
+      val intervals = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val naive = points.join(intervals, $"x" >= $"lo" && $"x" < $"hi")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bucketed = graft.ops.RangeJoin
+        .pointInInterval(points, intervals, "x", "lo", "hi", step)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      naive == bucketed
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("observe() collects quality metrics during a real query at no extra scan") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sf0001)

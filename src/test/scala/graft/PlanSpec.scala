@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("q84: bucketized range join plans as a hash equi-join, never a nested loop") {
+    val exec = graft.queries.Extra.q84RangeJoinBucketed(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"bucketized form must not nested-loop:\n$exec")
+    assert(exec.contains("HashJoin") || exec.contains("SortMergeJoin"),
+      s"expected an equi-join on the cell key:\n$exec")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // At 100 TB this is the difference between scanning the whole fact table
