@@ -58,8 +58,11 @@ object EventsStream {
   /** Sessionization as a streaming query — session windows (30-minute gap)
     * over the same file-arrival source, identical result (and DuckDB oracle)
     * to the batch q24. Session state is merged across micro-batches by the
-    * session-window state store; at scale the watermark bounds how long an
-    * open session's state lives. */
+    * session-window state store. Complete output mode is what makes the
+    * run-once parity check possible (every session emitted at termination);
+    * it retains all window state, so a CONTINUOUS production run would use
+    * append/update mode instead, where the watermark evicts closed
+    * sessions and bounds state. */
   def q82StreamingSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
