@@ -97,6 +97,7 @@ object SparkEntry {
     "q82_streaming_sessions" -> (EventsStream.q82StreamingSessions _),
     "q83_heavy_hitters" -> ((s: SparkSession, d: String) => Extra.q83HeavyHitters(s, d)),
     "q84_range_join_bucketed" -> (Extra.q84RangeJoinBucketed _),
+    "q85_interval_overlap" -> (Extra.q85IntervalOverlap _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -983,5 +984,19 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q82_streaming_sessions" -> sessionsOracleSql,
     "q84_range_join_bucketed" -> rangeJoinOracleSql,
+    "q85_interval_overlap" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS lo
+        |  FROM orders WHERE o_custkey <= 20
+        |), i AS (
+        |  SELECT o_custkey, o_orderkey, lo, lo + 30 AS hi FROM o
+        |)
+        |SELECT a.o_custkey AS a_cust, b.o_custkey AS b_cust,
+        |  count(*) AS n_overlaps
+        |FROM i a JOIN i b
+        |  ON a.lo < b.hi AND b.lo < a.hi
+        | AND a.o_orderkey < b.o_orderkey AND a.o_custkey <> b.o_custkey
+        |GROUP BY 1, 2 ORDER BY a_cust, b_cust""".stripMargin,
   )
 }

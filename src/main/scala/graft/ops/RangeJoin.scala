@@ -34,4 +34,28 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__graft_cell")
   }
+
+  /** Interval-overlap join (temporal join): pairs where
+    * `lLo < rHi && rLo < lHi` (half-open overlap), again as a cell
+    * equi-join. Overlapping pairs share MANY cells, so a naive cell join
+    * would duplicate them; instead each surviving pair is counted only in
+    * the cell containing `max(lLo, rLo)` — the first cell where both
+    * intervals are present — which every overlapping pair hits exactly
+    * once. Dedup-free: no distinct over the (possibly wide) output. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLo: String, lHi: String, rLo: String, rHi: String,
+                      step: Double): DataFrame = {
+    require(step > 0, "step must be positive")
+    def cellsOf(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__graft_cell",
+        explode(sequence(
+          floor(col(lo).cast("double") / step).cast("long"),
+          floor(col(hi).cast("double") / step).cast("long"))))
+    cellsOf(left, lLo, lHi)
+      .join(cellsOf(right, rLo, rHi), "__graft_cell")
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(col("__graft_cell") ===
+        floor(greatest(col(lLo), col(rLo)).cast("double") / step).cast("long"))
+      .drop("__graft_cell")
+  }
 }

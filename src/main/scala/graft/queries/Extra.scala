@@ -211,6 +211,29 @@ object Extra {
       .orderBy($"p_partkey")
   }
 
+  /** Temporal overlap join via [[graft.ops.RangeJoin.intervalOverlap]]:
+    * pairs of customers whose 30-day order windows overlapped, counted per
+    * pair. A self-overlap join has no equi key at all — the cell-bucketed
+    * form keeps it a hash join (plan-guarded) where the naive formulation
+    * is a cartesian comparison. */
+  def q85IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir).filter($"o_custkey" <= 20)
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate", lit("1990-01-01").cast("date"))
+          .cast("long").as("lo"))
+      .withColumn("hi", $"lo" + 30)
+    val a = o.select($"o_custkey".as("a_cust"), $"o_orderkey".as("a_order"),
+      $"lo".as("a_lo"), $"hi".as("a_hi"))
+    val b = o.select($"o_custkey".as("b_cust"), $"o_orderkey".as("b_order"),
+      $"lo".as("b_lo"), $"hi".as("b_hi"))
+    graft.ops.RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        step = 32.0)
+      .filter($"a_order" < $"b_order" && $"a_cust" =!= $"b_cust")
+      .groupBy($"a_cust", $"b_cust").agg(count(lit(1)).as("n_overlaps"))
+      .orderBy($"a_cust", $"b_cust")
+  }
+
   /** Heavy hitters via count-min sketch: estimated frequencies of the
     * top-visited part keys, the one-pass bounded-memory companion to the
     * HLL cardinality path (q21). The sketch merges associatively across

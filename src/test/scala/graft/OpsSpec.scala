@@ -204,6 +204,30 @@ class OpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: interval-overlap join equals the naive theta join, with no duplicate pairs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ivGen = for {
+      lo <- Gen.choose(-40, 120); span <- Gen.choose(0, 35)
+    } yield (lo, lo + span)
+    val prop = Prop.forAll(Gen.listOfN(12, ivGen), Gen.listOfN(12, ivGen),
+        Gen.oneOf(1.0, 8.0, 33.0, 200.0)) { (ls, rs, step) =>
+      val left = ls.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("lid", "a_lo", "a_hi")
+      val right = rs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("rid", "b_lo", "b_hi")
+      val naive = left.join(right, $"a_lo" < $"b_hi" && $"b_lo" < $"a_hi")
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val bucketed = graft.ops.RangeJoin
+        .intervalOverlap(left, right, "a_lo", "a_hi", "b_lo", "b_hi", step)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // set equality AND no duplicates from multi-cell co-occurrence
+      bucketed.toSet == naive.toSet && bucketed.length == naive.length
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("observe() collects quality metrics during a real query at no extra scan") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.lineitem(spark, sf0001)

@@ -78,6 +78,14 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on the cell key:\n$exec")
   }
 
+  test("q85: interval-overlap join plans as a hash equi-join, never a nested loop") {
+    val exec = graft.queries.Extra.q85IntervalOverlap(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin") && !exec.contains("CartesianProduct"),
+      s"bucketized overlap join must not nested-loop:\n$exec")
+    assert(exec.contains("HashJoin") || exec.contains("SortMergeJoin"))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // At 100 TB this is the difference between scanning the whole fact table
