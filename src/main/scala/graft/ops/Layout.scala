@@ -30,6 +30,11 @@ object Layout {
   def zorderWrite(df: DataFrame, dir: String, nFiles: Int,
                   colA: String, colB: String): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.NumericType
+    for (c <- Seq(colA, colB))
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"zorderWrite cluster column '$c' must be numeric, " +
+          s"got ${df.schema(c).dataType.simpleString}")
     val b = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect().head
