@@ -98,6 +98,7 @@ object SparkEntry {
     "q83_heavy_hitters" -> ((s: SparkSession, d: String) => Extra.q83HeavyHitters(s, d)),
     "q84_range_join_bucketed" -> (Extra.q84RangeJoinBucketed _),
     "q85_interval_overlap" -> (Extra.q85IntervalOverlap _),
+    "q86_decontamination" -> ((s: SparkSession, d: String) => Dedup.q86Decontamination(s, d)),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -998,5 +999,28 @@ object SparkEntry {
         |  ON a.lo < b.hi AND b.lo < a.hi
         | AND a.o_orderkey < b.o_orderkey AND a.o_custkey <> b.o_custkey
         |GROUP BY 1, 2 ORDER BY a_cust, b_cust""".stripMargin,
+    "q86_decontamination" ->
+      """WITH docs3 AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS s
+        |  FROM docs3
+        |), ev AS (
+        |  SELECT doc_id AS eval_id, s AS es FROM sh WHERE doc_id < 5
+        |), cp AS (
+        |  SELECT doc_id AS corpus_id, s AS cs FROM sh WHERE doc_id >= 5
+        |), ov AS (
+        |  SELECT eval_id, corpus_id,
+        |    round(CAST(len(list_intersect(es, cs)) AS DOUBLE) / len(es), 6)
+        |      AS containment
+        |  FROM ev, cp WHERE len(list_intersect(es, cs)) > 0
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY eval_id
+        |    ORDER BY containment DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM ov WHERE containment >= 0.05
+        |)
+        |SELECT eval_id, rank, corpus_id, containment FROM r WHERE rank <= 3
+        |ORDER BY eval_id, rank""".stripMargin,
   )
 }

@@ -273,6 +273,40 @@ object Dedup {
       .withColumn("n_removed", $"n_before" - $"n_after")
   }
 
+  /** Benchmark decontamination — the pre-training hygiene pass: find corpus
+    * documents whose 3-gram CONTAINMENT of an eval-set document
+    * (|shared shingles| / |eval shingles|) exceeds a threshold, i.e. corpus
+    * text that would leak the benchmark into training. Candidates come from
+    * an inverted shingle index (explode + equi-join on the shingle — ids
+    * before payloads, no eval×corpus cross product on the Spark side), so
+    * at 100 TB this shuffles (shingle, id) pairs, never documents. */
+  def q86Decontamination(spark: SparkSession, dir: String,
+                         minContainment: Double = 0.05, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+    val evalSet = base.filter($"doc_id" < 5)
+      .select($"doc_id".as("eval_id"), wordShingles($"text", k).as("es"))
+    val corpus = base.filter($"doc_id" >= 5)
+      .select($"doc_id".as("corpus_id"), wordShingles($"text", k).as("cs"))
+    val ei = evalSet.select($"eval_id", explode($"es").as("sh"))
+    val ci = corpus.select($"corpus_id", explode($"cs").as("sh"))
+    // shingle sets are distinct, so the pair count IS the intersection size
+    val shared = ei.join(ci, "sh")
+      .groupBy($"eval_id", $"corpus_id").agg(count(lit(1)).as("n_shared"))
+    val evalSize = evalSet.select($"eval_id", size($"es").as("n_eval"))
+    val w = Window.partitionBy($"eval_id")
+      .orderBy($"containment".desc, $"corpus_id".asc)
+    shared.join(broadcast(evalSize), "eval_id")
+      .withColumn("containment",
+        round($"n_shared" / $"n_eval".cast("double"), 6))
+      .filter($"containment" >= minContainment)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"eval_id", $"rank", $"corpus_id", $"containment")
+      .orderBy($"eval_id", $"rank")
+  }
+
   /** Direct n-gram Jaccard similarity metric on known pairs (each planted
     * near-copy vs its original) — the SQL-expressible face of the verify
     * stage, with a DuckDB oracle. */
