@@ -37,6 +37,34 @@ object UpsertPipeline {
       .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
   }
 
+  /** Same event-driven pipeline, but the sink is the JDBC warehouse — the
+    * reference's actual target (Postgres RDS; embedded Derby in tests).
+    * `foreachBatch` + the staged-MERGE upsert give the same
+    * at-least-once + idempotent ⇒ effectively-once contract as the parquet
+    * path: a re-delivered batch MERGEs to the same state. */
+  def runOnceJdbc(spark: SparkSession, landingDir: String, jdbcUrl: String,
+                  checkpointDir: String): Unit = {
+    implicit val s: SparkSession = spark
+    val raw = spark.readStream
+      .schema(EmissionsEtl.rawSchema)
+      .option("header", "true")
+      .option("delimiter", ",")
+      .csv(landingDir)
+      .withColumn("__file", col("_metadata.file_path"))
+    val q = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val transformed = EmissionsEtl.transform(batch, carryCols = Seq("__file"))
+        val unique = Merge.latestPerKey(transformed, EmissionsEtl.mergeKeys, Seq("__file"))
+          .drop("__file")
+        graft.sinks.JdbcWarehouse.upsertBatch(unique, jdbcUrl)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the pipeline over everything currently in `landingDir`, then stop
     * (Trigger.AvailableNow). Call repeatedly as new files land — or swap the
     * trigger for a continuous schedule; checkpointing makes either safe. */

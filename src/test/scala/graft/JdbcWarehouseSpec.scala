@@ -48,6 +48,28 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(canon(viaJdbc).size == 5) // 4 + 1 new, 2 updated in place
   }
 
+  test("streaming pipeline lands files into the JDBC warehouse end-to-end (reference lifecycle)") {
+    import java.nio.file.Files
+    val url = "jdbc:derby:memory:graftstreamjdbc;create=true"
+    val landing = Files.createTempDirectory("graft_jdbc_landing_")
+    val checkpoint = Files.createTempDirectory("graft_jdbc_ckpt_").toString
+    val gas = EmissionsEtl.totalGhgRaw
+    val header = "CountryCode,Year,Scenario,Category,Gas,Reported Value"
+    Files.writeString(landing.resolve("001.csv"), (Seq(header,
+      s"""AT,2030,WEM,Energy,"$gas",100.0""",
+      s"""DE,2030,WEM,Energy,"$gas",50.0""")).mkString("\n"))
+    graft.streaming.UpsertPipeline.runOnceJdbc(spark, landing.toString, url, checkpoint)
+    // second file updates AT, adds FR; pipeline picks up only the new file
+    Files.writeString(landing.resolve("002.csv"), (Seq(header,
+      s"""AT,2030,WEM,Energy,"$gas",200.0""",
+      s"""FR,2030,WEM,Energy,"$gas",75.0""")).mkString("\n"))
+    graft.streaming.UpsertPipeline.runOnceJdbc(spark, landing.toString, url, checkpoint)
+    val table = JdbcWarehouse.readTable(spark, url)
+      .toDF(EmissionsEtl.warehouseSchema.fieldNames: _*)
+      .collect().map(r => (r.getString(0), r.getDouble(5))).toMap
+    assert(table == Map("Austria" -> 200.0, "Germany" -> 50.0, "France" -> 75.0))
+  }
+
   test("JDBC upsert is idempotent and the surrogate id (K5) is stable across re-delivery") {
     val url = "jdbc:derby:memory:graftredeliver;create=true"
     JdbcWarehouse.upsertBatch(b0, url)
