@@ -63,15 +63,25 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** Distinct word k-shingles of a text column. 0-based `get` (not
-    * `element_at`): out-of-range reads on degenerate short docs yield null —
-    * skipped by concat_ws — instead of an ANSI-mode error. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = split(text, "\\s+")
+  /** Distinct word k-shingles over a PRE-SPLIT token-array column. 0-based
+    * `get` (not `element_at`): out-of-range reads on degenerate short docs
+    * yield null — skipped by concat_ws — instead of an ANSI-mode error. */
+  def wordShinglesFromTokens(toks: Column, k: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
         i => concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*)))
-  }
+
+  /** Distinct word k-shingles of a text column.
+    *
+    * PERFORMANCE: only for small inputs. The `split` sits inside the
+    * per-element lambda and whole-stage codegen does not common it up, so
+    * the text is re-tokenized per shingle — O(n²) per document (measured
+    * ~17× slower than the two-step form on the sf0.1 corpus). On anything
+    * corpus-sized, project `split(text, "\\s+")` to a column FIRST and use
+    * [[wordShinglesFromTokens]] on the attribute, which is evaluated once
+    * per row. */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesFromTokens(split(text, "\\s+"), k)
 
   /** Deterministic per-hash-function coefficients (31-bit, so
     * h31 * a + b stays well inside a long — no ANSI overflow). */
@@ -284,17 +294,24 @@ object Dedup {
                          minContainment: Double = 0.05, k: Int = 3): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // Tokenize once per row, and explode the shingle expression DIRECTLY in
+    // the same projection: materializing the shingle array as a column first
+    // lets InferFiltersFromGenerate add a pushed-down `size(...) > 0` filter
+    // whose substitution re-runs the whole (untokenized, O(n²)) shingle
+    // expression per row — measured ~20× the cost of this one-projection
+    // form on the sf0.1 corpus.
     val base = Tables.documents(spark, dir)
-    val evalSet = base.filter($"doc_id" < 5)
-      .select($"doc_id".as("eval_id"), wordShingles($"text", k).as("es"))
-    val corpus = base.filter($"doc_id" >= 5)
-      .select($"doc_id".as("corpus_id"), wordShingles($"text", k).as("cs"))
-    val ei = evalSet.select($"eval_id", explode($"es").as("sh"))
-    val ci = corpus.select($"corpus_id", explode($"cs").as("sh"))
+      .select($"doc_id", split($"text", "\\s+").as("toks"))
+    def index(ids: DataFrame, idName: String): DataFrame =
+      ids.select($"doc_id".as(idName),
+        explode(wordShinglesFromTokens($"toks", k)).as("sh"))
+    val ei = index(base.filter($"doc_id" < 5), "eval_id")
+    val ci = index(base.filter($"doc_id" >= 5), "corpus_id")
     // shingle sets are distinct, so the pair count IS the intersection size
     val shared = ei.join(ci, "sh")
       .groupBy($"eval_id", $"corpus_id").agg(count(lit(1)).as("n_shared"))
-    val evalSize = evalSet.select($"eval_id", size($"es").as("n_eval"))
+    // |eval shingles| from the exploded index itself — no second shingle pass
+    val evalSize = ei.groupBy($"eval_id").agg(count(lit(1)).as("n_eval"))
     val w = Window.partitionBy($"eval_id")
       .orderBy($"containment".desc, $"corpus_id".asc)
     shared.join(broadcast(evalSize), "eval_id")
