@@ -61,7 +61,8 @@ object ScaleProbe {
     val headline = Seq("q01_pricing_summary", "q10_revenue_by_nation",
       "q12_running_totals", "q07_upsert", "q11_top_customers_per_region",
       "q34_minhash_neardup", "q30_text_stats", "q52_bpe_token_estimate",
-      "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus")
+      "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus",
+      "q86_decontamination")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -113,12 +113,14 @@ class StreamingSpec extends SparkSpec {
       "unmatched row must be withheld while the match window is open")
     // advance both watermarks far past the window; the unmatched click
     // must now surface exactly once, with a null view side
-    clicks.addData((9L, ts(45)))
-    views.addData((9L, ts(45)))
-    q.processAllAvailable()
-    clicks.addData((8L, ts(55)))
-    views.addData((8L, ts(55)))
-    q.processAllAvailable()
+    // several nudge batches: the watermark advances one micro-batch after
+    // the data that moves it, and the outer-null emission one batch later
+    // still — a single nudge is timing-sensitive
+    for (m <- Seq(45, 55, 58)) {
+      clicks.addData((100L + m, ts(m)))
+      views.addData((100L + m, ts(m)))
+      q.processAllAvailable()
+    }
     val rows = spark.table("ss_left_join").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getTimestamp(3))))
     q.stop()
