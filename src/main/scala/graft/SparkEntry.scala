@@ -99,6 +99,8 @@ object SparkEntry {
     "q84_range_join_bucketed" -> (Extra.q84RangeJoinBucketed _),
     "q85_interval_overlap" -> (Extra.q85IntervalOverlap _),
     "q86_decontamination" -> ((s: SparkSession, d: String) => Dedup.q86Decontamination(s, d)),
+    "q87_json_roundtrip" -> (Parity.q87JsonRoundtrip _),
+    "q88_orc_roundtrip" -> (Parity.q88OrcRoundtrip _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1022,5 +1024,11 @@ object SparkEntry {
         |)
         |SELECT eval_id, rank, corpus_id, containment FROM r WHERE rank <= 3
         |ORDER BY eval_id, rank""".stripMargin,
+    "q87_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q88_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -104,6 +104,36 @@ object Parity {
       .orderBy($"n_nationkey")
   }
 
+  /** S1/K1 breadth: JSON-lines sink + source round-trip with an explicit
+    * read schema (schema-on-read, the landing format half the world's event
+    * feeds use). Result must equal the input table. */
+  def q87JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    s.write.mode("overwrite").json(tmp)
+    spark.read.schema(StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))))
+      .json(tmp)
+      .orderBy($"s_suppkey")
+  }
+
+  /** S1/K1 breadth: ORC sink + source round-trip — the columnar format
+    * Spark supports beside parquet, same predicate-pushdown/pruning
+    * machinery. Result must equal the input table. */
+  def q88OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    c.write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .filter($"c_acctbal" > 0)
+      .orderBy($"c_custkey")
+  }
+
   /** K4 (versioned variant): three sequential update batches merged in one
     * pass, highest batch ordinal wins — mirrors the reference's sequential
     * per-file loop semantics (`scripts/lambda_handler_warehouse.py:79`). */

@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("partition-column filter prunes directories at planning (q28 layout)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    graft.sources.Tables.orders(spark, sf0001)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    val q = spark.read.parquet(tmp).filter(col("o_orderstatus") === "O")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }
+    assert(scan.isDefined)
+    assert(scan.get.metadata("PartitionFilters").contains("o_orderstatus"),
+      "filter on the partition column must become a partition filter")
+    // only the o_orderstatus=O directory is read, not all three
+    assert(scan.get.metrics("numPartitions").value == 1,
+      s"expected 1 pruned partition, read ${scan.get.metrics("numPartitions").value}")
+  }
+
   test("q84: bucketized range join plans as a hash equi-join, never a nested loop") {
     val exec = graft.queries.Extra.q84RangeJoinBucketed(spark, sf0001)
       .queryExecution.executedPlan.toString
