@@ -101,6 +101,7 @@ object SparkEntry {
     "q86_decontamination" -> ((s: SparkSession, d: String) => Dedup.q86Decontamination(s, d)),
     "q87_json_roundtrip" -> (Parity.q87JsonRoundtrip _),
     "q88_orc_roundtrip" -> (Parity.q88OrcRoundtrip _),
+    "q89_ratio_to_report" -> (Extra.q89RatioToReport _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1030,5 +1031,20 @@ object SparkEntry {
     "q88_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "q89_ratio_to_report" ->
+      """WITH rev AS (
+        |  SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, revenue,
+        |  round(revenue / sum(revenue) OVER (), 6) AS share,
+        |  CAST(rank() OVER (ORDER BY revenue DESC, n_name) AS INTEGER)
+        |    AS rev_rank
+        |FROM rev ORDER BY rev_rank, n_name""".stripMargin,
   )
 }

@@ -211,6 +211,33 @@ object Extra {
       .orderBy($"p_partkey")
   }
 
+  /** Ratio-to-report: each nation's share of global revenue plus its rank —
+    * the aggregate-then-window composition (a window over a grouped result,
+    * not over raw rows; the whole-frame sum is one extra lightweight pass
+    * over 25 aggregated rows, not over the fact table). */
+  def q89RatioToReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val revenue = li
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+    // all downstream arithmetic runs on the 2dp-rounded revenue so the
+    // share and ranking are insensitive to cross-engine sum association
+    val all = Window.partitionBy()
+    revenue.withColumn("revenue", round($"rev", 2))
+      .withColumn("share", round($"revenue" / sum($"revenue").over(all), 6))
+      .withColumn("rev_rank",
+        rank().over(Window.orderBy($"revenue".desc, $"n_name".asc)))
+      .select($"n_name", $"revenue", $"share", $"rev_rank")
+      .orderBy($"rev_rank", $"n_name")
+  }
+
   /** Temporal overlap join via [[graft.ops.RangeJoin.intervalOverlap]]:
     * pairs of customers whose 30-day order windows overlapped, counted per
     * pair. A self-overlap join has no equi key at all — the cell-bucketed
