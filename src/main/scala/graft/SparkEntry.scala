@@ -102,6 +102,7 @@ object SparkEntry {
     "q87_json_roundtrip" -> (Parity.q87JsonRoundtrip _),
     "q88_orc_roundtrip" -> (Parity.q88OrcRoundtrip _),
     "q89_ratio_to_report" -> (Extra.q89RatioToReport _),
+    "q90_variant" -> (Extra.q90Variant _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1046,5 +1047,13 @@ object SparkEntry {
         |  CAST(rank() OVER (ORDER BY revenue DESC, n_name) AS INTEGER)
         |    AS rev_rank
         |FROM rev ORDER BY rev_rank, n_name""".stripMargin,
+    "q90_variant" ->
+      """WITH e AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events
+        |)
+        |SELECT k % 2 AS k_parity, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY k_parity""".stripMargin,
   )
 }

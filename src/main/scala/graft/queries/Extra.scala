@@ -211,6 +211,23 @@ object Extra {
       .orderBy($"p_partkey")
   }
 
+  /** Semi-structured data via the VARIANT type (Spark 4): `parse_json` once
+    * into a binary variant, then typed `variant_get` path extraction — the
+    * modern schema-flexible path beside q50's `from_json` (which needs the
+    * schema up front). Variant parsing is a one-time cost at ingest; the
+    * extraction is a binary-offset read, not a re-parse. */
+  def q90Variant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k",
+        variant_get(parse_json($"props"), "$.k", "int"))
+      .groupBy(($"k" % 2).as("k_parity"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"k_parity")
+  }
+
   /** Ratio-to-report: each nation's share of global revenue plus its rank —
     * the aggregate-then-window composition (a window over a grouped result,
     * not over raw rows; the whole-frame sum is one extra lightweight pass

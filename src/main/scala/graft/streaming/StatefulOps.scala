@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming operators via flatMapGroupsWithState — the
   * arbitrary-state path the built-in windowed aggregates can't express
@@ -34,6 +35,37 @@ object StatefulOps {
           val items = agg.finish(buf)
           Iterator.single(TopKSnapshot(queryId, items.map(_.id), items.map(_.score)))
         })
+  }
+
+  /** [[runningPerUser]] re-expressed on Spark 4's `transformWithState` —
+    * the successor arbitrary-state API: typed named state handles
+    * (`ValueState`/`ListState`/`MapState`) with per-state TTL, timers, and
+    * the RocksDB state store underneath (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`; required by this operator).
+    * Same semantics as the flatMapGroupsWithState form — the spec asserts
+    * both produce identical running aggregates on the same batches. */
+  class RunningPerUserProcessor extends StatefulProcessor[Long, Ev, UserRunning] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "running", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserRunning] = {
+      val (n0, s0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0; var s = s0
+      rows.foreach { e => n += 1; s += e.value }
+      state.update((n, s))
+      Iterator.single(UserRunning(userId, n, s))
+    }
+  }
+
+  def runningPerUserTws(events: Dataset[Ev]): Dataset[UserRunning] = {
+    implicit val enc: Encoder[UserRunning] = Encoders.product[UserRunning]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new RunningPerUserProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Per-user running (count, sum) emitted on every update — an

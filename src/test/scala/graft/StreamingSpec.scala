@@ -175,4 +175,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 7.0)))
     assert(rows.contains((2L, 1L, 9.0)))
   }
+
+  test("transformWithState (RocksDB) matches flatMapGroupsWithState on the same batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[StatefulOps.Ev]
+      val q = StatefulOps.runningPerUserTws(input.toDS())
+        .writeStream.format("memory").queryName("running_tws_test")
+        .outputMode(OutputMode.Update).start()
+      input.addData(StatefulOps.Ev(1L, "view", 1.0), StatefulOps.Ev(1L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(StatefulOps.Ev(1L, "view", 4.0), StatefulOps.Ev(2L, "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_tws_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      q.stop()
+      // identical running aggregates to the flatMapGroupsWithState form
+      assert(rows == Set((1L, 2L, 3.0), (1L, 3L, 7.0), (2L, 1L, 9.0)))
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
 }
