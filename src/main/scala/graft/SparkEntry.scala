@@ -103,6 +103,7 @@ object SparkEntry {
     "q88_orc_roundtrip" -> (Parity.q88OrcRoundtrip _),
     "q89_ratio_to_report" -> (Extra.q89RatioToReport _),
     "q90_variant" -> (Extra.q90Variant _),
+    "q91_xml_roundtrip" -> (Parity.q91XmlRoundtrip _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1055,5 +1056,7 @@ object SparkEntry {
         |SELECT k % 2 AS k_parity, count(*) AS n_events,
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM e GROUP BY 1 ORDER BY k_parity""".stripMargin,
+    "q91_xml_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
   )
 }

@@ -134,6 +134,23 @@ object Parity {
       .orderBy($"c_custkey")
   }
 
+  /** S1/K1 breadth: XML sink + source round-trip (built into Spark 4 —
+    * rowTag-framed records with an explicit read schema). Result must equal
+    * the input table. */
+  def q91XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+    r.write.mode("overwrite").option("rowTag", "region").xml(tmp)
+    spark.read
+      .schema(StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType))))
+      .option("rowTag", "region")
+      .xml(tmp)
+      .orderBy($"r_regionkey")
+  }
+
   /** K4 (versioned variant): three sequential update batches merged in one
     * pass, highest batch ordinal wins — mirrors the reference's sequential
     * per-file loop semantics (`scripts/lambda_handler_warehouse.py:79`). */
