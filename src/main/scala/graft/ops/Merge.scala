@@ -46,7 +46,7 @@ object Merge {
     target.join(probe, keys, "left_anti")
       // using-column joins hoist the keys to the front; restore the
       // target's column order so merge is schema-stable.
-      .select(target.columns.map(col): _*)
+      .select(target.columns.toIndexedSeq.map(col): _*)
       .unionByName(updates)
   }
 

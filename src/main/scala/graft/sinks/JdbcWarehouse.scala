@@ -93,7 +93,7 @@ object JdbcWarehouse {
   def upsertBatch(batch: DataFrame, url: String, numPartitions: Int = 4): Unit = {
     ensureTarget(url)
     resetStaging(url)
-    val upper = batch.select(batch.columns.map(c => col(c).as(c.toUpperCase)): _*)
+    val upper = batch.select(batch.columns.toIndexedSeq.map(c => col(c).as(c.toUpperCase)): _*)
       .select(DataCols.map(col): _*)
     upper.repartition(numPartitions)
       .write.mode(SaveMode.Append).jdbc(url, q(StagingName), new Properties())
