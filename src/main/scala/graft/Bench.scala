@@ -39,12 +39,17 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Per-query seconds rounded to milliseconds: full double precision pushed
+    // the one-line artifact past the driver's stdout tail window (~3 KB), so
+    // the head of the line was cut and the JSON never parsed. 3 decimals keeps
+    // ~100 queries inside the window without losing benchmark resolution.
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // `value` (the headline total) is printed AFTER the long queries map so a
     // tail-capture of stdout never truncates it; the full line is also written
     // to a file so the whole artifact survives any console truncation.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${sec(total)}}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -171,14 +171,30 @@ object Similarity {
                            // the row-count estimate errs high (fraction low)
     val estRows = math.max(1L,
       (base.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
-    val fraction = math.min(1.0, 2.0 * maxTrainRows / estRows)
-    val trainSet = {
+    def draw(fraction: Double) = {
       val sampled =
         if (fraction >= 1.0) featurized
         else featurized.sample(withReplacement = false, fraction, seed = 7L)
       // limit() funnels through one partition; repartition restores trainer
       // parallelism (≤ maxTrainRows rows — a trivial shuffle).
       sampled.limit(maxTrainRows).select($"features").repartition(8).cache()
+    }
+    val fraction = math.min(1.0, 2.0 * maxTrainRows / estRows)
+    // Clamp AFTER the draw: the size-based row estimate can undershoot when
+    // actual bytes/row exceed ~2× estRowBytes (wider embeddings, page
+    // overhead), which would silently train on too few points. count() here
+    // materializes the cache the trainer needs anyway, so the check is free;
+    // on a shortfall, redraw once with a fraction scaled by the observed
+    // yield (then accept — a second miss means the corpus itself is small).
+    val trainSet = {
+      val first = draw(fraction)
+      val n = first.count()
+      if (n >= maxTrainRows || fraction >= 1.0) first
+      else {
+        first.unpersist(blocking = false)
+        val scaled = math.min(1.0, fraction * (2.0 * maxTrainRows / math.max(n, 1L)))
+        draw(scaled)
+      }
     }
     // Random init (seeded): k-means|| costs several extra distributed passes
     // per init step, and IVF centroids only need to partition space roughly —

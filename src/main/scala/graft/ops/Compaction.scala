@@ -58,7 +58,16 @@ object Compaction {
     * point sees the old complete version or the new complete one — no
     * rename window, no missing-directory state; a mid-write crash leaves an
     * uncommitted directory that the next attempt overwrites. Old versions
-    * are vacuumed after the new commit (pass `keepOld = true` to defer). */
+    * are vacuumed after the new commit (pass `keepOld = true` to defer).
+    *
+    * SINGLE WRITER REQUIRED: the next version number comes from a directory
+    * listing, so two concurrent writers (e.g. compaction racing an ingest
+    * commit) can resolve the same `v=N+1` and interleave part files under one
+    * `_SUCCESS` marker. Run maintenance from the same scheduler slot as the
+    * table's writer (as [[graft.streaming.UpsertPipeline]] does — foreachBatch
+    * is serialized per query), or serialize externally. Multi-writer safety
+    * needs a real commit log (a table format), which this plain-directory
+    * layout deliberately does not reimplement. */
   def compactVersioned(spark: SparkSession, root: String,
                        targetBytes: Long = 128L * 1024 * 1024,
                        keepOld: Boolean = false): Unit = {

@@ -15,6 +15,12 @@ import org.apache.spark.sql.types.StructType
   * Writers: write to [[nextVersionPath]] with SaveMode.Overwrite (a crashed
   * earlier attempt without `_SUCCESS` is invisible to readers and gets
   * overwritten by the retry), then the table is live. No rename window.
+  *
+  * ONE writer at a time per table: [[nextVersionPath]] resolves from a
+  * directory listing, so concurrent writers can claim the same version and
+  * interleave their part files. Readers are unrestricted; writer/maintenance
+  * serialization is the caller's job (see
+  * [[graft.ops.Compaction.compactVersioned]]).
   */
 object VersionedTable {
 

@@ -193,11 +193,15 @@ object Analytics {
   }
 
   /** Sessionization (batch): 30-minute-gap sessions per user via
-    * session_window; output keyed by session start epoch-second. */
+    * session_window; output keyed by session start epoch-second.
+    *
+    * Gap is 30 min + 1 µs so the half-open session_window semantics match the
+    * strictly-greater-than-30-minutes break rule of the shared DuckDB oracle
+    * exactly on microsecond data (see the q82 streaming twin for the proof). */
   def q24Sessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
-      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .groupBy(session_window($"ts", "30 minutes 1 microsecond").as("w"), $"user_id")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
       .select($"user_id", unix_timestamp($"w.start").as("session_start_s"),
         $"n_events", $"sum_value")

@@ -44,10 +44,24 @@ object JdbcWarehouse {
     Seq("COUNTRY", "YEAR", "SCENARIO", "CATEGORY", "GAS", "REPORTEDVALUE", "UNIT")
 
   private def q(n: String) = "\"" + n + "\""
-  private def colDdl =
-    """"COUNTRY" VARCHAR(256), "YEAR" INTEGER, "SCENARIO" VARCHAR(256),
-      | "CATEGORY" VARCHAR(256), "GAS" VARCHAR(256),
-      | "REPORTEDVALUE" DOUBLE, "UNIT" VARCHAR(256)""".stripMargin
+  /** Column DDL. The target sets NOT NULL on the natural-key columns (the
+    * staging table stays nullable, like the reference's temp table): a
+    * null-key staged row never matches MERGE's `t.K = s.K` predicate, so
+    * without the constraint each re-delivered batch would quietly INSERT a
+    * fresh duplicate — the constraint turns that into a loud load failure.
+    * (Deliberate hardening over the reference's all-nullable Postgres DDL,
+    * `lambda_handler_warehouse.py:54-64`.) */
+  private def colDdl(notNullKeys: Boolean) = {
+    val types = Seq(
+      "COUNTRY" -> "VARCHAR(256)", "YEAR" -> "INTEGER",
+      "SCENARIO" -> "VARCHAR(256)", "CATEGORY" -> "VARCHAR(256)",
+      "GAS" -> "VARCHAR(256)", "REPORTEDVALUE" -> "DOUBLE",
+      "UNIT" -> "VARCHAR(256)")
+    types.map { case (c, t) =>
+      val nn = if (notNullKeys && KeyCols.contains(c)) " NOT NULL" else ""
+      s"${q(c)} $t$nn"
+    }.mkString(", ")
+  }
 
   private def withConnection[A](url: String)(f: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
@@ -60,15 +74,16 @@ object JdbcWarehouse {
   }
 
   /** Reference `create_table_command` (`:53-65`): surrogate identity id +
-    * natural UNIQUE key. Key columns are NOT NULL — the pipeline drops
-    * null-key rows upstream (P2), exactly as the reference's ETL does. */
+    * natural UNIQUE key. Key columns are NOT NULL in the target (see
+    * [[colDdl]]); the pipeline additionally drops null-key rows upstream
+    * (P2), exactly as the reference's ETL does. */
   def ensureTarget(url: String): Unit = withConnection(url) { conn =>
     if (!tableExists(conn, TableName)) {
       val st = conn.createStatement()
       try st.executeUpdate(
         s"""CREATE TABLE ${q(TableName)} (
            | "ID" INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
-           | $colDdl,
+           | ${colDdl(notNullKeys = true)},
            | CONSTRAINT "UQ_GHG" UNIQUE (${KeyCols.map(q).mkString(", ")})
            |)""".stripMargin)
       finally st.close()
@@ -82,7 +97,7 @@ object JdbcWarehouse {
     try {
       if (tableExists(conn, StagingName))
         st.executeUpdate(s"DROP TABLE ${q(StagingName)}")
-      st.executeUpdate(s"CREATE TABLE ${q(StagingName)} ($colDdl)")
+      st.executeUpdate(s"CREATE TABLE ${q(StagingName)} (${colDdl(notNullKeys = false)})")
     } finally st.close()
   }
 
