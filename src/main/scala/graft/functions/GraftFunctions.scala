@@ -44,11 +44,14 @@ object GraftFunctions {
 /** Builder-time injection: `SparkSession.builder().withExtensions(new
   * GraftExtensions)` or `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.NativeKernels", name),
         b))
     }
+    // Flag-gated approx-mode rewrite (inert unless the session opts in).
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+  }
 }
