@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Advanced, Analytics, EventAnalytics, Extra, Flagship, Parity}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -104,6 +104,12 @@ object SparkEntry {
     "q89_ratio_to_report" -> (Extra.q89RatioToReport _),
     "q90_variant" -> (Extra.q90Variant _),
     "q91_xml_roundtrip" -> (Parity.q91XmlRoundtrip _),
+    "q92_incremental_agg" -> (Extra.q92IncrementalAgg _),
+    "q93_train_split" -> (Corpus.q93TrainSplit _),
+    "q94_doc_chunks" -> ((s: SparkSession, d: String) => Corpus.q94DocChunks(s, d)),
+    "q95_quota_sample" -> ((s: SparkSession, d: String) => Corpus.q95QuotaSample(s, d)),
+    "q96_inverted_index" -> (Corpus.q96InvertedIndex _),
+    "q97_pii_scrub" -> (Corpus.q97PiiScrub _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1058,5 +1064,56 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY k_parity""".stripMargin,
     "q91_xml_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin,
+    // q92: the oracle is the from-scratch recompute the incremental refresh
+    // must be indistinguishable from.
+    "q92_incremental_agg" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q93_train_split" ->
+      """WITH b AS (
+        |  SELECT n_chars,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |     + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "q94_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+        |), starts AS (
+        |  SELECT doc_id, t, CAST(g.i AS INTEGER) AS start
+        |  FROM toks, UNNEST(generate_series(1, len(t), 40)) AS g(i)
+        |)
+        |SELECT doc_id, start,
+        |  CAST(len(t[start:start+49]) AS INTEGER) AS n_tok,
+        |  md5(array_to_string(t[start:start+49], ' ')) AS chunk_md5
+        |FROM starts ORDER BY doc_id, start""".stripMargin,
+    "q95_quota_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id FROM ranked WHERE rn <= 50
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q96_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''
+        |)
+        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    "q97_pii_scrub" ->
+      """SELECT event_id, event_type,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked_props,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

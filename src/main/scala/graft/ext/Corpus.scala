@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs between raw
+  * ingest and tokenization: deterministic split assignment, overlapping-chunk
+  * segmentation, per-group quota sampling, inverted-index construction, and
+  * PII masking. All are single-scan, shuffle-minimal shapes that hold at
+  * 100 TB: nothing here collects to the driver, every grouping key is either
+  * bounded (lang, split, term) or the document id itself.
+  *
+  * Each query has a DuckDB oracle twin in [[graft.SparkEntry.oracleSql]];
+  * expressions are chosen for cross-engine determinism (md5 over engine
+  * hash functions, explicit tiebreak orderings, integer casts at the edges).
+  */
+object Corpus {
+
+  /** q93: deterministic train/val/test assignment. The bucket is a pure
+    * function of the stable document id (two md5 hex chars mixed), so the
+    * split is reproducible across engines, runs, and cluster sizes, and a
+    * re-run after appending documents never moves an existing document
+    * between splits — the property that matters for decontaminated evals.
+    * 80/10/10 by bucket; reported per split with the char mass so payload
+    * skew is visible. */
+  def q93TrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = md5($"doc_id".cast("string"))
+    val bucket = (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"split")
+  }
+
+  /** q94: overlapping-window chunking — size 50 tokens, stride 40 (10-token
+    * overlap), the segmentation every long-context training pipeline applies
+    * before tokenization. One projection: tokenize, explode the chunk-start
+    * sequence, slice. Chunk identity is (doc_id, start) plus an md5 of the
+    * chunk text so the oracle compares content without shipping it. */
+  def q94DocChunks(spark: SparkSession, dir: String,
+                   size: Int = 50, stride: Int = 40): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .select($"doc_id", $"t",
+        explode(sequence(lit(1), org.apache.spark.sql.functions.size($"t"),
+          lit(stride))).as("start"))
+      .select($"doc_id", $"start",
+        org.apache.spark.sql.functions.size(slice($"t", $"start", lit(size)))
+          .as("n_tok"),
+        md5(array_join(slice($"t", $"start", lit(size)), " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"start")
+  }
+
+  /** q95: per-language quota sampling (language balancing). Rank inside each
+    * language by md5(doc_id) — a deterministic shuffle — and keep the first
+    * `quota`. Equivalent to reservoir sampling with a fixed seed but exactly
+    * reproducible on any engine; the window partitions by a bounded key so
+    * state per group is O(quota) after the WindowGroupLimit pushdown. */
+  def q95QuotaSample(spark: SparkSession, dir: String, quota: Int = 50): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= quota)
+      .select($"lang", $"doc_id")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  /** q96: inverted index — term → sorted posting list + document frequency,
+    * reported for the 20 highest-df terms. The tokenize→distinct→groupBy
+    * chain is the retrieval-index build; posting lists stay distributed
+    * (collect_list is per-term, bounded by corpus df, never driver-side). */
+  def q96InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter($"term" =!= "")
+      .distinct()
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list($"doc_id")).as("postings"))
+      .orderBy($"df".desc, $"term")
+      .limit(20)
+  }
+
+  /** q97: PII/identifier masking — replace digit runs with a placeholder and
+    * count the masked runs, the scrub pass training pipelines run over
+    * payload fields before the corpus leaves the trust boundary. Pure
+    * per-row regexp work at scan speed; group index 0 is explicit because
+    * the pattern has no capture group. */
+  def q97PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        regexp_replace($"props", "[0-9]+", "<NUM>").as("masked_props"),
+        org.apache.spark.sql.functions.size(
+          regexp_extract_all($"props", lit("[0-9]+"), lit(0))).as("n_masked"))
+      .orderBy($"event_id")
+  }
+}

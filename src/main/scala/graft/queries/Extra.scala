@@ -324,4 +324,28 @@ object Extra {
         max_by($"value", struct($"ts_us", $"event_id")).as("close"))
       .orderBy($"day")
   }
+
+  /** q92: incremental aggregate maintenance — the materialized-view refresh
+    * algebra. A warehouse at 100 TB never recomputes a monthly rollup from
+    * scratch; it keeps partial states (count, raw sum) and folds each new
+    * batch's partials in: combine(old, delta) = groupBy key, sum the states,
+    * finalize (round) only at the edge. Here the "old" side is the rollup of
+    * everything before a mid-month cutoff and the "delta" is the batch after
+    * it, so the cutoff month genuinely exercises the cross-batch merge. The
+    * oracle is the from-scratch recompute — the refresh must be
+    * indistinguishable from it. */
+  def q92IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1999-06-15").cast("timestamp")
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("rev_raw"))
+    val orders = Tables.orders(spark, dir)
+    val base = partials(orders.filter($"o_orderdate" < cutoff))
+    val delta = partials(orders.filter($"o_orderdate" >= cutoff))
+    base.unionByName(delta)
+      .groupBy($"month")
+      .agg(sum($"n_orders").as("n_orders"), round(sum($"rev_raw"), 2).as("revenue"))
+      .orderBy($"month")
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ext.Corpus
+
+/** Properties of the corpus-preparation ops that the DuckDB oracle can't
+  * express: chunk coverage/shape, split determinism, quota exactness, and
+  * scrub completeness. */
+class CorpusSpec extends SparkSpec {
+
+  test("q94: chunks tile each document — last chunk ends at the token count, others are full-size") {
+    import spark.implicits._
+    val docLen = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", "\\s+")).as("len"))
+    val chunks = Corpus.q94DocChunks(spark, sf0001)
+    val bad = chunks.join(docLen, "doc_id")
+      .groupBy($"doc_id", $"len")
+      .agg(
+        org.apache.spark.sql.functions.max($"start" + $"n_tok" - 1).as("covered"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            $"start" + 49 <= $"len" && $"n_tok" =!= 50, 1).otherwise(0)).as("short_inner"))
+      .filter($"covered" =!= $"len" || $"short_inner" > 0)
+    assert(bad.count() === 0)
+  }
+
+  test("q93: split assignment is a pure function of doc_id — stable across runs and subsets") {
+    val full = Corpus.q93TrainSplit(spark, sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = Corpus.q93TrainSplit(spark, sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full === again)
+    assert(full.keySet === Set("train", "val", "test"))
+    val n = full.values.sum.toDouble
+    assert(full("train") / n > 0.7 && full("train") / n < 0.9, s"train share off: $full")
+  }
+
+  test("q95: every language is capped at the quota, under-quota languages keep all docs") {
+    import spark.implicits._
+    val perLang = graft.sources.Tables.documents(spark, sf0001)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Corpus.q95QuotaSample(spark, sf0001, quota = 50)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(sampled(lang) === math.min(n, 50L), s"lang $lang: ${sampled(lang)} vs $n")
+    }
+  }
+
+  test("q97: no digit survives the scrub, and n_masked counts the replaced runs") {
+    import spark.implicits._
+    val scrubbed = Corpus.q97PiiScrub(spark, sf0001)
+    assert(scrubbed.filter($"masked_props".rlike("[0-9]")).count() === 0)
+    val mismatched = scrubbed.filter(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"masked_props", "<NUM>")) - 1 =!= $"n_masked")
+    assert(mismatched.count() === 0)
+  }
+}
