@@ -246,6 +246,51 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization encode: for each of `m` contiguous sub-vectors of
+    * the (normalized, double) embedding, the index of the nearest of `k`
+    * sub-codebook centroids. `codebook` is flattened [(m·k + k)·subDim].
+    * Output is one byte per subspace — 8 bytes for a 64-dim vector, a 32×
+    * compression over the raw floats. */
+  def pqEncode(a: ArrayData, codebook: Array[Double],
+               m: Int, k: Int, subDim: Int): Array[Byte] = {
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val off = (mi * k + ki) * subDim
+        var d2 = 0.0
+        var di = 0
+        while (di < subDim) {
+          val x = a.getDouble(mi * subDim + di) - codebook(off + di)
+          d2 += x * x
+          di += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = ki }
+        ki += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance (ADC) score: sum of per-subspace lookup-table
+    * entries selected by the candidate's code bytes. The table holds
+    * dot(query_sub(m), centroid(m, k)) for every (m, k), so the sum
+    * approximates dot(query, candidate) — cosine, on normalized vectors. */
+  def pqAdcScore(code: Array[Byte], tbl: ArrayData, k: Int): Double = {
+    var s = 0.0
+    var mi = 0
+    while (mi < code.length) {
+      s += tbl.getDouble(mi * k + (code(mi) & 0xff))
+      mi += 1
+    }
+    s
+  }
+
   /** Multi-table hyperplane signatures of a float embedding: array of
     * NumTables ints, table index folded into bits 16+. */
   def lshSignatures(emb: ArrayData): ArrayData = {
@@ -356,6 +401,38 @@ case class LshSigsCfg(child: Expression, numTables: Int, planesPerTable: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** PQ encode with a run-trained codebook. The codebook is embedded as a
+  * generated-code reference object (`addReferenceObj`), so the kernel call
+  * stays inside whole-stage codegen with zero per-row overhead — the same
+  * shape ML model broadcasts compile to. */
+case class PqEncode(child: Expression, codebook: Array[Double],
+                    m: Int, k: Int, subDim: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 256, "k must fit one code byte")
+  override def foldable: Boolean = child.foldable
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], codebook, m, k, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.pqEncode($c, $ref, $m, $k, $subDim)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** ADC lookup-table scoring of a PQ code against a per-query table column. */
+case class PqAdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def foldable: Boolean = left.foldable && right.foldable
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(code: Any, tbl: Any): Any =
+    Kernels.pqAdcScore(code.asInstanceOf[Array[Byte]], tbl.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.functions.Kernels.pqAdcScore($c, $t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class LshSigs(child: Expression) extends UnaryExpression {
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -384,4 +461,8 @@ object NativeKernels {
     columnOf(LshSigsCfg(expressionOf(emb), numTables, planesPerTable))
   def shingleHashes(text: Column, k: Int): Column =
     columnOf(ShingleHashes(expressionOf(text), k))
+  def pqEncode(emb: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
+    columnOf(PqEncode(expressionOf(emb), codebook, m, k, subDim))
+  def pqAdcScore(code: Column, tbl: Column, k: Int): Column =
+    columnOf(PqAdcScore(expressionOf(code), expressionOf(tbl), k))
 }
