@@ -195,13 +195,18 @@ object Analytics {
   /** Sessionization (batch): 30-minute-gap sessions per user via
     * session_window; output keyed by session start epoch-second.
     *
-    * Gap is 30 min + 1 µs so the half-open session_window semantics match the
-    * strictly-greater-than-30-minutes break rule of the shared DuckDB oracle
-    * exactly on microsecond data (see the q82 streaming twin for the proof). */
+    * Boundary semantics (SessionBoundarySpec pins this with a fixture): Spark
+    * merges an event into the previous session when delta ≤ gap — touching
+    * sessions merge — which is exactly the oracle's rule (break only when the
+    * gap is STRICTLY greater than 30 minutes), so the plain 30-minute gap is
+    * correct as-is. (A +1 µs nudge was once proposed on the assumption of
+    * half-open `delta < gap` semantics; measured behavior is the closed
+    * boundary, and the nudge would have flipped the 30 m + 1 µs case the
+    * wrong way.) */
   def q24Sessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
-      .groupBy(session_window($"ts", "30 minutes 1 microsecond").as("w"), $"user_id")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
       .select($"user_id", unix_timestamp($"w.start").as("session_start_s"),
         $"n_events", $"sum_value")

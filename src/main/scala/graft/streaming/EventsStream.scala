@@ -76,15 +76,11 @@ object EventsStream {
       .parquet(watchDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
-      // Gap is 30 min + 1 µs, not 30 min: session_window merges an event into
-      // its predecessor's session iff ts < prev + gap (half-open window), while
-      // the shared q24 oracle starts a new session only when the gap is
-      // STRICTLY greater than 30 minutes. On microsecond-resolution data,
-      // `ts < prev + 30m + 1µs` ⟺ `ts - prev <= 30m`, so the two semantics
-      // are provably identical — without the nudge, an event landing exactly
-      // 30 minutes after its predecessor would split here but not in the
-      // oracle.
-      .groupBy(session_window($"ts", "30 minutes 1 microsecond").as("w"), $"user_id")
+      // Boundary semantics: session_window merges on delta ≤ gap (touching
+      // sessions merge — pinned by SessionBoundarySpec), identical to the
+      // shared q24 oracle's strictly-greater-than-30-minutes break rule, so
+      // the plain 30-minute gap is exact.
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
     val q = stream.writeStream
       .outputMode("complete")

@@ -88,4 +88,19 @@ class JdbcWarehouseSpec extends SparkSpec {
       .toDF(EmissionsEtl.warehouseSchema.fieldNames: _*)
     assert(canon(viaJdbc) == canon(b0))
   }
+
+  test("a null-key row fails the load loudly and leaves the target untouched (NOT NULL keys)") {
+    val url = "jdbc:derby:memory:graftnullkey;create=true"
+    JdbcWarehouse.upsertBatch(b0, url)
+    // Null Scenario: never matches MERGE's key equality, so without the
+    // target's NOT NULL constraint each re-delivery would INSERT a fresh
+    // duplicate; with it, the statement must throw.
+    val bad = batch(Seq(("XX", 2030, null, "Energy", "CO2", 1.0, "kt")))
+    val e = intercept[Exception] { JdbcWarehouse.upsertBatch(bad, url) }
+    assert(e.getMessage != null)
+    // MERGE is a single statement — the failed batch leaves b0 intact.
+    val viaJdbc = JdbcWarehouse.readTable(spark, url)
+      .toDF(EmissionsEtl.warehouseSchema.fieldNames: _*)
+    assert(canon(viaJdbc) == canon(b0))
+  }
 }
