@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Advanced, Analytics, EventAnalytics, Extra, Flagship, Parity}
-import graft.ext.{Corpus, Dedup, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, IvfPq, Multimodal, Pq, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -110,9 +110,10 @@ object SparkEntry {
     "q95_quota_sample" -> ((s: SparkSession, d: String) => Corpus.q95QuotaSample(s, d)),
     "q96_inverted_index" -> (Corpus.q96InvertedIndex _),
     "q97_pii_scrub" -> (Corpus.q97PiiScrub _),
-    // Approximate (PQ/ADC) scores — no SQL oracle, like q38/q42; PqSpec
-    // asserts planted-copy recall, recall@5 vs exact, and determinism.
+    // Approximate (PQ/ADC) candidates — no SQL oracle, like q38/q42; PqSpec
+    // asserts planted-copy recall, recall@5 vs exact, pruning, determinism.
     "q98_ann_pq" -> (Pq.q98AnnPq _),
+    "q99_ann_ivfpq" -> (IvfPq.q99AnnIvfPq _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell

@@ -129,23 +129,52 @@ object Pq {
     * ADC top-`rerank` candidates — the standard two-stage PQ pipeline
     * (coarse compressed-domain prune, exact refine on a bounded set). Only
     * `rerank` raw vectors per query are ever fetched. */
-  def annPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 5,
-            rerank: Int = RerankDepth): DataFrame = {
+  /** Bounded deterministic training sample of normalized vectors — the
+    * estimate-then-draw discipline of q42; the orderBy before the limit pins
+    * WHICH sample rows survive, so trained codebooks — and every downstream
+    * code — are run-deterministic. ≤ [[MaxTrainRows]] rows (~2 MB) at any
+    * corpus size. */
+  private[ext] def collectBoundedSample(corpus: DataFrame, emb: DataFrame): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
-    // Bounded training sample, same estimate-then-draw discipline as q42;
-    // the orderBy before the limit pins WHICH sample rows survive, so the
-    // trained codebook — and every downstream code — is run-deterministic.
     val estRowBytes = 200L
     val estRows = math.max(1L,
       (corpus.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
     val fraction = math.min(1.0, 2.0 * MaxTrainRows / estRows)
     val sampled = if (fraction >= 1.0) emb
       else emb.sample(withReplacement = false, fraction, seed = 11L)
-    val train = sampled.orderBy($"vec_id").limit(MaxTrainRows)
-      .select($"norm_e").collect()                       // bounded: ≤ 4096 rows, ~2 MB
+    sampled.orderBy($"vec_id").limit(MaxTrainRows)
+      .select($"norm_e").collect()
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Stage 2 shared by the PQ and IVFPQ paths: exact cosine re-rank of a
+    * bounded candidate set — only `rerank`·queries raw vectors are fetched
+    * regardless of corpus size. */
+  private[ext] def exactRerank(corpus: DataFrame, candidates: DataFrame,
+                               nQueries: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val queryVecs = corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val rankW = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    candidates
+      .join(broadcast(queryVecs), "query_id")
+      .join(corpus.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")),
+        "neighbor_id")
+      .withColumn("cos", round(graft.functions.VectorOps.cosine($"qe", $"ne"), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  def annPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 5,
+            rerank: Int = RerankDepth): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
+    val train = collectBoundedSample(corpus, emb)
     val codebook = trainCodebooks(train)
     val codes = emb.select($"vec_id",
       NativeKernels.pqEncode($"norm_e", codebook, M, K, SubDim).as("code"))
@@ -161,19 +190,7 @@ object Pq {
       .withColumn("adc_rank", row_number().over(adcW))
       .filter($"adc_rank" <= rerank)
       .select($"query_id", $"vec_id".as("neighbor_id"))
-    // Stage 2: exact re-rank of the bounded candidate set (R vectors/query).
-    val queryVecs = corpus.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val rankW = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
-    candidates
-      .join(broadcast(queryVecs), "query_id")
-      .join(corpus.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")),
-        "neighbor_id")
-      .withColumn("cos", round(graft.functions.VectorOps.cosine($"qe", $"ne"), 6))
-      .withColumn("rank", row_number().over(rankW))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"neighbor_id", $"cos")
-      .orderBy($"query_id", $"rank")
+    exactRerank(corpus, candidates, nQueries, k)
   }
 
   /** q98: PQ ANN over the embeddings table. */

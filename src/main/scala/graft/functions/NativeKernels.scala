@@ -277,6 +277,59 @@ object Kernels {
     out
   }
 
+  /** Coarse-quantizer assignment: index of the L2-nearest of `k` full-dim
+    * centroids (flattened [k·dim]). The IVF cell id. */
+  def argminCentroid(a: ArrayData, cents: Array[Double], k: Int, dim: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var ki = 0
+    while (ki < k) {
+      val off = ki * dim
+      var d2 = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = a.getDouble(d) - cents(off + d)
+        d2 += x * x
+        d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = ki }
+      ki += 1
+    }
+    best
+  }
+
+  /** PQ-encode the RESIDUAL of a vector against its coarse cell centroid
+    * (classic IVFPQ, Jégou et al. 2011 §IV): the residual is subtracted
+    * inline — never materialized as a column. */
+  def pqEncodeResidual(a: ArrayData, cell: Int, coarse: Array[Double],
+                       codebook: Array[Double], m: Int, k: Int, subDim: Int): Array[Byte] = {
+    val dim = m * subDim
+    val cOff = cell * dim
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val off = (mi * k + ki) * subDim
+        var d2 = 0.0
+        var di = 0
+        while (di < subDim) {
+          val idx = mi * subDim + di
+          val x = (a.getDouble(idx) - coarse(cOff + idx)) - codebook(off + di)
+          d2 += x * x
+          di += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = ki }
+        ki += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
   /** Asymmetric-distance (ADC) score: sum of per-subspace lookup-table
     * entries selected by the candidate's code bytes. The table holds
     * dot(query_sub(m), centroid(m, k)) for every (m, k), so the sum
@@ -420,6 +473,42 @@ case class PqEncode(child: Expression, codebook: Array[Double],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** IVF coarse-cell assignment with the trained centroids as a codegen
+  * reference object. */
+case class ArgminCentroid(child: Expression, cents: Array[Double],
+                          k: Int, dim: Int) extends UnaryExpression {
+  override def foldable: Boolean = child.foldable
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.argminCentroid(v.asInstanceOf[ArrayData], cents, k, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coarseCentroids", cents, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.argminCentroid($c, $ref, $k, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Residual PQ encode against the row's coarse cell (IVFPQ). */
+case class PqEncodeResidual(left: Expression, right: Expression,
+                            coarse: Array[Double], codebook: Array[Double],
+                            m: Int, k: Int, subDim: Int) extends BinaryExpression {
+  require(k >= 1 && k <= 256, "k must fit one code byte")
+  override def foldable: Boolean = left.foldable && right.foldable
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(emb: Any, cell: Any): Any =
+    Kernels.pqEncodeResidual(emb.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
+      coarse, codebook, m, k, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("coarseCentroids", coarse, "double[]")
+    val bRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, (e, c) =>
+      s"graft.functions.Kernels.pqEncodeResidual($e, $c, $cRef, $bRef, $m, $k, $subDim)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** ADC lookup-table scoring of a PQ code against a per-query table column. */
 case class PqAdcScore(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
@@ -465,4 +554,10 @@ object NativeKernels {
     columnOf(PqEncode(expressionOf(emb), codebook, m, k, subDim))
   def pqAdcScore(code: Column, tbl: Column, k: Int): Column =
     columnOf(PqAdcScore(expressionOf(code), expressionOf(tbl), k))
+  def argminCentroid(emb: Column, cents: Array[Double], k: Int, dim: Int): Column =
+    columnOf(ArgminCentroid(expressionOf(emb), cents, k, dim))
+  def pqEncodeResidual(emb: Column, cell: Column, coarse: Array[Double],
+                       codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
+    columnOf(PqEncodeResidual(expressionOf(emb), expressionOf(cell),
+      coarse, codebook, m, k, subDim))
 }
