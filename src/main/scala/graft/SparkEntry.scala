@@ -114,6 +114,9 @@ object SparkEntry {
     // asserts planted-copy recall, recall@5 vs exact, pruning, determinism.
     "q98_ann_pq" -> (Pq.q98AnnPq _),
     "q99_ann_ivfpq" -> (IvfPq.q99AnnIvfPq _),
+    "q100_cdc_apply" -> (Extra.q100CdcApply _),
+    "q101_recursive_hierarchy" -> (Extra.q101RecursiveHierarchy _),
+    "q102_lateral_topn" -> (Extra.q102LateralTopN _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1119,5 +1122,28 @@ object SparkEntry {
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS masked_props,
         |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_masked
         |FROM events ORDER BY event_id""".stripMargin,
+    // q100: the oracle states applyCdc's semantic directly — per key the
+    // highest-sequence op wins and deletes erase the key.
+    "q100_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT l_orderkey AS key, l_extendedprice AS val,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY
+        |      l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity)
+        |      AS seq
+        |  FROM lineitem
+        |), ops AS (
+        |  SELECT key, val, seq,
+        |    CASE seq % 3 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op
+        |  FROM log
+        |), latest AS (
+        |  SELECT key, val, op,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |  FROM ops
+        |)
+        |SELECT key, val FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin,
+    // q101/q102: the Spark query IS the same SQL text.
+    "q101_recursive_hierarchy" -> graft.queries.Extra.q101Sql,
+    "q102_lateral_topn" -> graft.queries.Extra.q102Sql,
   )
 }

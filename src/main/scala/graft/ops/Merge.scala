@@ -60,6 +60,31 @@ object Merge {
       .drop("__graft_rn", versionCol)
   }
 
+  /** Apply a CDC operation log to a table — the merge-with-deletes the plain
+    * upsert cannot express (Debezium/DMS-style change streams: each log row
+    * is an I/U/D operation with a monotone sequence). Per key, the
+    * highest-sequence operation wins; if it is a delete the key vanishes,
+    * otherwise the row carries the operation's values. Existing target rows
+    * participate as inserts from before every log entry (`Long.MinValue`
+    * sequence), so one window pass resolves target-vs-log and log-vs-log
+    * conflicts together: exactly one shuffle on the key, state per key is
+    * one row. Idempotent — re-applying any suffix of the log is a no-op.
+    *
+    * `log` must carry the target's columns plus `seqCol` (numeric, monotone
+    * per key) and `opCol` ('I' | 'U' | 'D'; D rows only need the keys). */
+  def applyCdc(target: DataFrame, log: DataFrame, keys: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    val dataCols = target.columns.toIndexedSeq
+    val asLog = target
+      .withColumn(seqCol, lit(Long.MinValue))
+      .withColumn(opCol, lit("I"))
+    val all = asLog.unionByName(log.select((dataCols ++ Seq(seqCol, opCol)).map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    all.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1 && col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+  }
+
   /** Keep the winning row per key ordered by `orderCols` descending —
     * building block for making update batches key-unique. */
   def latestPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {

@@ -348,4 +348,68 @@ object Extra {
       .agg(sum($"n_orders").as("n_orders"), round(sum($"rev_raw"), 2).as("revenue"))
       .orderBy($"month")
   }
+
+  /** q100: CDC apply — merge-with-deletes over an I/U/D operation log
+    * ([[graft.ops.Merge.applyCdc]]). The log is synthesized deterministically
+    * from lineitem: key = orderkey, sequence = per-key row_number over a
+    * total order (linenumber alone is NOT unique per order in this data —
+    * the ordering includes the value column so even fully-tied rows yield a
+    * deterministic winner), op cycling D/U/I by sequence. Applied to an
+    * empty target, the survivors are exactly the keys whose final operation
+    * isn't a delete, carrying that operation's values — which is what the
+    * windowed oracle states. */
+  def q100CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seqW = Window.partitionBy($"l_orderkey").orderBy(
+      $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+    val log = Tables.lineitem(spark, dir)
+      .withColumn("seq", row_number().over(seqW).cast("long"))
+      .select(
+        $"l_orderkey".as("key"),
+        $"l_extendedprice".as("val"),
+        $"seq",
+        when($"seq" % 3 === 0, "D")
+          .when($"seq" % 3 === 1, "U").otherwise("I").as("op"))
+    val target = log.select($"key", $"val").limit(0)
+    graft.ops.Merge.applyCdc(target, log, Seq("key"), "seq", "op")
+      .orderBy($"key")
+  }
+
+  /** q101: recursive CTE (Spark 4 WITH RECURSIVE) — ancestry walk over a
+    * synthetic key hierarchy (parent = ⌊k/4⌋, a 4-ary tree rooted at 0):
+    * per-node depth-to-root and path length. The SAME SQL text is the DuckDB
+    * oracle. Recursion depth is log₄(maxKey) — each iteration is one
+    * distributed join+union, the standard iterative-plan shape. */
+  def q101RecursiveHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q101Sql)
+  }
+
+  private[graft] val q101Sql =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS id, c_custkey AS node, 0 AS depth
+      |  FROM customer WHERE c_custkey < 100
+      |  UNION ALL
+      |  SELECT id, CAST(floor(node / 4.0) AS BIGINT) AS node, depth + 1
+      |  FROM chain WHERE node > 0
+      |)
+      |SELECT id, max(depth) AS depth_to_root, count(*) AS path_len
+      |FROM chain GROUP BY id ORDER BY id""".stripMargin
+
+  /** q102: correlated LATERAL subquery with ORDER BY + LIMIT — top-3
+    * customers by balance per nation as a lateral join (the SQL:2016 form of
+    * per-group top-k; Catalyst decorrelates it to the same windowed plan as
+    * q11). Same SQL text on both engines. */
+  def q102LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q102Sql)
+  }
+
+  private[graft] val q102Sql =
+    """SELECT n_name, t.c_custkey, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+      |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
 }

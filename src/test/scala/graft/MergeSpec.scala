@@ -84,6 +84,37 @@ class MergeSpec extends SparkSpec {
     v <- Gen.choose(0, 1000).map(_.toDouble)
   } yield (k1, k2, v)
 
+  test("applyCdc: deletes erase keys, updates win by sequence, target rows predate the log") {
+    import spark.implicits._
+    val target = df(Seq(("a", 1, 1.0), ("b", 2, 2.0), ("d", 4, 4.0)))
+    val log = Seq(
+      ("a", 1, 10.0, 1L, "U"),  // update existing
+      ("b", 2, 0.0, 2L, "D"),   // delete existing
+      ("c", 3, 3.0, 3L, "I"),   // insert new
+      ("c", 3, 30.0, 4L, "U"),  // then update it
+      ("e", 5, 5.0, 5L, "I"),
+      ("e", 5, 0.0, 6L, "D"))   // insert then delete: never surfaces
+      .toDF("k1", "k2", "v", "seq", "op")
+    val out = Merge.applyCdc(target, log, keys, "seq", "op")
+    assert(out.columns.toSeq == Seq("k1", "k2", "v"))
+    assert(canon(out) == Set(("a", 1, 10.0), ("c", 3, 30.0), ("d", 4, 4.0)))
+  }
+
+  test("applyCdc is idempotent: re-applying the log (or any suffix) is a no-op") {
+    import spark.implicits._
+    val target = df(Seq(("a", 1, 1.0), ("b", 2, 2.0)))
+    val log = Seq(
+      ("a", 1, 10.0, 1L, "U"),
+      ("b", 2, 0.0, 2L, "D"),
+      ("c", 3, 3.0, 3L, "I"))
+      .toDF("k1", "k2", "v", "seq", "op")
+    val once = Merge.applyCdc(target, log, keys, "seq", "op")
+    val again = Merge.applyCdc(once, log, keys, "seq", "op")
+    assert(canon(again) == canon(once))
+    val suffix = log.filter($"seq" >= 2L)
+    assert(canon(Merge.applyCdc(once, suffix, keys, "seq", "op")) == canon(once))
+  }
+
   test("property: merged table is unique on keys and upsert is idempotent") {
     val prop = Prop.forAll(Gen.listOf(rowGen), Gen.listOf(rowGen)) {
       (t: List[(String, Int, Double)], u: List[(String, Int, Double)]) =>
