@@ -117,6 +117,8 @@ object SparkEntry {
     "q100_cdc_apply" -> (Extra.q100CdcApply _),
     "q101_recursive_hierarchy" -> (Extra.q101RecursiveHierarchy _),
     "q102_lateral_topn" -> (Extra.q102LateralTopN _),
+    "q103_fuzzy_match" -> (Extra.q103FuzzyMatch _),
+    "q104_column_profile" -> (Extra.q104ColumnProfile _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1145,5 +1147,42 @@ object SparkEntry {
     // q101/q102: the Spark query IS the same SQL text.
     "q101_recursive_hierarchy" -> graft.queries.Extra.q101Sql,
     "q102_lateral_topn" -> graft.queries.Extra.q102Sql,
+    "q103_fuzzy_match" ->
+      """WITH probes AS (
+        |  SELECT p_partkey AS probe_id,
+        |    substr(p_name, 2) || substr(p_name, 1, 1) AS probe_name
+        |  FROM part WHERE p_partkey < 20
+        |), scored AS (
+        |  SELECT probe_id, p_partkey AS match_key,
+        |    CAST(levenshtein(probe_name, p_name) AS INTEGER) AS dist
+        |  FROM probes, part
+        |), best AS (
+        |  SELECT probe_id, match_key, dist,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dist, match_key) AS rn
+        |  FROM scored
+        |)
+        |SELECT probe_id, match_key, dist FROM best WHERE rn = 1
+        |ORDER BY probe_id""".stripMargin,
+    "q104_column_profile" ->
+      """SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
   )
 }

@@ -412,4 +412,50 @@ object Extra {
       |  WHERE c_nationkey = n_nationkey
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
       |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
+  /** q103: fuzzy entity matching — best Levenshtein match per probe against
+    * the part-name dictionary. Probes are deterministic corruptions (first
+    * character rotated to the end) of known names, so expected distances are
+    * small and cross-engine checkable. The probe side is bounded and
+    * broadcast — the dictionary scans once, no shuffle of the big side. At
+    * corpus scale the edit-distance kernel runs AFTER a blocking stage
+    * (q-gram/LSH banding, the `ext/Dedup` machinery) has cut candidates to
+    * near-linear; this query is that verify kernel in isolation. */
+  def q103FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+    val probes = part.filter($"p_partkey" < 20).select(
+      $"p_partkey".as("probe_id"),
+      concat(expr("substring(p_name, 2)"), substring($"p_name", 1, 1)).as("probe_name"))
+    val w = Window.partitionBy($"probe_id").orderBy($"dist", $"p_partkey")
+    part.crossJoin(broadcast(probes))
+      .withColumn("dist", levenshtein($"probe_name", $"p_name"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"probe_id", $"p_partkey".as("match_key"), $"dist")
+      .orderBy($"probe_id")
+  }
+
+  /** q104: column profiling (the ANALYZE/data-catalog pass): per column,
+    * row/null/distinct counts and min/max — ONE scan producing one
+    * aggregate row (the multi-distinct Expand), then `stack` unpivots it to
+    * a profile table. Profiled columns are the exact-typed ones (bigint,
+    * varchar) so min/max stringification is engine-stable. */
+  def q104ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), count_distinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val stackArgs = cols.map { c =>
+      s"'$c', n_rows, n_rows - nn_$c, nd_$c, min_$c, max_$c"
+    }.mkString(", ")
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
+      .orderBy($"col_name")
+  }
 }

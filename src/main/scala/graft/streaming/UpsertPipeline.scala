@@ -65,6 +65,38 @@ object UpsertPipeline {
     q.awaitTermination()
   }
 
+  /** CDC variant of the pipeline: the landing directory receives operation
+    * logs (data columns + a monotone sequence + an I/U/D op), and each
+    * micro-batch is applied to the versioned warehouse with
+    * [[Merge.applyCdc]] — merge-with-deletes, the Debezium/DMS consumption
+    * shape. Same delivery contract as the upsert path: applyCdc is
+    * idempotent over any re-delivered log suffix, so at-least-once file
+    * delivery yields effectively-once table state. */
+  def runOnceCdc(spark: SparkSession, landingDir: String, warehouseDir: String,
+                 checkpointDir: String,
+                 logSchema: org.apache.spark.sql.types.StructType,
+                 keys: Seq[String], seqCol: String, opCol: String): Unit = {
+    implicit val s: SparkSession = spark
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      logSchema.filterNot(f => f.name == seqCol || f.name == opCol))
+    val raw = spark.readStream
+      .schema(logSchema)
+      .option("header", "true")
+      .csv(landingDir)
+    val q = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target = graft.ops.VersionedTable.read(spark, warehouseDir, dataSchema)
+        Merge.applyCdc(target, batch, keys, seqCol, opCol)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the pipeline over everything currently in `landingDir`, then stop
     * (Trigger.AvailableNow). Call repeatedly as new files land — or swap the
     * trigger for a continuous schedule; checkpointing makes either safe. */

@@ -44,6 +44,36 @@ class UpsertPipelineSpec extends SparkSpec {
     assert(after3 == after2)
   }
 
+  test("CDC landing: I/U/D logs stream into the versioned warehouse, deletes erase, re-run is a no-op") {
+    import org.apache.spark.sql.types._
+    val landing = Files.createTempDirectory("graft_cdc_landing_")
+    val warehouse = Files.createTempDirectory("graft_cdc_wh_").toString
+    val checkpoint = Files.createTempDirectory("graft_cdc_ckpt_").toString
+    val logSchema = StructType(Seq(
+      StructField("k", StringType), StructField("v", DoubleType),
+      StructField("seq", LongType), StructField("op", StringType)))
+    val dataSchema = StructType(logSchema.take(2))
+    def state(): Map[String, Double] =
+      graft.ops.VersionedTable.read(spark, warehouse, dataSchema)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def run(): Unit = UpsertPipeline.runOnceCdc(spark, landing.toString, warehouse,
+      checkpoint, logSchema, Seq("k"), "seq", "op")
+
+    Files.writeString(landing.resolve("log1.csv"),
+      Seq("k,v,seq,op", "a,1.0,1,I", "b,2.0,2,I", "a,10.0,3,U").mkString("\n"))
+    run()
+    assert(state() == Map("a" -> 10.0, "b" -> 2.0))
+
+    // delete b, insert c, then delete c again within the same log
+    Files.writeString(landing.resolve("log2.csv"),
+      Seq("k,v,seq,op", "b,0.0,4,D", "c,3.0,5,I", "c,0.0,6,D").mkString("\n"))
+    run()
+    assert(state() == Map("a" -> 10.0))
+
+    run() // no new files: checkpoint yields an empty batch stream — state holds
+    assert(state() == Map("a" -> 10.0))
+  }
+
   test("within one batch, the later file wins on key conflict") {
     val landing = Files.createTempDirectory("graft_landing2_")
     val warehouse = Files.createTempDirectory("graft_warehouse2_").toString
