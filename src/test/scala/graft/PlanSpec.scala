@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
       "correlated predicates must not plan as a nested loop")
   }
 
+  test("q102: LATERAL with ORDER BY + LIMIT decorrelates to WindowGroupLimit + hash join, no nested loop") {
+    val plan = planOf(graft.queries.Extra.q102LateralTopN(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"),
+      "lateral top-k must take the rank-pushdown path, not a per-row subquery")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "correlated lateral must not plan as a nested loop")
+  }
+
+  test("q104: the column profile is ONE scan of orders (multi-distinct Expand, no self-union)") {
+    val df = graft.queries.Extra.q104ColumnProfile(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("Expand"), "multi-distinct must take the Expand path")
+    // count detail headers "(n) Scan parquet" — the tree section repeats the
+    // operator name with the id trailing, so a raw substring count doubles
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans == 1, s"profile must scan the table once, saw $scans scans")
+  }
+
   test("q77: conditional aggregation matrix is one scan, no join, one aggregate pair") {
     val plan = planOf(graft.queries.Extra.q77FilteredAgg(spark, sf0001))
     assert(!plan.contains("Join"), "masked aggregates must not become self-joins")
