@@ -51,6 +51,18 @@ object VersionedTable {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
 
+  /** Time travel: the table's contents at a specific committed version.
+    * Old versions stay readable until [[vacuum]] — the audit/reproducibility
+    * read the versioned layout exists for (pin a training run to the exact
+    * table state it consumed). Throws if the version was never committed or
+    * has been vacuumed. */
+  def readAt(spark: SparkSession, root: String, version: Int): DataFrame =
+    committedVersions(spark, root).find(_._1 == version) match {
+      case Some((_, path)) => spark.read.parquet(path.toString)
+      case None => throw new NoSuchElementException(
+        s"no committed version v=$version under $root")
+    }
+
   /** Directory for the next version (latest committed + 1 — an uncommitted
     * leftover at that number is a crashed attempt; overwrite it). */
   def nextVersionPath(spark: SparkSession, root: String): String = {

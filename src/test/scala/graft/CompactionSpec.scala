@@ -20,6 +20,25 @@ class CompactionSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("time travel: readAt pins a committed version; vacuum retires it") {
+    import graft.ops.VersionedTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_vtt_").toString + "/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.parquet(VersionedTable.nextVersionPath(spark, root))      // v=0
+    Seq((1L, "a2"), (3L, "c")).toDF("id", "s")
+      .write.parquet(VersionedTable.nextVersionPath(spark, root))      // v=1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(VersionedTable.readAt(spark, root, 0)) == Set((1L, "a"), (2L, "b")))
+    assert(rows(VersionedTable.readAt(spark, root, 1)) ==
+      rows(VersionedTable.read(spark, root, Seq((0L, "")).toDF("id", "s").schema)))
+    intercept[NoSuchElementException] { VersionedTable.readAt(spark, root, 7) }
+    VersionedTable.vacuum(spark, root)
+    intercept[NoSuchElementException] { VersionedTable.readAt(spark, root, 0) }
+    assert(rows(VersionedTable.readAt(spark, root, 1)) == Set((1L, "a2"), (3L, "c")))
+  }
+
   test("versioned compaction is atomic: readers resolve only committed versions") {
     import org.apache.hadoop.fs.Path
     import graft.ops.VersionedTable
