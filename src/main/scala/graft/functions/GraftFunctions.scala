@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // Flag-gated approx-mode rewrite (inert unless the session opts in).
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // The custom as-of-join physical strategy, so builder-time sessions get
+    // the complete engine (functions + rule + planner) in one extension —
+    // the live-session twin is the addStrategy call inside
+    // graft.plans.NativeAsOfJoin.lookup.
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -63,7 +63,8 @@ object ScaleProbe {
       "q34_minhash_neardup", "q30_text_stats", "q52_bpe_token_estimate",
       "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus",
       "q86_decontamination", "q92_incremental_agg", "q94_doc_chunks",
-      "q96_inverted_index", "q98_ann_pq")
+      "q96_inverted_index", "q98_ann_pq", "q99_ann_ivfpq", "q100_cdc_apply",
+      "q104_column_profile")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -44,6 +44,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:30:00.0") == 1L)
   }
 
+  test("append-mode session windows: watermark closes and emits sessions, open sessions are withheld") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // Production form of q82: append mode — the watermark EVICTS closed
+    // session state and emits each session exactly once (complete mode, used
+    // for the run-once oracle parity check, would retain all state forever).
+    val sessions = input.toDS().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("ws"), $"n_events")
+    val q = sessions.writeStream.format("memory").queryName("session_evict")
+      .outputMode(OutputMode.Append).start()
+    input.addData((ts(0), 1L, 1.0), (ts(3), 1L, 1.0))  // one session for user 1
+    q.processAllAvailable()
+    assert(spark.table("session_evict").count() == 0,
+      "session still open: nothing may be emitted yet")
+    input.addData((ts(30), 2L, 1.0))  // watermark → 10:20 closes user 1's session
+    q.processAllAvailable()
+    val emitted = spark.table("session_evict").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(emitted == Set((1L, "2024-01-01 10:00:00.0", 2L)),
+      s"closed session must be emitted exactly once, got $emitted")
+    // user 2's session (10:30) is still open — withheld
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark deduplicates re-delivered events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
