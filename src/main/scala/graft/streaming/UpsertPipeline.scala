@@ -97,6 +97,44 @@ object UpsertPipeline {
     q.awaitTermination()
   }
 
+  /** Incremental-view maintenance over the event stream (the streaming form
+    * of q92's refresh algebra): each micro-batch contributes PARTIAL
+    * aggregate states (count, raw sum) per (day, event_type), folded into
+    * the maintained rollup with one small groupBy — the rollup table is
+    * touched per batch, the event history is never rescanned. Combine is
+    * commutative/associative, so batch boundaries don't affect the result;
+    * the checkpoint guarantees each file folds in exactly once. */
+  def runOnceRollup(spark: SparkSession, landingDir: String, warehouseDir: String,
+                    checkpointDir: String): Unit = {
+    implicit val s: SparkSession = spark
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rollupSchema = StructType(Seq(
+      StructField("day", TimestampType), StructField("event_type", StringType),
+      StructField("n_events", LongType), StructField("sum_value", DoubleType)))
+    val raw = spark.readStream
+      .schema(EventsStream.rawSchema)
+      .parquet(landingDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val partial = batch
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        val target = graft.ops.VersionedTable.read(spark, warehouseDir, rollupSchema)
+        target.unionByName(partial)
+          .groupBy(col("day"), col("event_type"))
+          .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the pipeline over everything currently in `landingDir`, then stop
     * (Trigger.AvailableNow). Call repeatedly as new files land — or swap the
     * trigger for a continuous schedule; checkpointing makes either safe. */

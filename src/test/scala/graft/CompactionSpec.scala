@@ -148,4 +148,21 @@ class CompactionSpec extends SparkSpec {
     val mh = Kernels.minhashSig(Kernels.shingleHashes(UTF8String.fromString(""), 3))
     assert((0 until 64).forall(i => mh.getLong(i) == 0L))
   }
+
+  test("shingle-hash kernel handles multibyte UTF-8 (CJK, emoji, accents)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Kernels
+    // multibyte UTF-8 continuation bytes are NEGATIVE as JVM signed bytes;
+    // the kernel masks (& 0xff) before the <= ' ' separator test, so they
+    // are token characters, never separators
+    val cjk = Kernels.shingleHashes(UTF8String.fromString("你好 世界 测试 文本"), 3)
+    assert(cjk.numElements() == 2, "4 CJK tokens → two 3-token windows")
+    val mixed = Kernels.shingleHashes(UTF8String.fromString("café ☕ naïve 🚀 test"), 2)
+    assert(mixed.numElements() == 4, "5 mixed tokens → four 2-token windows")
+    assert(Kernels.shingleHashes(UTF8String.fromString("a\tb\nc"), 2).numElements() == 2,
+      "tab/newline are separators")
+    val again = Kernels.shingleHashes(UTF8String.fromString("你好 世界 测试 文本"), 3)
+    assert((0 until 2).forall(i => cjk.getLong(i) == again.getLong(i)),
+      "hashes are deterministic for multibyte input")
+  }
 }
