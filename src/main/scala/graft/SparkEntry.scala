@@ -119,6 +119,9 @@ object SparkEntry {
     "q102_lateral_topn" -> (Extra.q102LateralTopN _),
     "q103_fuzzy_match" -> (Extra.q103FuzzyMatch _),
     "q104_column_profile" -> (Extra.q104ColumnProfile _),
+    // Sketch percentiles — no SQL oracle (engine-specific sketch); error
+    // bound vs the exact q26 path asserted in AnalyticsSketchSpec.
+    "q105_approx_percentiles" -> (Analytics.q105ApproxPercentiles _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell

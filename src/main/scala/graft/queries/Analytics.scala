@@ -180,6 +180,22 @@ object Analytics {
       .orderBy($"c_mktsegment")
   }
 
+  /** q105: approximate percentiles (Greenwald-Khanna sketch, accuracy
+    * parameter 10⁴ ⇒ rank error ≤ n/10⁴) — the bounded-memory one-pass
+    * companion to q26's exact path, completing the sketch family (HLL q21,
+    * count-min q83). No oracle (different sketch in DuckDB); the error
+    * bound vs the exact percentiles is asserted in AnalyticsSketchSpec. */
+  def q105ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        approx_percentile($"l_extendedprice", array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(10000)).as("approx_pcts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Event-time tumbling window (batch form): hourly per-type counts/sums.
     * The same aggregation runs as a Structured Streaming query in
     * q23 (streaming/EventsStream) with identical results. */
