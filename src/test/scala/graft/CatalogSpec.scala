@@ -32,4 +32,43 @@ class CatalogSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     }
   }
+
+  test("ANALYZE TABLE statistics drive broadcast selection without a hint (CBO)") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")
+    graft.sources.Tables.nation(spark, sf0001)
+      .write.mode("overwrite").saveAsTable("graftdb.nation_s")
+    spark.sql("ANALYZE TABLE graftdb.nation_s COMPUTE STATISTICS")
+    val stats = spark.sql("DESCRIBE EXTENDED graftdb.nation_s")
+      .filter($"col_name" === "Statistics").collect()
+    assert(stats.nonEmpty, "ANALYZE must record table statistics in the catalog")
+    // No broadcast() hint anywhere: the planner must pick BroadcastHashJoin
+    // from the catalog statistics alone.
+    val joined = graft.sources.Tables.customer(spark, sf0001)
+      .join(spark.table("graftdb.nation_s"), $"c_nationkey" === $"n_nationkey")
+    val plan = joined.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats-known small table must broadcast without a hint:\n$plan")
+    assert(joined.count() ==
+      graft.sources.Tables.customer(spark, sf0001).count())
+  }
+
+  test("cached table: second access reads the InMemoryRelation, result unchanged") {
+    import spark.implicits._
+    val uncached = graft.sources.Tables.orders(spark, sf0001)
+      .groupBy($"o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.sources.Tables.orders(spark, sf0001).createOrReplaceTempView("orders_cache_t")
+    spark.sql("CACHE TABLE orders_cache_t")
+    try {
+      val df = spark.table("orders_cache_t").groupBy($"o_orderstatus").count()
+      val plan = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(plan.contains("In-memory table"),
+        s"cached table must be served from the in-memory relation:\n$plan")
+      val cached = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cached == uncached)
+    } finally spark.sql("UNCACHE TABLE orders_cache_t")
+  }
 }
