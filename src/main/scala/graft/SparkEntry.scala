@@ -122,6 +122,7 @@ object SparkEntry {
     // Sketch percentiles — no SQL oracle (engine-specific sketch); error
     // bound vs the exact q26 path asserted in AnalyticsSketchSpec.
     "q105_approx_percentiles" -> (Analytics.q105ApproxPercentiles _),
+    "q106_interpolate" -> (Advanced.q106Interpolate _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1150,6 +1151,38 @@ object SparkEntry {
     // q101/q102: the Spark query IS the same SQL text.
     "q101_recursive_hierarchy" -> graft.queries.Extra.q101Sql,
     "q102_lateral_topn" -> graft.queries.Extra.q102Sql,
+    "q106_interpolate" ->
+      """WITH obs AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+        |    (CAST(round(sum(value) * 100) AS BIGINT) * 100) // count(*) AS v4
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |), bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM obs),
+        |grid AS (
+        |  SELECT CAST(g.i AS BIGINT) AS h
+        |  FROM bounds, UNNEST(generate_series(lo, hi)) AS g(i)
+        |), joined AS (
+        |  SELECT grid.h, obs.v4 FROM grid LEFT JOIN obs ON grid.h = obs.h
+        |), w AS (
+        |  SELECT h, v4,
+        |    last_value(v4 IGNORE NULLS) OVER (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v4 IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v4 IGNORE NULLS) OVER (ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v4 IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER (ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM joined
+        |)
+        |SELECT h, CASE WHEN v4 IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+        |  (CASE WHEN v4 IS NOT NULL THEN v4
+        |        WHEN pv IS NULL THEN nv
+        |        WHEN nv IS NULL THEN pv
+        |        ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph) END)
+        |    / 10000.0 AS value
+        |FROM w ORDER BY h""".stripMargin,
     "q103_fuzzy_match" ->
       """WITH probes AS (
         |  SELECT p_partkey AS probe_id,

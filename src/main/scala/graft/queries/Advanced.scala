@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.VectorOps
@@ -315,6 +316,43 @@ object Advanced {
     grid.join(actual, Seq("hour"), "left")
       .select($"hour", coalesce($"n", lit(0L)).as("n_events"))
       .orderBy($"hour")
+  }
+
+  /** q106: linear interpolation over time-series gaps — the resampling step
+    * after q68's scaffold: missing hours get `prev + (next − prev) ·
+    * elapsed/gap` from the nearest observations on each side (edges clamp to
+    * the available neighbor). Two windows (last/first ignoreNulls) over the
+    * hour grid: one shuffle-free ordered pass per direction, state O(1).
+    * Hour index is integer epoch-hours, and the whole computation runs in
+    * FIXED-POINT integer space (2-dp event values → exact cent sums →
+    * ×10⁴-scaled means via integer floor division) so no engine-dependent
+    * double rounding can produce half-way ties; the only floating-point op
+    * is the final exact division by 10⁴, bit-identical everywhere. */
+  def q106Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.events(spark, dir)
+      .filter($"event_type" === "error")
+      .groupBy((unix_timestamp(date_trunc("hour", $"ts")) / 3600).cast("long").as("h"))
+      .agg(expr("(CAST(round(sum(value) * 100) AS BIGINT) * 100) div count(*)")
+        .as("v4"))                                       // mean ×10⁴, floored
+    val bounds = obs.agg(min($"h"), max($"h")).collect().head
+    val grid = spark.range(bounds.getLong(0), bounds.getLong(1) + 1).toDF("h")
+    val joined = grid.join(obs, Seq("h"), "left")
+    val before = Window.orderBy($"h").rowsBetween(Window.unboundedPreceding, 0)
+    val after = Window.orderBy($"h").rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last($"v4", ignoreNulls = true).over(before))
+      .withColumn("ph", last(when($"v4".isNotNull, $"h"), ignoreNulls = true).over(before))
+      .withColumn("nv", first($"v4", ignoreNulls = true).over(after))
+      .withColumn("nh", first(when($"v4".isNotNull, $"h"), ignoreNulls = true).over(after))
+      .select($"h",
+        when($"v4".isNotNull, 0).otherwise(1).as("interpolated"),
+        (when($"v4".isNotNull, $"v4")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv")
+          .otherwise(expr("(pv * (nh - h) + nv * (h - ph)) div (nh - ph)"))
+          / 10000.0).as("value"))
+      .orderBy($"h")
   }
 
   /** Fixed-width histogram of order values: 10 bins over [0, 500k), overflow
