@@ -149,6 +149,49 @@ class CompactionSpec extends SparkSpec {
     assert((0 until 64).forall(i => mh.getLong(i) == 0L))
   }
 
+  test("schema evolution across versions: a column added in v1 surfaces for latest-readers, time travel keeps v0's shape") {
+    import graft.ops.VersionedTable
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_vevo_").toString + "/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.parquet(VersionedTable.nextVersionPath(spark, root))          // v=0
+    Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "s", "score")
+      .write.parquet(VersionedTable.nextVersionPath(spark, root))          // v=1: +score
+    val latest = VersionedTable.read(spark, root, Seq((0L, "")).toDF("id", "s").schema)
+    assert(latest.columns.toSeq == Seq("id", "s", "score"),
+      "latest readers must see the evolved schema")
+    assert(latest.count() == 2)
+    assert(VersionedTable.readAt(spark, root, 0).columns.toSeq == Seq("id", "s"),
+      "time travel must preserve the historical shape")
+  }
+
+  test("corrupt CSV records: PERMISSIVE isolates bad rows, FAILFAST raises, DROPMALFORMED drops") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_corrupt_")
+    Files.writeString(dir.resolve("data.csv"),
+      Seq("id,v", "1,10.5", "2,not_a_number", "3,30.5").mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE").csv(dir.toString).cache()
+    try {
+      assert(permissive.count() == 3, "PERMISSIVE keeps every input row")
+      val bad = permissive.filter(permissive("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 1 && bad(0).getAs[String]("_corrupt_record").contains("not_a_number"))
+      val strictSchema = StructType(schema.take(2))
+      val dropped = spark.read.schema(strictSchema).option("header", "true")
+        .option("mode", "DROPMALFORMED").csv(dir.toString)
+      // collect, not count: a bare CSV count() never parses the columns
+      // (the count optimization), so malformed rows go undetected
+      assert(dropped.collect().length == 2, "DROPMALFORMED keeps only parseable rows")
+      intercept[org.apache.spark.SparkException] {
+        spark.read.schema(strictSchema).option("header", "true")
+          .option("mode", "FAILFAST").csv(dir.toString).collect()
+      }
+    } finally permissive.unpersist()
+  }
+
   test("shingle-hash kernel handles multibyte UTF-8 (CJK, emoji, accents)") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.Kernels
