@@ -123,6 +123,7 @@ object SparkEntry {
     // bound vs the exact q26 path asserted in AnalyticsSketchSpec.
     "q105_approx_percentiles" -> (Analytics.q105ApproxPercentiles _),
     "q106_interpolate" -> (Advanced.q106Interpolate _),
+    "q107_zonemap_prune" -> (Advanced.q107ZonemapPrune _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1183,6 +1184,14 @@ object SparkEntry {
         |        ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph) END)
         |    / 10000.0 AS value
         |FROM w ORDER BY h""".stripMargin,
+    "q107_zonemap_prune" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 5000
+        |  AND l_partkey BETWEEN 50 AND 150
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q103_fuzzy_match" ->
       """WITH probes AS (
         |  SELECT p_partkey AS probe_id,

@@ -422,6 +422,36 @@ object Advanced {
       .orderBy($"p_partkey")
   }
 
+  /** q107: zone-map data skipping over a z-ordered layout — cluster lineitem
+    * on (l_orderkey, l_partkey) with [[graft.ops.Layout.zorderWrite]], build
+    * the file-level min/max index with [[graft.ops.ZoneMap.build]], then
+    * answer a 2-D box predicate reading ONLY the files the index cannot rule
+    * out. The predicate is re-applied after the pruned read, so the result
+    * equals a full scan by construction — the oracle runs the same filter
+    * over the raw table. At 100 TB this is the difference between opening
+    * O(selectivity) of the files and opening all of them.
+    */
+  def q107ZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{Layout, ZoneMap}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zm_").toString + "/li"
+    Layout.zorderWrite(
+      Tables.lineitem(spark, dir).select(
+        $"l_orderkey", $"l_partkey", $"l_returnflag", $"l_quantity", $"l_extendedprice"),
+      tmp, 16, "l_orderkey", "l_partkey")
+    val zm = ZoneMap.build(spark, tmp, "l_orderkey", "l_partkey").cache()
+    try {
+      val pruned = ZoneMap.prunedRead(spark, tmp, zm,
+        Seq(("l_orderkey", 1000L, 5000L), ("l_partkey", 50L, 150L)))
+      pruned.df
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .orderBy($"l_returnflag")
+    } finally zm.unpersist()
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{Layout, ZoneMap}
+
+/** Zone-map file-skipping: the index must never change results (predicate
+  * re-applied) and must actually skip files on a clustered layout.
+  */
+class ZoneMapSpec extends SparkSpec {
+
+  test("pruned read equals full-scan filter on a sorted layout, and skips files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zmsorted_").toString + "/li"
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    Layout.sortedWrite(li, dir, 8, "l_orderkey")
+    val zm = ZoneMap.build(spark, dir, "l_orderkey")
+    val bounds = Seq[(String, Any, Any)](("l_orderkey", 2000L, 4000L))
+    val pruned = ZoneMap.prunedRead(spark, dir, zm, bounds)
+    val expected = li.filter($"l_orderkey".between(2000L, 4000L))
+    assert(pruned.df.count() == expected.count())
+    assert(pruned.df.exceptAll(expected).isEmpty && expected.exceptAll(pruned.df).isEmpty)
+    // 8 disjoint orderkey ranges over [0, ~15000]: a 2k-wide interval cannot
+    // touch them all
+    assert(pruned.totalFiles == 8)
+    assert(pruned.selectedFiles < pruned.totalFiles,
+      s"sorted layout should skip files, read ${pruned.selectedFiles}/${pruned.totalFiles}")
+  }
+
+  test("2-D box over a z-ordered layout: identical result, fewer files than either 1-D sort can give") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val zDir = Files.createTempDirectory("graft_zmz_").toString + "/li"
+    Layout.zorderWrite(li, zDir, 16, "l_orderkey", "l_partkey")
+    val zm = ZoneMap.build(spark, zDir, "l_orderkey", "l_partkey")
+    val bounds = Seq[(String, Any, Any)](
+      ("l_orderkey", 1000L, 5000L), ("l_partkey", 50L, 150L))
+    val pruned = ZoneMap.prunedRead(spark, zDir, zm, bounds)
+    val expected = li.filter(
+      $"l_orderkey".between(1000L, 5000L) && $"l_partkey".between(50L, 150L))
+    assert(pruned.df.count() == expected.count() && expected.count() > 0)
+    assert(pruned.df.exceptAll(expected).isEmpty && expected.exceptAll(pruned.df).isEmpty)
+    assert(pruned.selectedFiles < pruned.totalFiles,
+      s"z-order box should skip files, read ${pruned.selectedFiles}/${pruned.totalFiles}")
+  }
+
+  test("an empty candidate set returns an empty frame with the table schema, scanning nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zmempty_").toString + "/t"
+    Layout.sortedWrite(Seq((1L, "a"), (2L, "b"), (50L, "c")).toDF("k", "s"), dir, 2, "k")
+    val zm = ZoneMap.build(spark, dir, "k")
+    val pruned = ZoneMap.prunedRead(spark, dir, zm,
+      Seq[(String, Any, Any)](("k", 1000L, 2000L)))
+    assert(pruned.selectedFiles == 0)
+    assert(pruned.df.columns.toSeq == Seq("k", "s"))
+    assert(pruned.df.isEmpty)
+  }
+
+  test("all-null files are pruned; mixed files keep only matching rows after the re-filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zmnull_").toString + "/t"
+    // partition by a flag so one file holds only null keys
+    val df = Seq((Some(10L), "keep"), (Some(999L), "drop"), (None: Option[Long], "nullkey"))
+      .toDF("k", "s")
+    df.repartition(1).filter($"k".isNotNull).write.parquet(dir)
+    df.repartition(1).filter($"k".isNull).write.mode("append").parquet(dir)
+    val zm = ZoneMap.build(spark, dir, "k")
+    assert(zm.count() == 2)
+    val pruned = ZoneMap.prunedRead(spark, dir, zm,
+      Seq[(String, Any, Any)](("k", 0L, 100L)))
+    // the all-null file is ruled out by its null envelope; the surviving
+    // file still holds k=999, which the re-applied filter removes
+    assert(pruned.selectedFiles == 1 && pruned.totalFiles == 2)
+    assert(pruned.df.select($"s").as[String].collect().toSeq == Seq("keep"))
+  }
+}
