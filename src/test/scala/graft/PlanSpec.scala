@@ -106,6 +106,42 @@ class PlanSpec extends SparkSpec {
       s"expected 1 pruned partition, read ${scan.get.metrics("numPartitions").value}")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // The static test above prunes on a literal; at 100 TB the common shape
+    // is a date/tenant-partitioned fact joined to a filtered dim, where the
+    // partition values to keep are only known once the dim side runs. Spark
+    // plants a dynamicpruning subquery in the fact scan's partition filters
+    // (free when it reuses the broadcast) — without it this query reads all
+    // 25 nation partitions to keep one.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    graft.sources.Tables.customer(spark, sf0001)
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(tmp)
+    val dim = graft.sources.Tables.nation(spark, sf0001)
+      .filter(col("n_name") === "NATION_7")
+    // AQE hides scans inside leaf query stages; DPP is orthogonal to AQE, so
+    // plan without it to keep the scan inspectable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.read.parquet(tmp)
+        .join(dim, col("c_nationkey") === col("n_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val n = q.collect().head.getLong(0)
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec
+          if s.metadata("Location").contains("graft_dpp_") => s }
+      assert(scan.isDefined, "fact scan not found")
+      assert(scan.get.metadata("PartitionFilters").contains("dynamicpruning"),
+        s"expected a dynamicpruning filter, got ${scan.get.metadata("PartitionFilters")}")
+      assert(scan.get.metrics("numPartitions").value == 1,
+        s"runtime pruning should read 1 of 25 partitions, read ${scan.get.metrics("numPartitions").value}")
+      // and pruning never changes the answer
+      assert(n == graft.sources.Tables.customer(spark, sf0001)
+        .join(dim, col("c_nationkey") === col("n_nationkey")).count())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q84: bucketized range join plans as a hash equi-join, never a nested loop") {
     val exec = graft.queries.Extra.q84RangeJoinBucketed(spark, sf0001)
       .queryExecution.executedPlan.toString
