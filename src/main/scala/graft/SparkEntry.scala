@@ -124,6 +124,7 @@ object SparkEntry {
     "q105_approx_percentiles" -> (Analytics.q105ApproxPercentiles _),
     "q106_interpolate" -> (Advanced.q106Interpolate _),
     "q107_zonemap_prune" -> (Advanced.q107ZonemapPrune _),
+    "q108_mv_rewrite" -> (Advanced.q108MvRewrite _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1191,6 +1192,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 5000
         |  AND l_partkey BETWEEN 50 AND 150
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q108_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q103_fuzzy_match" ->
       """WITH probes AS (

@@ -1,0 +1,238 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Materialized-view query rewrite: aggregate queries over a fact table are
+  * transparently answered from a pre-computed rollup when the rollup
+  * subsumes them — the classic warehouse accelerator (Oracle query rewrite,
+  * BigQuery/Redshift materialized views, Calcite's `MaterializedViewRule`).
+  * At 100 TB the difference is a scan of a few thousand rollup rows versus
+  * the full fact table, for every dashboard query that hits the pattern.
+  *
+  * A rollup registered via [[MvRewrite.defineRollup]] stores, per group of
+  * `groupCols`: `cnt_star = count(*)` and, for each measure `m`,
+  * `sum_m / cnt_m / min_m / max_m`. A query aggregate is rewritten when
+  * every piece is derivable by the standard rollup algebra:
+  *
+  *  - grouping expressions reference only `groupCols` (any subset —
+  *    re-aggregation handles coarser groupings);
+  *  - filters (already pushed next to the scan by the main optimizer
+  *    batches) reference only `groupCols`, so they apply to rollup rows
+  *    verbatim;
+  *  - `count(*)` → `coalesce(sum(cnt_star), 0)`; over a measure:
+  *    `sum(m)` → `sum(sum_m)`, `count(m)` → `coalesce(sum(cnt_m), 0)`,
+  *    `min/max(m)` → `min(min_m)/max(max_m)`, `avg(m)` →
+  *    `sum(sum_m) / sum(cnt_m)` (null when no non-null inputs, matching
+  *    AVG's ignore-nulls contract); `min/max` over a grouping column stay
+  *    `min/max` (extrema over distinct values equal extrema over rows).
+  *
+  * Anything else — DISTINCT aggregates, FILTER clauses, aggregates over
+  * derived expressions, any column outside the rollup — leaves the query
+  * untouched: the rewrite must be an optimization, never a semantics
+  * change. Freshness is the caller's contract, as with every MV system:
+  * re-run [[MvRewrite.defineRollup]] after fact appends (or disable via
+  * [[MvRewrite.EnabledKey]]) — the rule itself never checks staleness.
+  */
+object MvRewrite {
+  /** Session flag: answer subsumed aggregates from registered rollups. */
+  val EnabledKey = "spark.graft.mvRewrite.enabled"
+
+  private[plans] final case class MvDef(
+      name: String,
+      factRootPaths: Set[String],
+      groupCols: Set[String],
+      measures: Set[String],
+      mvRelation: LogicalRelation)
+
+  // Per-session registries; weak keys so a dropped session takes its MV
+  // definitions with it.
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, MvDef]]()
+
+  private def defsMap(spark: SparkSession): TrieMap[String, MvDef] =
+    registry.synchronized {
+      registry.computeIfAbsent(spark, _ => TrieMap.empty[String, MvDef])
+    }
+
+  private[plans] def defsFor(spark: SparkSession): Seq[MvDef] =
+    defsMap(spark).values.toSeq
+
+  /** Materialize the rollup of `factDir` to `mvDir` and register it for
+    * rewrite in this session. Re-registering a name replaces it (the
+    * refresh path). One scan of the fact table, shuffled once on the group
+    * keys — the same pass any REFRESH MATERIALIZED VIEW runs. */
+  def defineRollup(spark: SparkSession, name: String, factDir: String,
+                   mvDir: String, groupCols: Seq[String],
+                   measures: Seq[String]): Unit = {
+    require(groupCols.nonEmpty && measures.nonEmpty &&
+      !measures.exists(groupCols.contains),
+      "group columns and measures must be disjoint and non-empty")
+    val fact = spark.read.parquet(factDir)
+    val aggs = count(lit(1)).as("cnt_star") +: measures.flatMap(m => Seq(
+      sum(fact(m)).as(s"sum_$m"), count(fact(m)).as(s"cnt_$m"),
+      min(fact(m)).as(s"min_$m"), max(fact(m)).as(s"max_$m")))
+    fact.groupBy(groupCols.map(fact(_)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvDir)
+    val factPaths = rootPaths(fact.queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$factDir did not resolve to a file relation"))
+    val mvRel = spark.read.parquet(mvDir).queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }.get
+    defsMap(spark).put(name,
+      MvDef(name, factPaths, groupCols.toSet, measures.toSet, mvRel))
+  }
+
+  /** Idempotently register the rewrite rule on a live session. Inert until
+    * [[EnabledKey]] is set to true and a rollup is registered. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule(spark)
+
+  /** Explicit single-query form: rewrite `df` against this session's
+    * registered rollups and return the rewritten frame (unchanged when not
+    * derivable). Unlike the [[install]]+[[EnabledKey]] transparent path —
+    * whose rule runs at each action's optimization, session-wide — this
+    * rewrites once, here, regardless of the flag, so the caller can hand
+    * the frame to any writer without leaving rewrite mode enabled for
+    * unrelated queries. */
+  def answer(spark: SparkSession, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftshim.dfFromPlan(spark,
+      MvRewriteRule(spark).rewriteNow(df.queryExecution.optimizedPlan))
+
+  private[graft] def rootPaths(plan: LogicalPlan): Option[Set[String]] =
+    plan.collectFirst { case lr: LogicalRelation => lr.relation }.collect {
+      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).toSet
+    }
+}
+
+/** The rewrite itself. Runs in the "User Provided Optimizers" batch, after
+  * filter pushdown and column pruning have normalized the plan to
+  * `Aggregate → [Project/Filter]* → LogicalRelation`.
+  */
+final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MvRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    else rewriteNow(plan)
+
+  /** The rewrite, independent of the session flag (the [[MvRewrite.answer]]
+    * path). */
+  private[plans] def rewriteNow(plan: LogicalPlan): LogicalPlan = {
+    val defs = defsFor(spark)
+    if (defs.isEmpty) return plan
+    plan.transform {
+      case agg @ Aggregate(_, _, child, None) =>
+        (for {
+          (filters, lr) <- strip(child)
+          paths <- rootPaths(lr)
+          mv <- defs.find(_.factRootPaths == paths)
+          rewritten <- rewrite(agg, filters, mv)
+        } yield rewritten).getOrElse(agg)
+    }
+  }
+
+  /** Peel pure-column Projects and Filters down to the scanned relation. */
+  private def strip(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+    p match {
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(child)
+      case Filter(cond, child) =>
+        strip(child).map { case (fs, lr) => (cond +: fs, lr) }
+      case lr: LogicalRelation => Some((Nil, lr))
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate, filters: Seq[Expression],
+                      mv: MvDef): Option[LogicalPlan] = {
+    val mvRel = mv.mvRelation.newInstance()
+    val mvAttr = mvRel.output.map(a => a.name -> a).toMap
+
+    // Remap one expression tree from fact attributes to rollup attributes;
+    // None when any piece is not derivable.
+    def remap(e: Expression): Option[Expression] = {
+      var ok = true
+      def sumOf(a: Attribute) = new Sum(a).toAggregateExpression()
+      val out = e.transformUp {
+        case ae @ AggregateExpression(fn, mode, isDistinct, filterOpt, resultId) =>
+          if (isDistinct || filterOpt.isDefined) { ok = false; ae }
+          else fn match {
+            case Count(Seq(l: Literal)) if l.value != null =>
+              Coalesce(Seq(
+                AggregateExpression(new Sum(mvAttr("cnt_star")), mode,
+                  isDistinct = false, None, resultId),
+                Literal(0L, LongType)))
+            case Count(Seq(a: AttributeReference)) if mv.measures(a.name) =>
+              Coalesce(Seq(
+                AggregateExpression(new Sum(mvAttr(s"cnt_${a.name}")), mode,
+                  isDistinct = false, None, resultId),
+                Literal(0L, LongType)))
+            case Sum(a: AttributeReference, _) if mv.measures(a.name) =>
+              AggregateExpression(new Sum(mvAttr(s"sum_${a.name}")), mode,
+                isDistinct = false, None, resultId)
+            case Min(a: AttributeReference) if mv.measures(a.name) =>
+              AggregateExpression(Min(mvAttr(s"min_${a.name}")), mode,
+                isDistinct = false, None, resultId)
+            case Max(a: AttributeReference) if mv.measures(a.name) =>
+              AggregateExpression(Max(mvAttr(s"max_${a.name}")), mode,
+                isDistinct = false, None, resultId)
+            // extrema over a grouping column: distinct values suffice (the
+            // leaf case below already swapped in the rollup attribute)
+            case Min(a: AttributeReference) if mvAttr.get(a.name).contains(a) =>
+              ae
+            case Max(a: AttributeReference) if mvAttr.get(a.name).contains(a) =>
+              ae
+            case Average(a: AttributeReference, _)
+                if mv.measures(a.name) &&
+                  ae.dataType == DoubleType =>
+              val s = sumOf(mvAttr(s"sum_${a.name}"))
+              val c = sumOf(mvAttr(s"cnt_${a.name}"))
+              If(EqualTo(c, Literal(0L, LongType)),
+                Literal(null, DoubleType),
+                Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
+            case _ => ok = false; ae
+          }
+        case a: AttributeReference if mv.groupCols(a.name) => mvAttr(a.name)
+      }
+      val foreign = out.references.filterNot(mvRel.outputSet.contains)
+      if (ok && foreign.isEmpty) Some(out) else None
+    }
+
+    def remapNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: Alias => remap(a.child).map(c =>
+        Alias(c, a.name)(a.exprId, a.qualifier, a.explicitMetadata))
+      case a: AttributeReference => remap(a).map {
+        case same: Attribute => Alias(same, a.name)(a.exprId, a.qualifier)
+        case other => Alias(other, a.name)(a.exprId, a.qualifier)
+      }
+      case _ => None
+    }
+
+    for {
+      newGroup <- traverse(agg.groupingExpressions)(remap)
+      newAggs <- traverse(agg.aggregateExpressions)(remapNamed)
+      newFilters <- traverse(filters)(remap)
+    } yield {
+      val base: LogicalPlan =
+        if (newFilters.isEmpty) mvRel
+        else Filter(newFilters.reduce(And), mvRel)
+      Aggregate(newGroup, newAggs, base)
+    }
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
+    xs.foldLeft(Option(Vector.empty[B])) { (acc, x) =>
+      acc.flatMap(v => f(x).map(v :+ _))
+    }
+}

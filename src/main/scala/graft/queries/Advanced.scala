@@ -452,6 +452,30 @@ object Advanced {
     } finally zm.unpersist()
   }
 
+  /** q108: materialized-view rewrite — materialize a
+    * (l_returnflag, l_linestatus) rollup of lineitem, then answer a coarser
+    * filtered aggregate from it via [[graft.plans.MvRewrite.answer]]. The
+    * oracle runs the same aggregate on the raw table: the rewrite must be
+    * invisible in the result and visible only in the plan (which
+    * MvRewriteSpec pins to a rollup-only scan). At 100 TB the dashboard
+    * query reads a few thousand rollup rows instead of the fact table.
+    */
+  def q108MvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.MvRewrite
+    val mvDir = java.nio.file.Files.createTempDirectory("graft_mv108_").toString + "/rollup"
+    MvRewrite.defineRollup(spark, "q108_lineitem_rollup", s"$dir/lineitem.parquet",
+      mvDir, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"))
+    MvRewrite.answer(spark, spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter($"l_linestatus" === "F")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(max($"l_extendedprice"), 2).as("max_price"))
+      .orderBy($"l_returnflag"))
+  }
+
   /** Token frequency top-20: explode + aggregate + deterministic top-k. */
   def q44TokenFrequencies(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

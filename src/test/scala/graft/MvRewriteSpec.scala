@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.MvRewrite
+
+/** Materialized-view rewrite: subsumed aggregates must be answered from the
+  * rollup (plan-verified), non-derivable shapes must be left alone, and the
+  * rewrite must never change results — including null-measure AVG/COUNT
+  * semantics.
+  */
+class MvRewriteSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        MvRewrite.rootPaths(lr).toSeq.flatten
+    }.flatten
+
+  private def withMv[A](factDir: String, groupCols: Seq[String],
+                        measures: Seq[String])(body: String => A): A = {
+    val mvDir = Files.createTempDirectory("graft_mv_").toString + "/rollup"
+    MvRewrite.defineRollup(spark, "t", factDir, mvDir, groupCols, measures)
+    MvRewrite.install(spark)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try body(mvDir)
+    finally spark.conf.set(MvRewrite.EnabledKey, "false")
+  }
+
+  private def sorted(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.collect().toSeq.sortBy(_.toString)
+
+  test("subsumed aggregate is answered from the rollup and matches the fact-table answer") {
+    val fact = s"$sf0001/lineitem.parquet"
+    withMv(fact, Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice")) { mvDir =>
+      def q = spark.read.parquet(fact)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sq"),
+          min(col("l_quantity")).as("mn"),
+          max(col("l_extendedprice")).as("mx"),
+          round(avg(col("l_quantity")), 6).as("av"))
+      val rewritten = q
+      assert(scans(rewritten).exists(_.contains(mvDir)),
+        s"expected a rollup scan, got ${scans(rewritten)}")
+      assert(!scans(rewritten).exists(_.contains("lineitem.parquet")),
+        "fact table must not be scanned after the rewrite")
+      val fromMv = sorted(rewritten)
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      assert(fromMv == sorted(q), "rewrite changed the result")
+    }
+  }
+
+  test("filter on a grouping column is applied to rollup rows; coarser grouping re-aggregates") {
+    val fact = s"$sf0001/lineitem.parquet"
+    withMv(fact, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")) { mvDir =>
+      def q = spark.read.parquet(fact)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sq"))
+      assert(scans(q).exists(_.contains(mvDir)))
+      val fromMv = sorted(q)
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      assert(fromMv == sorted(q))
+    }
+  }
+
+  test("non-derivable shapes are left on the fact table: distinct, derived-expression sum, filter on a measure, sum of a group column") {
+    val fact = s"$sf0001/lineitem.parquet"
+    withMv(fact, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity")) { _ =>
+      val distinctAgg = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_quantity")).as("d"))
+      val exprSum = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity") * 2).as("s"))
+      val measureFilter = spark.read.parquet(fact)
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      // sum over a GROUP column is not sum over rows — must stay on the fact
+      val groupColSum = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_linestatus").substr(lit(1), lit(1)).cast("string").isNotNull
+          .cast("long")).as("s"))
+      for ((q, what) <- Seq((distinctAgg, "distinct"), (exprSum, "derived sum"),
+        (measureFilter, "measure filter"), (groupColSum, "group-col sum")))
+        assert(scans(q).forall(_.contains("lineitem.parquet")),
+          s"$what must not be rewritten, scans=${scans(q)}")
+    }
+  }
+
+  test("min/max over a grouping column ARE derivable (extrema over distinct values)") {
+    val fact = s"$sf0001/orders.parquet"
+    withMv(fact, Seq("o_orderstatus", "o_orderpriority"), Seq("o_totalprice")) { mvDir =>
+      def q = spark.read.parquet(fact)
+        .groupBy(col("o_orderstatus"))
+        .agg(min(col("o_orderpriority")).as("mn"), max(col("o_orderpriority")).as("mx"))
+      assert(scans(q).exists(_.contains(mvDir)))
+      val fromMv = sorted(q)
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      assert(fromMv == sorted(q))
+    }
+  }
+
+  test("answer(): explicit one-query rewrite, session flag stays off (q108's path)") {
+    val fact = s"$sf0001/lineitem.parquet"
+    val mvDir = Files.createTempDirectory("graft_mvans_").toString + "/rollup"
+    MvRewrite.defineRollup(spark, "t_ans", fact, mvDir,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+    assert(spark.conf.getOption(MvRewrite.EnabledKey).forall(_ == "false"))
+    def q = spark.read.parquet(fact).groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sq"))
+    val answered = MvRewrite.answer(spark, q)
+    assert(scans(answered).exists(_.contains(mvDir)),
+      s"answer() must return a rollup-backed plan, got ${scans(answered)}")
+    // the un-answered query still scans the fact table (flag off)
+    assert(scans(q).forall(_.contains("lineitem.parquet")))
+    assert(sorted(answered) == sorted(q))
+  }
+
+  test("null measures: AVG/COUNT/SUM rollup algebra matches Spark's ignore-null semantics") {
+    import spark.implicits._
+    val factDir = Files.createTempDirectory("graft_mvnull_").toString + "/fact"
+    Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None), // all-null group: avg/sum null, count 0
+      ("c", Some(5.0)))
+      .toDF("g", "x").write.parquet(factDir)
+    withMv(factDir, Seq("g"), Seq("x")) { mvDir =>
+      def q = spark.read.parquet(factDir).groupBy(col("g"))
+        .agg(count(col("x")).as("c"), sum(col("x")).as("s"), avg(col("x")).as("a"),
+          count(lit(1)).as("n"))
+      assert(scans(q).exists(_.contains(mvDir)))
+      val fromMv = sorted(q)
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      assert(fromMv == sorted(q), s"null-measure algebra diverged: $fromMv vs ${sorted(q)}")
+    }
+  }
+}
