@@ -49,8 +49,9 @@ object MvRewrite {
   private[plans] final case class MvDef(
       name: String,
       factRootPaths: Set[String],
-      groupCols: Set[String],
-      measures: Set[String],
+      groupCols: Seq[String],
+      measures: Seq[String],
+      mvRoot: String,
       mvRelation: LogicalRelation)
 
   // Per-session registries; weak keys so a dropped session takes its MV
@@ -66,30 +67,71 @@ object MvRewrite {
   private[plans] def defsFor(spark: SparkSession): Seq[MvDef] =
     defsMap(spark).values.toSeq
 
-  /** Materialize the rollup of `factDir` to `mvDir` and register it for
-    * rewrite in this session. Re-registering a name replaces it (the
-    * refresh path). One scan of the fact table, shuffled once on the group
-    * keys — the same pass any REFRESH MATERIALIZED VIEW runs. */
+  /** The rollup shape: per group, `cnt_star` plus sum/cnt/min/max of each
+    * measure. Shared by full materialization and incremental refresh. */
+  private def rollupOf(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                       measures: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = count(lit(1)).as("cnt_star") +: measures.flatMap(m => Seq(
+      sum(df(m)).as(s"sum_$m"), count(df(m)).as(s"cnt_$m"),
+      min(df(m)).as(s"min_$m"), max(df(m)).as(s"max_$m")))
+    df.groupBy(groupCols.map(df(_)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold one rollup into another: partial states combine with the same
+    * algebra streaming partial aggregation uses — counts add, sums add,
+    * extrema take extrema. */
+  private def combineRollups(rollups: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                             measures: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = sum(rollups("cnt_star")).as("cnt_star") +: measures.flatMap(m => Seq(
+      sum(rollups(s"sum_$m")).as(s"sum_$m"), sum(rollups(s"cnt_$m")).as(s"cnt_$m"),
+      min(rollups(s"min_$m")).as(s"min_$m"), max(rollups(s"max_$m")).as(s"max_$m")))
+    rollups.groupBy(groupCols.map(rollups(_)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def commitVersion(spark: SparkSession, d: MvDef,
+                            data: org.apache.spark.sql.DataFrame): Unit = {
+    data.write.mode("overwrite")
+      .parquet(graft.ops.VersionedTable.nextVersionPath(spark, d.mvRoot))
+    val mvRel = spark.read
+      .parquet(graft.ops.VersionedTable.latest(spark, d.mvRoot).get._2.toString)
+      .queryExecution.analyzed
+      .collectFirst { case lr: LogicalRelation => lr }.get
+    defsMap(spark).put(d.name, d.copy(mvRelation = mvRel))
+  }
+
+  /** Materialize the rollup of `factDir` under `mvRoot` (a
+    * [[graft.ops.VersionedTable]] layout — refreshes commit new versions,
+    * in-flight readers keep the version they resolved) and register it for
+    * rewrite in this session. Re-registering a name replaces it. One scan
+    * of the fact table, shuffled once on the group keys — the same pass any
+    * REFRESH MATERIALIZED VIEW runs. */
   def defineRollup(spark: SparkSession, name: String, factDir: String,
-                   mvDir: String, groupCols: Seq[String],
+                   mvRoot: String, groupCols: Seq[String],
                    measures: Seq[String]): Unit = {
     require(groupCols.nonEmpty && measures.nonEmpty &&
       !measures.exists(groupCols.contains),
       "group columns and measures must be disjoint and non-empty")
     val fact = spark.read.parquet(factDir)
-    val aggs = count(lit(1)).as("cnt_star") +: measures.flatMap(m => Seq(
-      sum(fact(m)).as(s"sum_$m"), count(fact(m)).as(s"cnt_$m"),
-      min(fact(m)).as(s"min_$m"), max(fact(m)).as(s"max_$m")))
-    fact.groupBy(groupCols.map(fact(_)): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvDir)
     val factPaths = rootPaths(fact.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"$factDir did not resolve to a file relation"))
-    val mvRel = spark.read.parquet(mvDir).queryExecution.analyzed
-      .collectFirst { case lr: LogicalRelation => lr }.get
-    defsMap(spark).put(name,
-      MvDef(name, factPaths, groupCols.toSet, measures.toSet, mvRel))
+    val d = MvDef(name, factPaths, groupCols, measures, mvRoot, null)
+    commitVersion(spark, d, rollupOf(fact, groupCols, measures))
+  }
+
+  /** Incremental refresh: fold the rollup of ONE appended batch into the
+    * current rollup — history is never rescanned (the q92 materialized-view
+    * maintenance algebra, applied to the rewrite path). Contract: `deltaDir`
+    * holds exactly the rows appended to the fact table since the last
+    * define/refresh — append-only maintenance, like SQL engines' fast
+    * refresh; updates or deletes need a full [[defineRollup]]. */
+  def refreshIncremental(spark: SparkSession, name: String, deltaDir: String): Unit = {
+    val d = defsMap(spark).getOrElse(name,
+      throw new NoSuchElementException(s"no rollup named '$name' registered"))
+    val delta = rollupOf(spark.read.parquet(deltaDir), d.groupCols, d.measures)
+    val current = org.apache.spark.sql.graftshim.dfFromPlan(spark, d.mvRelation)
+    commitVersion(spark, d,
+      combineRollups(current.unionByName(delta), d.groupCols, d.measures))
   }
 
   /** Idempotently register the rewrite rule on a live session. Inert until
@@ -173,18 +215,18 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 AggregateExpression(new Sum(mvAttr("cnt_star")), mode,
                   isDistinct = false, None, resultId),
                 Literal(0L, LongType)))
-            case Count(Seq(a: AttributeReference)) if mv.measures(a.name) =>
+            case Count(Seq(a: AttributeReference)) if mv.measures.contains(a.name) =>
               Coalesce(Seq(
                 AggregateExpression(new Sum(mvAttr(s"cnt_${a.name}")), mode,
                   isDistinct = false, None, resultId),
                 Literal(0L, LongType)))
-            case Sum(a: AttributeReference, _) if mv.measures(a.name) =>
+            case Sum(a: AttributeReference, _) if mv.measures.contains(a.name) =>
               AggregateExpression(new Sum(mvAttr(s"sum_${a.name}")), mode,
                 isDistinct = false, None, resultId)
-            case Min(a: AttributeReference) if mv.measures(a.name) =>
+            case Min(a: AttributeReference) if mv.measures.contains(a.name) =>
               AggregateExpression(Min(mvAttr(s"min_${a.name}")), mode,
                 isDistinct = false, None, resultId)
-            case Max(a: AttributeReference) if mv.measures(a.name) =>
+            case Max(a: AttributeReference) if mv.measures.contains(a.name) =>
               AggregateExpression(Max(mvAttr(s"max_${a.name}")), mode,
                 isDistinct = false, None, resultId)
             // extrema over a grouping column: distinct values suffice (the
@@ -194,7 +236,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             case Max(a: AttributeReference) if mvAttr.get(a.name).contains(a) =>
               ae
             case Average(a: AttributeReference, _)
-                if mv.measures(a.name) &&
+                if mv.measures.contains(a.name) &&
                   ae.dataType == DoubleType =>
               val s = sumOf(mvAttr(s"sum_${a.name}"))
               val c = sumOf(mvAttr(s"cnt_${a.name}"))
@@ -203,7 +245,7 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 Divide(Cast(s, DoubleType), Cast(c, DoubleType)))
             case _ => ok = false; ae
           }
-        case a: AttributeReference if mv.groupCols(a.name) => mvAttr(a.name)
+        case a: AttributeReference if mv.groupCols.contains(a.name) => mvAttr(a.name)
       }
       val foreign = out.references.filterNot(mvRel.outputSet.contains)
       if (ok && foreign.isEmpty) Some(out) else None

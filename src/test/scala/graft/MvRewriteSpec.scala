@@ -117,6 +117,30 @@ class MvRewriteSpec extends SparkSpec {
     assert(sorted(answered) == sorted(q))
   }
 
+  test("incremental refresh: folding an appended batch equals querying the grown fact; commits are versioned") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_mvinc_").toString
+    val (factDir, deltaDir, mvRoot) = (s"$base/fact", s"$base/delta", s"$base/mv")
+    val rows = (1 to 300).map(i => (s"g${i % 7}", i.toDouble, i.toLong % 13))
+    val (head, tail) = rows.splitAt(200)
+    head.toDF("g", "x", "y").write.parquet(factDir)
+    MvRewrite.defineRollup(spark, "t_inc", factDir, mvRoot, Seq("g"), Seq("x", "y"))
+    // the batch lands in the fact table AND feeds the refresh — history is
+    // never rescanned
+    tail.toDF("g", "x", "y").write.mode("append").parquet(factDir)
+    tail.toDF("g", "x", "y").write.parquet(deltaDir)
+    MvRewrite.refreshIncremental(spark, "t_inc", deltaDir)
+    def q = spark.read.parquet(factDir).groupBy(col("g"))
+      .agg(count(col("x")).as("c"), sum(col("x")).as("s"), avg(col("y")).as("a"),
+        min(col("x")).as("mn"), max(col("y")).as("mx"), count(lit(1)).as("n"))
+    val answered = MvRewrite.answer(spark, q)
+    assert(scans(answered).exists(_.contains(mvRoot)),
+      s"post-refresh answer must come from the rollup, got ${scans(answered)}")
+    assert(sorted(answered) == sorted(q), "refreshed rollup diverged from the fact table")
+    assert(graft.ops.VersionedTable.committedVersions(spark, mvRoot).map(_._1) == Seq(0, 1),
+      "define + refresh must leave two committed versions")
+  }
+
   test("null measures: AVG/COUNT/SUM rollup algebra matches Spark's ignore-null semantics") {
     import spark.implicits._
     val factDir = Files.createTempDirectory("graft_mvnull_").toString + "/fact"
