@@ -125,6 +125,7 @@ object SparkEntry {
     "q106_interpolate" -> (Advanced.q106Interpolate _),
     "q107_zonemap_prune" -> (Advanced.q107ZonemapPrune _),
     "q108_mv_rewrite" -> (Advanced.q108MvRewrite _),
+    "q109_pagerank" -> (Extra.q109Pagerank _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1200,6 +1201,31 @@ object SparkEntry {
         |  round(max(l_extendedprice), 2) AS max_price
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q109_pagerank" ->
+      """WITH nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+        |edges AS (
+        |  SELECT id AS src, id // 2 AS dst FROM nodes WHERE id >= 2
+        |  UNION ALL
+        |  SELECT id AS src, id // 3 AS dst FROM nodes WHERE id >= 3
+        |),
+        |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS id, CAST(SUM(r.rank // o.od) AS BIGINT) AS contrib
+        |       FROM edges e JOIN r0 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c1 c ON n.id = c.id),
+        |c2 AS (SELECT e.dst AS id, CAST(SUM(r.rank // o.od) AS BIGINT) AS contrib
+        |       FROM edges e JOIN r1 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c2 c ON n.id = c.id),
+        |c3 AS (SELECT e.dst AS id, CAST(SUM(r.rank // o.od) AS BIGINT) AS contrib
+        |       FROM edges e JOIN r2 r ON e.src = r.id JOIN outdeg o ON e.src = o.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
+        |SELECT id, rank FROM r3 ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin,
     "q103_fuzzy_match" ->
       """WITH probes AS (
         |  SELECT p_partkey AS probe_id,

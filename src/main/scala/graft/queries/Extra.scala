@@ -458,4 +458,44 @@ object Extra {
         "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
       .orderBy($"col_name")
   }
+
+  /** q109: PageRank — iterative weighted graph analytics beyond the
+    * connected-components pass (`ext/Dedup.connectedComponents` is pure
+    * label propagation; PageRank adds out-degree-split mass and damping).
+    * Graph: customer keys with deterministic edges id→id/2 and id→id/3 — a
+    * scale-free-ish DAG whose hubs are the small ids. Three damped
+    * iterations (d = 0.85), each a join + re-aggregation — the standard
+    * distributed formulation (no driver-side state; at depth >> 3 add
+    * `localCheckpoint` per generation exactly as the CC loop does).
+    *
+    * All arithmetic is integer fixed-point at scale 1e9 (`div`, matching
+    * DuckDB `//` on positives), so the DuckDB oracle — the same three
+    * iterations unrolled as CTEs — is bit-identical by construction, the
+    * q106 cross-engine trick. Dangling nodes (ids 0 and 1 have no
+    * out-edges) simply contribute nothing, the damping term keeps them
+    * ranked. */
+  def q109Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scale = 1000000000L
+    val nodes = Tables.customer(spark, dir)
+      .select($"c_custkey".cast("long").as("id"))
+    val edges = nodes.filter($"id" >= 2)
+      .select($"id".as("src"), expr("id div 2").as("dst"))
+      .unionAll(nodes.filter($"id" >= 3)
+        .select($"id".as("src"), expr("id div 3").as("dst")))
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    var rank = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(rank, edges("src") === rank("id"))
+        .join(outdeg, "src")
+        .select($"dst", expr("rank div od").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("contrib"))
+      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (lit(15L * scale / 100) + expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .as("rank"))
+    }
+    rank.orderBy($"rank".desc, $"id".asc).limit(20)
+  }
 }
