@@ -17,9 +17,18 @@ import java.time.Duration
   * runs wherever the scheduler runs; many-file feeds fan out by calling it
   * per URL.
   *
-  * Download is staged to a `.part` sibling and atomically renamed into the
-  * landing dir so a file-watching stream never observes a half-written
-  * file (the same torn-read discipline as [[graft.ops.VersionedTable]]).
+  * Download is staged to a dot-prefixed `.<name>.part` sibling and
+  * atomically renamed into the landing dir, so a file-watching stream never
+  * observes a half-written file (the same torn-read discipline as
+  * [[graft.ops.VersionedTable]]) — the dot prefix matters: Spark's file
+  * sources ignore hidden files but would happily read a visible
+  * `name.csv.part` mid-download.
+  *
+  * Transient failures retry with exponential backoff (the reference's O3
+  * containment at the ingest edge): 5xx statuses and transport errors are
+  * retried up to `maxAttempts`; 4xx is permanent and lands nothing
+  * immediately. A server that never recovers yields None (report-and-skip);
+  * a transport failure that never recovers propagates.
   */
 object HttpIngest {
 
@@ -31,21 +40,40 @@ object HttpIngest {
   /** Fetch `url` into `landingDir/fileName`. Returns the landed path, or
     * None on a non-2xx status (reference behavior: report and skip — the
     * pipeline simply sees no new file). */
-  def fetch(url: String, landingDir: String, fileName: String): Option[String] = {
+  def fetch(url: String, landingDir: String, fileName: String,
+            maxAttempts: Int = 3, backoffMs: Long = 100L): Option[String] = {
     val dir = Paths.get(landingDir)
     Files.createDirectories(dir)
-    val part = dir.resolve(fileName + ".part")
+    val part = dir.resolve(s".$fileName.part")
     val dest = dir.resolve(fileName)
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMinutes(5)).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(part))
-    if (resp.statusCode() / 100 == 2) {
-      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      Some(dest.toString)
-    } else {
-      Files.deleteIfExists(part)
-      None
+    var attempt = 0
+    var lastTransport: Option[java.io.IOException] = None
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val retryable =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(part))
+          if (resp.statusCode() / 100 == 2) {
+            Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            return Some(dest.toString)
+          }
+          Files.deleteIfExists(part)
+          if (resp.statusCode() < 500) return None // 4xx: permanent, skip
+          lastTransport = None
+          true
+        } catch {
+          case e: java.io.IOException =>
+            Files.deleteIfExists(part)
+            lastTransport = Some(e)
+            true
+        }
+      if (retryable && attempt < maxAttempts)
+        Thread.sleep(backoffMs << (attempt - 1))
     }
+    lastTransport.foreach(throw _) // transport never recovered: surface it
+    None // server kept failing: report-and-skip, pipeline sees no file
   }
 }

@@ -43,13 +43,54 @@ class HttpIngestSpec extends SparkSpec {
       val landed = HttpIngest.fetch(s"$baseUrl/data.csv", landing, "eu_ghg_projections.csv")
       assert(landed.isDefined)
       assert(Files.readString(java.nio.file.Paths.get(landed.get)) == csv)
-      assert(!Files.exists(java.nio.file.Paths.get(landed.get + ".part")),
-        "staging .part file must not remain after the atomic move")
+      assert(!Files.exists(
+        java.nio.file.Paths.get(landing, ".eu_ghg_projections.csv.part")),
+        "staging file must not remain after the atomic move")
 
       val missed = HttpIngest.fetch(s"$baseUrl/missing.csv", landing, "nope.csv")
       assert(missed.isEmpty)
       assert(!Files.exists(java.nio.file.Paths.get(landing, "nope.csv")))
+      // staging names are dot-prefixed: even mid-download, a Spark file
+      // source watching the landing dir sees nothing
+      val visible = new java.io.File(landing).listFiles()
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .map(_.getName).toSet
+      assert(visible == Set("eu_ghg_projections.csv"))
     }
+  }
+
+  test("transient 5xx retries with backoff until success; persistent 5xx lands nothing") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val calls = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/flaky.csv", exchange => {
+      if (calls.incrementAndGet() <= 2) exchange.sendResponseHeaders(503, -1)
+      else {
+        val bytes = csv.getBytes(StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+      }
+      exchange.close()
+    })
+    server.createContext("/down.csv", exchange => {
+      exchange.sendResponseHeaders(503, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val landing = Files.createTempDirectory("graft_http_retry_").toString
+      val landed = HttpIngest.fetch(s"$base/flaky.csv", landing, "flaky.csv",
+        maxAttempts = 3, backoffMs = 10)
+      assert(landed.isDefined && calls.get() == 3,
+        s"expected success on the 3rd attempt, calls=${calls.get()}")
+      assert(Files.readString(java.nio.file.Paths.get(landed.get)) == csv)
+
+      val down = HttpIngest.fetch(s"$base/down.csv", landing, "down.csv",
+        maxAttempts = 2, backoffMs = 10)
+      assert(down.isEmpty, "a server that never recovers must land nothing")
+      assert(!Files.exists(java.nio.file.Paths.get(landing, "down.csv")))
+    } finally server.stop(0)
   }
 
   test("HTTP fetch feeds the streaming pipeline end-to-end (reference lifecycle)") {
