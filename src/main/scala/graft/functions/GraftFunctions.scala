@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // Flag-gated approx-mode rewrite (inert unless the session opts in).
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // Flag-gated materialized-view rewrite (inert until a rollup is
+    // registered AND the session opts in).
+    e.injectOptimizerRule(s => graft.plans.MvRewriteRule(s))
     // The custom as-of-join physical strategy, so builder-time sessions get
     // the complete engine (functions + rule + planner) in one extension —
     // the live-session twin is the addStrategy call inside
