@@ -126,6 +126,8 @@ object SparkEntry {
     "q107_zonemap_prune" -> (Advanced.q107ZonemapPrune _),
     "q108_mv_rewrite" -> (Advanced.q108MvRewrite _),
     "q109_pagerank" -> (Extra.q109Pagerank _),
+    "q110_full_outer" -> (Extra.q110FullOuter _),
+    "q111_outliers" -> (Extra.q111Outliers _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1226,6 +1228,32 @@ object SparkEntry {
         |r3 AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
         |       FROM nodes n LEFT JOIN c3 c ON n.id = c.id)
         |SELECT id, rank FROM r3 ORDER BY rank DESC, id ASC LIMIT 20""".stripMargin,
+    "q110_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_cust,
+        |    round(sum(c_acctbal), 2) AS cust_bal
+        |  FROM customer WHERE c_nationkey < 20 GROUP BY 1
+        |), s AS (
+        |  SELECT s_nationkey AS nk, count(*) AS n_supp,
+        |    round(sum(s_acctbal), 2) AS supp_bal
+        |  FROM supplier WHERE s_nationkey >= 5 GROUP BY 1
+        |)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, cust_bal,
+        |  COALESCE(n_supp, 0) AS n_supp, supp_bal
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+    "q111_outliers" ->
+      """WITH stats AS (
+        |  SELECT o_orderpriority AS p, avg(o_totalprice) AS mu,
+        |    stddev_samp(o_totalprice) AS sigma
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o_orderkey, o_orderpriority,
+        |  round((o_totalprice - mu) / sigma, 4) AS z
+        |FROM orders JOIN stats ON o_orderpriority = p
+        |ORDER BY abs(round((o_totalprice - mu) / sigma, 4)) DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q103_fuzzy_match" ->
       """WITH probes AS (
         |  SELECT p_partkey AS probe_id,

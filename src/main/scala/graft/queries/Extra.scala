@@ -459,6 +459,52 @@ object Extra {
       .orderBy($"col_name")
   }
 
+  /** q110: FULL OUTER join — the reconciliation shape (two independently
+    * aggregated sides, keys present in either survive, COALESCE stitches
+    * the key). Side filters (nations <20 vs ≥5) make the asymmetry
+    * deterministic at every SF: keys 0–4 are left-only, 5–19 matched,
+    * 20–24 right-only, so all three outer-join row classes are exercised.
+    * Plans as a shuffle join on the key; both sides pre-aggregated, so the
+    * shuffle moves one row per key — the 100 TB reconciliation pattern. */
+  def q110FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_nationkey" < 20)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("cust_bal"))
+    val supp = Tables.supplier(spark, dir)
+      .filter($"s_nationkey" >= 5)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"), round(sum($"s_acctbal"), 2).as("supp_bal"))
+    cust.join(supp, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"), $"cust_bal",
+        coalesce($"n_supp", lit(0L)).as("n_supp"), $"supp_bal")
+      .orderBy($"nationkey")
+  }
+
+  /** q111: z-score outlier detection — flag the rows most anomalous
+    * relative to their group (per-priority order totals). Mean/stddev come
+    * from one aggregate broadcast back onto the rows (the classic
+    * two-pass-as-one-shuffle shape; a window over the whole group would
+    * materialize per-partition state for no benefit). Scores are rounded
+    * to 4 dp BEFORE ranking so both engines rank identical keys
+    * (orderkey breaks the remaining ties deterministically), and top-k
+    * avoids a threshold cliff. */
+  def q111Outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val stats = o.groupBy($"o_orderpriority".as("p"))
+      .agg(avg($"o_totalprice").as("mu"), stddev_samp($"o_totalprice").as("sigma"))
+    o.join(broadcast(stats), $"o_orderpriority" === $"p")
+      .select($"o_orderkey", $"o_orderpriority",
+        round(($"o_totalprice" - $"mu") / $"sigma", 4).as("z"))
+      .withColumn("abs_z", abs($"z"))
+      .orderBy($"abs_z".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", $"o_orderpriority", $"z")
+  }
+
   /** q109: PageRank — iterative weighted graph analytics beyond the
     * connected-components pass (`ext/Dedup.connectedComponents` is pure
     * label propagation; PageRank adds out-degree-split mass and damping).
