@@ -194,6 +194,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    // One key owns ~all rows: the classic hot-tenant shape. Salting
+    // (SkewJoin, below) is the explicit fix; this guard pins the engine's
+    // built-in one — AQE must detect the oversized shuffle partition and
+    // split it, which at 100 TB is the difference between one straggler
+    // task and an even stage. Thresholds are shrunk because local fixtures
+    // are far below the 256 MB production default.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(200000)
+        .select(when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS frame (count() would plan a separate query and leave
+      // joined.queryExecution un-finalized)
+      val n = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), "join was not executed")
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot partition skew=true:\n${plan.take(2000)}")
+      // splitting never changes the result
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      assert(n == left.join(right, "k").collect().length)
+    } finally {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

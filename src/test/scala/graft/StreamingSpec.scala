@@ -15,6 +15,34 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("maxFilesPerTrigger bounds each backfill micro-batch (AvailableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    // A 100 TB backfill must not land in the first micro-batch: the rate
+    // limit carves the catch-up into bounded batches, each checkpointed, so
+    // a mid-backfill crash resumes instead of restarting.
+    val landing = java.nio.file.Files.createTempDirectory("graft_rate_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rate_ckpt_").toString
+    for (i <- 1 to 6)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(landing, f"f$i%02d.csv"), s"id\n$i\n")
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema("id LONG").option("header", "true")
+      .option("maxFilesPerTrigger", "2")
+      .csv(landing)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }; ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batchSizes.toSeq == Seq(2L, 2L, 2L),
+      s"6 files at 2 files/trigger must process as 3 bounded batches, got $batchSizes")
+  }
+
   test("watermark drops late events in append-mode windowed aggregation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
