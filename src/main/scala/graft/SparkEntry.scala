@@ -128,6 +128,7 @@ object SparkEntry {
     "q109_pagerank" -> (Extra.q109Pagerank _),
     "q110_full_outer" -> (Extra.q110FullOuter _),
     "q111_outliers" -> (Extra.q111Outliers _),
+    "q112_incremental_dedup" -> (Dedup.q112IncrementalDedup _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1254,6 +1255,21 @@ object SparkEntry {
         |FROM orders JOIN stats ON o_orderpriority = p
         |ORDER BY abs(round((o_totalprice - mu) / sigma, 4)) DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q112_incremental_dedup" ->
+      """WITH history AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, text
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id, text || ' v2'
+        |  FROM documents WHERE doc_id < 25
+        |),
+        |fresh AS (
+        |  SELECT b.doc_id, b.text FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text = b.text)
+        |)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+        |FROM fresh GROUP BY text ORDER BY doc_id""".stripMargin,
     "q103_fuzzy_match" ->
       """WITH probes AS (
         |  SELECT p_partkey AS probe_id,

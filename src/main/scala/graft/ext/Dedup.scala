@@ -61,6 +61,66 @@ object Dedup {
         round($"n_dup_docs".cast("double") / $"n_docs", 6))
   }
 
+  /** Incremental batch-vs-history exact dedup with a Bloom prefilter — the
+    * daily-ingest shape: history is the accumulated corpus (the 100 TB
+    * side), `batch` is today's arrivals. A plain anti-join shuffles history
+    * every day; instead, ONE scan of history folds its content hashes into
+    * a bloom filter (bytes-scale, built with Spark's
+    * `stat.bloomFilter` treeAggregate — no shuffle), the batch keeps only
+    * rows the filter cannot rule out (false positives possible, negatives
+    * exact), and only that sliver anti-joins history for exact
+    * confirmation. Output = batch rows genuinely new vs history AND
+    * deduped within the batch. Expected false-positive rate is `fpp`, so
+    * the exact-confirm join's left side is ~|new dups| + fpp·|batch|, not
+    * |batch|.
+    */
+  def newAgainstHistory(history: DataFrame, batch: DataFrame,
+                        expectedHistory: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = history.select(sha2(col("text"), 256).as("content_hash"))
+    val bloom = h.stat.bloomFilter("content_hash", expectedHistory, fpp)
+    val spark = batch.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightBeOld = udf((hash: String) => bloomBc.value.mightContain(hash))
+    val hashed = batch.withColumn("content_hash", sha2(col("text"), 256))
+    // negatives are EXACT: these rows cannot exist in history
+    val definitelyNew = hashed.filter(!mightBeOld(col("content_hash")))
+    // possible hits (true dups + fpp false alarms) get the exact anti-join
+    val confirmedNew = hashed.filter(mightBeOld(col("content_hash")))
+      .join(h, Seq("content_hash"), "left_anti")
+    // within-batch dedup: one canonical row (min doc_id) per content hash;
+    // min over a doc_id-first struct keeps the whole row in one aggregate
+    val carried = struct(
+      (col("doc_id") +: batch.columns.filterNot(_ == "doc_id").map(col)): _*)
+    definitelyNew.unionByName(confirmedNew)
+      .groupBy(col("content_hash"))
+      .agg(min(carried).as("r"))
+      .select(col("r.doc_id") +:
+        batch.columns.filterNot(_ == "doc_id").map(c => col(s"r.$c")): _*)
+      .select(batch.columns.map(col): _*)
+  }
+
+  /** q112: the daily-ingest incremental dedup as a checkable query —
+    * a deterministic batch (50 re-delivered docs + 25 modified ones, one
+    * in-batch dup group possible) against the full corpus as history. The
+    * bloom prefilter is invisible in the result by construction (negatives
+    * exact, positives exact-confirmed), so the DuckDB oracle is the plain
+    * NOT-EXISTS + group-by — exactly what [[newAgainstHistory]] must
+    * equal. */
+  def q112IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val history = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val redelivered = history.filter($"doc_id" < 50)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val modified = history.filter($"doc_id" < 25)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat($"text", lit(" v2")).as("text"))
+    newAgainstHistory(history, redelivered.unionByName(modified),
+      expectedHistory = 100000L, fpp = 0.01)
+      .orderBy($"doc_id")
+  }
+
   // ---- MinHash + LSH ----
 
   /** Distinct word k-shingles over a PRE-SPLIT token-array column. 0-based

@@ -13,6 +13,37 @@ class ExtSpec extends SparkSpec {
     assert(out.length == 500) // 500 distinct texts remain canonical
   }
 
+  test("bloom-prefiltered batch-vs-history dedup equals the exact anti-join at any fpp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val history = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    // batch: 20 re-delivered history docs (old), 10 genuinely new docs, and
+    // a within-batch duplicate pair of one new doc
+    val oldDocs = history.orderBy($"doc_id").limit(20)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val newDocs = history.orderBy($"doc_id").limit(10)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat($"text", lit(" entirely-new-suffix")).as("text"))
+    val batchDup = newDocs.orderBy($"doc_id").limit(1)
+      .select(($"doc_id" + 1L).as("doc_id"), $"text")
+    val batch = oldDocs.unionByName(newDocs).unionByName(batchDup)
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = {
+      val w = batch.join(history.select($"text"), Seq("text"), "left_anti")
+      asSet(w.groupBy($"text").agg(min($"doc_id").as("doc_id")))
+    }
+    // result is fpp-independent (fpp trades exact-confirm cost, not output)
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = graft.ext.Dedup.newAgainstHistory(history, batch,
+        expectedHistory = 1000L, fpp = fpp)
+      assert(asSet(got) == expected, s"fpp=$fpp diverged from exact dedup")
+    }
+    assert(expected.size == 10, "10 canonical new docs expected")
+  }
+
   test("minhash LSH finds every planted near-dup pair") {
     val pairs = Dedup.q34MinhashNearDup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
