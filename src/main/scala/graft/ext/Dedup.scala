@@ -72,7 +72,11 @@ object Dedup {
     * confirmation. Output = batch rows genuinely new vs history AND
     * deduped within the batch. Expected false-positive rate is `fpp`, so
     * the exact-confirm join's left side is ~|new dups| + fpp·|batch|, not
-    * |batch|.
+    * |batch|. The confirm join still moves history's 32-byte hashes (not
+    * its documents) through a shuffle; at full corpus scale that right
+    * side should be a bucketed hash table written once — then the confirm
+    * is shuffle-free on both sides and the bloom pass bounds how many
+    * buckets are probed.
     */
   def newAgainstHistory(history: DataFrame, batch: DataFrame,
                         expectedHistory: Long = 1000000L,
