@@ -76,17 +76,25 @@ object Dedup {
     * its documents) through a shuffle; at full corpus scale that right
     * side should be a bucketed hash table written once — then the confirm
     * is shuffle-free on both sides and the bloom pass bounds how many
-    * buckets are probed.
+    * buckets are probed. The broadcast filter lives until the session drops
+    * it (standard broadcast lifetime); a long-running ingest loop should
+    * build the filter once per day, not per micro-batch.
     */
   def newAgainstHistory(history: DataFrame, batch: DataFrame,
                         expectedHistory: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.functions._
+    // null texts: a null never equals anything, so null-text history rows
+    // can rule nothing out (dropped from the filter), and null-text batch
+    // rows are always new — but GROUP BY groups nulls together, so they
+    // collapse to one canonical row, exactly like the plain-SQL form.
     val h = history.select(sha2(col("text"), 256).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
     val bloom = h.stat.bloomFilter("content_hash", expectedHistory, fpp)
     val spark = batch.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightBeOld = udf((hash: String) => bloomBc.value.mightContain(hash))
+    val mightBeOld = udf((hash: String) =>
+      hash != null && bloomBc.value.mightContain(hash))
     val hashed = batch.withColumn("content_hash", sha2(col("text"), 256))
     // negatives are EXACT: these rows cannot exist in history
     val definitelyNew = hashed.filter(!mightBeOld(col("content_hash")))

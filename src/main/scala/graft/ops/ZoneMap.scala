@@ -39,44 +39,52 @@ object ZoneMap {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Files whose per-column [min,max] envelope overlaps EVERY requested
-    * [lo,hi] interval — the candidate set for `bounds`-shaped conjunctive
-    * box predicates. A file whose indexed column is entirely null has a
-    * null envelope and is dropped: null never satisfies BETWEEN, so such a
-    * file cannot contribute rows.
-    *
-    * Collects only matching file paths — index-metadata scale (one string
-    * per surviving file), exactly what any table-format planner
+  /** Files the index POSITIVELY rules out for a conjunctive box predicate:
+    * indexed files whose per-column [min,max] envelope misses at least one
+    * requested [lo,hi] interval. A file whose indexed column is entirely
+    * null has a null envelope and is ruled out too: null never satisfies
+    * BETWEEN, so it cannot contribute rows. ONE job; collects only file
+    * paths — index-metadata scale, exactly what any table-format planner
     * materializes on the driver to build the scan's file list.
     */
-  def candidateFiles(zoneMap: DataFrame, bounds: Seq[(String, Any, Any)]): Seq[String] = {
-    require(bounds.nonEmpty, "candidateFiles needs at least one interval")
+  def ruledOutFiles(zoneMap: DataFrame, bounds: Seq[(String, Any, Any)]): Set[String] = {
+    require(bounds.nonEmpty, "ruledOutFiles needs at least one interval")
     val overlap = bounds.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
-    zoneMap.filter(overlap).select("file").collect().map(_.getString(0)).toSeq
+    // not(overlap) is null for a null envelope; null-ruled-out is intended
+    zoneMap.filter(!coalesce(overlap, lit(false)))
+      .select("file").collect().map(_.getString(0)).toSet
   }
 
-  /** Scan only the files the index cannot rule out, then re-apply the full
-    * predicate (files are kept whole, so survivors still hold non-matching
-    * rows). Returns the filtered frame plus (selected, total) file counts
-    * so callers — and tests — can observe how much the index actually
-    * skipped.
+  /** Scan the current directory listing MINUS the files the index rules
+    * out, then re-apply the full predicate (files are kept whole, so
+    * survivors still hold non-matching rows). Subtraction is what makes
+    * staleness safe in the documented direction: a file appended AFTER the
+    * index was built is absent from the index, is never ruled out, and is
+    * scanned; a file compacted away is absent from the listing and its
+    * stale index row is ignored. Returns the filtered frame plus
+    * (selected, total) file counts so callers — and tests — can observe
+    * how much the index actually skipped.
     */
   def prunedRead(spark: SparkSession, dir: String, zoneMap: DataFrame,
                  bounds: Seq[(String, Any, Any)]): Pruned = {
     val predicate = bounds.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi))
     }.reduce(_ && _)
-    val total = zoneMap.count().toInt
-    val files = candidateFiles(zoneMap, bounds)
+    val table = spark.read.parquet(dir)
+    val current = table.inputFiles // listing only, no scan
+    val files = {
+      val dropped = ruledOutFiles(zoneMap, bounds)
+      current.filterNot(dropped.contains).toSeq
+    }
     val df =
       if (files.isEmpty) {
-        // no file can match: empty frame with the table's schema, no scan
-        val schema = spark.read.parquet(dir).schema
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        // every file ruled out: empty frame with the table's schema, no scan
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
       } else spark.read.parquet(files: _*).filter(predicate)
-    Pruned(df, files.length, total)
+    Pruned(df, files.length, current.length)
   }
 
   /** A pruned scan and how much the zone map skipped to produce it. */

@@ -54,18 +54,26 @@ object MvRewrite {
       mvRoot: String,
       mvRelation: LogicalRelation)
 
-  // Per-session registries; weak keys so a dropped session takes its MV
-  // definitions with it.
+  // Per-session registries. Lifetime is explicit, not GC-driven: an MvDef
+  // holds its relation, which holds the session, so weak keys would never
+  // collect anyway. Registrations live until dropRollup/clear or JVM exit —
+  // a long-lived driver that churns sessions should clear() on teardown.
   private val registry =
-    new java.util.WeakHashMap[SparkSession, TrieMap[String, MvDef]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, TrieMap[String, MvDef]]()
 
   private def defsMap(spark: SparkSession): TrieMap[String, MvDef] =
-    registry.synchronized {
-      registry.computeIfAbsent(spark, _ => TrieMap.empty[String, MvDef])
-    }
+    registry.computeIfAbsent(spark, _ => TrieMap.empty[String, MvDef])
 
   private[plans] def defsFor(spark: SparkSession): Seq[MvDef] =
     defsMap(spark).values.toSeq
+
+  /** Unregister one rollup (its files are the caller's to delete). */
+  def dropRollup(spark: SparkSession, name: String): Unit =
+    defsMap(spark).remove(name)
+
+  /** Unregister everything this session defined. */
+  def clear(spark: SparkSession): Unit =
+    registry.remove(spark)
 
   /** The rollup shape: per group, `cnt_star` plus sum/cnt/min/max of each
     * measure. Shared by full materialization and incremental refresh. */
@@ -179,8 +187,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (for {
           (filters, lr) <- strip(child)
           paths <- rootPaths(lr)
-          mv <- defs.find(_.factRootPaths == paths)
-          rewritten <- rewrite(agg, filters, mv)
+          // several rollups may cover this fact: first one that derives wins
+          rewritten <- defs.filter(_.factRootPaths == paths)
+            .flatMap(mv => rewrite(agg, filters, mv)).headOption
         } yield rewritten).getOrElse(agg)
     }
   }
@@ -204,6 +213,10 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // Remap one expression tree from fact attributes to rollup attributes;
     // None when any piece is not derivable.
     def remap(e: Expression): Option[Expression] = {
+      // A non-deterministic piece (rand(), input_file_name(), ...) is
+      // row-granular by definition: re-evaluating it per ROLLUP row is a
+      // different computation, never a rewrite.
+      if (e.exists(!_.deterministic)) return None
       var ok = true
       def sumOf(a: Attribute) = new Sum(a).toAggregateExpression()
       val out = e.transformUp {
@@ -221,8 +234,14 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   isDistinct = false, None, resultId),
                 Literal(0L, LongType)))
             case Sum(a: AttributeReference, _) if mv.measures.contains(a.name) =>
-              AggregateExpression(new Sum(mvAttr(s"sum_${a.name}")), mode,
-                isDistinct = false, None, resultId)
+              val rewritten = new Sum(mvAttr(s"sum_${a.name}"))
+              // sum-of-sums must keep the exact result type: decimal sums
+              // widen precision per level (Sum(Decimal(p,s)) = Decimal(p+10,s)),
+              // so a second Sum would change the output schema — bail there.
+              if (rewritten.dataType == ae.dataType)
+                AggregateExpression(rewritten, mode,
+                  isDistinct = false, None, resultId)
+              else { ok = false; ae }
             case Min(a: AttributeReference) if mv.measures.contains(a.name) =>
               AggregateExpression(Min(mvAttr(s"min_${a.name}")), mode,
                 isDistinct = false, None, resultId)

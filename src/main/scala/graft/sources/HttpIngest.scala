@@ -54,7 +54,12 @@ object HttpIngest {
       attempt += 1
       val retryable =
         try {
-          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(part))
+          // TRUNCATE_EXISTING: a leftover staging file from a crashed prior
+          // run must not contribute stale tail bytes to a shorter re-download
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(part,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+            java.nio.file.StandardOpenOption.WRITE))
           if (resp.statusCode() / 100 == 2) {
             Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)

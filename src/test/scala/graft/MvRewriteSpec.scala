@@ -81,8 +81,13 @@ class MvRewriteSpec extends SparkSpec {
       val groupColSum = spark.read.parquet(fact).groupBy(col("l_returnflag"))
         .agg(sum(col("l_linestatus").substr(lit(1), lit(1)).cast("string").isNotNull
           .cast("long")).as("s"))
+      // a non-deterministic filter is row-granular; re-applying it to
+      // rollup rows would keep whole GROUPS, not rows
+      val randomFilter = spark.read.parquet(fact).filter(rand(42) < 0.5)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
       for ((q, what) <- Seq((distinctAgg, "distinct"), (exprSum, "derived sum"),
-        (measureFilter, "measure filter"), (groupColSum, "group-col sum")))
+        (measureFilter, "measure filter"), (groupColSum, "group-col sum"),
+        (randomFilter, "non-deterministic filter")))
         assert(scans(q).forall(_.contains("lineitem.parquet")),
           s"$what must not be rewritten, scans=${scans(q)}")
     }

@@ -58,6 +58,23 @@ class ZoneMapSpec extends SparkSpec {
     assert(pruned.df.isEmpty)
   }
 
+  test("stale index is correctness-safe: files appended after build are still scanned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zmstale_").toString + "/t"
+    Seq((1L, "old"), (2L, "old2")).toDF("k", "s").repartition(1).write.parquet(dir)
+    val zm = ZoneMap.build(spark, dir, "k").cache()
+    zm.count()
+    // the index is now persisted; new data arrives without a rebuild
+    Seq((3L, "late")).toDF("k", "s").repartition(1).write.mode("append").parquet(dir)
+    val pruned = ZoneMap.prunedRead(spark, dir, zm,
+      Seq[(String, Any, Any)](("k", 3L, 10L)))
+    assert(pruned.df.select($"s").as[String].collect().toSeq == Seq("late"),
+      "a file the stale index has never seen must still be scanned")
+    // and the stale index still rules out what it CAN rule out
+    assert(pruned.selectedFiles < pruned.totalFiles)
+    zm.unpersist()
+  }
+
   test("all-null files are pruned; mixed files keep only matching rows after the re-filter") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_zmnull_").toString + "/t"
