@@ -129,6 +129,8 @@ object SparkEntry {
     "q110_full_outer" -> (Extra.q110FullOuter _),
     "q111_outliers" -> (Extra.q111Outliers _),
     "q112_incremental_dedup" -> (Dedup.q112IncrementalDedup _),
+    "q113_skyline" -> (Extra.q113Skyline _),
+    "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1270,6 +1272,51 @@ object SparkEntry {
         |)
         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
         |FROM fresh GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q113_skyline" ->
+      """WITH pts AS (
+        |  SELECT l_suppkey AS suppkey,
+        |    CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS rev_c,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT suppkey, rev_c, qty FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.rev_c >= p.rev_c AND q.qty >= p.qty
+        |    AND (q.rev_c > p.rev_c OR q.qty > p.qty))
+        |ORDER BY rev_c DESC, suppkey""".stripMargin,
+    "q114_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+        |  WHERE t.term <> ''
+        |),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qtok AS (SELECT doc_id, term FROM tok
+        |         WHERE term IN ('merge', 'stream', 'window')),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(CAST(1.0 AS DOUBLE)
+        |         + (s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+        |      * ((tf.tf * CAST(2.2 AS DOUBLE))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE)
+        |            * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)))
+        |      * 1000000) AS BIGINT) AS c_fp
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats s
+        |)
+        |SELECT doc_id, CAST(SUM(c_fp) AS BIGINT) / CAST(1000000 AS DOUBLE) AS bm25
+        |FROM contrib GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 15""".stripMargin,
     "q103_fuzzy_match" ->
       """WITH probes AS (
         |  SELECT p_partkey AS probe_id,

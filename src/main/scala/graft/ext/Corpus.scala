@@ -103,4 +103,49 @@ object Corpus {
           regexp_extract_all($"props", lit("[0-9]+"), lit(0))).as("n_masked"))
       .orderBy($"event_id")
   }
+
+  /** q114: BM25 retrieval ranking — the query-time complement of the q96
+    * inverted index and the q74 TF-IDF term extractor: score every document
+    * against a fixed term set with Robertson/Sparck-Jones BM25
+    * (k1 = 1.2, b = 0.75), length-normalized by dl/avgdl.
+    *
+    * Scale shape: one tokenize pass feeds both the per-document length table
+    * and the query-term postings; everything after the `isin` filter is
+    * proportional to the documents containing a query term, not the corpus.
+    * The per-term df table and the corpus stats row are broadcast.
+    *
+    * Cross-engine parity: every fractional constant is a double on both
+    * sides (DuckDB decimal literals would keep exact decimal arithmetic
+    * where Spark rounds through binary doubles), expression shape is
+    * mirrored exactly, and each per-(doc, term) contribution is rounded
+    * into fixed-point micro-units BEFORE the per-document sum, so the sum
+    * is integer — order-independent across partitions — and only one exact
+    * division produces the reported score (the q106 discipline applied to
+    * a float formula). */
+  def q114Bm25(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("merge", "stream", "window")): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter($"term" =!= "")
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qtok = tok.filter($"term".isin(terms: _*))
+    val tf = qtok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = qtok.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+    val wtf = ($"tf" * lit(2.2)) /
+      ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * $"dl" / $"avgdl"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_fp", round(idf * wtf * lit(1000000)).cast("long"))
+      .groupBy($"doc_id")
+      .agg((sum($"c_fp") / lit(1000000.0)).as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(15)
+  }
 }

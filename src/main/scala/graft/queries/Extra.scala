@@ -544,4 +544,29 @@ object Extra {
     }
     rank.orderBy($"rank".desc, $"id".asc).limit(20)
   }
+
+  /** q113: Pareto frontier (skyline) of suppliers on revenue x quantity —
+    * "no other supplier ships both more value and more volume". The
+    * per-supplier aggregate is exact integer space (revenue in cents via
+    * the q106 fixed-point trick, quantity in whole units) so dominance has
+    * no float ambiguity, then [[graft.ops.Skyline]] runs the two-phase
+    * distributed sweep: exact per-partition frontiers (narrow, no shuffle)
+    * and one final sweep over the few survivors. The oracle is the
+    * quadratic NOT EXISTS dominance query — O(n^2) and fine for DuckDB at
+    * test scale, exactly what the two-phase sweep replaces at corpus
+    * scale. */
+  def q113Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(
+        expr("CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)")
+          .as("rev_c"),
+        sum($"l_quantity").cast("long").as("qty"))
+      .select($"l_suppkey".cast("long").as("key"), $"rev_c".as("x"), $"qty".as("y"))
+      .as[graft.ops.SkyPoint]
+    graft.ops.Skyline.skyline(pts).toDF()
+      .select($"key".as("suppkey"), $"x".as("rev_c"), $"y".as("qty"))
+      .orderBy($"rev_c".desc, $"suppkey")
+  }
 }

@@ -54,4 +54,30 @@ class CorpusSpec extends SparkSpec {
         org.apache.spark.sql.functions.split($"masked_props", "<NUM>")) - 1 =!= $"n_masked")
     assert(mismatched.count() === 0)
   }
+
+  test("q114: BM25 scores are positive, sorted, and rank tf/length correctly on a fixture") {
+    import spark.implicits._
+    val rows = Corpus.q114Bm25(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+
+    // controlled fixture: same vocabulary pressure, one query term "merge".
+    // doc 1: tf=3 in 6 tokens; doc 2: tf=1 in 6 tokens (same length, lower
+    // tf); doc 3: tf=3 in 18 tokens (same tf, longer doc); doc 4: no hit.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_").toString
+    Seq(
+      (1L, "merge merge merge pad pad pad"),
+      (2L, "merge pad pad pad pad pad"),
+      (3L, "merge merge merge " + Seq.fill(15)("pad").mkString(" ")),
+      (4L, "pad pad pad pad pad pad")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.q114Bm25(spark, dir, terms = Seq("merge")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), "only term-bearing docs score")
+    val byDoc = got.toMap
+    assert(byDoc(1L) > byDoc(2L), "higher tf at equal length wins")
+    assert(byDoc(1L) > byDoc(3L), "equal tf in a shorter doc wins")
+  }
 }
