@@ -131,6 +131,14 @@ object SparkEntry {
     "q112_incremental_dedup" -> (Dedup.q112IncrementalDedup _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
+    "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
+    "q116_weighted_sample" -> ((s, dir) => ext.Quality.q116WeightedSample(s, dir)),
+    "q117_triangles" -> (Extra.q117Triangles _),
+    // Sketch rollup — no SQL oracle (DuckDB has no persistable sketch
+    // type); merged==direct and error bound asserted in ExtSpec.
+    "q118_sketch_rollup" -> (Extra.q118SketchRollup _),
+    "q119_markov_transitions" -> (EventAnalytics.q119MarkovTransitions _),
+    "q120_char_entropy" -> ((s, dir) => ext.Quality.q120CharEntropy(s, dir)),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1354,5 +1362,102 @@ object SparkEntry {
         |  count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
         |FROM orders
         |ORDER BY col_name""".stripMargin,
+    "q115_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS lst
+        |  FROM documents
+        |), tok AS (
+        |  SELECT unnest(lst) AS term FROM t
+        |), cuni AS (SELECT term, count(*) AS c1 FROM tok GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM cuni),
+        |big AS (
+        |  SELECT doc_id, lst[CAST(g.i AS INTEGER)] AS w1,
+        |         lst[CAST(g.i AS INTEGER) + 1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(lst) - 1)) AS g(i)
+        |  WHERE len(lst) >= 2
+        |),
+        |docbi AS (SELECT doc_id, w1, w2, count(*) AS n FROM big GROUP BY 1, 2, 3),
+        |cbi AS (SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12 FROM docbi GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT d.doc_id, d.n,
+        |    CAST(round(-ln((c.c12 + CAST(1.0 AS DOUBLE)) / (u.c1 + v.v))
+        |               * 1000000) AS BIGINT) AS fp
+        |  FROM docbi d
+        |  JOIN cbi c USING (w1, w2)
+        |  JOIN cuni u ON d.w1 = u.term
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |  round(CAST(SUM(n * fp) AS BIGINT)
+        |        / (1000000.0 * CAST(SUM(n) AS BIGINT)), 6) AS avg_nll
+        |FROM contrib GROUP BY 1
+        |ORDER BY avg_nll DESC, doc_id
+        |LIMIT 15""".stripMargin,
+    "q116_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(round(
+        |      ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS UBIGINT) + 0.5) / 4294967296.0)
+        |      / n_chars * 1000000000000) AS BIGINT) AS key_fp
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, n_chars, key_fp,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key_fp DESC, doc_id) AS rk
+        |  FROM k
+        |)
+        |SELECT lang, doc_id, n_chars, key_fp, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
+    "q117_triangles" ->
+      """WITH nodes AS (SELECT CAST(p_partkey AS BIGINT) AS id FROM part),
+        |edges AS (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT id - 1 AS u, id AS v FROM nodes WHERE id >= 2
+        |    UNION ALL
+        |    SELECT id // 2 AS u, id AS v FROM nodes WHERE id >= 2
+        |  ) e
+        |),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM (SELECT u AS a, v AS b FROM edges) ab
+        |  JOIN (SELECT u AS b, v AS c FROM edges) bc USING (b)
+        |  JOIN (SELECT u AS a, v AS c FROM edges) ac USING (a, c)
+        |)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT count(*) FROM edges) AS n_edges,
+        |       n_triangles
+        |FROM tri""".stripMargin,
+    "q119_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next
+        |  FROM events
+        |)
+        |SELECT event_type, next, count(*) AS n,
+        |  round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+        |                        AS DOUBLE), 6) AS p
+        |FROM s WHERE next IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q120_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |  FROM documents
+        |), cc AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chs,
+        |    CAST(SUM(c * CAST(round(ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS s
+        |  FROM cc GROUP BY 1
+        |)
+        |SELECT doc_id, n_chs,
+        |  round((CAST(round(ln(n_chs) * 1000000) AS BIGINT) * n_chs - s)
+        |        / (1000000.0 * n_chs), 6) AS entropy
+        |FROM agg
+        |ORDER BY entropy ASC, doc_id
+        |LIMIT 15""".stripMargin,
   )
 }

@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Corpus quality-control operators the big training-data pipelines run
+  * after dedup and before tokenization: statistical language-model scoring
+  * (the CCNet/Gopher perplexity-filter idea) and weighted sampling
+  * (Efraimidis–Spirakis A-ES), both expressed as pure relational plans.
+  *
+  * Cross-engine exactness follows the house fixed-point discipline
+  * (q106/q109/q114): every float-producing step is rounded to integer
+  * micro-units BEFORE any order-dependent reduction, so Spark and the
+  * DuckDB oracle are bit-identical by construction.
+  */
+object Quality {
+
+  private val Fp = 1000000L // 1e6 fixed-point scale for log contributions
+
+  /** q115: bigram language-model quality scoring — train an add-one-smoothed
+    * word-bigram LM on the corpus itself, then score every document by its
+    * average per-bigram negative log-likelihood (the perplexity proxy the
+    * CCNet-style quality filters threshold on; here the 15 most surprising
+    * documents are returned).
+    *
+    * Shape, and why it holds at 100 TB:
+    *   - ONE tokenize pass feeds both the bigram expansion and the unigram
+    *     counts; the per-(doc, bigram) aggregate is computed first and the
+    *     corpus-wide bigram table is a SECOND-level re-aggregation of it, so
+    *     the raw token stream is never shuffled twice.
+    *   - The model join is a shuffle join on the bigram key (the bigram
+    *     table is corpus-sized, not broadcastable); the unigram table is
+    *     vocabulary-bounded and broadcast; |V| rides along as a broadcast
+    *     one-row frame, never a driver collect.
+    *   - Per-bigram log contributions are rounded to 1e-6 fixed-point
+    *     integers before the per-document sum, making the float formula
+    *     order-independent (same trick as q114's BM25 sum).
+    *
+    * P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + |V|); score(doc) =
+    * mean over bigram occurrences of -ln P. Documents with < 2 tokens have
+    * no bigrams and drop out in both engines. */
+  def q115LmQuality(spark: SparkSession, dir: String, topK: Int = 15): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("lst"))
+    val tok = docs.select(explode($"lst").as("term"))
+    // Vocabulary-bounded: unigram counts broadcast, |V| as a 1-row frame.
+    val cuni = tok.groupBy($"term").agg(count(lit(1)).as("c1"))
+    val vocab = cuni.agg(count(lit(1)).as("v"))
+    val big = docs
+      .filter(size($"lst") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(lst)-1), i -> struct(lst[i-1] AS w1, lst[i] AS w2))")).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    // (doc, bigram) occurrences first; the global model table re-aggregates
+    // these partials — the token stream shuffles once, on (doc_id, w1, w2).
+    val docbi = big.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("n"))
+    val cbi = docbi.groupBy($"w1", $"w2").agg(sum($"n").as("c12"))
+    docbi
+      .join(cbi, Seq("w1", "w2"))
+      .join(broadcast(cuni.withColumnRenamed("term", "w1")), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("fp",
+        round(-log(($"c12" + lit(1.0)) / ($"c1" + $"v")) * lit(Fp)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_bigrams"),
+        round(sum($"n" * $"fp") / (lit(Fp.toDouble) * sum($"n")), 6).as("avg_nll"))
+      .orderBy($"avg_nll".desc, $"doc_id")
+      .limit(topK)
+  }
+
+  /** q116: deterministic weighted sampling without replacement, per language
+    * — the Efraimidis–Spirakis A-ES scheme (each row gets key ln(u)/w; the
+    * top-k keys ARE a weighted sample). Weight = n_chars, so the sample is
+    * char-mass-proportional: exactly the "sample big documents more often"
+    * draw a corpus-balancing pipeline wants, and — unlike naive
+    * weight-ordered top-k — still randomized among equal weights.
+    *
+    * u is derived from md5(doc_id) (first 8 hex chars → uint32 → (x+0.5)/2^32,
+    * exact in double), so the draw is reproducible across engines, runs and
+    * cluster sizes, and appending documents never changes an existing
+    * document's key — the q93 stability property, extended to sampling.
+    * Keys are rounded to 1e-12 fixed-point BEFORE ranking so both engines
+    * rank identical integers (doc_id breaks exact ties).
+    *
+    * Scale shape: one window per language with a row_number cutoff —
+    * WindowGroupLimit pushes the top-k bound into the shuffle, so per-group
+    * state is k rows, never the group. */
+  def q116WeightedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val u32 = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10).cast("long")
+    val key = log((u32.cast("double") + lit(0.5)) / lit(4294967296.0)) / $"n_chars"
+    val w = Window.partitionBy($"lang")
+      .orderBy($"key_fp".desc, $"doc_id".asc)
+    Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", $"n_chars",
+        round(key * lit(1000000000000L)).cast("long").as("key_fp"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"lang", $"doc_id", $"n_chars", $"key_fp", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
+  /** q120: character-level Shannon entropy per document — the
+    * repetition/gibberish quality signal orthogonal to the LM score (q115):
+    * low entropy flags "aaaa…"-style degenerate text the bigram LM may still
+    * rate as probable, high entropy flags binary-garbage/base64 spans. The
+    * 15 lowest-entropy documents are returned.
+    *
+    * Algebra: H = ln L − Σ(cᵢ·ln cᵢ)/L, so no per-row c/L is needed and the
+    * plan is two CASCADED aggregations on the same doc_id key (the second
+    * reuses the first's partitioning — one shuffle total, no window).
+    * Per-distinct-char ln factors are rounded to 1e-6 fixed point, the
+    * weighted sum is then exact integer arithmetic (order-independent), and
+    * both engines divide the same longs — the house cross-engine
+    * discipline. Per-doc state is the ≤ alphabet-size count vector. */
+  def q120CharEntropy(spark: SparkSession, dir: String, topK: Int = 15): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .withColumn("cfp", $"c" * round(log($"c") * lit(Fp)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chs"), sum($"cfp").as("s"))
+      .withColumn("entropy",
+        round((round(log($"n_chs") * lit(Fp)).cast("long") * $"n_chs" - $"s")
+          / (lit(Fp.toDouble) * $"n_chs"), 6))
+      .select($"doc_id", $"n_chs", $"entropy")
+      .orderBy($"entropy".asc, $"doc_id")
+      .limit(topK)
+  }
+}

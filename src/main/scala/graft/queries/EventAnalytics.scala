@@ -54,4 +54,30 @@ object EventAnalytics {
           $"user_id")).as("retained_w2"))
       .orderBy($"cohort_week")
   }
+
+  /** q119: event-type Markov transition matrix — P(next event type | current
+    * event type) over each user's exactly-ordered stream, the input to
+    * next-action models and anomaly scoring (a transition with near-zero
+    * probability is the anomaly). Ordering uses the exact ns timestamp with
+    * an event_id tiebreak, so both engines see identical successor pairs.
+    *
+    * One window pass (lead over the user partition — state is one row) and
+    * one bounded aggregation: the transition matrix is |types|² rows, so the
+    * per-source normalizing sum is a window over a broadcast-sized frame.
+    * Probabilities round at 1e-6 from exact integer counts — both engines
+    * divide the same longs. */
+  def q119MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts_ns", $"event_type")
+      .withColumn("next", lead($"event_type", 1).over(w))
+      .filter($"next".isNotNull)
+      .groupBy($"event_type", $"next")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n" / sum($"n").over(Window.partitionBy($"event_type")), 6))
+      .orderBy($"event_type", $"next")
+  }
 }

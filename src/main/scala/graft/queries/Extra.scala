@@ -569,4 +569,62 @@ object Extra {
       .select($"key".as("suppkey"), $"x".as("rev_c"), $"y".as("qty"))
       .orderBy($"rev_c".desc, $"suppkey")
   }
+
+  /** q117: triangle counting — the third classic distributed-graph kernel
+    * next to connected components (q62) and PageRank (q109), and the core
+    * of clustering-coefficient / community-structure analysis. Graph: the
+    * deterministic part-key graph with path edges (i-1, i) and tree edges
+    * (i div 2, i); every odd id ≥ 5 (plus id 4) closes a triangle
+    * (i div 2, i-1, i), so the count is ~|V|/2 and verifiable.
+    *
+    * The plan is the standard two-join formulation over canonically
+    * oriented edges (u < v stored once): edges(a,b) ⋈ edges(b,c) builds
+    * open wedges, then ⋈ edges(a,c) closes them — each triangle counted
+    * exactly once, no post-hoc dedup. Both joins are hash equi-joins on a
+    * node key; wedge volume is Σ deg² of LOW-endpoint orientation, the same
+    * bound degree-ordering gives on skewed graphs (this graph is
+    * near-regular, degree ≤ 5, so intermediates stay linear). No driver
+    * state; counts fold map-side. */
+  def q117Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.part(spark, dir).select($"p_partkey".cast("long").as("id"))
+    val src = nodes.filter($"id" >= 2)
+    val edges = src.select(($"id" - 1).as("u"), $"id".as("v"))
+      .unionAll(src.select(expr("id div 2").as("u"), $"id".as("v")))
+      .distinct()
+    val wedges = edges.select($"u".as("a"), $"v".as("b"))
+      .join(edges.select($"u".as("b"), $"v".as("c")), "b")
+    val tri = wedges
+      .join(edges.select($"u".as("a"), $"v".as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
+
+  /** q118: re-aggregable sketch rollup — the approximate twin of the exact
+    * incremental-MV algebra (q92/`plans/MvRewrite`): per-(event_type, day)
+    * HLL sketches are the persisted partials, and ANY coarser distinct-user
+    * count (per type, per month, global) is answered by hll_union_agg over
+    * the stored sketches — the raw events are never rescanned. This is the
+    * property COUNT(DISTINCT) lacks (it is not re-aggregable: distinct
+    * users per day cannot be summed into distinct users per month) and the
+    * reason sketch columns, not distinct counts, are what a 100 TB rollup
+    * stores. Datasketches HLL union is lossless over sketches of the same
+    * lgK, so the rollup path is exactly as accurate as a direct one-pass
+    * sketch; ExtSpec asserts merged == direct and <2% error vs exact.
+    * No SQL oracle (DuckDB has no persistable sketch type) — rows-only,
+    * like q21. */
+  def q118SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+    daily
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_users"))
+      .orderBy($"event_type")
+  }
 }

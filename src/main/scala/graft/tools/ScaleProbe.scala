@@ -64,10 +64,13 @@ object ScaleProbe {
       "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus",
       "q86_decontamination", "q92_incremental_agg", "q94_doc_chunks",
       "q96_inverted_index", "q98_ann_pq", "q99_ann_ivfpq", "q100_cdc_apply",
-      "q104_column_profile", "q107_zonemap_prune", "q108_mv_rewrite")
-    // q109_pagerank is keyed to the customer dim, which the probe holds
-    // constant so the q10/q11 join cardinalities stay honest; its scaling
-    // shape (iterative join + re-agg) is the q62 family's, probed above.
+      "q104_column_profile", "q107_zonemap_prune", "q108_mv_rewrite",
+      "q112_incremental_dedup", "q114_bm25", "q115_lm_quality",
+      "q116_weighted_sample")
+    // q109_pagerank (customer graph) and q117_triangles (part graph) are
+    // keyed to dims the probe holds constant so the q10/q11 join
+    // cardinalities stay honest; their scaling shape (iterative/multi-way
+    // self-join on a node key) is the q62 family's, probed above.
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
