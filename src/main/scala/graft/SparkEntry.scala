@@ -139,6 +139,8 @@ object SparkEntry {
     "q118_sketch_rollup" -> (Extra.q118SketchRollup _),
     "q119_markov_transitions" -> (EventAnalytics.q119MarkovTransitions _),
     "q120_char_entropy" -> ((s, dir) => ext.Quality.q120CharEntropy(s, dir)),
+    "q121_setsim_join" -> ((s, dir) => Dedup.q121SetSimJoin(s, dir)),
+    "q122_market_basket" -> ((s, dir) => Extra.q122MarketBasket(s, dir)),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1459,5 +1461,51 @@ object SparkEntry {
         |FROM agg
         |ORDER BY entropy ASC, doc_id
         |LIMIT 15""".stripMargin,
+    "q121_setsim_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), tk AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM corpus
+        |), s AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tk
+        |), sz AS (
+        |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
+        |), p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
+        |  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id,
+        |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        |FROM p
+        |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q122_market_basket" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n_orders AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+        |), item_n AS (
+        |  SELECT l_partkey, count(*) AS n_item FROM li GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT part_a, part_b, n_ab,
+        |  round(n_ab / CAST(na.n_item AS DOUBLE), 6) AS confidence,
+        |  round((n_ab * o.n_orders) / CAST(na.n_item * nb.n_item AS DOUBLE), 6)
+        |    AS lift
+        |FROM pairs
+        |JOIN item_n na ON pairs.part_a = na.l_partkey
+        |JOIN item_n nb ON pairs.part_b = nb.l_partkey
+        |CROSS JOIN n_orders o
+        |ORDER BY n_ab DESC, part_a, part_b
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -411,4 +411,106 @@ object Dedup {
       .select($"doc_id", round(jaccard($"ls", $"rs"), 6).as("jaccard3"))
       .orderBy($"doc_id")
   }
+
+  /** q121: exact set-similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al., WWW'08),
+    * the deterministic complement of the probabilistic MinHash pipeline
+    * (q34): same "find all pairs with Jaccard ≥ t" contract, but EXACT
+    * (no LSH false negatives), reached sub-quadratically.
+    *
+    * Prefix-filter lemma: under one GLOBAL token order, J(a,b) ≥ t implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so the first |S| − ⌈t·|S|⌉ + 1 tokens of
+    * each set (rarest-first: ordered by global df, then token) must share
+    * an element. Candidates are therefore an equi-join on prefix tokens —
+    * rarest-first makes those buckets the SMALLEST ones — and only
+    * candidates pay the exact verify. The quadratic all-pairs scan the
+    * DuckDB oracle runs is exactly what this replaces at corpus scale.
+    *
+    * Set elements are 3-word shingles (the q34/q36 definition), not single
+    * words: on a corpus drawn from a bounded vocabulary, word SETS of
+    * unrelated documents already overlap heavily (t=0.5 word-set pairs at
+    * sf0.01: ~99k — near-quadratic output), while shingle sets are
+    * discriminative (46 pairs: the planted near-copies plus genuine dups).
+    * Production would hash shingles to longs first exactly as q34 does;
+    * strings are kept here so the DuckDB oracle can reproduce the sets.
+    *
+    * Scale shape: ALL the filter machinery (df counts, per-doc rank, the
+    * candidate equi-join) runs on 64-bit shingle hashes — 16-byte shuffle
+    * rows and long comparisons instead of three-word strings (measured 5×
+    * on the sf0.1 corpus). Hashing keeps the filter EXACT as a candidate
+    * generator: a collision merges two shingles into one "element", which
+    * can only raise hash-set overlap above string-set overlap, so every
+    * qualifying pair still shares a prefix element (the lemma's overlap
+    * bound i ≥ t·max(na,nb) ≥ t·max(na',nb') survives the shrink to
+    * distinct-hash sizes na',nb') — extra candidates are discarded by the
+    * exact string verify. Full shingle arrays travel only for verified
+    * candidates (near-dups + bounded collision mass), never N². */
+  def q121SetSimJoin(spark: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withPlantedNear(Tables.documents(spark, dir), 20)
+    // Corpus-wide work is hash-only: the native shingle kernel emits the
+    // hash array in one pass — the string shingle arrays (~40 B/row vs 8,
+    // plus per-shingle allocation) are NEVER materialized corpus-wide
+    // (doing so measured 5-10× slower than this form at sf0.1).
+    val hsets = corpus
+      .select($"doc_id",
+        array_distinct(graft.functions.NativeKernels.shingleHashes($"text", 3)).as("hs"))
+      .withColumn("sz", size($"hs"))
+      .filter($"sz" > 0)
+    // Reused frames are persisted: tokens feeds the df count AND the rank
+    // join, prefix feeds BOTH sides of the candidate self-join, cand feeds
+    // the id list and the verify join — without the caches each consumer
+    // re-runs the whole upstream chain (measured ~3× the runtime).
+    val tokens = hsets.select($"doc_id", $"sz", explode($"hs").as("h")).persist()
+    val dfreq = tokens.groupBy($"h").agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"df".asc, $"h".asc)
+    val prefix = tokens.join(dfreq, "h")
+      .withColumn("pos", row_number().over(wOrd))
+      .filter($"pos" <= $"sz" - ceil(lit(t) * $"sz") + 1)
+      .select($"h", $"doc_id", $"sz")
+      .persist()
+    // Materialize the candidate set ONCE before fanning out: the verify
+    // tree below references it from three places (two broadcast-side id
+    // lists plus the probe side), and broadcast subtrees are computed on
+    // separate driver threads — against a lazy plan they race to recompute
+    // the whole prefix chain concurrently (measured 3× the runtime).
+    // localCheckpoint truncates the lineage to a materialized leaf (the CC
+    // loop's trick), after which everything upstream can go.
+    val cand = prefix.select($"h", $"doc_id".as("a_id"), $"sz".as("sza"))
+      .join(prefix.select($"h", $"doc_id".as("b_id"), $"sz".as("szb")), "h")
+      .filter($"a_id" < $"b_id")
+      // PPJoin length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so
+      // size-mismatched candidates drop before the distinct + verify.
+      .filter($"szb" >= ceil(lit(t) * $"sza") && $"sza" >= ceil(lit(t) * $"szb"))
+      .select($"a_id", $"b_id")
+      .distinct()
+      .localCheckpoint()
+    tokens.unpersist(blocking = false)
+    prefix.unpersist(blocking = false)
+    // Exact verify on TRUE string shingle sets, derived only for candidate
+    // documents (near-dups + bounded collision mass — never N²), so the
+    // result is bit-equal to the quadratic string-set oracle.
+    val candIds = cand.select($"a_id".as("doc_id"))
+      .union(cand.select($"b_id")).distinct()
+    // Also a leaf: referenced from both sides of the verify join.
+    val vsets = corpus.join(candIds, "doc_id")
+      .select($"doc_id", split($"text", "\\s+").as("tk"))
+      .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("toks"))
+      .localCheckpoint()
+    val verified = cand
+      .join(vsets.select($"doc_id".as("a_id"), $"toks".as("ta")), "a_id")
+      .join(vsets.select($"doc_id".as("b_id"), $"toks".as("tb")), "b_id")
+      .withColumn("inter", size(array_intersect($"ta", $"tb")))
+      .withColumn("jaccard", round($"inter".cast("double")
+        / (size($"ta") + size($"tb") - $"inter"), 6))
+      .filter($"jaccard" >= t)
+      .select($"a_id", $"b_id", $"jaccard")
+      // The verified-pair set is result-sized (tiny); pin it so the final
+      // orderBy's range-partitioner sampling pass doesn't execute the
+      // candidate-verify join a second time.
+      .localCheckpoint()
+    cand.unpersist(blocking = false)
+    verified.orderBy($"a_id", $"b_id")
+  }
 }

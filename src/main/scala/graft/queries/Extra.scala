@@ -602,6 +602,39 @@ object Extra {
       .crossJoin(tri)
   }
 
+  /** q122: market-basket association mining — pairwise co-occurrence with
+    * support, confidence and lift over order baskets, the first level of the
+    * Apriori lattice and the classic "frequently bought together" query.
+    *
+    * The pair expansion is a self-join on the order key, so its output is
+    * Σ basket·(basket−1)/2 — bounded by basket size (single digits here),
+    * NOT N², and it aggregates by (part_a, part_b) with map-side partials
+    * before anything wide moves. Item supports and the basket total ride
+    * along as bounded frames. Confidence and lift divide exact longs
+    * (lift's numerator/denominator stay in long range by construction), so
+    * the DuckDB oracle hash-matches after 1e-6 rounding. */
+  def q122MarketBasket(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = li.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+    val pairs = li.select($"l_orderkey", $"l_partkey".as("part_a"))
+      .join(li.select($"l_orderkey", $"l_partkey".as("part_b")), "l_orderkey")
+      .filter($"part_a" < $"part_b")
+      .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(itemN.select($"l_partkey".as("part_a"), $"n_item".as("n_a")), "part_a")
+      .join(itemN.select($"l_partkey".as("part_b"), $"n_item".as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select($"part_a", $"part_b", $"n_ab",
+        round($"n_ab" / $"n_a".cast("double"), 6).as("confidence"),
+        round(($"n_ab" * $"n_orders") / ($"n_a" * $"n_b").cast("double"), 6).as("lift"))
+      .orderBy($"n_ab".desc, $"part_a", $"part_b")
+      .limit(topK)
+  }
+
   /** q118: re-aggregable sketch rollup — the approximate twin of the exact
     * incremental-MV algebra (q92/`plans/MvRewrite`): per-(event_type, day)
     * HLL sketches are the persisted partials, and ANY coarser distinct-user

@@ -66,7 +66,7 @@ object ScaleProbe {
       "q96_inverted_index", "q98_ann_pq", "q99_ann_ivfpq", "q100_cdc_apply",
       "q104_column_profile", "q107_zonemap_prune", "q108_mv_rewrite",
       "q112_incremental_dedup", "q114_bm25", "q115_lm_quality",
-      "q116_weighted_sample")
+      "q116_weighted_sample", "q121_setsim_join", "q122_market_basket")
     // q109_pagerank (customer graph) and q117_triangles (part graph) are
     // keyed to dims the probe holds constant so the q10/q11 join
     // cardinalities stay honest; their scaling shape (iterative/multi-way

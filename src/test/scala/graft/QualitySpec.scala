@@ -126,6 +126,51 @@ class QualitySpec extends SparkSpec {
     assert(out(1L) < out(2L) && out(2L) < out(3L), s"ordering violated: $out")
   }
 
+  test("q121: prefix-filtered join equals the quadratic all-pairs scan and finds every planted pair") {
+    import spark.implicits._
+    val pp = ext.Dedup.q121SetSimJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Brute force: the exact quadratic join the prefix filter replaces.
+    val sets = ext.Dedup.withPlantedNear(graft.sources.Tables.documents(spark, sf0001), 20)
+      .select($"doc_id", split($"text", "\\s+").as("tk"))
+      .select($"doc_id", ext.Dedup.wordShinglesFromTokens($"tk", 3).as("toks"))
+      .filter(size($"toks") > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (a, ta) <- sets; (b, tb) <- sets if a < b
+      i = (ta & tb).size
+      j = BigDecimal(i.toDouble / (ta.size + tb.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    assert(pp === brute, s"ppjoin ${pp.size} pairs != brute ${brute.size}")
+    // Every planted near-copy (one appended token) must be found.
+    sets.toMap.keySet.filter(id => id < 20 && sets.toMap.contains(id + 1000000L))
+      .foreach { id =>
+        assert(pp.exists(p => p._1 == id && p._2 == id + 1000000L),
+          s"planted pair ($id, ${id + 1000000L}) missed")
+      }
+  }
+
+  test("q122: association stats are internally consistent and match direct recounts") {
+    import spark.implicits._
+    val out = Extra.q122MarketBasket(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val ns = out.map(_.getLong(2))
+    assert(ns.sorted.reverse.toSeq === ns.toSeq, "not sorted by support")
+    out.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0)
+    }
+    // Recount the top pair's support directly.
+    val (pa, pb, nab) = (out.head.getLong(0), out.head.getLong(1), out.head.getLong(2))
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val direct = li.filter($"l_partkey" === pa).select($"l_orderkey")
+      .intersect(li.filter($"l_partkey" === pb).select($"l_orderkey")).count()
+    assert(nab === direct)
+  }
+
   test("q118: sketch rollup is lossless (merged == direct) and within 2% of exact") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf0001)
