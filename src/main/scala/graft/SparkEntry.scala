@@ -141,6 +141,8 @@ object SparkEntry {
     "q120_char_entropy" -> ((s, dir) => ext.Quality.q120CharEntropy(s, dir)),
     "q121_setsim_join" -> ((s, dir) => Dedup.q121SetSimJoin(s, dir)),
     "q122_market_basket" -> ((s, dir) => Extra.q122MarketBasket(s, dir)),
+    "q123_attribution" -> (EventAnalytics.q123Attribution _),
+    "q124_skew_report" -> (Extra.q124SkewReport _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1507,5 +1509,43 @@ object SparkEntry {
         |CROSS JOIN n_orders o
         |ORDER BY n_ab DESC, part_a, part_b
         |LIMIT 20""".stripMargin,
+    "q123_attribution" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    first_value(CASE WHEN event_type IN ('view', 'click')
+        |                     THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events
+        |)
+        |SELECT coalesce(first_touch, 'none') AS first_touch,
+        |       coalesce(last_touch, 'none') AS last_touch,
+        |       count(*) AS n_purchases
+        |FROM s WHERE event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q124_skew_report" ->
+      """WITH counts AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |), ranked AS (
+        |  SELECT cnt, l_partkey,
+        |    row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rk,
+        |    count(*) OVER () AS n_keys
+        |  FROM counts
+        |)
+        |SELECT CAST(max(n_keys) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+        |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+        |  round(sum(CASE WHEN rk <= ceil(n_keys / 100.0) THEN cnt ELSE 0 END)
+        |        / CAST(sum(cnt) AS DOUBLE), 6) AS top1pct_share
+        |FROM ranked""".stripMargin,
   )
 }

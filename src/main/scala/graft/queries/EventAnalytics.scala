@@ -80,4 +80,33 @@ object EventAnalytics {
         round($"n" / sum($"n").over(Window.partitionBy($"event_type")), 6))
       .orderBy($"event_type", $"next")
   }
+
+  /** q123: first-touch / last-touch conversion attribution — for every
+    * purchase, which marketing touch (view or click) opened the user's path
+    * and which one immediately preceded the conversion. The attribution
+    * matrix (first × last × count) is what campaign-ROI reports aggregate.
+    *
+    * One window pass over the exactly-ordered per-user stream: both touches
+    * are ignoreNulls first/last over the unbounded-preceding frame (state
+    * is one value per frame, not the group), then a |types|²-bounded
+    * aggregate. Purchases with no prior touch report 'none' — kept, since
+    * un-attributable conversion mass is exactly what the report must not
+    * silently drop. */
+  def q123Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type".isin("view", "click"), $"event_type")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts_ns", $"event_type")
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(
+        coalesce($"first_touch", lit("none")).as("first_touch"),
+        coalesce($"last_touch", lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy($"first_touch", $"last_touch")
+  }
 }

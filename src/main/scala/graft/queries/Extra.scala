@@ -635,6 +635,40 @@ object Extra {
       .limit(topK)
   }
 
+  /** q124: key-skew profile — the distribution report a shuffle planner (or
+    * the engineer choosing salting factors for `ops/SkewJoin`) reads before
+    * keying a join or aggregation: key cardinality, per-key row-count
+    * quantiles, the heaviest key's mass, and how much of the table the top
+    * 1% of keys own. Complements q104's per-column profile (nulls/distincts)
+    * with the per-KEY view that predicts partition imbalance.
+    *
+    * One aggregation builds the key→count table (map-side partial), one
+    * more folds it to the report. The top-1%-share rank runs as a single
+    * global window over the COUNT table (|keys| rows, not |rows|) — fine
+    * for a diagnostic at this cardinality; at billions of keys the share
+    * would come from an approx-quantile threshold instead, as noted
+    * inline. Exact percentiles follow the q26 parity pattern. */
+  def q124SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+    // Global rank over the key-count table (NOT the fact table). At extreme
+    // key cardinality, replace with: threshold = approx p99 of cnt, share =
+    // sum(cnt) where cnt >= threshold — no global sort needed.
+    val ranked = counts
+      .withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"l_partkey")))
+      .withColumn("n_keys", count(lit(1)).over(Window.partitionBy()))
+    ranked.agg(
+        max($"n_keys").as("n_keys"),
+        sum($"cnt").as("n_rows"),
+        max($"cnt").as("max_cnt"),
+        round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
+        round(sum(when($"rk" <= ceil($"n_keys" / lit(100.0)), $"cnt").otherwise(lit(0L)))
+          / sum($"cnt").cast("double"), 6).as("top1pct_share"))
+  }
+
   /** q118: re-aggregable sketch rollup — the approximate twin of the exact
     * incremental-MV algebra (q92/`plans/MvRewrite`): per-(event_type, day)
     * HLL sketches are the persisted partials, and ANY coarser distinct-user

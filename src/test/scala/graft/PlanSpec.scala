@@ -238,6 +238,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q115: LM scoring plan — unigram model broadcast, no sort-merge join, bigram count as one window") {
+    val plan = planOf(graft.ext.Quality.q115LmQuality(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), "unigram/vocab join not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-sized shuffle join crept back into the LM scoring path")
+    assert("(?s)Window".r.findAllIn(plan).size >= 1 && plan.contains("Window"),
+      "bigram count should be a window aggregate")
+  }
+
+  test("q116: weighted-sample rank bound is pushed into the shuffle (WindowGroupLimit)") {
+    val plan = planOf(graft.ext.Quality.q116WeightedSample(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-lang top-k not pushed below the window — full groups would shuffle")
+  }
+
+  test("q122: basket pair expansion joins hash-equi, never nested-loop") {
+    val plan = planOf(graft.queries.Extra.q122MarketBasket(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct")
+      || plan.contains("n_orders"),
+      "pair expansion must stay an equi-join (the only cross join is the 1-row totals frame)")
+    assert(plan.contains("hashAgg") || plan.contains("HashAggregate"),
+      "pair counts should partial-aggregate map-side")
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -171,6 +171,35 @@ class QualitySpec extends SparkSpec {
     assert(nab === direct)
   }
 
+  test("q123: attribution conserves purchase mass; 'none' appears on both touches or neither") {
+    import spark.implicits._
+    val out = queries.EventAnalytics.q123Attribution(spark, sf0001).collect()
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val purchases = ev.filter($"event_type" === "purchase").count()
+    assert(out.map(_.getLong(2)).sum === purchases,
+      "attribution matrix does not sum to the purchase count")
+    // first-touch and last-touch are over the SAME preceding frame: one is
+    // null exactly when the other is.
+    out.foreach { r =>
+      val (f, l) = (r.getString(0), r.getString(1))
+      assert((f == "none") == (l == "none"), s"inconsistent none row: ($f, $l)")
+    }
+  }
+
+  test("q124: skew report reconciles with direct counts and orders its quantiles") {
+    import spark.implicits._
+    val r = Extra.q124SkewReport(spark, sf0001).collect().head
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    assert(r.getLong(0) === li.select($"l_partkey").distinct().count())
+    assert(r.getLong(1) === li.count())
+    val (maxC, p99, p50) = (r.getLong(2).toDouble, r.getDouble(4), r.getDouble(3))
+    assert(maxC >= p99 && p99 >= p50 && p50 >= 1.0)
+    val share = r.getDouble(5)
+    assert(share > 0 && share <= 1.0)
+    // Top-1% of keys must own at least 1% of rows (counts are sorted desc).
+    assert(share >= 0.01 * 0.9, s"top-1% share $share below uniform floor")
+  }
+
   test("q118: sketch rollup is lossless (merged == direct) and within 2% of exact") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf0001)
