@@ -143,6 +143,8 @@ object SparkEntry {
     "q122_market_basket" -> ((s, dir) => Extra.q122MarketBasket(s, dir)),
     "q123_attribution" -> (EventAnalytics.q123Attribution _),
     "q124_skew_report" -> (Extra.q124SkewReport _),
+    "q125_hybrid_retrieval" -> ((s, dir) => Corpus.q125HybridRetrieval(s, dir)),
+    "q126_winsorize" -> (Extra.q126Winsorize _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1547,5 +1549,74 @@ object SparkEntry {
         |  round(sum(CASE WHEN rk <= ceil(n_keys / 100.0) THEN cnt ELSE 0 END)
         |        / CAST(sum(cnt) AS DOUBLE), 6) AS top1pct_share
         |FROM ranked""".stripMargin,
+    "q125_hybrid_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+        |  WHERE t.term <> ''
+        |),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qtok AS (SELECT doc_id, term FROM tok
+        |         WHERE term IN ('merge', 'stream', 'window')),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(CAST(1.0 AS DOUBLE)
+        |         + (s.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+        |      * ((tf.tf * CAST(2.2 AS DOUBLE))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE)
+        |            * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE) * dl.dl / s.avgdl)))
+        |      * 1000000) AS BIGINT) AS c_fp
+        |  FROM tf
+        |  JOIN df USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats s
+        |),
+        |bm AS (SELECT doc_id,
+        |         CAST(SUM(c_fp) AS BIGINT) / CAST(1000000 AS DOUBLE) AS bm25
+        |       FROM contrib GROUP BY 1),
+        |lexr AS (SELECT doc_id, CAST(row_number()
+        |           OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex FROM bm),
+        |lex AS (SELECT doc_id, r_lex FROM lexr WHERE r_lex <= 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT vec_id AS doc_id,
+        |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6) AS cos
+        |       FROM embeddings, q WHERE vec_id != 0),
+        |vecr AS (SELECT doc_id, CAST(row_number()
+        |           OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS r_vec FROM vs),
+        |vec AS (SELECT doc_id, r_vec FROM vecr WHERE r_vec <= 50)
+        |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |  COALESCE(r_lex, 0) AS r_lex,
+        |  COALESCE(r_vec, 0) AS r_vec,
+        |  round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+        |        + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_vec), 0), 9) AS rrf
+        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+        |ORDER BY rrf DESC, doc_id
+        |LIMIT 15""".stripMargin,
+    "q126_winsorize" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(quantile_cont(c, 0.01)) AS BIGINT) AS lo,
+        |    CAST(round(quantile_cont(c, 0.99)) AS BIGINT) AS hi
+        |  FROM o GROUP BY 1
+        |)
+        |SELECT o.o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  max(lo) AS lo_c, max(hi) AS hi_c,
+        |  round(CAST(sum(least(greatest(c, lo), hi)) AS BIGINT)
+        |        / (100.0 * count(*)), 4) AS mean_winsorized
+        |FROM o JOIN b USING (o_orderstatus)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -125,6 +125,15 @@ object Corpus {
   def q114Bm25(spark: SparkSession, dir: String,
                terms: Seq[String] = Seq("merge", "stream", "window")): DataFrame = {
     import spark.implicits._
+    bm25Scores(spark, dir, terms)
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(15)
+  }
+
+  /** BM25 scores per term-bearing document (the q114 pipeline without the
+    * final top-k) — shared by q114 and the hybrid-retrieval fusion (q125). */
+  def bm25Scores(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
     val tok = Tables.documents(spark, dir)
       .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
       .filter($"term" =!= "")
@@ -145,7 +154,52 @@ object Corpus {
       .withColumn("c_fp", round(idf * wtf * lit(1000000)).cast("long"))
       .groupBy($"doc_id")
       .agg((sum($"c_fp") / lit(1000000.0)).as("bm25"))
-      .orderBy($"bm25".desc, $"doc_id")
-      .limit(15)
+  }
+
+  /** q125: hybrid retrieval — reciprocal-rank fusion (RRF) of the lexical
+    * BM25 arm (q114) and a dense cosine arm (q37's scoring), the standard
+    * two-tower search composition: rrf(d) = Σ_arms 1/(k₀ + rank_arm(d)),
+    * robust to the arms' incomparable score scales. Documents and vectors
+    * share the synthetic id space (doc_id = vec_id), the dense query is
+    * vector 0; a document absent from one arm's top-n simply contributes
+    * nothing for it (rank reported as 0 = absent, keeping the output
+    * null-free for the cross-engine compare).
+    *
+    * Both arms' ranks derive from already-parity-safe scores (BM25's
+    * fixed-point sum, cosine rounded at 1e-6) with doc-id tiebreaks, so
+    * the fused ordering is identical in both engines. The per-arm global
+    * rank windows run over arm-bounded frames (term-bearing docs / the
+    * vector corpus); at real corpus scale both arms would first bound
+    * their candidates with the house `TopKAggregator` (partial top-k
+    * before any shuffle), which preserves exactly the top-n the window
+    * ranks here. */
+  def q125HybridRetrieval(spark: SparkSession, dir: String,
+                          terms: Seq[String] = Seq("merge", "stream", "window"),
+                          n: Int = 50, k0: Int = 60, topK: Int = 15): DataFrame = {
+    import spark.implicits._
+    val lex = bm25Scores(spark, dir, terms)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
+      .filter($"r_lex" <= n)
+      .select($"doc_id", $"r_lex")
+    val emb = Tables.embeddings(spark, dir)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val vec = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosine($"qe", $"embedding"), 6))
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy($"cos".desc, $"vec_id")))
+      .filter($"r_vec" <= n)
+      .select($"vec_id".as("doc_id"), $"r_vec")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        coalesce($"r_lex", lit(0)).as("r_lex"),
+        coalesce($"r_vec", lit(0)).as("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(k0) + $"r_lex"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + $"r_vec"), lit(0.0)), 9).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(topK)
   }
 }

@@ -669,6 +669,39 @@ object Extra {
           / sum($"cnt").cast("double"), 6).as("top1pct_share"))
   }
 
+  /** q126: percentile winsorization — clip each order's price to its
+    * status-group [p1, p99] band and report the clipped-tail mass and the
+    * robust mean, the standard outlier-tolerant cleaning step before any
+    * mean-based aggregate or model feature. Two passes over the group key
+    * (percentiles, then the clipped fold), bounds broadcast back — never a
+    * per-row sort.
+    *
+    * All arithmetic runs in integer cents (q106 fixed-point discipline):
+    * prices enter as exact longs, the interpolated percentile bounds are
+    * rounded back to whole cents before clipping, and the clipped sum is
+    * an exact integer — one final division produces the reported mean, so
+    * both engines agree bit-for-bit. */
+  def q126Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("c"))
+    val bounds = o.groupBy($"o_orderstatus").agg(
+      round(expr("percentile(c, 0.01)")).cast("long").as("lo"),
+      round(expr("percentile(c, 0.99)")).cast("long").as("hi"))
+    o.join(broadcast(bounds), "o_orderstatus")
+      .withColumn("clipped", least(greatest($"c", $"lo"), $"hi"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"c" < $"lo", 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when($"c" > $"hi", 1L).otherwise(0L)).as("n_clipped_high"),
+        max($"lo").as("lo_c"),
+        max($"hi").as("hi_c"),
+        round(sum($"clipped") / (lit(100.0) * count(lit(1))), 4).as("mean_winsorized"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** q118: re-aggregable sketch rollup — the approximate twin of the exact
     * incremental-MV algebra (q92/`plans/MvRewrite`): per-(event_type, day)
     * HLL sketches are the persisted partials, and ANY coarser distinct-user

@@ -200,6 +200,46 @@ class QualitySpec extends SparkSpec {
     assert(share >= 0.01 * 0.9, s"top-1% share $share below uniform floor")
   }
 
+  test("q125: RRF fusion is order-correct and bounded; arms agree with their standalone rankers") {
+    import spark.implicits._
+    val out = ext.Corpus.q125HybridRetrieval(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    // rrf descending, and every score inside (0, 2/61].
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sorted.reverse.toSeq === scores.toSeq)
+    scores.foreach(s => assert(s > 0 && s <= 2.0 / 61 + 1e-9))
+    // A doc ranked by both arms must beat a doc with only the same single-arm
+    // rank: rrf(r,r') > rrf(r,absent).
+    out.foreach { r =>
+      val (rl, rv, s) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      val expected = (if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      assert(math.abs(s - BigDecimal(expected).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // The lexical arm's rank-1 doc is q114's top result.
+    val bmTop = ext.Corpus.q114Bm25(spark, sf0001).collect().head.getLong(0)
+    out.find(_.getInt(1) == 1).foreach(r => assert(r.getLong(0) === bmTop))
+  }
+
+  test("q126: winsorized mean sits inside [lo, hi]; clipped tails match direct counts") {
+    import spark.implicits._
+    val out = Extra.q126Winsorize(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val o = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderstatus", round($"o_totalprice" * 100).cast("long").as("c"))
+    out.foreach { r =>
+      val (st, n, nLo, nHi) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi, mean) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(mean * 100 >= lo - 1 && mean * 100 <= hi + 1)
+      assert(n === o.filter($"o_orderstatus" === st).count())
+      assert(nLo === o.filter($"o_orderstatus" === st && $"c" < lo).count())
+      assert(nHi === o.filter($"o_orderstatus" === st && $"c" > hi).count())
+      // ~1% tails by construction.
+      assert(nLo <= n * 0.02 + 1 && nHi <= n * 0.02 + 1)
+    }
+  }
+
   test("q118: sketch rollup is lossless (merged == direct) and within 2% of exact") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf0001)
