@@ -135,7 +135,7 @@ object SparkEntry {
     "q116_weighted_sample" -> ((s, dir) => ext.Quality.q116WeightedSample(s, dir)),
     "q117_triangles" -> (Extra.q117Triangles _),
     // Sketch rollup — no SQL oracle (DuckDB has no persistable sketch
-    // type); merged==direct and error bound asserted in ExtSpec.
+    // type); merged==direct and error bound asserted in QualitySpec.
     "q118_sketch_rollup" -> (Extra.q118SketchRollup _),
     "q119_markov_transitions" -> (EventAnalytics.q119MarkovTransitions _),
     "q120_char_entropy" -> ((s, dir) => ext.Quality.q120CharEntropy(s, dir)),
@@ -1471,11 +1471,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
         |), tk AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM corpus
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM corpus
         |), s AS (
         |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
         |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
-        |  FROM tk
+        |  FROM tk WHERE len(toks) > 0
         |), sz AS (
         |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
         |), p AS (

@@ -426,8 +426,10 @@ object Dedup {
     * candidates pay the exact verify. The quadratic all-pairs scan the
     * DuckDB oracle runs is exactly what this replaces at corpus scale.
     *
-    * Set elements are 3-word shingles (the q34/q36 definition), not single
-    * words: on a corpus drawn from a bounded vocabulary, word SETS of
+    * Set elements are 3-word shingles (q34's kernel rule: tokens are runs
+    * of bytes > 0x20, so no empty tokens — applied identically to the hash
+    * and string sides), not single words: on a corpus drawn from a bounded
+    * vocabulary, word SETS of
     * unrelated documents already overlap heavily (t=0.5 word-set pairs at
     * sf0.01: ~99k — near-quadratic output), while shingle sets are
     * discriminative (46 pairs: the planted near-copies plus genuine dups).
@@ -490,12 +492,19 @@ object Dedup {
     prefix.unpersist(blocking = false)
     // Exact verify on TRUE string shingle sets, derived only for candidate
     // documents (near-dups + bounded collision mass — never N²), so the
-    // result is bit-equal to the quadratic string-set oracle.
+    // result is bit-equal to the quadratic string-set oracle. Tokenization
+    // here (and in the oracle) is runs of bytes ≤ 0x20 with empty tokens
+    // dropped — the native kernel's exact rule — so the hash generator and
+    // the string sets agree on every input, including leading/trailing
+    // whitespace and control bytes (a \s+ split would keep a leading empty
+    // token the kernel never emits, silently desynchronizing the two).
     val candIds = cand.select($"a_id".as("doc_id"))
       .union(cand.select($"b_id")).distinct()
     // Also a leaf: referenced from both sides of the verify join.
     val vsets = corpus.join(candIds, "doc_id")
-      .select($"doc_id", split($"text", "\\s+").as("tk"))
+      .select($"doc_id",
+        expr("filter(split(text, '[\\\\x00-\\\\x20]+'), x -> x <> '')").as("tk"))
+      .filter(size($"tk") > 0)
       .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("toks"))
       .localCheckpoint()
     val verified = cand

@@ -712,7 +712,7 @@ object Extra {
     * reason sketch columns, not distinct counts, are what a 100 TB rollup
     * stores. Datasketches HLL union is lossless over sketches of the same
     * lgK, so the rollup path is exactly as accurate as a direct one-pass
-    * sketch; ExtSpec asserts merged == direct and <2% error vs exact.
+    * sketch; QualitySpec asserts merged == direct and <2% error vs exact.
     * No SQL oracle (DuckDB has no persistable sketch type) — rows-only,
     * like q21. */
   def q118SketchRollup(spark: SparkSession, dir: String): DataFrame = {

@@ -243,8 +243,10 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "unigram/vocab join not broadcast")
     assert(!plan.contains("SortMergeJoin"),
       "corpus-sized shuffle join crept back into the LM scoring path")
-    assert("(?s)Window".r.findAllIn(plan).size >= 1 && plan.contains("Window"),
-      "bigram count should be a window aggregate")
+    assert(plan.contains("Window"), "bigram count should be a window aggregate")
+    assert("count\\(1\\) windowspecdefinition\\(w1".r.findFirstIn(plan).isDefined
+      || plan.contains("windowspecdefinition(w1"),
+      "the window must be the (w1,w2)-partitioned bigram count, not some other window")
   }
 
   test("q116: weighted-sample rank bound is pushed into the shuffle (WindowGroupLimit)") {
@@ -255,10 +257,15 @@ class PlanSpec extends SparkSpec {
 
   test("q122: basket pair expansion joins hash-equi, never nested-loop") {
     val plan = planOf(graft.queries.Extra.q122MarketBasket(spark, sf0001))
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct")
-      || plan.contains("n_orders"),
-      "pair expansion must stay an equi-join (the only cross join is the 1-row totals frame)")
-    assert(plan.contains("hashAgg") || plan.contains("HashAggregate"),
+    // The ONLY non-equi join allowed is the broadcast cross with the 1-row
+    // totals frame; a second nested-loop/cartesian means the pair expansion
+    // or an item-support join lost its equi key. Count node-detail headers
+    // ("(N) OpName") — the formatted explain also repeats ops in the tree
+    // sketch, which would double-count.
+    val nlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size +
+      "\\(\\d+\\) CartesianProduct".r.findAllIn(plan).size
+    assert(nlj <= 1, s"$nlj nested-loop/cartesian joins in the basket plan — only the 1-row totals cross is allowed")
+    assert(plan.contains("HashAggregate"),
       "pair counts should partial-aggregate map-side")
   }
 

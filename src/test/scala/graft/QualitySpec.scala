@@ -74,11 +74,21 @@ class QualitySpec extends SparkSpec {
       val expected = math.round(math.log(u) / w * 1e12)
       assert(r.getLong(3) === expected, s"key_fp mismatch for doc $docId")
     }
-    // Appending documents never changes an existing doc's key (pure function
-    // of doc_id), so the draw over the ORIGINAL ids is reproducible from the
-    // bigger corpus: recompute ranks over the subset and compare.
-    val again = Quality.q116WeightedSample(spark, sf0001).collect()
-    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // Append-stability, actually exercised: write the same corpus PLUS new
+    // documents (in a language of their own, so existing per-lang pools are
+    // unchanged) and assert the original languages' draws are bit-identical
+    // — keys are a pure function of doc_id, so corpus growth cannot move
+    // them (a rank- or count-derived key would fail here).
+    val base = graft.sources.Tables.documents(spark, sf0001)
+    val extra = base.limit(5)
+      .withColumn("doc_id", $"doc_id" + 900000000L)
+      .withColumn("lang", lit("zz_new"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q116_append_").toString
+    base.unionByName(extra).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val appended = Quality.q116WeightedSample(spark, dir2).collect()
+      .filter(_.getString(0) != "zz_new")
+    assert(rows.map(_.toString).toSeq === appended.map(_.toString).toSeq,
+      "appending documents changed an existing language's draw")
   }
 
   test("q117: two-join count equals driver-side brute force over adjacency sets") {
@@ -130,9 +140,12 @@ class QualitySpec extends SparkSpec {
     import spark.implicits._
     val pp = ext.Dedup.q121SetSimJoin(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // Brute force: the exact quadratic join the prefix filter replaces.
+    // Brute force: the exact quadratic join the prefix filter replaces,
+    // over the same byte-level tokenization the operator defines.
     val sets = ext.Dedup.withPlantedNear(graft.sources.Tables.documents(spark, sf0001), 20)
-      .select($"doc_id", split($"text", "\\s+").as("tk"))
+      .select($"doc_id",
+        expr("filter(split(text, '[\\\\x00-\\\\x20]+'), x -> x <> '')").as("tk"))
+      .filter(size($"tk") > 0)
       .select($"doc_id", ext.Dedup.wordShinglesFromTokens($"tk", 3).as("toks"))
       .filter(size($"toks") > 0)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
@@ -150,6 +163,25 @@ class QualitySpec extends SparkSpec {
         assert(pp.exists(p => p._1 == id && p._2 == id + 1000000L),
           s"planted pair ($id, ${id + 1000000L}) missed")
       }
+  }
+
+  test("q121: hash generator and string verify agree on whitespace-padded and control-byte text") {
+    import spark.implicits._
+    // Kernel tokens = runs of bytes > 0x20. These docs would desynchronize a
+    // \\s+-based string side (leading/trailing empty tokens, control-byte
+    // splits the regex misses).
+    val dir = writeCorpus(Seq(
+      (100L, "  alpha beta gamma delta  ", "en"),
+      (101L, "alpha beta gamma delta", "en"),
+      (102L, "alpha\u0001beta gamma delta epsilon", "en"),
+      (103L, "alpha beta gamma delta epsilon", "en"),
+      (104L, "unrelated words entirely different tokens", "en")))
+    val got = ext.Dedup.q121SetSimJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100 vs 101: identical token streams after byte-rule tokenization -> J=1.
+    assert(got.contains((100L, 101L)), s"padded twin pair missed: $got")
+    // 102 vs 103: \u0001 is a separator under the byte rule on BOTH sides.
+    assert(got.contains((102L, 103L)), s"control-byte twin pair missed: $got")
   }
 
   test("q122: association stats are internally consistent and match direct recounts") {
