@@ -145,6 +145,10 @@ object SparkEntry {
     "q124_skew_report" -> (Extra.q124SkewReport _),
     "q125_hybrid_retrieval" -> ((s, dir) => Corpus.q125HybridRetrieval(s, dir)),
     "q126_winsorize" -> (Extra.q126Winsorize _),
+    "q127_group_trend" -> (Extra.q127GroupTrend _),
+    "q128_activity_islands" -> (EventAnalytics.q128ActivityIslands _),
+    "q129_twap" -> (EventAnalytics.q129Twap _),
+    "q130_cumulative_users" -> (EventAnalytics.q130CumulativeUsers _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1620,5 +1624,71 @@ object SparkEntry {
         |        / (100.0 * count(*)), 4) AS mean_winsorized
         |FROM o JOIN b USING (o_orderstatus)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q127_group_trend" ->
+      """WITH yearly AS (
+        |  SELECT n_name, year(o_orderdate) - 2000 AS yr_c,
+        |    round(sum(o_totalprice), 2) / 1e6 AS rev_musd
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT n_name, count(*) AS n_years,
+        |  round(regr_slope(rev_musd, yr_c), 4) AS slope_musd_per_yr,
+        |  round(regr_intercept(rev_musd, yr_c), 4) AS level_2000_musd,
+        |  round(regr_r2(rev_musd, yr_c), 4) AS r2
+        |FROM yearly GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_activity_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), anchored AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS INTEGER) AS anchor
+        |  FROM days
+        |), islands AS (
+        |  SELECT user_id, anchor, count(*) AS len
+        |  FROM anchored GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_islands, max(len) AS longest_streak
+        |FROM islands GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q129_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), led AS (
+        |  SELECT user_id, cents, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS next_us
+        |  FROM e
+        |), d AS (
+        |  SELECT user_id, cents, (next_us - us) // 1000 AS dur_ms
+        |  FROM led WHERE next_us IS NOT NULL
+        |)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur_ms) AS BIGINT) AS span_ms,
+        |  round(CAST(sum(cents * dur_ms) AS BIGINT)
+        |        / (CAST(sum(dur_ms) AS BIGINT) * 100.0), 6) AS twap
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_cumulative_users" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), active AS (
+        |  SELECT day, count(*) AS active_users
+        |  FROM (SELECT DISTINCT user_id, day FROM ev) GROUP BY 1
+        |), firsts AS (
+        |  SELECT user_id, min(day) AS day FROM ev GROUP BY 1
+        |), news AS (
+        |  SELECT day, count(*) AS new_users FROM firsts GROUP BY 1
+        |)
+        |SELECT active.day, active_users,
+        |  COALESCE(new_users, 0) AS new_users,
+        |  CAST(sum(COALESCE(new_users, 0)) OVER (ORDER BY active.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM active LEFT JOIN news ON active.day = news.day
+        |ORDER BY active.day""".stripMargin,
   )
 }

@@ -109,4 +109,83 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_purchases"))
       .orderBy($"first_touch", $"last_touch")
   }
+
+  /** q128: gaps-and-islands — per user, maximal runs of consecutive active
+    * calendar days (the streak metric behind engagement dashboards and
+    * "activity droughts"). The classic anchor trick: `day - row_number()` is
+    * constant exactly within a consecutive run, so islands fall out of two
+    * hash aggregates — no self-join, no iteration. Shuffle cost is one
+    * exchange on user_id for the row_number window (the two aggregates reuse
+    * that clustering via AQE); per-partition window state is one counter. */
+  def q128ActivityIslands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val days = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val islands = days
+      .withColumn("anchor", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy($"user_id")
+      .agg(
+        sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max($"len").as("longest_streak"))
+      .orderBy($"user_id")
+  }
+
+  /** q129: time-weighted average (TWAP) — per user, the mean of `value`
+    * weighted by how long each reading was "current" (until the next event).
+    * The honest average for irregularly-sampled series, where a plain mean
+    * over-weights bursts. One lead() window pass (state: one row), one
+    * aggregate. All arithmetic stays integral until the final division —
+    * cent-quantized values × ms durations summed as longs — so Spark and
+    * DuckDB agree bit-for-bit regardless of summation order (a double
+    * value×duration product would make the compare order-sensitive).
+    * Timestamps are µs-quantized first: µs is the resolution every engine
+    * in the compare loop shares (DuckDB reads the parquet NANOS column at
+    * µs), and per-interval ms flooring makes the span sum sensitive to
+    * sub-µs differences that would otherwise flip single rows. */
+  def q129Twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("us"),
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("next_us", lead($"us", 1).over(w))
+      .filter($"next_us".isNotNull)
+      .withColumn("dur_ms", expr("(next_us - us) div 1000"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum($"dur_ms").as("span_ms"),
+        round(sum($"cents" * $"dur_ms") / (sum($"dur_ms") * 100.0), 6)
+          .as("twap"))
+      .orderBy($"user_id")
+  }
+
+  /** q130: daily active + cumulative-distinct users — the DAU/"total users
+    * ever" pair every growth dashboard plots. Cumulative distinct is NOT
+    * re-aggregable from daily distincts; the scalable identity is
+    * first-seen-day: cumulative users at day D = count of users whose min
+    * day ≤ D. Two hash aggregates (per-user min, per-day counts) and a
+    * running sum over the day grid — the unpartitioned window is over ~365
+    * rows/year, not the events, so the single-partition frame is free at
+    * any corpus size. */
+  def q130CumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select($"user_id", to_date($"ts").as("day"))
+    val active = ev.distinct()
+      .groupBy($"day").agg(count(lit(1)).as("active_users"))
+    val newUsers = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    active.join(newUsers, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum($"new_users")
+        .over(Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy($"day")
+  }
 }

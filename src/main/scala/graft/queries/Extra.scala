@@ -702,6 +702,38 @@ object Extra {
       .orderBy($"o_orderstatus")
   }
 
+  /** q127: per-group least-squares trend — nation revenue regressed on order
+    * year. `regr_slope`/`regr_intercept`/`regr_r2` are algebraic aggregates
+    * (sums of x, y, xy, x², y² with partial/final decomposition), so the
+    * trend of a 100 TB fact table costs exactly one aggregate shuffle on the
+    * group key — no per-group sort, no iteration, no driver math. The
+    * per-(nation, year) rollup it runs over is itself one shuffle; the
+    * nation dim is broadcast.
+    *
+    * Numerical conditioning for the cross-engine compare: the regression
+    * runs on revenue in $M against a 2000-centered year. Raw (yr≈2000,
+    * rev≈1e9) inputs make the covariance a cancellation of ~1e13 sums,
+    * leaving engine-order fp noise ~1e-2 on the slope — no output rounding
+    * is boundary-safe against that. Centered/rescaled, the sums are ~1e4
+    * and both engines agree to ~1e-9, far inside the 1e-4 quantization. */
+  def q127GroupTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val yearly = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", (year($"o_orderdate") - 2000).as("yr_c"))
+      .agg((round(sum($"o_totalprice"), 2) / 1e6).as("rev_musd"))
+    yearly.groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_years"),
+        round(expr("regr_slope(rev_musd, yr_c)"), 4).as("slope_musd_per_yr"),
+        round(expr("regr_intercept(rev_musd, yr_c)"), 4).as("level_2000_musd"),
+        round(expr("regr_r2(rev_musd, yr_c)"), 4).as("r2"))
+      .orderBy($"n_name")
+  }
+
   /** q118: re-aggregable sketch rollup — the approximate twin of the exact
     * incremental-MV algebra (q92/`plans/MvRewrite`): per-(event_type, day)
     * HLL sketches are the persisted partials, and ANY coarser distinct-user

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.queries.{EventAnalytics, Extra}
+
+/** Properties of the round-5 event/trend analytics (q127-q130) beyond the
+  * DuckDB oracle: hand-computed regression identity, planted island
+  * fixtures, an exact TWAP recomputation, and cumulative-user conservation
+  * laws. */
+class EventOpsSpec extends SparkSpec {
+
+  /** Events fixture written in the production single-file layout
+    * (ts is a ns-epoch long, as the nanosAsLong loader reads it). */
+  private def writeEvents(rows: Seq[Row]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evops_").toString
+    val staging = java.nio.file.Files.createTempDirectory("graft_evops_stage_")
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        graft.streaming.EventsStream.rawSchema)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(p, java.nio.file.Paths.get(dir, "events.parquet"))
+        moved = true
+      }
+    }
+    require(moved, "no part file produced")
+    dir
+  }
+
+  test("q127: slope/intercept/r2 match a driver-side least-squares recomputation") {
+    import spark.implicits._
+    val yearly = graft.sources.Tables.orders(spark, sf0001)
+      .join(graft.sources.Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .join(graft.sources.Tables.nation(spark, sf0001), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", (year($"o_orderdate") - 2000).as("yr_c"))
+      .agg((round(sum($"o_totalprice"), 2) / 1e6).as("rev_musd"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val got = Extra.q127GroupTrend(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === yearly.keySet)
+    got.foreach { case (nation, (nYears, slope, level, r2)) =>
+      val pts = yearly(nation).map(p => (p._2.toDouble, p._3))
+      assert(nYears === pts.length.toLong)
+      val n = pts.length
+      val mx = pts.map(_._1).sum / n
+      val my = pts.map(_._2).sum / n
+      val sxy = pts.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      val syy = pts.map { case (_, y) => (y - my) * (y - my) }.sum
+      val expSlope = sxy / sxx
+      assert(math.abs(slope - expSlope) < 2e-4,
+        s"$nation slope $slope != $expSlope")
+      assert(math.abs(level - (my - expSlope * mx)) < 2e-4,
+        s"$nation level $level != ${my - expSlope * mx}")
+      val expR2 = sxy * sxy / (sxx * syy)
+      assert(math.abs(r2 - expR2) < 1e-3, s"$nation r2 $r2 != $expR2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q128: planted consecutive-day runs produce exact islands; same-day repeats collapse") {
+    val day = 24L * 3600 * 1000000000L
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 UTC
+    val rows = Seq(
+      // user 1: days 0,1,2 then 9 — two islands, longest 3. Day 1 has two
+      // events (must collapse to one active day).
+      Row(1L, t0, 1L, "view", 1.0, "{}"),
+      Row(2L, t0 + day, 1L, "view", 1.0, "{}"),
+      Row(3L, t0 + day + 3600L * 1000000000L, 1L, "click", 1.0, "{}"),
+      Row(4L, t0 + 2 * day, 1L, "view", 1.0, "{}"),
+      Row(5L, t0 + 9 * day, 1L, "view", 1.0, "{}"),
+      // user 2: one day only.
+      Row(6L, t0 + 5 * day, 2L, "view", 1.0, "{}"))
+    val got = EventAnalytics.q128ActivityIslands(spark, writeEvents(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 4L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("q129: TWAP matches the hand-computed duration-weighted mean") {
+    val s = 1000000000L
+    val t0 = 1704067200L * s
+    val rows = Seq(
+      Row(1L, t0, 1L, "view", 10.0, "{}"),
+      Row(2L, t0 + 10 * s, 1L, "view", 20.0, "{}"),
+      Row(3L, t0 + 30 * s, 1L, "view", 40.0, "{}"), // last: no duration, excluded
+      Row(4L, t0, 2L, "view", 7.0, "{}"))           // single event: no output row
+    val got = EventAnalytics.q129Twap(spark, writeEvents(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // (10*10s + 20*20s) / 30s = 16.666667
+    assert(got.toSeq === Seq((1L, 2L, 30000L, 16.666667)))
+  }
+
+  test("q130: conservation — cum_users ends at total distinct users, new≤active, monotone") {
+    import spark.implicits._
+    val out = EventAnalytics.q130CumulativeUsers(spark, sf0001).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalUsers = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(out.last._4 === totalUsers, "cumulative curve must end at the user count")
+    assert(out.map(_._3).sum === totalUsers, "every user is new exactly once")
+    out.foreach { case (d, active, nw, _) =>
+      assert(nw <= active, s"$d: new users $nw exceed active $active")
+    }
+    assert(out.map(_._4).toSeq === out.map(_._4).sorted.toSeq, "cum_users must be monotone")
+    // Day 1: everyone active is new.
+    assert(out.head._2 === out.head._3)
+  }
+}
