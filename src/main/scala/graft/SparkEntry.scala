@@ -149,6 +149,8 @@ object SparkEntry {
     "q128_activity_islands" -> (EventAnalytics.q128ActivityIslands _),
     "q129_twap" -> (EventAnalytics.q129Twap _),
     "q130_cumulative_users" -> (EventAnalytics.q130CumulativeUsers _),
+    "q131_bloom_lookup" -> (Advanced.q131BloomLookup _),
+    "q132_canonical_docs" -> (Dedup.q132CanonicalDocs _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1690,5 +1692,46 @@ object SparkEntry {
         |    AS cum_users
         |FROM active LEFT JOIN news ON active.day = news.day
         |ORDER BY active.day""".stripMargin,
+    // The oracle is the SAME IN-list probe over the raw table: blooms have
+    // no false negatives and the predicate re-applies post-prune, so the
+    // layout+index machinery must be invisible in the result.
+    "q131_bloom_lookup" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (1, 2, 3, 32, 33, 1000, 1027, 5000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cluster key: the oracle groups by the normalized text itself where the
+    // Spark side groups by its sha2 digest — same equivalence classes, the
+    // digest is pure shuffle hygiene and never reaches the output.
+    "q132_canonical_docs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) FROM base WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, '  ' || text || '  ' FROM base
+        |  WHERE doc_id < 10
+        |), c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ckey
+        |  FROM corpus
+        |), r AS (
+        |  SELECT doc_id, text, ckey,
+        |    row_number() OVER (PARTITION BY ckey
+        |      ORDER BY length(text) DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY ckey) AS n_members
+        |  FROM c
+        |)
+        |SELECT max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+        |  max(n_members) AS n_members,
+        |  max(CASE WHEN rn = 1 THEN length(text) END) AS kept_chars,
+        |  string_agg(CASE WHEN rn <> 1 THEN doc_id END, ','
+        |    ORDER BY doc_id) AS dropped_ids
+        |FROM r WHERE n_members > 1
+        |GROUP BY ckey ORDER BY 1""".stripMargin,
   )
 }

@@ -522,4 +522,69 @@ object Dedup {
     cand.unpersist(blocking = false)
     verified.orderBy($"a_id", $"b_id")
   }
+
+  /** Representative selection over ANY cluster assignment: keep each
+    * cluster's best member (longest text, ties to smallest doc_id).
+    * `clusters` is (doc_id, cluster) — e.g. [[connectedComponents]] output
+    * relabeled, or a normalization digest. One shuffle on the cluster key;
+    * WindowGroupLimit bounds per-partition state to one row per cluster. */
+  def canonicalSelect(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    docs.join(clusters, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical_doc_id"), col("n_members"))
+  }
+
+  /** q132: normalization-dedup with canonical-representative selection —
+    * the ACTION step of corpus dedup: having clustered equivalent documents,
+    * keep exactly one (the "best") and record what was dropped. Clusters
+    * here are case/whitespace/punctuation-normalization classes (the
+    * cheapest real-world near-dup: mirrored pages differing only in casing
+    * or markup residue); the representative is the longest original text,
+    * ties to the smallest doc_id — a deterministic quality rule both
+    * engines can reproduce.
+    *
+    * Scale shape: docs shuffle ONCE on a 64-hex digest of the normalized
+    * text (rule: shuffle keys are hashes, not payloads — the normalized
+    * document never leaves the map side); the ranking window and the
+    * cluster aggregate both reuse that clustering. Planting mirrors q121's
+    * convention: the corpus has no natural normalization twins, so the
+    * query (and its oracle, identically) adds uppercased and
+    * whitespace-padded variants of a doc prefix.
+    *
+    * The same selection composes over ANY cluster assignment — ExtSpec
+    * applies it to connectedComponents output for the LSH near-dup case. */
+  def q132CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000L).as("doc_id"), upper($"text").as("text")))
+      .unionByName(base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat(lit("  "), $"text", lit("  ")).as("text")))
+    val clustered = corpus.withColumn("ckey",
+      sha2(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")), 256))
+    val byCluster = Window.partitionBy($"ckey")
+    val rankW = byCluster.orderBy(length($"text").desc, $"doc_id")
+    clustered
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter($"n_members" > 1)
+      .groupBy($"ckey")
+      .agg(
+        max(when($"rn" === 1, $"doc_id")).as("canonical_doc_id"),
+        max($"n_members").as("n_members"),
+        max(when($"rn" === 1, length($"text").cast("long"))).as("kept_chars"),
+        expr("array_join(transform(sort_array(" +
+          "collect_list(CASE WHEN rn != 1 THEN doc_id END)), " +
+          "x -> cast(x AS string)), ',')").as("dropped_ids"))
+      .select($"canonical_doc_id", $"n_members", $"kept_chars", $"dropped_ids")
+      .orderBy($"canonical_doc_id")
+  }
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** File-level Bloom-filter index over a parquet directory — the point-lookup
+  * complement to [[ZoneMap]]. A min/max envelope prunes range predicates on
+  * CLUSTERED columns but is useless for an equality probe on a
+  * hash-distributed key (every file's [min,max] spans the whole domain); a
+  * per-file Bloom filter answers "can this file contain key k?" regardless
+  * of layout, which is why Parquet, Delta and Iceberg all grew bloom
+  * metadata beside their min/max stats. Combined with a hash-clustered
+  * layout (each key lands in exactly one file) a point lookup touches
+  * O(1/nFiles) of the storage.
+  *
+  * Same correctness contract as [[ZoneMap]]: pruning is an optimization,
+  * never a dependence. A Bloom filter has no false negatives, so a ruled-out
+  * file provably holds no probed key; the full predicate is re-applied to
+  * the survivors (false positives and co-resident rows filter out there);
+  * and the pruned read scans the CURRENT listing minus the ruled-out set,
+  * so a file appended after the index was built is never ruled out and a
+  * compacted-away file's stale index row is ignored — a stale index can
+  * only cost speed, never rows.
+  *
+  * Reference scope: at-scale superset, like [[ZoneMap]]/[[Layout]] — the
+  * reference warehouse full-scans (`scripts/lambda_handler_warehouse.py`).
+  */
+object BloomIndex {
+
+  /** Build the index in ONE scan: per file, row count and a Bloom filter
+    * over `xxhash64(keyCol)`. `expectedItems`/`numBits` size the filter
+    * (defaults: ~1M items at ~8 bits/item ⇒ ~2% fpp); the index is a small
+    * table — one (file, bytes) row per file — meant to be persisted once
+    * and consulted by every probe. A format-native build would lift parquet
+    * footer bloom pages instead of re-hashing row data. */
+  def build(spark: SparkSession, dir: String, keyCol: String,
+            expectedItems: Long = 1000000L,
+            numBits: Long = 8388608L): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        bloomAgg(xxhash64(col(keyCol)), expectedItems, numBits).as("bloom"))
+
+  /** `bloom_filter_agg` is a Catalyst expression Spark keeps off the public
+    * FunctionRegistry (it backs the runtime bloom-join rule); wrap it
+    * directly. Its binary output is the standard
+    * `org.apache.spark.util.sketch.BloomFilter` serialization. */
+  private def bloomAgg(child: Column, items: Long, bits: Long): Column =
+    columnOf(new BloomFilterAggregate(expressionOf(child),
+      Literal(items), Literal(bits)).toAggregateExpression())
+
+  /** Files that MIGHT contain at least one probed key — the scan list for
+    * an IN-list/point lookup. The probe runs on the DRIVER over collected
+    * index rows (one bloom per file): this is planner metadata, the same
+    * thing Delta/Iceberg hold in memory to build a scan's file list —
+    * row data is never touched. (Spark's own `might_contain` expression
+    * insists on a constant/scalar-subquery filter because it exists for
+    * broadcast runtime join pruning; a per-file metadata probe is exactly
+    * the driver-side case.) Keys are hashed with the same `XxHash64`
+    * expression the build used, so probe and build can never disagree.
+    * A file whose keyed column was entirely null holds only the null hash
+    * and is pruned (null never satisfies an equality probe). Files absent
+    * from the index are NOT returned here — [[prunedRead]] adds them back
+    * from the live listing (staleness safety). */
+  def candidateFiles(index: DataFrame, keys: Seq[Any]): Set[String] = {
+    require(keys.nonEmpty, "bloom probe needs at least one key")
+    val hashes = keys.map(k =>
+      new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
+    index.select("file", "bloom").collect().flatMap { r =>
+      val bf = BloomFilter.readFrom(
+        new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
+    }.toSet
+  }
+
+  /** Point-lookup read: current listing ∩ (bloom candidates ∪ unindexed
+    * files), then the exact IN filter re-applied. Returns the frame plus
+    * (selected, total) file counts so callers — and tests — can observe
+    * the skipping. */
+  def prunedRead(spark: SparkSession, dir: String, index: DataFrame,
+                 keyCol: String, keys: Seq[Any]): ZoneMap.Pruned = {
+    val table = spark.read.parquet(dir)
+    val current = table.inputFiles
+    val indexed = index.select("file").collect().map(_.getString(0)).toSet
+    val candidates = candidateFiles(index, keys)
+    val files = current.filter(f => candidates.contains(f) || !indexed.contains(f)).toSeq
+    val predicate = col(keyCol).isin(keys: _*)
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], table.schema)
+      else spark.read.parquet(files: _*).filter(predicate)
+    ZoneMap.Pruned(df, files.length, current.length)
+  }
+}

@@ -452,6 +452,40 @@ object Advanced {
     } finally zm.unpersist()
   }
 
+  /** q131: Bloom-index point lookup over a hash-clustered layout — the
+    * point-probe complement of q107's zone map. lineitem is rewritten
+    * hash-clustered on l_orderkey (each key lives in exactly one file — the
+    * layout a min/max envelope can NEVER prune, since every file spans the
+    * whole key domain), a per-file Bloom index is built in one scan
+    * ([[graft.ops.BloomIndex.build]]), and an IN-list probe reads only the
+    * files whose filter might contain a probed key. Blooms have no false
+    * negatives and the exact predicate re-applies after the pruned read, so
+    * the result equals a full scan by construction — the oracle runs the
+    * same IN filter over the raw table. At 100 TB an id lookup opens
+    * ~|keys| files instead of all of them.
+    */
+  def q131BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.BloomIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bl_").toString + "/li"
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .repartition(16, $"l_orderkey")
+      .write.mode("overwrite").parquet(tmp)
+    val idx = BloomIndex.build(spark, tmp, "l_orderkey",
+      expectedItems = 100000L, numBits = 1L << 20).cache()
+    try {
+      val keys: Seq[Any] = Seq(1L, 2L, 3L, 32L, 33L, 1000L, 1027L, 5000L)
+      val pruned = BloomIndex.prunedRead(spark, tmp, idx, "l_orderkey", keys)
+      pruned.df
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_price"))
+        .orderBy($"l_orderkey")
+    } finally idx.unpersist()
+  }
+
   /** q108: materialized-view rewrite — materialize a
     * (l_returnflag, l_linestatus) rollup of lineitem, then answer a coarser
     * filtered aggregate from it via [[graft.plans.MvRewrite.answer]]. The

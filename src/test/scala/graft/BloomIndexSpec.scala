@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.BloomIndex
+
+/** Bloom file index: must never change results (no false negatives +
+  * predicate re-applied), must actually skip files on a hash-clustered
+  * layout, and must stay correct when the index is stale.
+  */
+class BloomIndexSpec extends SparkSpec {
+
+  private def hashClustered(nFiles: Int): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloom_").toString + "/li"
+    graft.sources.Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_quantity")
+      .repartition(nFiles, $"l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("pruned read equals full-scan IN filter and skips files on a hash-clustered layout") {
+    import spark.implicits._
+    val dir = hashClustered(16)
+    val idx = BloomIndex.build(spark, dir, "l_orderkey",
+      expectedItems = 100000L, numBits = 1L << 20)
+    val keys: Seq[Any] = Seq(1L, 33L, 1000L, 5000L)
+    val pruned = BloomIndex.prunedRead(spark, dir, idx, "l_orderkey", keys)
+    val expected = spark.read.parquet(dir).filter($"l_orderkey".isin(keys: _*))
+    assert(pruned.df.count() == expected.count() && expected.count() > 0)
+    assert(pruned.df.exceptAll(expected).isEmpty && expected.exceptAll(pruned.df).isEmpty)
+    assert(pruned.totalFiles == 16)
+    // each key hashes to one file; 4 keys can match at most 4 files exactly
+    // plus bloom false positives (~2% of 16 files) — strictly fewer than all
+    assert(pruned.selectedFiles < pruned.totalFiles,
+      s"bloom should skip files, read ${pruned.selectedFiles}/${pruned.totalFiles}")
+  }
+
+  test("min/max zone map CANNOT prune this layout — the bloom can") {
+    import spark.implicits._
+    val dir = hashClustered(8)
+    // hash clustering scatters keys: every file's [min,max] spans ~the whole
+    // domain, so a zone map rules out nothing
+    val zm = graft.ops.ZoneMap.build(spark, dir, "l_orderkey")
+    val zmPruned = graft.ops.ZoneMap.prunedRead(spark, dir, zm,
+      Seq(("l_orderkey", 1000L, 1001L)))
+    assert(zmPruned.selectedFiles == zmPruned.totalFiles,
+      "hash layout should defeat min/max pruning (that is the point)")
+    val idx = BloomIndex.build(spark, dir, "l_orderkey",
+      expectedItems = 100000L, numBits = 1L << 20)
+    val bPruned = BloomIndex.prunedRead(spark, dir, idx, "l_orderkey", Seq(1000L))
+    assert(bPruned.selectedFiles < bPruned.totalFiles)
+  }
+
+  test("stale index: a file appended after build is always scanned (no lost rows)") {
+    import spark.implicits._
+    val dir = hashClustered(4)
+    val idx = BloomIndex.build(spark, dir, "l_orderkey",
+      expectedItems = 100000L, numBits = 1L << 20)
+    val indexedFiles = idx.count()
+    // append a new file containing a key the index has never seen
+    Seq((999999999L, 1.0)).toDF("l_orderkey", "l_quantity")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val pruned = BloomIndex.prunedRead(spark, dir, idx, "l_orderkey",
+      Seq(999999999L))
+    assert(pruned.df.count() == 1L,
+      "unindexed file must be scanned even though no bloom matches")
+    assert(pruned.totalFiles.toLong == indexedFiles + 1)
+  }
+
+  test("all-null key column builds an empty filter and is pruned; empty probe rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloomnull_").toString + "/t"
+    Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "v")
+      .coalesce(1).write.parquet(dir)
+    Seq((Option.empty[Long], "c"), (Option.empty[Long], "d")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val idx = BloomIndex.build(spark, dir, "k",
+      expectedItems = 1000L, numBits = 1L << 14)
+    val pruned = BloomIndex.prunedRead(spark, dir, idx, "k", Seq(1L))
+    assert(pruned.df.count() == 1L)
+    assert(pruned.selectedFiles == 1 && pruned.totalFiles == 2,
+      "the all-null file cannot contain any probed key and must be skipped")
+    intercept[IllegalArgumentException] {
+      BloomIndex.candidateFiles(idx, Seq.empty)
+    }
+  }
+}

@@ -141,6 +141,26 @@ class ExtSpec extends SparkSpec {
     assert(before - after == removed)
   }
 
+  test("canonicalSelect composes over CC clusters: keeps the longest member, counts the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text in the cluster"), (3L, "medium text"),
+      (10L, "solo"), (11L, "twin"), (12L, "twin")).toDF("doc_id", "text")
+    // near-dup pairs as CC would emit them: {1,2,3} chained, {11,12}
+    val pairs = Seq((1L, 2L), (2L, 3L), (11L, 12L)).toDF("left_id", "right_id")
+    val clusters = Dedup.connectedComponents(pairs)
+      .toDF("doc_id", "cluster")
+      // CC labels only nodes with edges; solo docs are their own cluster
+      .unionByName(Seq((10L, 10L)).toDF("doc_id", "cluster"))
+    val got = Dedup.canonicalSelect(clusters, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 2L, 3L),   // cluster 1: doc 2 has the longest text
+      (10L, 10L, 1L), // singleton keeps itself
+      (11L, 11L, 2L)  // equal lengths: smallest doc_id wins
+    ))
+  }
+
   test("connected components: chains collapse to the minimum id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("left_id", "right_id")
