@@ -151,6 +151,9 @@ object SparkEntry {
     "q130_cumulative_users" -> (EventAnalytics.q130CumulativeUsers _),
     "q131_bloom_lookup" -> (Advanced.q131BloomLookup _),
     "q132_canonical_docs" -> (Dedup.q132CanonicalDocs _),
+    "q133_ab_experiment" -> (EventAnalytics.q133AbExperiment _),
+    "q134_streaming_left_join" -> (EventsStream.q134StreamingLeftJoin _),
+    "q135_rolling_wau" -> (EventAnalytics.q135RollingWau _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1733,5 +1736,60 @@ object SparkEntry {
         |    ORDER BY doc_id) AS dropped_ids
         |FROM r WHERE n_members > 1
         |GROUP BY ckey ORDER BY 1""".stripMargin,
+    "q133_ab_experiment" ->
+      """WITH pu AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1
+        |), v AS (
+        |  SELECT *, CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 31
+        |    + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 2 = 0
+        |    THEN 'control' ELSE 'treatment' END AS variant
+        |  FROM pu
+        |), arms AS (
+        |  SELECT variant, count(*) AS n_users,
+        |    round(avg(cents / 100.0), 6) AS mean_value,
+        |    round(var_samp(cents / 100.0), 6) AS var_value,
+        |    round(avg(CAST(n_events AS DOUBLE)), 6) AS mean_events
+        |  FROM v GROUP BY 1
+        |), c AS (
+        |  SELECT n_users AS n_c, mean_value AS m_c, var_value AS v_c
+        |  FROM arms WHERE variant = 'control'
+        |), t AS (
+        |  SELECT n_users AS n_t, mean_value AS m_t, var_value AS v_t
+        |  FROM arms WHERE variant = 'treatment'
+        |)
+        |SELECT n_c, n_t, round(m_t - m_c, 6) AS lift,
+        |  round((m_t - m_c) / sqrt(v_t / n_t + v_c / n_c), 6) AS welch_t
+        |FROM c, t""".stripMargin,
+    // The batch LEFT JOIN the streaming query must reproduce exactly once
+    // the watermark closes each click's 30-minute conversion window.
+    "q134_streaming_left_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS click_ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, epoch_us(click_ts) AS click_us,
+        |  COALESCE(epoch_us(p_ts), -1) AS purchase_us
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts >= c.click_ts
+        |  AND p.p_ts <= c.click_ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q135_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), grid AS (
+        |  SELECT DISTINCT day AS grid_day FROM ud
+        |), x AS (
+        |  SELECT ud.user_id, g.grid_day
+        |  FROM ud JOIN grid g
+        |    ON ud.day BETWEEN g.grid_day - 6 AND g.grid_day
+        |)
+        |SELECT grid_day, count(DISTINCT user_id) AS wau,
+        |  count(*) AS active_user_days
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -166,6 +166,71 @@ object EventAnalytics {
       .orderBy($"user_id")
   }
 
+  /** q133: A/B experiment analysis — deterministic hash assignment (the
+    * md5-parity trick every experimentation platform uses: pure function of
+    * user_id, stable under reruns/appends, no RNG state), per-variant
+    * activity metrics, and the lift + Welch t-statistic between arms.
+    * Scale shape: one aggregate to per-user metrics (shuffle on user_id),
+    * one to the two-arm summary (shuffle on 2 keys) — the t-test is
+    * algebraic (n, mean, variance), so a 100 TB experiment readout is two
+    * hash aggregates, no window, no collect. Per-user value sums are
+    * cent-quantized before the variance math and the final stats round at
+    * 1e-6 from identical inputs, so both engines agree. */
+  def q133AbExperiment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Assignment via the repo's portable md5 idiom (two hex chars mixed —
+    // same bytes in every engine, q93's bucket rule).
+    val h = md5($"user_id".cast("string"))
+    val perUser = Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("long")).as("cents"))
+      .withColumn("variant",
+        when((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 2 === 0,
+          lit("control")).otherwise(lit("treatment")))
+    val arms = perUser.groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg($"cents" / 100.0), 6).as("mean_value"),
+        round(var_samp($"cents" / 100.0), 6).as("var_value"),
+        round(avg($"n_events".cast("double")), 6).as("mean_events"))
+    // Two rows → the cross join is a broadcast of one row; the Welch
+    // statistic is computed relationally, not on the driver.
+    val c = arms.filter($"variant" === "control")
+      .select($"n_users".as("n_c"), $"mean_value".as("m_c"), $"var_value".as("v_c"))
+    val t = arms.filter($"variant" === "treatment")
+      .select($"n_users".as("n_t"), $"mean_value".as("m_t"), $"var_value".as("v_t"))
+    c.crossJoin(t).select(
+      $"n_c", $"n_t",
+      round($"m_t" - $"m_c", 6).as("lift"),
+      round(($"m_t" - $"m_c")
+        / sqrt($"v_t" / $"n_t" + $"v_c" / $"n_c"), 6).as("welch_t"))
+  }
+
+  /** q135: rolling 7-day active users (WAU) per calendar day — the sliding
+    * distinct count no partial aggregate can maintain (distinct is not
+    * re-aggregable across overlapping windows; q118's sketch rollup is the
+    * approximate escape hatch, this is the exact one). Shape: distinct
+    * (user, day) — the one big shuffle — then each surviving pair joins to
+    * at most 7 grid days (a broadcast of the tiny day dimension), and the
+    * per-grid-day distinct recount runs over the ≤7× expansion, never the
+    * raw events. The expansion is generated NARROW (explode of the 7-day
+    * sequence per active pair — no nested-loop join against the grid); a
+    * broadcast semi-join against the observed-day grid then trims window
+    * ends. Output days are restricted to the observed range. */
+  def q135RollingWau(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ud = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val grid = ud.select($"day".as("grid_day")).distinct()
+    ud.withColumn("grid_day",
+        explode(expr("sequence(day, date_add(day, 6))")))
+      .join(broadcast(grid), "grid_day")
+      .groupBy($"grid_day")
+      .agg(countDistinct($"user_id").as("wau"),
+        count(lit(1)).as("active_user_days"))
+      .orderBy($"grid_day")
+  }
+
   /** q130: daily active + cumulative-distinct users — the DAU/"total users
     * ever" pair every growth dashboard plots. Cumulative distinct is NOT
     * re-aggregable from daily distincts; the scalable identity is

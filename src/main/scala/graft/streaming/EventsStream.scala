@@ -94,4 +94,85 @@ object EventsStream {
         $"n_events", $"sum_value")
       .orderBy($"user_id", $"session_start_s")
   }
+
+  /** q134: stream-stream LEFT OUTER interval join as a run-once query with
+    * a batch oracle — "did each click convert to a purchase within 30
+    * minutes" where the unmatched side must still surface (with nulls), the
+    * semantics append-mode outer joins exist for. State is bounded by the
+    * 30-minute join window + 10-minute watermark on BOTH inputs; matched
+    * pairs emit immediately, unmatched clicks emit exactly once when the
+    * global watermark passes their window.
+    *
+    * Two mechanics make run-once parity with a batch LEFT JOIN exact:
+    * (1) the landing dir is staged as chronological slices consumed with
+    * `maxFilesPerTrigger=1`, so the watermark actually advances across
+    * micro-batches (a single batch would leave every outer null unemitted
+    * at termination); (2) a far-future sentinel click+purchase pair (user
+    * −1, filtered from the output) pushes BOTH watermarks past every real
+    * window — the production analogue is the heartbeat event every
+    * watermarked pipeline ships so quiet sources cannot stall eviction. */
+  def q134StreamingLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_ssjoin_${System.nanoTime()}"
+    val watch = java.nio.file.Files.createTempDirectory("graft_ssjoin_")
+    val ev = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+    val (minTs, maxTs) = {
+      val r = ev.agg(min($"ts"), max($"ts")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = maxTs - minTs
+    val cut1 = minTs + span / 3
+    val cut2 = minTs + 2 * span / 3
+    def stage(fileName: String, df: DataFrame): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("graft_ssjoin_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, watch.resolve(fileName))
+          moved = true
+        }
+      }
+      require(moved, s"no part file for $fileName")
+    }
+    stage("ev_0.parquet", ev.filter($"ts" <= cut1))
+    stage("ev_1.parquet", ev.filter($"ts" > cut1 && $"ts" <= cut2))
+    stage("ev_2.parquet", ev.filter($"ts" > cut2))
+    val sentinelTs = maxTs + 30L * 24 * 3600 * 1000000000L
+    stage("ev_3_sentinel.parquet", Seq(
+      (-1L, sentinelTs, -1L, "click", 0.0, "{}"),
+      (-2L, sentinelTs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    def src() = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src().filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"p_ts" >= $"click_ts" &&
+        $"p_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter($"user_id" =!= -1L)
+      .select($"user_id", unix_micros($"click_ts").as("click_us"),
+        coalesce(unix_micros($"p_ts"), lit(-1L)).as("purchase_us"))
+      .orderBy($"user_id", $"click_us", $"purchase_us")
+  }
 }

@@ -98,6 +98,72 @@ class EventOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 30000L, 16.666667)))
   }
 
+  test("q133: Welch t recomputed driver-side from raw per-user aggregates; arms partition users") {
+    import spark.implicits._
+    val row = EventAnalytics.q133AbExperiment(spark, sf0001).collect().head
+    val (nC, nT, lift, welch) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+    // raw per-user cent sums, assigned with the same md5 rule
+    val perUser = graft.sources.Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def variant(uid: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ((h(0).toInt * 31 + h(1).toInt) % 2 == 0) "control" else "treatment"
+    }
+    val (c, t) = perUser.partition(p => variant(p._1) == "control")
+    assert(nC === c.length.toLong && nT === t.length.toLong)
+    assert(nC + nT === perUser.length.toLong, "every user lands in exactly one arm")
+    def stats(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (mC, vC) = stats(c.map(_._2 / 100.0))
+    val (mT, vT) = stats(t.map(_._2 / 100.0))
+    assert(math.abs(lift - (mT - mC)) < 1e-4, s"lift $lift != ${mT - mC}")
+    val expT = (mT - mC) / math.sqrt(vT / t.length + vC / c.length)
+    assert(math.abs(welch - expT) < 1e-3, s"welch $welch != $expT")
+  }
+
+  test("q134: streaming left-outer interval join equals the batch left join") {
+    import spark.implicits._
+    val got = graft.streaming.EventsStream.q134StreamingLeftJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("click_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), unix_micros($"ts").as("p_us"))
+    val expected = clicks.join(purchases,
+        $"user_id" === $"p_user" && $"p_us" >= $"click_us" &&
+          $"p_us" <= $"click_us" + 30L * 60 * 1000000L, "left_outer")
+      .select($"user_id", $"click_us", coalesce($"p_us", lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === expected.length,
+      s"row counts differ: streaming ${got.length} vs batch ${expected.length}")
+    assert(got.sorted.toSeq === expected.sorted.toSeq)
+    assert(got.exists(_._3 == -1L), "some clicks must be unconverted (outer nulls emitted)")
+    assert(got.exists(_._3 != -1L), "some clicks must convert")
+    assert(!got.exists(_._1 == -1L), "the watermark sentinel must not leak into the output")
+  }
+
+  test("q135: WAU dominates DAU and active_user_days telescopes the daily counts") {
+    import spark.implicits._
+    val wau = EventAnalytics.q135RollingWau(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val daily = EventAnalytics.q130CumulativeUsers(spark, sf0001).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(wau.map(_._1).toSet === daily.keySet, "same observed-day grid")
+    wau.foreach { case (d, w, aud) =>
+      val window = (0 to 6).map(i => d.minusDays(i)).flatMap(daily.get)
+      assert(w >= daily(d), s"$d: WAU $w below that day's DAU ${daily(d)}")
+      assert(w <= window.sum, s"$d: distinct WAU cannot exceed summed DAU")
+      assert(aud === window.sum, s"$d: active_user_days $aud != ${window.sum}")
+    }
+  }
+
   test("q130: conservation — cum_users ends at total distinct users, new≤active, monotone") {
     import spark.implicits._
     val out = EventAnalytics.q130CumulativeUsers(spark, sf0001).collect()
