@@ -1749,8 +1749,7 @@ object SparkEntry {
         |), arms AS (
         |  SELECT variant, count(*) AS n_users,
         |    round(avg(cents / 100.0), 6) AS mean_value,
-        |    round(var_samp(cents / 100.0), 6) AS var_value,
-        |    round(avg(CAST(n_events AS DOUBLE)), 6) AS mean_events
+        |    round(var_samp(cents / 100.0), 6) AS var_value
         |  FROM v GROUP BY 1
         |), c AS (
         |  SELECT n_users AS n_c, mean_value AS m_c, var_value AS v_c

@@ -191,19 +191,22 @@ object EventAnalytics {
     val arms = perUser.groupBy($"variant")
       .agg(count(lit(1)).as("n_users"),
         round(avg($"cents" / 100.0), 6).as("mean_value"),
-        round(var_samp($"cents" / 100.0), 6).as("var_value"),
-        round(avg($"n_events".cast("double")), 6).as("mean_events"))
-    // Two rows → the cross join is a broadcast of one row; the Welch
-    // statistic is computed relationally, not on the driver.
-    val c = arms.filter($"variant" === "control")
-      .select($"n_users".as("n_c"), $"mean_value".as("m_c"), $"var_value".as("v_c"))
-    val t = arms.filter($"variant" === "treatment")
-      .select($"n_users".as("n_t"), $"mean_value".as("m_t"), $"var_value".as("v_t"))
-    c.crossJoin(t).select(
-      $"n_c", $"n_t",
-      round($"m_t" - $"m_c", 6).as("lift"),
-      round(($"m_t" - $"m_c")
-        / sqrt($"v_t" / $"n_t" + $"v_c" / $"n_c"), 6).as("welch_t"))
+        round(var_samp($"cents" / 100.0), 6).as("var_value"))
+    // Pivot the two arms into one row with a conditional aggregate over the
+    // 2-row arms frame — NOT a self-join of two filtered branches, which
+    // would duplicate the events scan and the per-user shuffle end to end.
+    arms.agg(
+        max(when($"variant" === "control", $"n_users")).as("n_c"),
+        max(when($"variant" === "treatment", $"n_users")).as("n_t"),
+        max(when($"variant" === "control", $"mean_value")).as("m_c"),
+        max(when($"variant" === "treatment", $"mean_value")).as("m_t"),
+        max(when($"variant" === "control", $"var_value")).as("v_c"),
+        max(when($"variant" === "treatment", $"var_value")).as("v_t"))
+      .select(
+        $"n_c", $"n_t",
+        round($"m_t" - $"m_c", 6).as("lift"),
+        round(($"m_t" - $"m_c")
+          / sqrt($"v_t" / $"n_t" + $"v_c" / $"n_c"), 6).as("welch_t"))
   }
 
   /** q135: rolling 7-day active users (WAU) per calendar day — the sliding

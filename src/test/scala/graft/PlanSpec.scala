@@ -269,6 +269,22 @@ class PlanSpec extends SparkSpec {
       "pair counts should partial-aggregate map-side")
   }
 
+  test("q133: one events scan feeds both arms (no filtered-branch self-join duplicating the pipeline)") {
+    val plan = planOf(graft.queries.EventAnalytics.q133AbExperiment(spark, sf0001))
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"$scans events scans — the arm pivot must not re-read the fact table")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("SortMergeJoin"),
+      "the two-arm readout needs no join at all")
+  }
+
+  test("q135: rolling-window expansion is explode + broadcast equi-join, never a nested loop") {
+    val plan = planOf(graft.queries.EventAnalytics.q135RollingWau(spark, sf0001))
+    assert(plan.contains("Generate"), "7-day expansion should be a narrow explode")
+    assert(plan.contains("BroadcastHashJoin"), "grid trim should broadcast the tiny day dim")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "a range-join formulation against the grid would nested-loop over every row")
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
