@@ -124,28 +124,35 @@ object EventsStream {
     val span = maxTs - minTs
     val cut1 = minTs + span / 3
     val cut2 = minTs + 2 * span / 3
-    def stage(fileName: String, df: DataFrame): Unit = {
-      val staging = java.nio.file.Files.createTempDirectory("graft_ssjoin_stage_")
-      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = java.nio.file.Files.list(staging).iterator()
+    val sentinelTs = maxTs + 30L * 24 * 3600 * 1000000000L
+    // Stage all chronological slices in ONE pass: a slice-partitioned write
+    // (three filtered writes would scan events three times), then move each
+    // slice's part file up into the flat watched dir (the file source does
+    // not descend into partition subdirectories).
+    val staging = java.nio.file.Files.createTempDirectory("graft_ssjoin_stage_")
+    ev.unionByName(Seq(
+        (-1L, sentinelTs, -1L, "click", 0.0, "{}"),
+        (-2L, sentinelTs, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .withColumn("slice",
+        when($"user_id" === -1L, 3)
+          .when($"ts" <= cut1, 0)
+          .when($"ts" <= cut2, 1).otherwise(2))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
+    for (s <- 0 to 3) {
+      val sliceDir = staging.resolve(s"slice=$s")
+      val part = java.nio.file.Files.list(sliceDir).iterator()
       var moved = false
       while (part.hasNext && !moved) {
         val p = part.next()
         if (p.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(p, watch.resolve(fileName))
+          java.nio.file.Files.move(p, watch.resolve(s"ev_$s.parquet"))
           moved = true
         }
       }
-      require(moved, s"no part file for $fileName")
+      require(moved, s"no part file for slice $s")
     }
-    stage("ev_0.parquet", ev.filter($"ts" <= cut1))
-    stage("ev_1.parquet", ev.filter($"ts" > cut1 && $"ts" <= cut2))
-    stage("ev_2.parquet", ev.filter($"ts" > cut2))
-    val sentinelTs = maxTs + 30L * 24 * 3600 * 1000000000L
-    stage("ev_3_sentinel.parquet", Seq(
-      (-1L, sentinelTs, -1L, "click", 0.0, "{}"),
-      (-2L, sentinelTs, -1L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
     def src() = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
@@ -162,12 +169,21 @@ object EventsStream {
         $"p_ts" >= $"click_ts" &&
         $"p_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"),
       "left_outer")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stream-stream join state runs one store instance per shuffle
+    // partition per side PER MICRO-BATCH; at the session's CPU-count
+    // partitioning that fixed overhead dwarfs the data at bench scale.
+    // Pin the stateful query to a few partitions (state volume here is
+    // bounded by the 40-minute window, not by parallelism), restore after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = try {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     spark.table(name)
       .filter($"user_id" =!= -1L)

@@ -57,6 +57,18 @@ object ScaleProbe {
       shifted.withColumn("vec_id", $"vec_id" + r * OffsetStep)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    // events: replicate with user_id + event_id offsets — "8× the users over
+    // the same 30-day window", so per-user stream lengths stay constant
+    // while the shuffles and distinct counts grow 8×. The ns column is
+    // written back as the raw long the loader reads (nanosAsLong), so the
+    // round-trip is exact.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until replicas).map { r =>
+      ev.withColumn("user_id", $"user_id" + r * OffsetStep)
+        .withColumn("event_id", $"event_id" + r * OffsetStep)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
 
     val headline = Seq("q01_pricing_summary", "q10_revenue_by_nation",
       "q12_running_totals", "q07_upsert", "q11_top_customers_per_region",
@@ -66,7 +78,9 @@ object ScaleProbe {
       "q96_inverted_index", "q98_ann_pq", "q99_ann_ivfpq", "q100_cdc_apply",
       "q104_column_profile", "q107_zonemap_prune", "q108_mv_rewrite",
       "q112_incremental_dedup", "q114_bm25", "q115_lm_quality",
-      "q116_weighted_sample", "q121_setsim_join", "q122_market_basket")
+      "q116_weighted_sample", "q121_setsim_join", "q122_market_basket",
+      "q128_activity_islands", "q129_twap", "q131_bloom_lookup",
+      "q132_canonical_docs", "q133_ab_experiment", "q135_rolling_wau")
     // q109_pagerank (customer graph) and q117_triangles (part graph) are
     // keyed to dims the probe holds constant so the q10/q11 join
     // cardinalities stay honest; their scaling shape (iterative/multi-way
