@@ -154,6 +154,7 @@ object SparkEntry {
     "q133_ab_experiment" -> (EventAnalytics.q133AbExperiment _),
     "q134_streaming_left_join" -> (EventsStream.q134StreamingLeftJoin _),
     "q135_rolling_wau" -> (EventAnalytics.q135RollingWau _),
+    "q136_basket_concentration" -> (Extra.q136BasketConcentration _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1790,5 +1791,20 @@ object SparkEntry {
         |SELECT grid_day, count(DISTINCT user_id) AS wau,
         |  count(*) AS active_user_days
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Scalar-SQL twin of the Spark side's array-HOF formulation — identical
+    // integer arithmetic, so the lambda path is provably exact.
+    "q136_basket_concentration" ->
+      """WITH c AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_orderkey <= 2000
+        |)
+        |SELECT l_orderkey,
+        |  CAST(count(*) AS INTEGER) AS n_items,
+        |  CAST(sum(c) AS BIGINT) AS total_cents,
+        |  round(CAST(sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS DOUBLE)
+        |        / CAST(CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)
+        |               AS DOUBLE), 6) AS hhi
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

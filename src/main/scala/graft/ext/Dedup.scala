@@ -501,10 +501,17 @@ object Dedup {
     val candIds = cand.select($"a_id".as("doc_id"))
       .union(cand.select($"b_id")).distinct()
     // Also a leaf: referenced from both sides of the verify join.
+    // Edge separators are stripped BEFORE the split instead of filtering
+    // empty tokens after it: a `filter(..., lambda)` HOF here is interpreted
+    // per element and breaks whole-stage codegen for the whole verify
+    // projection — measured 2× on the 8× ScaleProbe corpus. The two forms
+    // are equivalent for every doc that can reach the verify (an
+    // all-separator doc tokenizes to [""], yields no 3-shingles, and is
+    // dropped by the set-size filters either way).
     val vsets = corpus.join(candIds, "doc_id")
       .select($"doc_id",
-        expr("filter(split(text, '[\\\\x00-\\\\x20]+'), x -> x <> '')").as("tk"))
-      .filter(size($"tk") > 0)
+        split(regexp_replace($"text",
+          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
       .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("toks"))
       .localCheckpoint()
     val verified = cand

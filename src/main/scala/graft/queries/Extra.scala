@@ -734,6 +734,32 @@ object Extra {
       .orderBy($"n_name")
   }
 
+  /** q136: per-basket value concentration (Herfindahl index) via
+    * higher-order array functions — collect each order's line prices once,
+    * then `aggregate` lambdas compute count/total/sum-of-squares INSIDE the
+    * array without re-shuffling or exploding it back out: the idiom for
+    * per-group math too irregular for plain aggregates but too small for a
+    * second shuffle. Everything stays integral (cents) until the final
+    * ratio, so the HOF path and the oracle's scalar-SQL path agree exactly;
+    * fp stays exact because Σc² ≤ items·(1e7)² ≪ 2⁵³ at any basket size
+    * the schema allows. One shuffle on the basket key. */
+  def q136BasketConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" <= 2000)
+      .select($"l_orderkey", round($"l_extendedprice" * 100).cast("long").as("c"))
+      .groupBy($"l_orderkey").agg(collect_list($"c").as("cs"))
+      .select($"l_orderkey",
+        size($"cs").as("n_items"),
+        expr("aggregate(cs, 0L, (a, x) -> a + x)").as("total_cents"),
+        round(
+          expr("aggregate(cs, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+            / (expr("aggregate(cs, 0L, (a, x) -> a + x)")
+               * expr("aggregate(cs, 0L, (a, x) -> a + x)")).cast("double"),
+          6).as("hhi"))
+      .orderBy($"l_orderkey")
+  }
+
   /** q118: re-aggregable sketch rollup — the approximate twin of the exact
     * incremental-MV algebra (q92/`plans/MvRewrite`): per-(event_type, day)
     * HLL sketches are the persisted partials, and ANY coarser distinct-user

@@ -70,7 +70,7 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/events.parquet")
 
-    val headline = Seq("q01_pricing_summary", "q10_revenue_by_nation",
+    val allHeadline = Seq("q01_pricing_summary", "q10_revenue_by_nation",
       "q12_running_totals", "q07_upsert", "q11_top_customers_per_region",
       "q34_minhash_neardup", "q30_text_stats", "q52_bpe_token_estimate",
       "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus",
@@ -81,6 +81,8 @@ object ScaleProbe {
       "q116_weighted_sample", "q121_setsim_join", "q122_market_basket",
       "q128_activity_islands", "q129_twap", "q131_bloom_lookup",
       "q132_canonical_docs", "q133_ab_experiment", "q135_rolling_wau")
+    // Focused re-probe: pass query names as args to probe only those.
+    val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
     // q109_pagerank (customer graph) and q117_triangles (part graph) are
     // keyed to dims the probe holds constant so the q10/q11 join
     // cardinalities stay honest; their scaling shape (iterative/multi-way

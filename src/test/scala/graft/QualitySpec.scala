@@ -184,6 +184,29 @@ class QualitySpec extends SparkSpec {
     assert(got.contains((102L, 103L)), s"control-byte twin pair missed: $got")
   }
 
+  test("q136: HHI bounded by [1/n, 1], exact on a hand-computed basket, 1 for singletons") {
+    import spark.implicits._
+    val rows = Extra.q136BasketConcentration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, n, total, hhi) =>
+      assert(hhi <= 1.0 + 1e-9 && hhi >= 1.0 / n - 1e-9,
+        s"order $k: hhi $hhi outside [1/$n, 1]")
+      if (n == 1) assert(math.abs(hhi - 1.0) < 1e-9, s"singleton basket $k must have hhi 1")
+      assert(total > 0)
+    }
+    // recompute one multi-item basket driver-side from raw lineitem
+    val k = rows.filter(_._2 > 1).head._1
+    val cs = graft.sources.Tables.lineitem(spark, sf0001)
+      .filter($"l_orderkey" === k)
+      .select(round($"l_extendedprice" * 100).cast("long")).collect().map(_.getLong(0))
+    val exp = BigDecimal(cs.map(c => c.toDouble * c).sum / (cs.sum.toDouble * cs.sum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_._1 == k).get
+    assert(got._3 === cs.sum && math.abs(got._4 - exp) < 1e-9,
+      s"order $k: got $got expected total ${cs.sum} hhi $exp")
+  }
+
   test("q122: association stats are internally consistent and match direct recounts") {
     import spark.implicits._
     val out = Extra.q122MarketBasket(spark, sf0001).collect()
