@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** File-level min/max index ("zone map") over a parquet directory, plus a
@@ -37,6 +38,130 @@ object ZoneMap {
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the index WITHOUT scanning row data: lift min/max/rowcount from
+    * the parquet FOOTER statistics every writer already persists — what
+    * Delta/Iceberg actually do at commit time, and the reason stats
+    * collection there is free. Footer reads are metadata-sized (KBs per
+    * file); this loops on the driver, which is exactly where table-format
+    * planners hold this state (distribute over a file-list RDD if the file
+    * COUNT itself is huge). Output schema matches [[build]], so the two are
+    * interchangeable for [[ruledOutFiles]]/[[prunedRead]] — ZoneMapSpec
+    * asserts envelope equality on real layouts.
+    *
+    * Statistics are per column chunk; the file envelope folds min-of-mins /
+    * max-of-maxs, skipping all-null chunks (so an all-null file keeps the
+    * null envelope, same as the scan-based build). Supported index-column
+    * types: the primitive numerics, strings, and dates the driver testdata
+    * uses; anything else → IllegalArgumentException rather than a silently
+    * wrong envelope. */
+  def buildFromFooters(spark: SparkSession, dir: String, cols: String*): DataFrame = {
+    require(cols.nonEmpty, "zone map needs at least one indexed column")
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val tableSchema = spark.read.parquet(dir).schema
+    val fields = cols.map(c => tableSchema.fields.find(_.name == c)
+      .getOrElse(throw new IllegalArgumentException(s"no column $c in $dir")))
+    def convert(v: AnyRef, dt: org.apache.spark.sql.types.DataType,
+                cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Any = dt match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // INT64 with a TIMESTAMP(isAdjustedToUTC=false) annotation; the
+        // annotation carries the writer's unit.
+        import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+        val unit = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit
+          case other => throw new IllegalArgumentException(
+            s"unexpected annotation $other for TIMESTAMP_NTZ")
+        }
+        val raw = v.asInstanceOf[java.lang.Long].longValue
+        val us = unit match {
+          case TimeUnit.MILLIS => raw * 1000L
+          case TimeUnit.MICROS => raw
+          case TimeUnit.NANOS  => Math.floorDiv(raw, 1000L)
+        }
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case org.apache.spark.sql.types.LongType => v.asInstanceOf[java.lang.Long].longValue
+      case org.apache.spark.sql.types.IntegerType => v.asInstanceOf[java.lang.Integer].intValue
+      case org.apache.spark.sql.types.DoubleType => v.asInstanceOf[java.lang.Double].doubleValue
+      case org.apache.spark.sql.types.FloatType => v.asInstanceOf[java.lang.Float].floatValue
+      case org.apache.spark.sql.types.StringType =>
+        v.asInstanceOf[Binary].toStringUsingUTF8
+      case org.apache.spark.sql.types.DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[java.lang.Integer].longValue))
+      case other => throw new IllegalArgumentException(
+        s"zone-map footer build does not support $other")
+    }
+    @annotation.nowarn("cat=deprecation")
+    def footerRow(status: org.apache.hadoop.fs.FileStatus): Row = {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        val perCol = fields.map { f =>
+          var lo: Any = null
+          var hi: Any = null
+          for (b <- blocks; cc <- b.getColumns.asScala
+               if cc.getPath.toDotString == f.name) {
+            val st = cc.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val mn = convert(st.genericGetMin.asInstanceOf[AnyRef], f.dataType, cc)
+              val mx = convert(st.genericGetMax.asInstanceOf[AnyRef], f.dataType, cc)
+              val ord = f.dataType match {
+                case org.apache.spark.sql.types.StringType =>
+                  Ordering.String.asInstanceOf[Ordering[Any]]
+                case org.apache.spark.sql.types.DateType =>
+                  Ordering.by[Any, Long](_.asInstanceOf[java.sql.Date].getTime)
+                case org.apache.spark.sql.types.TimestampNTZType =>
+                  Ordering.by[Any, java.time.LocalDateTime](
+                    _.asInstanceOf[java.time.LocalDateTime])(
+                    Ordering.fromLessThan(_ isBefore _))
+                case _ => Ordering.by[Any, Double](x =>
+                  x.asInstanceOf[Number].doubleValue)
+              }
+              if (lo == null || ord.lt(mn, lo)) lo = mn
+              if (hi == null || ord.gt(mx, hi)) hi = mx
+            }
+          }
+          (lo, hi)
+        }
+        Row.fromSeq(status.getPath.toString +: rows +:
+          perCol.flatMap { case (lo, hi) => Seq(lo, hi) })
+      } finally reader.close()
+    }
+    // Rewrite file ids into the exact strings the scan's listing produces
+    // (URI scheme rendering differs between Hadoop Path and Spark's
+    // listing), so prunedRead's set subtraction matches; a file the listing
+    // doesn't know stays as-is and is simply never subtracted — the safe
+    // direction.
+    val listingById = spark.read.parquet(dir).inputFiles
+      .map(s => new java.net.URI(s).getPath -> s).toMap
+    val rows = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(footerRow)
+      .map(r => Row.fromSeq(
+        listingById.getOrElse(new java.net.URI(r.getString(0)).getPath,
+          r.getString(0)) +: r.toSeq.tail))
+      .toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rows",
+          org.apache.spark.sql.types.LongType)) ++
+      fields.flatMap(f => Seq(
+        org.apache.spark.sql.types.StructField(s"min_${f.name}", f.dataType),
+        org.apache.spark.sql.types.StructField(s"max_${f.name}", f.dataType))))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema)
   }
 
   /** Files the index POSITIVELY rules out for a conjunctive box predicate:

@@ -46,6 +46,37 @@ class ZoneMapSpec extends SparkSpec {
       s"z-order box should skip files, read ${pruned.selectedFiles}/${pruned.totalFiles}")
   }
 
+  test("footer-based build equals the scan-based build and prunes identically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zmfooter_").toString + "/li"
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate", $"l_quantity")
+    Layout.sortedWrite(li, dir, 8, "l_orderkey")
+    val scanned = ZoneMap.build(spark, dir, "l_orderkey", "l_returnflag", "l_shipdate")
+    val footer = ZoneMap.buildFromFooters(spark, dir, "l_orderkey", "l_returnflag", "l_shipdate")
+    def key(s: String) = new java.net.URI(s).getPath
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => key(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+          r.getAs[java.time.LocalDateTime](6), r.getAs[java.time.LocalDateTime](7))).toMap
+    val (s, f) = (canon(scanned.select($"file", $"rows",
+        $"min_l_orderkey", $"max_l_orderkey", $"min_l_returnflag",
+        $"max_l_returnflag", $"min_l_shipdate", $"max_l_shipdate")),
+      canon(footer.select($"file", $"rows",
+        $"min_l_orderkey", $"max_l_orderkey", $"min_l_returnflag",
+        $"max_l_returnflag", $"min_l_shipdate", $"max_l_shipdate")))
+    assert(s === f, "footer statistics must reproduce the scan-based envelope exactly")
+    // and the footer index must drive the same pruned read
+    val bounds = Seq[(String, Any, Any)](("l_orderkey", 2000L, 4000L))
+    val pruned = ZoneMap.prunedRead(spark, dir, footer, bounds)
+    val expected = li.filter($"l_orderkey".between(2000L, 4000L))
+    assert(pruned.df.count() == expected.count())
+    assert(pruned.selectedFiles < pruned.totalFiles)
+    intercept[IllegalArgumentException] {
+      ZoneMap.buildFromFooters(spark, dir, "no_such_column")
+    }
+  }
+
   test("an empty candidate set returns an empty frame with the table schema, scanning nothing") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_zmempty_").toString + "/t"
