@@ -69,6 +69,30 @@ class BloomIndexSpec extends SparkSpec {
     assert(pruned.totalFiles.toLong == indexedFiles + 1)
   }
 
+  test("property: pruned read equals full IN filter for random data, layouts, and probes") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 50L), Gen.choose(0, 1000)))
+    val prop = Prop.forAll(
+      rowsGen, Gen.choose(1, 6),
+      Gen.nonEmptyListOf(Gen.choose(-5L, 55L))) { (rows, nFiles, probes) =>
+      val dir = Files.createTempDirectory("graft_bloomprop_").toString + "/t"
+      rows.toDF("k", "v").repartition(nFiles, $"k")
+        .write.mode("overwrite").parquet(dir)
+      val idx = BloomIndex.build(spark, dir, "k",
+        expectedItems = 1000L, numBits = 1L << 14)
+      val keys: Seq[Any] = probes.distinct
+      val pruned = BloomIndex.prunedRead(spark, dir, idx, "k", keys)
+        .df.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val expected = rows.filter(r => keys.contains(r._1)).sorted
+      pruned == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("all-null key column builds an empty filter and is pruned; empty probe rejected") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bloomnull_").toString + "/t"
