@@ -155,6 +155,7 @@ object SparkEntry {
     "q134_streaming_left_join" -> (EventsStream.q134StreamingLeftJoin _),
     "q135_rolling_wau" -> (EventAnalytics.q135RollingWau _),
     "q136_basket_concentration" -> (Extra.q136BasketConcentration _),
+    "q137_pit_scd2" -> (Advanced.q137PitScd2 _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell
@@ -1806,5 +1807,38 @@ object SparkEntry {
         |        / CAST(CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)
         |               AS DOUBLE), 6) AS hhi
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same portable as-of emulation as q19/q48: union both sides, version
+    // rows (side 0) sort before same-day facts, ignoreNulls last_value
+    // carries the in-effect version forward.
+    "q137_pit_scd2" ->
+      """WITH ver AS (
+        |  SELECT o_custkey, o_orderdate AS t, o_totalprice AS ver_price,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_custkey <= 100
+        |), d AS (
+        |  SELECT o_custkey, t, ver_price FROM ver WHERE rn = 1
+        |), f AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+        |    l.l_shipdate AS t
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey <= 100
+        |), u AS (
+        |  SELECT o_custkey, t, ver_price, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS l_orderkey,
+        |    CAST(NULL AS BIGINT) AS l_linenumber
+        |  FROM d
+        |  UNION ALL
+        |  SELECT o_custkey, t, NULL, 1, l_orderkey, l_linenumber FROM f
+        |), w AS (
+        |  SELECT *, last_value(ver_price IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY t, side
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit
+        |  FROM u
+        |)
+        |SELECT l_orderkey, l_linenumber, o_custkey, t AS ship_date,
+        |  COALESCE(round(pit, 2), -1) AS pit_price
+        |FROM w WHERE side = 1
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

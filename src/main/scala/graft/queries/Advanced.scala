@@ -406,6 +406,43 @@ object Advanced {
       .orderBy($"o_custkey", $"effective_from", $"o_orderkey")
   }
 
+  /** q137: point-in-time join of a fact table against an SCD2 dimension —
+    * THE classic warehouse question ("which dimension version was in effect
+    * when this fact happened"), answered with the custom native as-of
+    * operator ([[graft.plans.NativeAsOfJoin]]) instead of an interval
+    * BETWEEN join: the dimension needs no effective_to column at all (the
+    * as-of semantics derive it), and the plan is one sort-merge pass with
+    * O(1) state per key instead of a range join. Versions = each customer's
+    * order history (q71's SCD2 source), deduped to one version per
+    * (customer, date); facts = that customer's shipped line items. Facts
+    * shipped before any version surface with a −1 sentinel (the outer
+    * semantics a BETWEEN join silently drops). Oracle = the same portable
+    * union + ignoreNulls-window emulation the q19/q48 as-of oracles use,
+    * with version rows ordered before same-day facts. */
+  def q137PitScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wVer = Window.partitionBy($"o_custkey", $"o_orderdate")
+      .orderBy($"o_orderkey".desc)
+    val dim = Tables.orders(spark, dir)
+      .filter($"o_custkey" <= 100)
+      .withColumn("rn", row_number().over(wVer)).filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderdate".as("t"),
+        $"o_totalprice".as("ver_price"))
+    val facts = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"o_custkey" <= 100)
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey",
+        $"l_shipdate".as("t"))
+    graft.plans.NativeAsOfJoin.lookup(facts, dim,
+        Seq("o_custkey"), "t", Seq("ver_price"))
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey",
+        $"t".as("ship_date"),
+        coalesce(round($"asof_ver_price", 2), lit(-1.0)).as("pit_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
   /** rank vs dense_rank vs row_number on a tie-heavy column — the three
     * ranking semantics side by side. */
   def q72RankVariants(spark: SparkSession, dir: String): DataFrame = {

@@ -164,6 +164,36 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("q137: native PIT-SCD2 equals the composed as-of; pre-history facts get the sentinel") {
+    import spark.implicits._
+    val native = graft.queries.Advanced.q137PitScd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(4)))
+    // same dim/facts, resolved through the composed window formulation
+    import org.apache.spark.sql.expressions.Window
+    val wVer = Window.partitionBy($"o_custkey", $"o_orderdate").orderBy($"o_orderkey".desc)
+    val dim = graft.sources.Tables.orders(spark, sf0001)
+      .filter($"o_custkey" <= 100)
+      .withColumn("rn", row_number().over(wVer)).filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderdate".as("t"), $"o_totalprice".as("ver_price"))
+    val facts = graft.sources.Tables.lineitem(spark, sf0001)
+      .join(graft.sources.Tables.orders(spark, sf0001).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"o_custkey" <= 100)
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey", $"l_shipdate".as("t"))
+    val composed = graft.ops.AsOfJoin.lookup(facts, dim,
+        Seq("o_custkey"), "t", Seq("ver_price"))
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey",
+        coalesce(round($"asof_ver_price", 2), lit(-1.0)).as("pit_price"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    assert(native.sorted.toSeq === composed.sorted.toSeq,
+      "custom-plan and composed as-of must agree on the SCD2 workload")
+    // line items shipped before the customer's first order version exist in
+    // this data (ship date < first order date) and must carry the sentinel
+    assert(native.exists(_._4 == -1.0), "pre-history facts should surface with -1")
+    assert(native.count(_._4 != -1.0) > native.length / 2,
+      "most facts should resolve to a version")
+  }
+
   test("q130: conservation — cum_users ends at total distinct users, new≤active, monotone") {
     import spark.implicits._
     val out = EventAnalytics.q130CumulativeUsers(spark, sf0001).collect()
