@@ -43,16 +43,33 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startPinned(spark) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
       .select($"w.start".as("bucket_start"), $"event_type", $"n_events", $"sum_value")
       .orderBy($"bucket_start", $"event_type")
+  }
+
+  /** Start a stateful run-once query with its shuffle partitioning pinned
+    * low, restoring the session setting afterwards: a streaming aggregation
+    * runs one state-store instance per shuffle partition per micro-batch,
+    * and at the session's CPU-count partitioning that fixed overhead dwarfs
+    * the data at bench scale. State volume for these queries is bounded by
+    * windows/watermarks, not by parallelism; a continuous production run
+    * sizes this to the live key cardinality instead. (The partition count
+    * is captured at query start and persisted in the checkpoint, so the
+    * restore cannot affect the running query.) */
+  private def startPinned[A](spark: SparkSession, partitions: Int = 4)(start: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Sessionization as a streaming query — session windows (30-minute gap)
@@ -82,12 +99,14 @@ object EventsStream {
       // the plain 30-minute gap is exact.
       .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val q = startPinned(spark) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
       .select($"user_id", unix_timestamp($"w.start").as("session_start_s"),
@@ -170,20 +189,15 @@ object EventsStream {
         $"p_ts" <= $"click_ts" + expr("INTERVAL 30 MINUTES"),
       "left_outer")
     // Stream-stream join state runs one store instance per shuffle
-    // partition per side PER MICRO-BATCH; at the session's CPU-count
-    // partitioning that fixed overhead dwarfs the data at bench scale.
-    // Pin the stateful query to a few partitions (state volume here is
-    // bounded by the 40-minute window, not by parallelism), restore after.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = try {
+    // partition per side PER MICRO-BATCH — see [[startPinned]].
+    val q = startPinned(spark) {
       joined.writeStream
         .outputMode("append")
         .format("memory")
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     q.awaitTermination()
     spark.table(name)
       .filter($"user_id" =!= -1L)
