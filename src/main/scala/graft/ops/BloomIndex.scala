@@ -63,15 +63,28 @@ object BloomIndex {
     * insists on a constant/scalar-subquery filter because it exists for
     * broadcast runtime join pruning; a per-file metadata probe is exactly
     * the driver-side case.) Keys are hashed with the same `XxHash64`
-    * expression the build used, so probe and build can never disagree.
-    * A file whose keyed column was entirely null holds only the null hash
-    * and is pruned (null never satisfies an equality probe). Files absent
-    * from the index are NOT returned here — [[prunedRead]] adds them back
-    * from the live listing (staleness safety). */
-  def candidateFiles(index: DataFrame, keys: Seq[Any]): Set[String] = {
+    * expression the build used, CAST to `keyType` first when given:
+    * xxhash64 is type-sensitive, so probing a BIGINT column with an Int
+    * literal would hash differently and silently LOSE files (a false
+    * negative — the one failure mode a bloom must never have). Callers who
+    * omit `keyType` must pass keys of exactly the indexed column's type;
+    * [[prunedRead]] always passes it. A file whose keyed column was
+    * entirely null holds only the null hash and is pruned (null never
+    * satisfies an equality probe). Files absent from the index are NOT
+    * returned here — [[prunedRead]] adds them back from the live listing
+    * (staleness safety). */
+  def candidateFiles(index: DataFrame, keys: Seq[Any],
+                     keyType: Option[org.apache.spark.sql.types.DataType] = None): Set[String] = {
     require(keys.nonEmpty, "bloom probe needs at least one key")
-    val hashes = keys.map(k =>
-      new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long])
+    val hashes = keys.map { k =>
+      val lit = keyType match {
+        case Some(dt) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(Literal(k), dt,
+            evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+        case None => Literal(k)
+      }
+      new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long]
+    }
     index.select("file", "bloom").collect().flatMap { r =>
       val bf = BloomFilter.readFrom(
         new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
@@ -88,7 +101,8 @@ object BloomIndex {
     val table = spark.read.parquet(dir)
     val current = table.inputFiles
     val indexed = index.select("file").collect().map(_.getString(0)).toSet
-    val candidates = candidateFiles(index, keys)
+    val candidates = candidateFiles(index, keys,
+      Some(table.schema(keyCol).dataType))
     val files = current.filter(f => candidates.contains(f) || !indexed.contains(f)).toSeq
     val predicate = col(keyCol).isin(keys: _*)
     val df =

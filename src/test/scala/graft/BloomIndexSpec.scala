@@ -69,6 +69,21 @@ class BloomIndexSpec extends SparkSpec {
     assert(pruned.totalFiles.toLong == indexedFiles + 1)
   }
 
+  test("probe literals are cast to the indexed column's type (Int keys vs BIGINT column)") {
+    import spark.implicits._
+    val dir = hashClustered(8)
+    val idx = BloomIndex.build(spark, dir, "l_orderkey",
+      expectedItems = 100000L, numBits = 1L << 20)
+    // xxhash64(1: Int) != xxhash64(1L); without the cast these probes would
+    // silently rule out the files that DO hold the keys — lost rows
+    val intKeys: Seq[Any] = Seq(1, 33, 1000)
+    val pruned = BloomIndex.prunedRead(spark, dir, idx, "l_orderkey", intKeys)
+    val expected = spark.read.parquet(dir)
+      .filter($"l_orderkey".isin(1L, 33L, 1000L))
+    assert(pruned.df.count() == expected.count() && expected.count() > 0,
+      "Int probes against a BIGINT column must find every row")
+  }
+
   test("property: pruned read equals full IN filter for random data, layouts, and probes") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop, Test => SCTest}
