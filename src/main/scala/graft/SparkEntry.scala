@@ -156,6 +156,9 @@ object SparkEntry {
     "q135_rolling_wau" -> (EventAnalytics.q135RollingWau _),
     "q136_basket_concentration" -> (Extra.q136BasketConcentration _),
     "q137_pit_scd2" -> (Advanced.q137PitScd2 _),
+    // Sliding sketch window — no SQL oracle (engine-specific sketch, like
+    // q21/q118); QualitySpec bounds per-day error vs the exact q135.
+    "q138_rolling_wau_sketch" -> (EventAnalytics.q138RollingWauSketch _),
   )
 
   /** Shared by q18 (broadcast non-equi form) and q84 (bucketized cell

@@ -234,6 +234,31 @@ object EventAnalytics {
       .orderBy($"grid_day")
   }
 
+  /** q138: rolling 7-day WAU from per-day HLL sketches — the 100 TB path
+    * whose exact twin is [[q135RollingWau]]: q135's distinct recount pays a
+    * ≤7× expansion of (user, day) pairs every day; here the raw events
+    * collapse ONCE into ~365 day-sketch rows and every trailing window is a
+    * lossless sketch union over ≤7 of them — the window slide costs
+    * metadata, not data, exactly like q118's rollup algebra but over
+    * overlapping windows (which plain distinct counts cannot do at all).
+    * No SQL oracle (engine-specific sketch, like q21/q118); QualitySpec
+    * bounds the per-day error against the exact q135. */
+  def q138RollingWauSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+    val grid = daily.select($"day".as("grid_day"))
+    daily
+      .withColumn("grid_day",
+        explode(expr("sequence(day, date_add(day, 6))")))
+      .join(broadcast(grid), "grid_day")
+      .groupBy($"grid_day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false)))
+        .as("wau_est"))
+      .orderBy($"grid_day")
+  }
+
   /** q130: daily active + cumulative-distinct users — the DAU/"total users
     * ever" pair every growth dashboard plots. Cumulative distinct is NOT
     * re-aggregable from daily distincts; the scalable identity is

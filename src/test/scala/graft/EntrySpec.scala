@@ -19,7 +19,8 @@ class EntrySpec extends SparkSpec {
       "q34_minhash_neardup", "q35_simhash_neardup", "q38_ann_lsh",
       "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus",
       "q83_heavy_hitters", "q98_ann_pq", "q99_ann_ivfpq",
-      "q105_approx_percentiles", "q118_sketch_rollup"))
+      "q105_approx_percentiles", "q118_sketch_rollup",
+      "q138_rolling_wau_sketch"))
     // and every oracle key must have a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

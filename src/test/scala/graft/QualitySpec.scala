@@ -184,6 +184,18 @@ class QualitySpec extends SparkSpec {
     assert(got.contains((102L, 103L)), s"control-byte twin pair missed: $got")
   }
 
+  test("q138: sliding sketch WAU tracks the exact q135 within 5% on every day") {
+    val exact = graft.queries.EventAnalytics.q135RollingWau(spark, sf0001).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val est = graft.queries.EventAnalytics.q138RollingWauSketch(spark, sf0001).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1).toDouble).toMap
+    assert(est.keySet === exact.keySet, "same observed-day grid as the exact path")
+    est.foreach { case (d, e) =>
+      val x = exact(d).toDouble
+      assert(math.abs(e - x) / x < 0.05, s"$d: sketch $e vs exact $x drifts >5%")
+    }
+  }
+
   test("q136: HHI bounded by [1/n, 1], exact on a hand-computed basket, 1 for singletons") {
     import spark.implicits._
     val rows = Extra.q136BasketConcentration(spark, sf0001).collect()
