@@ -1756,16 +1756,21 @@ object SparkEntry {
         |    round(avg(cents / 100.0), 6) AS mean_value,
         |    round(var_samp(cents / 100.0), 6) AS var_value
         |  FROM v GROUP BY 1
-        |), c AS (
-        |  SELECT n_users AS n_c, mean_value AS m_c, var_value AS v_c
-        |  FROM arms WHERE variant = 'control'
-        |), t AS (
-        |  SELECT n_users AS n_t, mean_value AS m_t, var_value AS v_t
-        |  FROM arms WHERE variant = 'treatment'
+        |), p AS (
+        |  -- conditional pivot, mirroring the Spark side: one row even when
+        |  -- an arm is empty (nulls), never zero rows from an empty cross
+        |  SELECT
+        |    max(CASE WHEN variant = 'control' THEN n_users END) AS n_c,
+        |    max(CASE WHEN variant = 'treatment' THEN n_users END) AS n_t,
+        |    max(CASE WHEN variant = 'control' THEN mean_value END) AS m_c,
+        |    max(CASE WHEN variant = 'treatment' THEN mean_value END) AS m_t,
+        |    max(CASE WHEN variant = 'control' THEN var_value END) AS v_c,
+        |    max(CASE WHEN variant = 'treatment' THEN var_value END) AS v_t
+        |  FROM arms
         |)
         |SELECT n_c, n_t, round(m_t - m_c, 6) AS lift,
         |  round((m_t - m_c) / sqrt(v_t / n_t + v_c / n_c), 6) AS welch_t
-        |FROM c, t""".stripMargin,
+        |FROM p""".stripMargin,
     // The batch LEFT JOIN the streaming query must reproduce exactly once
     // the watermark closes each click's 30-minute conversion window.
     "q134_streaming_left_join" ->

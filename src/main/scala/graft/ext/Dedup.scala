@@ -535,15 +535,23 @@ object Dedup {
     * `clusters` is (doc_id, cluster) — e.g. [[connectedComponents]] output
     * relabeled, or a normalization digest. One shuffle on the cluster key;
     * WindowGroupLimit bounds per-partition state to one row per cluster. */
-  def canonicalSelect(clusters: DataFrame, docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(length(col("text")).desc, col("doc_id"))
-    docs.join(clusters, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+  def canonicalSelect(clusters: DataFrame, docs: DataFrame): DataFrame =
+    rankMembers(docs.join(clusters, "doc_id"), "cluster")
       .filter(col("rn") === 1)
       .select(col("cluster"), col("doc_id").as("canonical_doc_id"), col("n_members"))
+
+  /** The ONE definition of the representative rule (rank 1 = longest text,
+    * ties to smallest doc_id) plus the member count, shared by
+    * [[canonicalSelect]] and [[q132CanonicalDocs]] so the rule cannot
+    * drift between the reusable operator and the query. Both windows share
+    * the cluster-key exchange. */
+  private def rankMembers(clustered: DataFrame, clusterCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    clustered
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col(clusterCol))))
   }
 
   /** q132: normalization-dedup with canonical-representative selection —
@@ -567,7 +575,6 @@ object Dedup {
     * applies it to connectedComponents output for the LSH near-dup case. */
   def q132CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = base
       .unionByName(base.filter($"doc_id" < 20)
@@ -577,11 +584,7 @@ object Dedup {
           concat(lit("  "), $"text", lit("  ")).as("text")))
     val clustered = corpus.withColumn("ckey",
       sha2(trim(regexp_replace(lower($"text"), "[^a-z0-9]+", " ")), 256))
-    val byCluster = Window.partitionBy($"ckey")
-    val rankW = byCluster.orderBy(length($"text").desc, $"doc_id")
-    clustered
-      .withColumn("rn", row_number().over(rankW))
-      .withColumn("n_members", count(lit(1)).over(byCluster))
+    rankMembers(clustered, "ckey")
       .filter($"n_members" > 1)
       .groupBy($"ckey")
       .agg(

@@ -74,9 +74,13 @@ object BloomIndex {
     * returned here — [[prunedRead]] adds them back from the live listing
     * (staleness safety). */
   def candidateFiles(index: DataFrame, keys: Seq[Any],
-                     keyType: Option[org.apache.spark.sql.types.DataType] = None): Set[String] = {
+                     keyType: Option[org.apache.spark.sql.types.DataType] = None): Set[String] =
+    probe(index.select("file", "bloom").collect(), keyHashes(keys, keyType))
+
+  private def keyHashes(keys: Seq[Any],
+                        keyType: Option[org.apache.spark.sql.types.DataType]): Seq[Long] = {
     require(keys.nonEmpty, "bloom probe needs at least one key")
-    val hashes = keys.map { k =>
+    keys.map { k =>
       val lit = keyType match {
         case Some(dt) =>
           org.apache.spark.sql.catalyst.expressions.Cast(Literal(k), dt,
@@ -85,12 +89,14 @@ object BloomIndex {
       }
       new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long]
     }
-    index.select("file", "bloom").collect().flatMap { r =>
+  }
+
+  private def probe(idxRows: Array[Row], hashes: Seq[Long]): Set[String] =
+    idxRows.flatMap { r =>
       val bf = BloomFilter.readFrom(
         new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
       if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
     }.toSet
-  }
 
   /** Point-lookup read: current listing ∩ (bloom candidates ∪ unindexed
     * files), then the exact IN filter re-applied. Returns the frame plus
@@ -100,9 +106,13 @@ object BloomIndex {
                  keyCol: String, keys: Seq[Any]): ZoneMap.Pruned = {
     val table = spark.read.parquet(dir)
     val current = table.inputFiles
-    val indexed = index.select("file").collect().map(_.getString(0)).toSet
-    val candidates = candidateFiles(index, keys,
-      Some(table.schema(keyCol).dataType))
+    // ONE collect of the index: an uncached index frame re-executes its
+    // whole build pipeline per action, so deriving the indexed-file set and
+    // the candidate set from separate collects would scan twice.
+    val idxRows = index.select("file", "bloom").collect()
+    val indexed = idxRows.map(_.getString(0)).toSet
+    val candidates = probe(idxRows,
+      keyHashes(keys, Some(table.schema(keyCol).dataType)))
     val files = current.filter(f => candidates.contains(f) || !indexed.contains(f)).toSeq
     val predicate = col(keyCol).isin(keys: _*)
     val df =

@@ -102,18 +102,30 @@ object ZoneMap {
         s"zone-map footer build does not support $other")
     }
     @annotation.nowarn("cat=deprecation")
-    def footerRow(status: org.apache.hadoop.fs.FileStatus): Row = {
+    def footerRow(status: org.apache.hadoop.fs.FileStatus): Option[Row] = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         val rows = blocks.map(_.getRowCount).sum
+        // MISSING statistics are not an all-null envelope: a writer may have
+        // suppressed stats (disabled, legacy parquet-mr string stats,
+        // oversized binary min/max), and indexing such a file with a null
+        // envelope would let ruledOutFiles positively prune a file that has
+        // data — lost rows. A chunk either contributes real min/max, is
+        // PROVABLY all-null (numNulls recorded and equal to the chunk's
+        // rows), or poisons the file: unindexable files are left out of the
+        // index entirely, and unindexed files are always scanned.
+        var indexable = true
         val perCol = fields.map { f =>
           var lo: Any = null
           var hi: Any = null
           for (b <- blocks; cc <- b.getColumns.asScala
                if cc.getPath.toDotString == f.name) {
             val st = cc.getStatistics
-            if (st != null && st.hasNonNullValue) {
+            val allNull = st != null && st.isNumNullsSet &&
+              st.getNumNulls == b.getRowCount
+            if (st == null || (!st.hasNonNullValue && !allNull)) indexable = false
+            else if (st.hasNonNullValue) {
               val mn = convert(st.genericGetMin.asInstanceOf[AnyRef], f.dataType, cc)
               val mx = convert(st.genericGetMax.asInstanceOf[AnyRef], f.dataType, cc)
               val ord = f.dataType match {
@@ -134,8 +146,9 @@ object ZoneMap {
           }
           (lo, hi)
         }
-        Row.fromSeq(status.getPath.toString +: rows +:
-          perCol.flatMap { case (lo, hi) => Seq(lo, hi) })
+        if (!indexable) None
+        else Some(Row.fromSeq(status.getPath.toString +: rows +:
+          perCol.flatMap { case (lo, hi) => Seq(lo, hi) }))
       } finally reader.close()
     }
     // Rewrite file ids into the exact strings the scan's listing produces
@@ -147,7 +160,7 @@ object ZoneMap {
       .map(s => new java.net.URI(s).getPath -> s).toMap
     val rows = fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(footerRow)
+      .flatMap(footerRow)
       .map(r => Row.fromSeq(
         listingById.getOrElse(new java.net.URI(r.getString(0)).getPath,
           r.getString(0)) +: r.toSeq.tail))

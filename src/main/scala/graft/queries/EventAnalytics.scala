@@ -222,8 +222,12 @@ object EventAnalytics {
     * ends. Output days are restricted to the observed range. */
   def q135RollingWau(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Pinned: both the grid branch and the explode branch read this frame,
+    // and without the checkpoint each consumer re-runs the events-wide
+    // distinct shuffle (the dominant cost) from scratch.
     val ud = Tables.events(spark, dir)
       .select($"user_id", to_date($"ts").as("day")).distinct()
+      .localCheckpoint()
     val grid = ud.select($"day".as("grid_day")).distinct()
     ud.withColumn("grid_day",
         explode(expr("sequence(day, date_add(day, 6))")))
@@ -245,9 +249,12 @@ object EventAnalytics {
     * bounds the per-day error against the exact q135. */
   def q138RollingWauSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Pinned for the same reason as q135's ud: the grid branch and the
+    // explode branch would each re-run the events-wide sketch aggregation.
     val daily = Tables.events(spark, dir)
       .groupBy(to_date($"ts").as("day"))
       .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      .localCheckpoint()
     val grid = daily.select($"day".as("grid_day"))
     daily
       .withColumn("grid_day",

@@ -159,6 +159,13 @@ object EventsStream {
           .when($"ts" <= cut2, 1).otherwise(2))
       .repartition(1)
       .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
+    // FileStreamSource orders files by millisecond-granularity modification
+    // time with an unspecified tie-break; all four slices land within the
+    // same write and could tie. Stamp explicitly increasing mtimes so the
+    // replay is provably chronological — if a later slice (worst: the
+    // sentinel) were consumed first, the watermark would jump ahead and
+    // silently drop earlier events as late.
+    val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
     for (s <- 0 to 3) {
       val sliceDir = staging.resolve(s"slice=$s")
       val part = java.nio.file.Files.list(sliceDir).iterator()
@@ -166,7 +173,10 @@ object EventsStream {
       while (part.hasNext && !moved) {
         val p = part.next()
         if (p.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.move(p, watch.resolve(s"ev_$s.parquet"))
+          val dest = watch.resolve(s"ev_$s.parquet")
+          java.nio.file.Files.move(p, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
           moved = true
         }
       }
