@@ -1157,7 +1157,8 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE term <> ''
         |)
-        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |SELECT term, count(*) AS df,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         |FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 20""".stripMargin,
     "q97_pii_scrub" ->
       """SELECT event_id, event_type,

@@ -76,7 +76,11 @@ object Corpus {
   /** q96: inverted index — term → sorted posting list + document frequency,
     * reported for the 20 highest-df terms. The tokenize→distinct→groupBy
     * chain is the retrieval-index build; posting lists stay distributed
-    * (collect_list is per-term, bounded by corpus df, never driver-side). */
+    * (collect_list is per-term, bounded by corpus df, never driver-side).
+    * The posting list is emitted as a comma-joined string rather than an
+    * ARRAY column: same information, but scalar-sortable/hashable by any
+    * downstream comparison harness (numeric sort first, then stringify, so
+    * doc ids keep their natural order, not a lexicographic one). */
   def q96InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -84,7 +88,11 @@ object Corpus {
       .filter($"term" =!= "")
       .distinct()
       .groupBy($"term")
-      .agg(count(lit(1)).as("df"), sort_array(collect_list($"doc_id")).as("postings"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")),
+          ",").as("postings"))
       .orderBy($"df".desc, $"term")
       .limit(20)
   }

@@ -37,15 +37,23 @@ object BloomIndex {
     * over `xxhash64(keyCol)`. `expectedItems`/`numBits` size the filter
     * (defaults: ~1M items at ~8 bits/item ⇒ ~2% fpp); the index is a small
     * table — one (file, bytes) row per file — meant to be persisted once
-    * and consulted by every probe. A format-native build would lift parquet
-    * footer bloom pages instead of re-hashing row data. */
+    * and consulted by every probe. The indexed column's DataType rides
+    * along as a `key_type` column (JSON form, lossless round-trip) so
+    * probes can cast keys to the exact type the build hashed — xxhash64 is
+    * type-sensitive, and a type mismatch is a silent false NEGATIVE, the
+    * one failure mode a bloom must never have. A format-native build would
+    * lift parquet footer bloom pages instead of re-hashing row data. */
   def build(spark: SparkSession, dir: String, keyCol: String,
             expectedItems: Long = 1000000L,
-            numBits: Long = 8388608L): DataFrame =
-    spark.read.parquet(dir)
+            numBits: Long = 8388608L): DataFrame = {
+    val table = spark.read.parquet(dir)
+    val keyType = table.schema(keyCol).dataType
+    table
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"),
         bloomAgg(xxhash64(col(keyCol)), expectedItems, numBits).as("bloom"))
+      .withColumn("key_type", lit(keyType.json))
+  }
 
   /** `bloom_filter_agg` is a Catalyst expression Spark keeps off the public
     * FunctionRegistry (it backs the runtime bloom-join rule); wrap it
@@ -63,19 +71,32 @@ object BloomIndex {
     * insists on a constant/scalar-subquery filter because it exists for
     * broadcast runtime join pruning; a per-file metadata probe is exactly
     * the driver-side case.) Keys are hashed with the same `XxHash64`
-    * expression the build used, CAST to `keyType` first when given:
+    * expression the build used, CAST to the indexed column's type first:
     * xxhash64 is type-sensitive, so probing a BIGINT column with an Int
     * literal would hash differently and silently LOSE files (a false
-    * negative — the one failure mode a bloom must never have). Callers who
-    * omit `keyType` must pass keys of exactly the indexed column's type;
-    * [[prunedRead]] always passes it. A file whose keyed column was
-    * entirely null holds only the null hash and is pruned (null never
-    * satisfies an equality probe). Files absent from the index are NOT
-    * returned here — [[prunedRead]] adds them back from the live listing
-    * (staleness safety). */
+    * negative — the one failure mode a bloom must never have). The type is
+    * read from the index's own `key_type` column when present (every
+    * [[build]] output carries it), so callers cannot get this wrong; an
+    * explicit `keyType` overrides it, and only a pre-`key_type` index with
+    * no override falls back to trusting the keys' runtime types. A file
+    * whose keyed column was entirely null holds only the null hash and is
+    * pruned (null never satisfies an equality probe). Files absent from
+    * the index are NOT returned here — [[prunedRead]] adds them back from
+    * the live listing (staleness safety). */
   def candidateFiles(index: DataFrame, keys: Seq[Any],
-                     keyType: Option[org.apache.spark.sql.types.DataType] = None): Set[String] =
-    probe(index.select("file", "bloom").collect(), keyHashes(keys, keyType))
+                     keyType: Option[org.apache.spark.sql.types.DataType] = None): Set[String] = {
+    val hasType = index.columns.contains("key_type")
+    val cols = (Seq("file", "bloom") ++ (if (hasType) Seq("key_type") else Nil)).map(col)
+    // ONE collect: the index may be an uncached build pipeline, and separate
+    // collects for the type and the blooms would scan the data twice.
+    val rows = index.select(cols: _*).collect()
+    val dt = keyType.orElse(
+      if (hasType && rows.nonEmpty)
+        Some(org.apache.spark.sql.types.DataType.fromJson(
+          rows.head.getAs[String]("key_type")))
+      else None)
+    probe(rows, keyHashes(keys, dt))
+  }
 
   private def keyHashes(keys: Seq[Any],
                         keyType: Option[org.apache.spark.sql.types.DataType]): Seq[Long] = {

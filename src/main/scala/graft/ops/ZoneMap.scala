@@ -130,7 +130,18 @@ object ZoneMap {
               val mx = convert(st.genericGetMax.asInstanceOf[AnyRef], f.dataType, cc)
               val ord = f.dataType match {
                 case org.apache.spark.sql.types.StringType =>
-                  Ordering.String.asInstanceOf[Ordering[Any]]
+                  // Unsigned UTF-8 byte order — the order parquet footer
+                  // stats and Spark's string comparisons both use.
+                  // java.lang.String compares UTF-16 code units, which
+                  // disagrees for supplementary characters (surrogate pairs
+                  // sort below U+E000 in UTF-16, above it in UTF-8); a
+                  // wrong fold order could shrink the envelope and let
+                  // ruledOutFiles prune a file that holds matching rows.
+                  Ordering.fromLessThan[Any]((a, b) =>
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(a.asInstanceOf[String])
+                      .compareTo(org.apache.spark.unsafe.types.UTF8String
+                        .fromString(b.asInstanceOf[String])) < 0)
                 case org.apache.spark.sql.types.DateType =>
                   Ordering.by[Any, Long](_.asInstanceOf[java.sql.Date].getTime)
                 case org.apache.spark.sql.types.TimestampNTZType =>

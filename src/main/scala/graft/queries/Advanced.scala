@@ -59,7 +59,7 @@ object Advanced {
     * aggregate — the K1 sink upgraded to a partition-aware lake layout. */
   def q28PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val tmp = graft.sources.TempDirs.create("graft_part_").toString
     Tables.orders(spark, dir)
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
     spark.read.parquet(tmp)
@@ -471,7 +471,7 @@ object Advanced {
   def q107ZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.ops.{Layout, ZoneMap}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_zm_").toString + "/li"
+    val tmp = graft.sources.TempDirs.create("graft_zm_").toString + "/li"
     Layout.zorderWrite(
       Tables.lineitem(spark, dir).select(
         $"l_orderkey", $"l_partkey", $"l_returnflag", $"l_quantity", $"l_extendedprice"),
@@ -504,7 +504,7 @@ object Advanced {
   def q131BloomLookup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.ops.BloomIndex
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bl_").toString + "/li"
+    val tmp = graft.sources.TempDirs.create("graft_bl_").toString + "/li"
     Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
       .repartition(16, $"l_orderkey")
@@ -534,7 +534,7 @@ object Advanced {
   def q108MvRewrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.plans.MvRewrite
-    val mvDir = java.nio.file.Files.createTempDirectory("graft_mv108_").toString + "/rollup"
+    val mvDir = graft.sources.TempDirs.create("graft_mv108_").toString + "/rollup"
     MvRewrite.defineRollup(spark, "q108_lineitem_rollup", s"$dir/lineitem.parquet",
       mvDir, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"))
     MvRewrite.answer(spark, spark.read.parquet(s"$dir/lineitem.parquet")

@@ -95,7 +95,7 @@ object Parity {
   def q08CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.nation(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val tmp = graft.sources.TempDirs.create("graft_csv_").toString
     n.write.mode("overwrite").option("header", "true").option("delimiter", "|").csv(tmp)
     Tables.csv(spark, tmp, StructType(Seq(
         StructField("n_nationkey", IntegerType),
@@ -110,7 +110,7 @@ object Parity {
   def q87JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = Tables.supplier(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val tmp = graft.sources.TempDirs.create("graft_json_").toString
     s.write.mode("overwrite").json(tmp)
     spark.read.schema(StructType(Seq(
         StructField("s_suppkey", LongType),
@@ -127,7 +127,7 @@ object Parity {
   def q88OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    val tmp = graft.sources.TempDirs.create("graft_orc_").toString
     c.write.mode("overwrite").orc(tmp)
     spark.read.orc(tmp)
       .filter($"c_acctbal" > 0)
@@ -140,7 +140,7 @@ object Parity {
   def q91XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val r = Tables.region(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_xml_").toString
+    val tmp = graft.sources.TempDirs.create("graft_xml_").toString
     r.write.mode("overwrite").option("rowTag", "region").xml(tmp)
     spark.read
       .schema(StructType(Seq(

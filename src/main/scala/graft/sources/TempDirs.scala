@@ -1,0 +1,49 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+/** JVM-lifetime temp directories for queries that stage an intermediate
+  * table copy (hash-clustered rewrites, MV rollups, streaming watch dirs,
+  * format round-trips).
+  *
+  * Deletion must be DEFERRED, not eager: the DataFrame a query returns is
+  * lazy, and the staged files are read when the CALLER later runs an action
+  * (Verify writes the result, Bench counts it) — deleting in a `finally`
+  * inside the query would yield FileNotFound at materialization time. A
+  * single shutdown hook deleting everything registered here gives the
+  * correct lifetime: files survive as long as any plan in this JVM might
+  * read them, and repeated bench/verify invocations (each a fresh JVM) no
+  * longer accumulate unbounded table copies in /tmp.
+  */
+object TempDirs {
+
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  private lazy val hookInstalled: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val it = registered.iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }, "graft-tempdir-cleanup"))
+  }
+
+  /** Create a temp directory that is removed (recursively) at JVM exit. */
+  def create(prefix: String): Path = {
+    hookInstalled
+    val p = Files.createTempDirectory(prefix)
+    registered.add(p)
+    p
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    try {
+      if (Files.isDirectory(p)) {
+        val listing = Files.list(p)
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) deleteRecursively(it.next())
+        } finally listing.close()
+      }
+      Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // best-effort at exit
+  }
+}

@@ -32,7 +32,7 @@ object EventsStream {
     val name = s"graft_stream_${System.nanoTime()}"
     // The file stream source wants a directory to watch; stage the static
     // fixture behind a symlink so the same code serves a live landing dir.
-    val watchDir = java.nio.file.Files.createTempDirectory("graft_stream_src_")
+    val watchDir = graft.sources.TempDirs.create("graft_stream_src_")
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -84,7 +84,7 @@ object EventsStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_sessions_${System.nanoTime()}"
-    val watchDir = java.nio.file.Files.createTempDirectory("graft_stream_sess_")
+    val watchDir = graft.sources.TempDirs.create("graft_stream_sess_")
     java.nio.file.Files.createSymbolicLink(
       watchDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -134,7 +134,7 @@ object EventsStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_ssjoin_${System.nanoTime()}"
-    val watch = java.nio.file.Files.createTempDirectory("graft_ssjoin_")
+    val watch = graft.sources.TempDirs.create("graft_ssjoin_")
     val ev = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
     val (minTs, maxTs) = {
       val r = ev.agg(min($"ts"), max($"ts")).head
@@ -148,7 +148,7 @@ object EventsStream {
     // (three filtered writes would scan events three times), then move each
     // slice's part file up into the flat watched dir (the file source does
     // not descend into partition subdirectories).
-    val staging = java.nio.file.Files.createTempDirectory("graft_ssjoin_stage_")
+    val staging = graft.sources.TempDirs.create("graft_ssjoin_stage_")
     ev.unionByName(Seq(
         (-1L, sentinelTs, -1L, "click", 0.0, "{}"),
         (-2L, sentinelTs, -1L, "purchase", 0.0, "{}"))
@@ -168,18 +168,25 @@ object EventsStream {
     val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
     for (s <- 0 to 3) {
       val sliceDir = staging.resolve(s"slice=$s")
-      val part = java.nio.file.Files.list(sliceDir).iterator()
-      var moved = false
-      while (part.hasNext && !moved) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          val dest = watch.resolve(s"ev_$s.parquet")
-          java.nio.file.Files.move(p, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
-          moved = true
-        }
-      }
+      // Files.list holds a directory handle until closed; abandoning the
+      // stream leaks one handle per slice for the driver's lifetime.
+      val listing = java.nio.file.Files.list(sliceDir)
+      val moved =
+        try {
+          val part = listing.iterator()
+          var done = false
+          while (part.hasNext && !done) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dest = watch.resolve(s"ev_$s.parquet")
+              java.nio.file.Files.move(p, dest)
+              java.nio.file.Files.setLastModifiedTime(dest,
+                java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
+              done = true
+            }
+          }
+          done
+        } finally listing.close()
       require(moved, s"no part file for slice $s")
     }
     def src() = spark.readStream

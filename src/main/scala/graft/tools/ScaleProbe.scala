@@ -14,7 +14,7 @@ object ScaleProbe {
     val spark = GraftSession.build("scale-probe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import spark.implicits._
     val base = "/root/testdata/sf0.1"
-    val big = java.nio.file.Files.createTempDirectory("graft_sf08_").toString
+    val big = graft.sources.TempDirs.create("graft_sf08_").toString
     val replicas = 8
 
     // Replicate lineitem+orders with orderkey offsets; copy dims as-is.

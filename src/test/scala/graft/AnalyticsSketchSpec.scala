@@ -12,7 +12,7 @@ class AnalyticsSketchSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val approx = Analytics.q105ApproxPercentiles(spark, sf001)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     val exact = graft.sources.Tables.lineitem(spark, sf001)
       .groupBy($"l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))").as("p"))
