@@ -439,14 +439,16 @@ object Dedup {
     * Scale shape: ALL the filter machinery (df counts, per-doc rank, the
     * candidate equi-join) runs on 64-bit shingle hashes — 16-byte shuffle
     * rows and long comparisons instead of three-word strings (measured 5×
-    * on the sf0.1 corpus). Hashing keeps the filter EXACT as a candidate
-    * generator: a collision merges two shingles into one "element", which
-    * can only raise hash-set overlap above string-set overlap, so every
-    * qualifying pair still shares a prefix element (the lemma's overlap
-    * bound i ≥ t·max(na,nb) ≥ t·max(na',nb') survives the shrink to
-    * distinct-hash sizes na',nb') — extra candidates are discarded by the
-    * exact string verify. Full shingle arrays travel only for verified
-    * candidates (near-dups + bounded collision mass), never N². */
+    * on the sf0.1 corpus). With collision-free hashing the distinct-hash
+    * sets are isomorphic to the string-shingle sets, so every hash-side
+    * filter (prefix, length, positional) is EXACT as a candidate
+    * generator; cross-document collision merges only ADD candidates, and
+    * all extras are discarded by the exact string verify. (A collision
+    * between two shingles shared by the same qualifying pair could in
+    * principle shrink its hash overlap below a filter bound — probability
+    * ~2⁻⁶⁴ per shingle pair, the accepted failure class of digest-keyed
+    * exact dedup like q32's sha2.) Full shingle arrays travel only for
+    * verified candidates (near-dups + bounded collision mass), never N². */
   def q121SetSimJoin(spark: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -469,8 +471,8 @@ object Dedup {
     val wOrd = Window.partitionBy($"doc_id").orderBy($"df".asc, $"h".asc)
     val prefix = tokens.join(dfreq, "h")
       .withColumn("pos", row_number().over(wOrd))
-      .filter($"pos" <= $"sz" - ceil(lit(t) * $"sz") + 1)
-      .select($"h", $"doc_id", $"sz")
+      .filter($"pos" <= $"sz" - ceil(lit(t) * $"sz" - lit(1e-6)) + 1)
+      .select($"h", $"doc_id", $"sz", $"pos")
       .persist()
     // Materialize the candidate set ONCE before fanning out: the verify
     // tree below references it from three places (two broadcast-side id
@@ -479,13 +481,44 @@ object Dedup {
     // the whole prefix chain concurrently (measured 3× the runtime).
     // localCheckpoint truncates the lineage to a materialized leaf (the CC
     // loop's trick), after which everything upstream can go.
-    val cand = prefix.select($"h", $"doc_id".as("a_id"), $"sz".as("sza"))
-      .join(prefix.select($"h", $"doc_id".as("b_id"), $"sz".as("szb")), "h")
-      .filter($"a_id" < $"b_id")
-      // PPJoin length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t, so
+    // Asymmetric candidate join (PPJoin's indexing scheme): for a pair with
+    // |X| ≥ |Y| (ties broken by doc_id), the required overlap is at least
+    // ⌈2t/(1+t)·|Y|⌉, so the globally-first shared token must sit within
+    // the SHORT index prefix of the smaller doc (|Y| − ⌈2t/(1+t)·|Y|⌉ + 1
+    // tokens — at t=0.5 about |Y|/3 instead of the |Y|/2 probe prefix) as
+    // well as within the larger doc's ordinary probe prefix. Joining the
+    // full prefix (probe side) against only the short prefix (index side)
+    // generates every qualifying pair exactly like the symmetric join but
+    // with ~⅓ fewer index rows in each hash bucket — candidate products
+    // shrink correspondingly. The 1e-6 ceil slack: an FP product landing
+    // a hair ABOVE an exact integer would otherwise round the requirement
+    // up and shorten the prefix below its sound length.
+    val indexPrefix = prefix
+      .filter($"pos" <= $"sz" - ceil(lit(2.0 * t / (1.0 + t)) * $"sz" - lit(1e-6)) + 1)
+    val cand = prefix.select($"h", $"doc_id".as("x_id"), $"sz".as("szx"), $"pos".as("px"))
+      .join(indexPrefix.select($"h", $"doc_id".as("y_id"), $"sz".as("szy"), $"pos".as("py")), "h")
+      // Role order (probe strictly larger by (sz, id)) both de-duplicates
+      // the unordered pair and makes the short index prefix sound.
+      .filter($"szx" > $"szy" || ($"szx" === $"szy" && $"x_id" > $"y_id"))
+      // PPJoin length filter: J ≥ t forces t·|X| ≤ |Y| ≤ |X| here, so
       // size-mismatched candidates drop before the distinct + verify.
-      .filter($"szb" >= ceil(lit(t) * $"sza") && $"sza" >= ceil(lit(t) * $"szb"))
-      .select($"a_id", $"b_id")
+      .filter($"szy" >= ceil(lit(t) * $"szx" - lit(1e-6)))
+      // PPJoin positional filter. Both docs are sorted in the SAME global
+      // (df, h) order, so for the globally-first shared token — positions
+      // (px, py) — every other shared token sits strictly after px in X AND
+      // after py in Y: overlap ≤ 1 + min(szx−px, szy−py). J ≥ t needs
+      // overlap ≥ t/(1+t)·(szx+szy) (from |X∩Y|·(1+t) ≥ t·(|X|+|Y|)), so
+      // rows that cannot reach that bound drop BEFORE the shuffle/distinct.
+      // Per-row form ≡ pair-level form at the min-position row: shared-token
+      // positions increase jointly, so a pair's first-token row carries the
+      // pair's maximal bound — it survives iff the pair does, and later rows
+      // of surviving pairs are (correctly) free to drop too. The 1e-6 slack
+      // keeps ceil from rounding an FP-exact integer UP (which would
+      // overstate the requirement and prune a qualifying pair).
+      .filter(lit(1) + least($"szx" - $"px", $"szy" - $"py")
+        >= ceil(lit(t / (1.0 + t)) * ($"szx" + $"szy") - lit(1e-6)))
+      .select(least($"x_id", $"y_id").as("a_id"),
+        greatest($"x_id", $"y_id").as("b_id"))
       .distinct()
       .localCheckpoint()
     tokens.unpersist(blocking = false)

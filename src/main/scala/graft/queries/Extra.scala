@@ -612,27 +612,53 @@ object Extra {
     * before anything wide moves. Item supports and the basket total ride
     * along as bounded frames. Confidence and lift divide exact longs
     * (lift's numerator/denominator stay in long range by construction), so
-    * the DuckDB oracle hash-matches after 1e-6 rounding. */
-  def q122MarketBasket(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    * the DuckDB oracle hash-matches after 1e-6 rounding.
+    *
+    * Apriori level-1 support pushdown: n_ab ≤ min(n_a, n_b), so an item in
+    * fewer than `minSupport` baskets cannot contribute a pair with
+    * n_ab ≥ minSupport — such items drop BEFORE the self-join expansion,
+    * where the superlinear mass lives (the long tail of rare items
+    * dominates the raw pair count). The pruned run is provably exact when
+    * every returned pair has n_ab ≥ minSupport (pruning only ever removes
+    * sub-threshold pairs, which sort strictly after them); the guard
+    * checks exactly that on the ≤ topK result rows and falls back to the
+    * unpruned expansion otherwise, so degenerate corpora stay bit-equal
+    * to the oracle too. */
+  def q122MarketBasket(spark: SparkSession, dir: String, topK: Int = 20,
+                       minSupport: Long = 2L): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey").distinct()
     val nOrders = li.select($"l_orderkey").distinct()
       .agg(count(lit(1)).as("n_orders"))
+    // Item supports always come from the FULL basket table: the pushdown
+    // narrows the pair expansion only, never the reported n_a/n_b (and so
+    // never confidence or lift).
     val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
-    val pairs = li.select($"l_orderkey", $"l_partkey".as("part_a"))
-      .join(li.select($"l_orderkey", $"l_partkey".as("part_b")), "l_orderkey")
-      .filter($"part_a" < $"part_b")
-      .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_ab"))
-    pairs
-      .join(itemN.select($"l_partkey".as("part_a"), $"n_item".as("n_a")), "part_a")
-      .join(itemN.select($"l_partkey".as("part_b"), $"n_item".as("n_b")), "part_b")
-      .crossJoin(broadcast(nOrders))
-      .select($"part_a", $"part_b", $"n_ab",
-        round($"n_ab" / $"n_a".cast("double"), 6).as("confidence"),
-        round(($"n_ab" * $"n_orders") / ($"n_a" * $"n_b").cast("double"), 6).as("lift"))
-      .orderBy($"n_ab".desc, $"part_a", $"part_b")
-      .limit(topK)
+    def report(src: DataFrame): DataFrame = {
+      val pairs = src.select($"l_orderkey", $"l_partkey".as("part_a"))
+        .join(src.select($"l_orderkey", $"l_partkey".as("part_b")), "l_orderkey")
+        .filter($"part_a" < $"part_b")
+        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(itemN.select($"l_partkey".as("part_a"), $"n_item".as("n_a")), "part_a")
+        .join(itemN.select($"l_partkey".as("part_b"), $"n_item".as("n_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select($"part_a", $"part_b", $"n_ab",
+          round($"n_ab" / $"n_a".cast("double"), 6).as("confidence"),
+          round(($"n_ab" * $"n_orders") / ($"n_a" * $"n_b").cast("double"), 6).as("lift"))
+        .orderBy($"n_ab".desc, $"part_a", $"part_b")
+        .limit(topK)
+    }
+    if (minSupport <= 1L) return report(li)
+    val frequent = itemN.filter($"n_item" >= minSupport).select($"l_partkey")
+    // Result-sized leaf: the exactness guard reads it here AND the caller
+    // materializes it — without the checkpoint the pruned pipeline would
+    // execute twice.
+    val pruned = report(li.join(frequent, "l_partkey")).localCheckpoint()
+    val nAb = pruned.select($"n_ab").collect()
+    if (nAb.length >= topK && nAb.forall(_.getLong(0) >= minSupport)) pruned
+    else report(li)
   }
 
   /** q124: key-skew profile — the distribution report a shuffle planner (or
