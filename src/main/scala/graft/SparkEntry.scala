@@ -75,7 +75,7 @@ object SparkEntry {
     "q31_lang_id" -> (TextAnalysis.q31LangId _),
     "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
     "q33_fingerprint" -> (TextAnalysis.q33Fingerprint _),
-    "q34_minhash_neardup" -> (Dedup.q34MinhashNearDup _),
+    "q34_minhash_neardup" -> ((s: SparkSession, d: String) => Dedup.q34MinhashNearDup(s, d)),
     "q35_simhash_neardup" -> (Dedup.q35SimhashNearDup _),
     "q36_ngram_jaccard" -> (Dedup.q36NgramJaccard _),
     "q37_topk_bruteforce" -> ((s: SparkSession, d: String) => Similarity.q37TopKBruteForce(s, d)),
@@ -825,6 +825,54 @@ object SparkEntry {
         |SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM corpus GROUP BY text
         |ORDER BY canonical_id""".stripMargin,
+    // q34: the minhash/LSH near-dup, oracle-checked on a bounded window —
+    // a quadratic scan over base ids < 400 (+ planted near-copies) with the
+    // exact q121 shingle semantics. Completeness of the banded candidates on
+    // this corpus (every qualifying window pair has J >= 0.9) is what makes
+    // the oracle equality exact; see q34MinhashNearDup scaladoc.
+    "q34_minhash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM corpus
+        |), s AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tk WHERE len(toks) > 0
+        |), sz AS (
+        |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
+        |), p AS (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
+        |  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |)
+        |SELECT left_id, right_id,
+        |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        |FROM p
+        |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.5
+        |ORDER BY left_id, right_id""".stripMargin,
+    // q39: qualifying pairs at cos >= 0.99 are exactly the planted copies
+    // at every SF (max natural cosine ~0.6, checked), so the quadratic
+    // cosine scan is feasible corpus-wide and LSH recall is provably 1
+    // (identical vectors share every bucket). DOUBLE[] cast pins DuckDB to
+    // the same widen-then-sequential-sum the Spark kernel uses.
+    "q39_embedding_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10
+        |)
+        |SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS cos
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) >= 0.99
+        |ORDER BY left_id, right_id""".stripMargin,
     "q36_ngram_jaccard" ->
       """WITH orig AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents

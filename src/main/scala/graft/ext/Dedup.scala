@@ -155,8 +155,8 @@ object Dedup {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesFromTokens(split(text, "\\s+"), k)
 
-  /** Deterministic per-hash-function coefficients (31-bit, so
-    * h31 * a + b stays well inside a long — no ANSI overflow). */
+  /** Deterministic per-hash-function seeds (same LCG stream as the native
+    * kernel's, so the HOF and kernel signatures are bit-identical). */
   private def coeffs(numHashes: Int, seed: Long): Seq[Long] = {
     var x = seed
     (0 until numHashes).map { _ =>
@@ -168,7 +168,6 @@ object Dedup {
   val NumHashes = 64
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
 
   /** Base 31-bit hash per shingle — computed ONCE and reused by all
     * NumHashes permutations (re-hashing strings per permutation is the
@@ -184,12 +183,17 @@ object Dedup {
   def minhashSignature(hashed: Column): Column =
     graft.functions.NativeKernels.minhashSig(hashed)
 
-  /** Reference HOF formulation of [[minhashSignature]]. */
+  /** Reference HOF formulation of [[minhashSignature]]: per-slot seeded
+    * xxhash64 minima. A full-avalanche mix per slot is what makes the
+    * family min-wise — see the kernel's scaladoc for why the old linear
+    * (h·a + b) mod p form silently correlated all 64 slots. */
   def minhashSignatureHof(hashed: Column): Column = {
-    val as = coeffs(NumHashes, 42L)
-    val bs = coeffs(NumHashes, 1337L)
-    array((0 until NumHashes).map { h =>
-      array_min(transform(hashed, x => pmod(x * as(h) + bs(h), lit(MersennePrime))))
+    import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+    val seeds = coeffs(NumHashes, 42L)
+    array((0 until NumHashes).map { j =>
+      array_min(transform(hashed, x =>
+        columnOf(new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(expressionOf(x)), seeds(j)))))
     }: _*)
   }
 
@@ -220,28 +224,61 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** MinHash→LSH→exact-verify near-dup pipeline on a corpus with planted
-    * near-copies. Output: verified pairs with exact 3-shingle Jaccard.
+    * near-copies. Output: verified pairs with exact 3-shingle Jaccard,
+    * restricted to a bounded doc-id window (base id < `oracleWindow`) so a
+    * quadratic DuckDB scan over the same window is a feasible,
+    * hash-matchable oracle at every SF — the signature/banding machinery
+    * still runs over the WHOLE corpus (that is the part whose scale shape
+    * matters); only the reported slice is windowed.
     *
     * Shape notes for scale: the hashed-shingle table is computed ONCE and
     * persisted (at 100 TB: materialized to a table) — it feeds signature
-    * generation and both sides of the verify join. Verification runs on the
-    * 31-bit shingle hashes (long arrays), not shingle strings: same Jaccard
-    * up to negligible collision mass, ~10× less data moved. */
-  def q34MinhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    * generation and candidate banding on 31-bit hash arrays. The verify for
+    * the reported window runs on TRUE string shingle sets (the q121
+    * tokenization: runs of bytes ≤ 0x20, edge separators stripped before
+    * the split), so the reported jaccard is engine-independent to the last
+    * rounded digit — hash-set jaccard could drift in the 6th decimal on a
+    * 31-bit collision. Corpus-wide (no window) the verify would stay on
+    * the hash arrays, as before.
+    *
+    * The oracle's completeness premise — every window pair with true
+    * J ≥ 0.5 surfaces as an LSH candidate — holds because this corpus's
+    * qualifying pairs are all near-copies (J ≥ 0.9 at every SF, checked):
+    * at J = 0.9 a pair shares a band signature with probability
+    * 1 − (1 − J⁴)³² ≈ 1 − 10⁻¹⁵. A borderline-J corpus would make the
+    * banded pipeline's recall < 1 BY DESIGN — that operating point is
+    * covered by the corpus-wide rows-only entry this query replaced and
+    * by ExtSpec's planted-pair recall floor. */
+  def q34MinhashNearDup(spark: SparkSession, dir: String,
+                        oracleWindow: Long = 400L): DataFrame = {
     import spark.implicits._
-    val hdocs = withPlantedNear(Tables.documents(spark, dir), 20)
+    val corpus = withPlantedNear(Tables.documents(spark, dir), 20)
+    // Single-consumer now (the windowed verify reads string sets, not hs),
+    // so the hashed-shingle frame no longer needs a persist.
+    val hdocs = corpus
       .select($"doc_id",
         graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
-      .persist()
     val sigs = hdocs.select($"doc_id", minhashSignature($"hs").as("sig"))
     val pairs = candidatePairs(lshBands(sigs))
-    pairs
-      .join(hdocs.select($"doc_id".as("left_id"), $"hs".as("ls")), "left_id")
-      .join(hdocs.select($"doc_id".as("right_id"), $"hs".as("rs")), "right_id")
-      .withColumn("jaccard", round(jaccard($"ls", $"rs"), 6))
+      .filter(pmod($"left_id", lit(NearDupIdOffset)) < oracleWindow &&
+        pmod($"right_id", lit(NearDupIdOffset)) < oracleWindow)
+    val candIds = pairs.select($"left_id".as("doc_id"))
+      .union(pairs.select($"right_id")).distinct()
+    val vsets = corpus.join(candIds, "doc_id")
+      .select($"doc_id",
+        split(regexp_replace($"text",
+          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
+      .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("toks"))
+    val out = pairs
+      .join(vsets.select($"doc_id".as("left_id"), $"toks".as("ls")), "left_id")
+      .join(vsets.select($"doc_id".as("right_id"), $"toks".as("rs")), "right_id")
+      .withColumn("inter", size(array_intersect($"ls", $"rs")))
+      .withColumn("jaccard", round($"inter".cast("double")
+        / (size($"ls") + size($"rs") - $"inter"), 6))
       .filter($"jaccard" >= 0.5)
       .select($"left_id", $"right_id", $"jaccard")
       .orderBy($"left_id", $"right_id")
+    out
   }
 
   // ---- SimHash ----

@@ -15,9 +15,11 @@ class EntrySpec extends SparkSpec {
   test("every query has either an oracle or is a documented rows-only op") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // hash-based / approximate ops legitimately have no SQL oracle
+    // q34/q39 graduated to oracle-checked in round 6 (windowed quadratic
+    // scan / full-corpus cosine scan).
     assert(noOracle == Set("q21_approx_distinct", "q33_fingerprint",
-      "q34_minhash_neardup", "q35_simhash_neardup", "q38_ann_lsh",
-      "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus",
+      "q35_simhash_neardup", "q38_ann_lsh",
+      "q42_ann_ivf", "q62_neardup_corpus",
       "q83_heavy_hitters", "q98_ann_pq", "q99_ann_ivfpq",
       "q105_approx_percentiles", "q118_sketch_rollup",
       "q138_rolling_wau_sketch"))

@@ -256,7 +256,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q122: basket pair expansion joins hash-equi, never nested-loop") {
-    val plan = planOf(graft.queries.Extra.q122MarketBasket(spark, sf0001))
+    // minSupport = 1 exercises the report pipeline directly: the default
+    // pruned path returns a checkpointed result leaf whose plan is just a
+    // scan (the pipeline shape is identical plus one item-filter join).
+    val plan = planOf(graft.queries.Extra.q122MarketBasket(spark, sf0001, 20, 1L))
     // The ONLY non-equi join allowed is the broadcast cross with the 1-row
     // totals frame; a second nested-loop/cartesian means the pair expansion
     // or an item-support join lost its equi key. Count node-detail headers
