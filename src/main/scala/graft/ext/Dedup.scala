@@ -90,6 +90,41 @@ object Dedup {
     // collapse to one canonical row, exactly like the plain-SQL form.
     val h = history.select(sha2(col("text"), 256).as("content_hash"))
       .filter(col("content_hash").isNotNull)
+    dedupAgainstHashes(h, batch, expectedHistory, fpp)
+  }
+
+  /** Write history's content hashes as a BUCKETED, bucket-sorted table —
+    * the once-per-corpus materialization that makes every subsequent
+    * confirm join shuffle-AND-sort-free on the history side (the 100 TB
+    * side): the anti-join reads the buckets as-is, and only the bloom-
+    * surviving batch sliver is exchanged to match. Append new days' hashes
+    * with the same bucketing; the bloom prefilter bounds how many buckets
+    * each confirm probe touches. */
+  def writeHistoryHashes(history: DataFrame, table: String, buckets: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    history.select(sha2(col("text"), 256).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "content_hash").sortBy("content_hash")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[newAgainstHistory]] against a pre-materialized
+    * [[writeHistoryHashes]] table: identical result (DedupBucketedSpec),
+    * but the confirm anti-join consumes history's bucketing instead of
+    * shuffling it — PlanSpec pins the history side of the SortMergeJoin
+    * to a bucketed scan with no Exchange. */
+  def newAgainstHistoryTable(spark: SparkSession, table: String, batch: DataFrame,
+                             expectedHistory: Long = 1000000L,
+                             fpp: Double = 0.01): DataFrame =
+    dedupAgainstHashes(spark.table(table), batch, expectedHistory, fpp)
+
+  /** Shared confirm-join core: `h` is the history content-hash frame
+    * (computed inline, or a bucketed table scan). */
+  private def dedupAgainstHashes(h: DataFrame, batch: DataFrame,
+                                 expectedHistory: Long,
+                                 fpp: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
     val bloom = h.stat.bloomFilter("content_hash", expectedHistory, fpp)
     val spark = batch.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)

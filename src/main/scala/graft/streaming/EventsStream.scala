@@ -66,10 +66,20 @@ object EventsStream {
     * sizes this to the live key cardinality instead. (The partition count
     * is captured at query start and persisted in the checkpoint, so the
     * restore cannot affect the running query.) */
-  private def startPinned[A](spark: SparkSession, partitions: Int = 4)(start: => A): A = {
+  private def startPinned[A](spark: SparkSession, partitions: Int = 4,
+                             stateProvider: Option[String] = None)(start: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-    try start finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    stateProvider.foreach(spark.conf.set(providerKey, _))
+    try start finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (stateProvider.isDefined) prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   /** Sessionization as a streaming query — session windows (30-minute gap)
@@ -207,6 +217,13 @@ object EventsStream {
       "left_outer")
     // Stream-stream join state runs one store instance per shuffle
     // partition per side PER MICRO-BATCH — see [[startPinned]].
+    // State provider trial (sf0.1, local[32], warm): HDFS-backed default
+    // 7.2 s vs RocksDB 10.8 s — RocksDB's native-store open/commit cost per
+    // (partition × micro-batch) store instance outweighs any benefit when
+    // the 40-minute window bounds state to a few thousand rows, so the
+    // default stays. On a CONTINUOUS deployment with millions of in-flight
+    // keys, RocksDB is the right provider (off-heap state, incremental
+    // snapshots, changelog checkpointing) — flip `stateProvider` there.
     val q = startPinned(spark) {
       joined.writeStream
         .outputMode("append")

@@ -288,6 +288,57 @@ class PlanSpec extends SparkSpec {
       "a range-join formulation against the grid would nested-loop over every row")
   }
 
+  test("q112 full-scale path: bucketed history hashes confirm-join with no history-side exchange") {
+    import org.apache.spark.sql.functions._
+    val history = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val batch = history.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .unionByName(history.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+    spark.sql("DROP TABLE IF EXISTS graft_hist_hashes_spec")
+    graft.ext.Dedup.writeHistoryHashes(history, "graft_hist_hashes_spec", 8)
+    try {
+      // Force the confirm join to sort-merge (in production history is far
+      // beyond any broadcast threshold) so the plan assert is meaningful.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val out = graft.ext.Dedup.newAgainstHistoryTable(
+          spark, "graft_hist_hashes_spec", batch, expectedHistory = 10000L)
+        // Walk the physical plan BEFORE any action: once AQE materializes
+        // stages, the join subtree hides behind QueryStageExec wrappers.
+        // The anti-join's history (right) branch
+        // must contain a bucketed file scan and NO shuffle — that branch is
+        // the 100 TB side, and one exchange there is the whole cost model.
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        val phys = out.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val smj = phys.collectFirst {
+          case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" => j
+        }
+        assert(smj.nonEmpty, "confirm join should be a sort-merge anti join")
+        val historySide = smj.get.right
+        assert(historySide.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          "history side of the confirm join must not shuffle")
+        assert(historySide.collect {
+            case s: FileSourceScanExec if s.bucketedScan => s
+          }.nonEmpty,
+          "history hashes must be read as a bucketed scan")
+        // Result parity with the inline-hash path (oracle-checked via q112).
+        val plain = graft.ext.Dedup.newAgainstHistory(history, batch,
+          expectedHistory = 10000L)
+        assert(out.collect().sortBy(_.getLong(0)).toSeq ==
+          plain.collect().sortBy(_.getLong(0)).toSeq)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_hist_hashes_spec")
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
