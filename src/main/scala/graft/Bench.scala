@@ -39,21 +39,27 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Per-query seconds rounded to milliseconds: full double precision pushed
-    // the one-line artifact past the driver's stdout tail window (~3 KB), so
-    // the head of the line was cut and the JSON never parsed. 3 decimals keeps
-    // ~100 queries inside the window without losing benchmark resolution.
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // `value` (the headline total) is printed AFTER the long queries map so a
-    // tail-capture of stdout never truncates it; the full line is also written
-    // to a file so the whole artifact survives any console truncation.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":${sec(total)}}"""
-    println(line)
+    // The driver captures only a ~2000-char TAIL of stdout, so a single line
+    // carrying all ~137 per-query timings (~4.5 KB) arrives with its head cut
+    // off and never parses (BENCH_r04/r05 both show `parsed: null`). Split the
+    // artifact: stdout gets ONE compact, fully-parseable JSON line — totals
+    // plus the 30 slowest queries (the ones any perf question is about) —
+    // and the complete per-query map goes to bench_out.json.
+    val slowest = results.sortBy(-_._2).take(30)
+    val compact = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
+      s""","n_queries":${results.size},"queries":${toJson(slowest)}""" +
+      s""","queries_omitted":${results.size - slowest.size}""" +
+      s""","full_map":"bench_out.json","value":${sec(total)}}"""
+    println(compact)
+    val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
+      s""","queries":${toJson(results)},"value":${sec(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
     spark.stop()
   }
