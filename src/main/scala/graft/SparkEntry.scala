@@ -129,6 +129,7 @@ object SparkEntry {
     "q110_full_outer" -> (Extra.q110FullOuter _),
     "q111_outliers" -> (Extra.q111Outliers _),
     "q112_incremental_dedup" -> (Dedup.q112IncrementalDedup _),
+    "q139_incremental_dedup_bucketed" -> (Dedup.q139IncrementalDedupBucketed _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -1335,6 +1336,24 @@ object SparkEntry {
         |ORDER BY abs(round((o_totalprice - mu) / sigma, 4)) DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
     "q112_incremental_dedup" ->
+      """WITH history AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, text
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id, text || ' v2'
+        |  FROM documents WHERE doc_id < 25
+        |),
+        |fresh AS (
+        |  SELECT b.doc_id, b.text FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.text = b.text)
+        |)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+        |FROM fresh GROUP BY text ORDER BY doc_id""".stripMargin,
+    // q139 runs the same semantics through the bucketed-history confirm
+    // path — the storage layout must be invisible, so it shares q112's
+    // oracle verbatim.
+    "q139_incremental_dedup_bucketed" ->
       """WITH history AS (SELECT doc_id, text FROM documents),
         |batch AS (
         |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id, text

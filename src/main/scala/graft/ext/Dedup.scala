@@ -102,6 +102,16 @@ object Dedup {
     * each confirm probe touches. */
   def writeHistoryHashes(history: DataFrame, table: String, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
+    val spark = history.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A previous JVM's managed-table files can survive in spark-warehouse
+    // while THIS session's metastore has no entry to DROP; saveAsTable then
+    // refuses the leftover location. Managed-table files carry no state the
+    // rewrite needs, so clear the stale directory first.
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     history.select(sha2(col("text"), 256).as("content_hash"))
       .filter(col("content_hash").isNotNull)
       .write.mode("overwrite")
@@ -157,13 +167,37 @@ object Dedup {
     * equal. */
   def q112IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (history, batch) = incrementalDedupFixture(spark, dir)
+    newAgainstHistory(history, batch, expectedHistory = 100000L, fpp = 0.01)
+      .orderBy($"doc_id")
+  }
+
+  /** The deterministic q112 workload, shared with q139: 50 re-delivered
+    * docs + 25 modified ones against the full corpus as history. */
+  private def incrementalDedupFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val history = Tables.documents(spark, dir).select($"doc_id", $"text")
     val redelivered = history.filter($"doc_id" < 50)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val modified = history.filter($"doc_id" < 25)
       .select(($"doc_id" + 2000000L).as("doc_id"),
         concat($"text", lit(" v2")).as("text"))
-    newAgainstHistory(history, redelivered.unionByName(modified),
+    (history, redelivered.unionByName(modified))
+  }
+
+  /** q139: the q112 semantics through the FULL-SCALE confirm path — history
+    * hashes re-materialized as a bucketed, bucket-sorted catalog table
+    * ([[writeHistoryHashes]]) and the exact-confirm anti-join consuming
+    * that bucketing with no exchange or sort on the history side
+    * ([[newAgainstHistoryTable]]; PlanSpec walks the plan). Same oracle as
+    * q112 — the storage layout must be invisible in the result. The
+    * bench-measured cost INCLUDES the one-time bucketed write; the daily
+    * ingest amortizes it (append day hashes, re-run only the probe). */
+  def q139IncrementalDedupBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (history, batch) = incrementalDedupFixture(spark, dir)
+    writeHistoryHashes(history, "graft_q139_history_hashes", buckets = 16)
+    newAgainstHistoryTable(spark, "graft_q139_history_hashes", batch,
       expectedHistory = 100000L, fpp = 0.01)
       .orderBy($"doc_id")
   }
