@@ -43,10 +43,30 @@ object Main {
       s"""FR,2035,WAM,Energy,"$gas",42.0"""
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  private val KnownFlags = Set("url", "jdbc", "landing", "checkpoint")
+
+  /** Strict --key value parser: unknown flags, valueless flags, and stray
+    * positionals fail loudly — a pairwise-sliding parser would silently
+    * misbind everything after the first malformed token (e.g. a typo'd
+    * boolean flag swallowing the --jdbc URL and the run "succeeding"
+    * against the in-memory default warehouse). */
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case flag :: value :: tail if flag.startsWith("--") &&
+            KnownFlags.contains(flag.drop(2)) && !value.startsWith("--") =>
+          loop(tail, acc + (flag.drop(2) -> value))
+        case flag :: _ if flag.startsWith("--") && KnownFlags.contains(flag.drop(2)) =>
+          throw new IllegalArgumentException(s"flag $flag needs a value")
+        case other :: _ =>
+          throw new IllegalArgumentException(
+            s"unrecognized argument '$other' — known flags: " +
+              KnownFlags.toSeq.sorted.map("--" + _).mkString(", "))
+      }
+    loop(args.toList, Map.empty)
+  }
 
   /** The pipeline body, session-injected so tests drive it on the shared
     * test session (main owns session lifecycle, run does not). Returns the

@@ -107,9 +107,12 @@ object Dedup {
     // A previous JVM's managed-table files can survive in spark-warehouse
     // while THIS session's metastore has no entry to DROP; saveAsTable then
     // refuses the leftover location. Managed-table files carry no state the
-    // rewrite needs, so clear the stale directory first.
-    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    // rewrite needs, so clear the stale directory first — at the location
+    // the CATALOG would assign (honors the current database / a qualified
+    // name; a hand-built <warehouse>/<table> path would miss `db.db/…`).
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     history.select(sha2(col("text"), 256).as("content_hash"))
@@ -333,7 +336,15 @@ object Dedup {
         pmod($"right_id", lit(NearDupIdOffset)) < oracleWindow)
     val candIds = pairs.select($"left_id".as("doc_id"))
       .union(pairs.select($"right_id")).distinct()
+    // Zero-token docs (empty/all-separator text) never reach the verify:
+    // the oracle's `len(toks) > 0` excludes them, and without this filter
+    // they would pair up at J = 1.0 — their edge-stripped split yields the
+    // single-empty-token array, whose 3-shingle set is [""] on both sides.
+    // (Their kernel hash sets are EMPTY, so all-zero minhash signatures
+    // band them together as candidates.) The inner verify join then drops
+    // any candidate pair touching such a doc, matching the oracle exactly.
     val vsets = corpus.join(candIds, "doc_id")
+      .filter(regexp_replace($"text", "[\\x00-\\x20]", "") =!= "")
       .select($"doc_id",
         split(regexp_replace($"text",
           "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))

@@ -36,7 +36,10 @@ object TempDirs {
 
   private def deleteRecursively(p: Path): Unit = {
     try {
-      if (Files.isDirectory(p)) {
+      // NOFOLLOW: registered dirs may contain symlinks to real data (the
+      // streaming watch dirs link the shared parquet fixtures) — delete the
+      // link itself, never recurse through it into the target.
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
         val listing = Files.list(p)
         try {
           val it = listing.iterator()
@@ -44,6 +47,11 @@ object TempDirs {
         } finally listing.close()
       }
       Files.deleteIfExists(p)
-    } catch { case _: java.io.IOException => () } // best-effort at exit
+    } catch {
+      // Best-effort at exit, and never let one bad entry kill the hook:
+      // directory-stream iteration surfaces racing deletes as UNCHECKED
+      // DirectoryIteratorException/UncheckedIOException, not IOException.
+      case _: Exception => ()
+    }
   }
 }
