@@ -460,10 +460,36 @@ object Dedup {
   /** End-to-end near-dup corpus dedup: MinHash→LSH→verify pairs, connected
     * components, keep only component-canonical docs. Output: corpus size
     * before/after and removed count — the operational dedup report. */
+  /** Corpus-wide MinHash→LSH near-dup pairs verified on the 31-bit hash
+    * sets — the at-scale verify (long arrays, ~10× less shuffle volume
+    * than shingle strings; jaccard identical up to negligible collision
+    * mass). This is the FULL-corpus pipeline q62's dedup consumes; q34 is
+    * its oracle-checkable windowed face (string-verified so the reported
+    * values are engine-exact). */
+  def minhashNearDupPairs(corpus: DataFrame, t: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Persisted: feeds signature generation AND both sides of the verify
+    // join (at 100 TB: a materialized signature table).
+    val hdocs = corpus
+      .select($"doc_id",
+        graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
+      .persist()
+    val sigs = hdocs.select($"doc_id", minhashSignature($"hs").as("sig"))
+    candidatePairs(lshBands(sigs))
+      .join(hdocs.select($"doc_id".as("left_id"), $"hs".as("ls")), "left_id")
+      .join(hdocs.select($"doc_id".as("right_id"), $"hs".as("rs")), "right_id")
+      .withColumn("jaccard", round(jaccard($"ls", $"rs"), 6))
+      .filter($"jaccard" >= t)
+      .select($"left_id", $"right_id", $"jaccard")
+  }
+
   def q62NearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = withPlantedNear(Tables.documents(spark, dir), 20)
-    val pairs = q34MinhashNearDup(spark, dir).select($"left_id", $"right_id")
+    // FULL-corpus pairs (hash-set verify) — q34's windowed output would
+    // silently narrow the dedup to the oracle window.
+    val pairs = minhashNearDupPairs(corpus).select($"left_id", $"right_id")
     val labels = connectedComponents(pairs)
     val nonCanonical = labels.filter($"label" =!= $"id").select($"id".as("doc_id"))
     val deduped = corpus.join(nonCanonical, Seq("doc_id"), "left_anti")

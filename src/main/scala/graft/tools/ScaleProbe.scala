@@ -77,7 +77,8 @@ object ScaleProbe {
       "q86_decontamination", "q92_incremental_agg", "q94_doc_chunks",
       "q96_inverted_index", "q98_ann_pq", "q99_ann_ivfpq", "q100_cdc_apply",
       "q104_column_profile", "q107_zonemap_prune", "q108_mv_rewrite",
-      "q112_incremental_dedup", "q114_bm25", "q115_lm_quality",
+      "q112_incremental_dedup", "q139_incremental_dedup_bucketed",
+      "q114_bm25", "q115_lm_quality",
       "q116_weighted_sample", "q121_setsim_join", "q122_market_basket",
       "q128_activity_islands", "q129_twap", "q131_bloom_lookup",
       "q132_canonical_docs", "q133_ab_experiment", "q135_rolling_wau")

@@ -53,6 +53,20 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("minhashNearDupPairs stays corpus-wide (finds pairs beyond q34's oracle window)") {
+    import org.apache.spark.sql.functions._
+    // (474, 498) is a natural near-dup at sf0.001 with both ids outside the
+    // q34 oracle window (base id >= 400): q62's dedup consumes THIS pipeline
+    // precisely so windowing q34 for its oracle cannot narrow corpus dedup.
+    val corpus = Dedup.withPlantedNear(
+      graft.sources.Tables.documents(spark, sf0001), 20)
+    val pairs = Dedup.minhashNearDupPairs(corpus)
+      .filter(col("left_id") >= 400).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((474L, 498L)),
+      "corpus-wide pair (474, 498) missing — pair generation got windowed?")
+  }
+
   test("simhash banding finds planted near-dups within hamming budget") {
     val pairs = Dedup.q35SimhashNearDup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
