@@ -635,11 +635,17 @@ object Extra {
     // narrows the pair expansion only, never the reported n_a/n_b (and so
     // never confidence or lift).
     val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
-    def report(src: DataFrame): DataFrame = {
+    // `minAb`: pair-count floor applied right after the pair aggregation.
+    // On the pruned path the exactness guard ALREADY requires every
+    // returned pair to clear minSupport, so dropping sub-threshold pairs
+    // early is free — and they are the mass (the n_ab = 1 long tail), so
+    // the support joins and the top-K sort see a fraction of the pairs.
+    def report(src: DataFrame, minAb: Long): DataFrame = {
       val pairs = src.select($"l_orderkey", $"l_partkey".as("part_a"))
         .join(src.select($"l_orderkey", $"l_partkey".as("part_b")), "l_orderkey")
         .filter($"part_a" < $"part_b")
         .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= minAb)
       pairs
         .join(itemN.select($"l_partkey".as("part_a"), $"n_item".as("n_a")), "part_a")
         .join(itemN.select($"l_partkey".as("part_b"), $"n_item".as("n_b")), "part_b")
@@ -650,15 +656,15 @@ object Extra {
         .orderBy($"n_ab".desc, $"part_a", $"part_b")
         .limit(topK)
     }
-    if (minSupport <= 1L) return report(li)
+    if (minSupport <= 1L) return report(li, 1L)
     val frequent = itemN.filter($"n_item" >= minSupport).select($"l_partkey")
     // Result-sized leaf: the exactness guard reads it here AND the caller
     // materializes it — without the checkpoint the pruned pipeline would
     // execute twice.
-    val pruned = report(li.join(frequent, "l_partkey")).localCheckpoint()
+    val pruned = report(li.join(frequent, "l_partkey"), minSupport).localCheckpoint()
     val nAb = pruned.select($"n_ab").collect()
     if (nAb.length >= topK && nAb.forall(_.getLong(0) >= minSupport)) pruned
-    else report(li)
+    else report(li, 1L)
   }
 
   /** q124: key-skew profile — the distribution report a shuffle planner (or
