@@ -151,32 +151,40 @@ object EventsStream {
       (r.getLong(0), r.getLong(1))
     }
     val span = maxTs - minTs
-    val cut1 = minTs + span / 3
-    val cut2 = minTs + 2 * span / 3
+    val cut = minTs + span / 2
     val sentinelTs = maxTs + 30L * 24 * 3600 * 1000000000L
     // Stage all chronological slices in ONE pass: a slice-partitioned write
-    // (three filtered writes would scan events three times), then move each
+    // (filtered writes would scan events once per slice), then move each
     // slice's part file up into the flat watched dir (the file source does
     // not descend into partition subdirectories).
+    //
+    // TWO data slices + the sentinel: the outer join's OUTPUT is
+    // emission-time-independent — matches pair inside the join state
+    // whenever both sides have arrived, and every unmatched click emits by
+    // the time the sentinel pushes the watermark past all real windows — so
+    // slicing granularity only changes WHEN rows emit, not WHAT emits
+    // (batch parity pinned by the oracle). Each extra micro-batch costs a
+    // fixed state-store round (~1.2 s here), so the minimum slicing that
+    // still exercises mid-stream watermark advancement (one real
+    // eviction boundary between the halves) is the right one.
     val staging = graft.sources.TempDirs.create("graft_ssjoin_stage_")
     ev.unionByName(Seq(
         (-1L, sentinelTs, -1L, "click", 0.0, "{}"),
         (-2L, sentinelTs, -1L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
       .withColumn("slice",
-        when($"user_id" === -1L, 3)
-          .when($"ts" <= cut1, 0)
-          .when($"ts" <= cut2, 1).otherwise(2))
+        when($"user_id" === -1L, 2)
+          .when($"ts" <= cut, 0).otherwise(1))
       .repartition(1)
       .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
     // FileStreamSource orders files by millisecond-granularity modification
-    // time with an unspecified tie-break; all four slices land within the
+    // time with an unspecified tie-break; all three slices land within the
     // same write and could tie. Stamp explicitly increasing mtimes so the
     // replay is provably chronological — if a later slice (worst: the
     // sentinel) were consumed first, the watermark would jump ahead and
     // silently drop earlier events as late.
     val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
-    for (s <- 0 to 3) {
+    for (s <- 0 to 2) {
       val sliceDir = staging.resolve(s"slice=$s")
       // Files.list holds a directory handle until closed; abandoning the
       // stream leaks one handle per slice for the driver's lifetime.
