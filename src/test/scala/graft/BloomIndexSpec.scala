@@ -125,4 +125,22 @@ class BloomIndexSpec extends SparkSpec {
       BloomIndex.candidateFiles(idx, Seq.empty)
     }
   }
+
+  test("candidateFiles derives the key type from the index: Int keys probe a BIGINT column safely") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloomtype_").toString + "/t"
+    Seq((1000L, "x"), (2000L, "y")).toDF("k", "v").coalesce(1).write.parquet(dir)
+    val idx = BloomIndex.build(spark, dir, "k",
+      expectedItems = 100L, numBits = 1L << 12).cache()
+    // xxhash64 is type-sensitive: hashing Int 1000 instead of Long 1000
+    // yields a different value, and before the index carried `key_type`
+    // this probe silently LOST the file — a bloom false negative. The
+    // index's own type column now drives the cast, so the caller's runtime
+    // key type cannot matter.
+    val viaInt = BloomIndex.candidateFiles(idx, Seq(1000))
+    val viaLong = BloomIndex.candidateFiles(idx, Seq(1000L))
+    assert(viaInt == viaLong && viaInt.nonEmpty,
+      s"Int-keyed probe lost files: int=$viaInt long=$viaLong")
+    idx.unpersist()
+  }
 }

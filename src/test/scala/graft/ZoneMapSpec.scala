@@ -123,4 +123,45 @@ class ZoneMapSpec extends SparkSpec {
     assert(pruned.selectedFiles == 1 && pruned.totalFiles == 2)
     assert(pruned.df.select($"s").as[String].collect().toSeq == Seq("keep"))
   }
+
+  test("footer fold uses unsigned UTF-8 order: supplementary chars across row groups keep the envelope safe") {
+    import spark.implicits._
+    // U+E000 (3-byte UTF-8) sorts ABOVE an emoji (4-byte UTF-8, surrogate
+    // pair) in java.lang.String's UTF-16 order but BELOW it in the unsigned
+    // UTF-8 byte order parquet stats and Spark comparisons use. A UTF-16
+    // fold across row-group chunks would record max = U+E000…, and a probe
+    // for the emoji rows would then WRONGLY prune the file — lost rows, the
+    // one failure the zone-map contract forbids.
+    val pua = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    val dir = Files.createTempDirectory("graft_zmutf8_").toString + "/t"
+    val rows = (1 to 8000).map(i => (i.toLong, pua + f"$i%05d")) ++
+      (8001 to 16000).map(i => (i.toLong, emoji + f"$i%05d"))
+    rows.toDF("k", "s").coalesce(1).sortWithinPartitions($"k")
+      .write.option("parquet.block.size", 64 * 1024).parquet(dir)
+    // The scenario needs the two script ranges in DIFFERENT row groups of
+    // ONE file — verify the tiny block size actually produced that.
+    val status = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+        spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head
+    val nRowGroups = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(status,
+          spark.sparkContext.hadoopConfiguration))
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    assert(nRowGroups >= 2, s"need >= 2 row groups to exercise the fold, got $nRowGroups")
+    val footer = ZoneMap.buildFromFooters(spark, dir, "s")
+    val scanned = ZoneMap.build(spark, dir, "s")
+    def env(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(2), r.getString(3))).toSeq
+    assert(env(footer) == env(scanned),
+      "footer fold must reproduce Spark's own min/max envelope")
+    // and the emoji rows survive a pruned read driven by the footer index
+    val pruned = ZoneMap.prunedRead(spark, dir, footer,
+      Seq[(String, Any, Any)](("s", emoji, emoji + "zzzzz")))
+    assert(pruned.df.count() == 8000,
+      "file holding the UTF-8-larger rows must not be pruned")
+  }
 }
