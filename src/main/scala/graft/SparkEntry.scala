@@ -130,6 +130,7 @@ object SparkEntry {
     "q111_outliers" -> (Extra.q111Outliers _),
     "q112_incremental_dedup" -> (Dedup.q112IncrementalDedup _),
     "q139_incremental_dedup_bucketed" -> (Dedup.q139IncrementalDedupBucketed _),
+    "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -1368,6 +1369,33 @@ object SparkEntry {
         |)
         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
         |FROM fresh GROUP BY text ORDER BY doc_id""".stripMargin,
+    // q140: the pixel model's closed forms (Ppm scaladoc) predict the real
+    // decoder's output from arithmetic — no wrap anywhere since
+    // w <= 112, h <= 98, so w+h <= 210 < 256 and every mapped resize
+    // coordinate stays under 256. Values are exact halves / 32nds, so the
+    // 6-decimal rounding is a no-op on both engines.
+    "q140_ppm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 97 AS INTEGER) AS width,
+        |    CAST(16 + doc_id % 83 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id < 2000
+        |), rz AS (
+        |  SELECT media_id,
+        |    avg(CAST(floor(i * width / 32.0) AS INTEGER)) AS rx,
+        |    avg(CAST(floor(i * height / 32.0) AS INTEGER)) AS ry
+        |  FROM m, generate_series(0, 31) AS t(i)
+        |  GROUP BY media_id
+        |)
+        |SELECT m.media_id, width, height,
+        |  round((width - 1) / 2.0, 6) AS mean_r,
+        |  round((height - 1) / 2.0, 6) AS mean_g,
+        |  round((width + height - 2) / 2.0, 6) AS mean_b,
+        |  round(rx, 6) AS rz_mean_r,
+        |  round(ry, 6) AS rz_mean_g,
+        |  round(rx + ry, 6) AS rz_mean_b
+        |FROM m JOIN rz USING (media_id)
+        |ORDER BY media_id""".stripMargin,
     "q113_skyline" ->
       """WITH pts AS (
         |  SELECT l_suppkey AS suppkey,

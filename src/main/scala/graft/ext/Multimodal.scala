@@ -99,6 +99,45 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  case class PpmMedia(media_id: Long, payload: Array[Byte])
+  case class PpmDecoded(media_id: Long, width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double,
+                        rz_mean_r: Double, rz_mean_g: Double, rz_mean_b: Double)
+
+  /** q140: REAL image decode + resample over binary media columns — P6 PPM
+    * through [[Ppm]] (pure-JVM codec, no libraries). The synthetic corpus
+    * encodes one image per document (w = 16 + id mod 97, h = 16 + id mod 83,
+    * deterministic pixel formula); the batch stage then runs the genuine
+    * pipeline on executor byte arrays: header parse → pixel-scan channel
+    * means → nearest-neighbor 32×32 resize → means of the RESAMPLED bytes.
+    *
+    * Oracle-checked: the pixel model gives every reported mean a closed
+    * form in (w, h) (see [[Ppm]] scaladoc), so the DuckDB oracle predicts
+    * the decode output from arithmetic alone — a misparsed header, swapped
+    * dimension, channel-phase shift, or wrong resample mapping breaks the
+    * identity. The id cap (< 2000) bounds the synthetic corpus; decode cost
+    * scales with pixels, not documents, and the mapPartitions batch shape
+    * is exactly [[decodeBatched]]'s. */
+  def q140PpmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter($"doc_id" < 2000).select($"doc_id").as[Long]
+    val media = ids.mapPartitions(_.map { d =>
+      PpmMedia(d, Ppm.encode((16 + d % 97).toInt, (16 + d % 83).toInt))
+    })
+    media.mapPartitions { records =>
+      records.map { m =>
+        val img = Ppm.decode(m.payload)
+        val (r, g, b) = Ppm.channelMeans(img)
+        val rz = Ppm.resizeNearest(img, 32, 32)
+        val (rr, rg, rb) = Ppm.channelMeans(rz)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        PpmDecoded(m.media_id, img.width, img.height,
+          r6(r), r6(g), r6(b), r6(rr), r6(rg), r6(rb))
+      }
+    }.toDF().orderBy($"media_id")
+  }
+
   /** Frame sampling: one row per sampled frame index (stride 4) — the
     * explode-shaped stage a video pipeline runs before per-frame featurize.
     * Partitioned by media_id bucket upstream so decode parallelism is even. */
