@@ -131,6 +131,7 @@ object SparkEntry {
     "q112_incremental_dedup" -> (Dedup.q112IncrementalDedup _),
     "q139_incremental_dedup_bucketed" -> (Dedup.q139IncrementalDedupBucketed _),
     "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
+    "q141_wav_decode" -> (Multimodal.q141WavDecode _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -1396,6 +1397,32 @@ object SparkEntry {
         |  round(rx + ry, 6) AS rz_mean_b
         |FROM m JOIN rz USING (media_id)
         |ORDER BY media_id""".stripMargin,
+    // q141: sawtooth partial-cycle sums — S1 = -100 per full cycle and
+    // T1(r) = r(r-1)/2 - 100r; S2 = 666700 per cycle and
+    // T2(r) = r(r-1)(2r-1)/6 - 100r(r-1) + 10000r. Integer sums divide in
+    // IEEE doubles identically on both engines; peak is 100 for any n >= 1
+    // (sample k = 0 is always present).
+    "q141_wav_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    1000 + (doc_id % 777) * 3 AS n
+        |  FROM documents WHERE doc_id < 2000
+        |), p AS (
+        |  SELECT media_id, n, n // 200 AS c, n % 200 AS r FROM m
+        |), sums AS (
+        |  SELECT media_id, n,
+        |    c * (-100) + (r * (r - 1)) // 2 - 100 * r AS s1,
+        |    c * 666700 + (r * (r - 1) * (2 * r - 1)) // 6
+        |      - 100 * r * (r - 1) + 10000 * r AS s2
+        |  FROM p
+        |)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_samples,
+        |  8000 AS sample_rate,
+        |  round(n / 8000.0, 6) AS duration_s,
+        |  round(s1 / CAST(n AS DOUBLE), 6) AS mean_amp,
+        |  round(sqrt(s2 / CAST(n AS DOUBLE)), 6) AS rms,
+        |  100 AS peak
+        |FROM sums ORDER BY media_id""".stripMargin,
     "q113_skyline" ->
       """WITH pts AS (
         |  SELECT l_suppkey AS suppkey,

@@ -138,6 +138,36 @@ object Multimodal {
     }.toDF().orderBy($"media_id")
   }
 
+  case class WavMedia(media_id: Long, payload: Array[Byte])
+  case class WavDecoded(media_id: Long, n_samples: Int, sample_rate: Int,
+                        duration_s: Double, mean_amp: Double, rms: Double,
+                        peak: Int)
+
+  /** q141: REAL audio decode over binary media columns — RIFF/WAVE PCM16
+    * through [[Wav]] (pure-JVM chunk walker, no libraries): the audio twin
+    * of [[q140PpmDecode]]. One synthetic waveform per document
+    * (n = 1000 + 3·(id mod 777) sawtooth samples at 8 kHz), decoded and
+    * reduced to duration / mean / RMS / peak on executor byte arrays.
+    * Oracle-checked: the sawtooth's partial-cycle sums give every statistic
+    * a closed form in n (see [[Wav]] scaladoc), so the DuckDB oracle
+    * predicts the decoder's output from arithmetic alone. */
+  def q141WavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter($"doc_id" < 2000).select($"doc_id").as[Long]
+    val media = ids.mapPartitions(_.map { d =>
+      WavMedia(d, Wav.encode((1000 + (d % 777) * 3).toInt))
+    })
+    media.mapPartitions { records =>
+      records.map { m =>
+        val audio = Wav.decode(m.payload)
+        val (n, dur, mean, rms, peak) = Wav.stats(audio)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        WavDecoded(m.media_id, n, audio.sampleRate, r6(dur), r6(mean), r6(rms), peak)
+      }
+    }.toDF().orderBy($"media_id")
+  }
+
   /** Frame sampling: one row per sampled frame index (stride 4) — the
     * explode-shaped stage a video pipeline runs before per-frame featurize.
     * Partitioned by media_id bucket upstream so decode parallelism is even. */
