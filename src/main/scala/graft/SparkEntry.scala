@@ -132,6 +132,7 @@ object SparkEntry {
     "q139_incremental_dedup_bucketed" -> (Dedup.q139IncrementalDedupBucketed _),
     "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
     "q141_wav_decode" -> (Multimodal.q141WavDecode _),
+    "q142_video_frames" -> (Multimodal.q142VideoFrames _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -1423,6 +1424,24 @@ object SparkEntry {
         |  round(sqrt(s2 / CAST(n AS DOUBLE)), 6) AS rms,
         |  100 AS peak
         |FROM sums ORDER BY media_id""".stripMargin,
+    // q142: per-frame luma means from the y4m pixel model — every value
+    // bounded under 256 (w <= 64, h <= 48, f < 8), so means are exact
+    // halves and the closed form needs no wraparound arithmetic. Sampled
+    // frame indices are the stride-2 series below n_frames.
+    "q142_video_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + 2 * (doc_id % 25) AS INTEGER) AS width,
+        |    CAST(16 + 2 * (doc_id % 17) AS INTEGER) AS height,
+        |    CAST(1 + doc_id % 7 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id < 2000
+        |)
+        |SELECT media_id, width, height, n_frames,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  round((width - 1) / 2.0 + (height - 1) / 2.0 + 10 * f, 6) AS luma_mean
+        |FROM m, generate_series(0, 6, 2) AS t(f)
+        |WHERE f < n_frames
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "q113_skyline" ->
       """WITH pts AS (
         |  SELECT l_suppkey AS suppkey,

@@ -168,6 +168,40 @@ object Multimodal {
     }.toDF().orderBy($"media_id")
   }
 
+  case class Y4mMedia(media_id: Long, payload: Array[Byte])
+  case class FrameRow(media_id: Long, width: Int, height: Int, n_frames: Int,
+                      frame_idx: Int, luma_mean: Double)
+
+  /** q142: REAL video frame demux + per-frame analysis — YUV4MPEG2 through
+    * [[Y4m]] (pure-JVM container parse, no libraries): the video member of
+    * the codec-free trio (q140 image, q141 audio). One synthetic I420
+    * stream per document (w = 16 + 2·(id mod 25), h = 16 + 2·(id mod 17),
+    * 1 + id mod 7 frames), demuxed on executors; every SECOND frame is
+    * sampled (the q41 stride pattern, now over real frame bytes) and its
+    * luma plane scanned for mean brightness — the explode-shaped stage a
+    * video curation pipeline runs before per-frame featurize.
+    * Oracle-checked: the pixel model gives each frame's luma mean the
+    * closed form (w−1)/2 + (h−1)/2 + 10f (see [[Y4m]] scaladoc). */
+  def q142VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter($"doc_id" < 2000).select($"doc_id").as[Long]
+    val media = ids.mapPartitions(_.map { d =>
+      Y4mMedia(d, Y4m.encode(
+        (16 + 2 * (d % 25)).toInt, (16 + 2 * (d % 17)).toInt, (1 + d % 7).toInt))
+    })
+    media.mapPartitions { records =>
+      records.flatMap { m =>
+        val v = Y4m.decode(m.payload)
+        def r6(x: Double) = math.rint(x * 1e6) / 1e6
+        v.frames.indices.by(2).map { f =>
+          FrameRow(m.media_id, v.width, v.height, v.frames.length, f,
+            r6(Y4m.lumaMean(v.frames(f))))
+        }
+      }
+    }.toDF().orderBy($"media_id", $"frame_idx")
+  }
+
   /** Frame sampling: one row per sampled frame index (stride 4) — the
     * explode-shaped stage a video pipeline runs before per-frame featurize.
     * Partitioned by media_id bucket upstream so decode parallelism is even. */
