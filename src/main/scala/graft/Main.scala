@@ -106,6 +106,10 @@ object Main {
       }
 
       println(s"[2/3] streaming upsert $landing -> $jdbcUrl")
+      // Target DDL up front: a fetch that landed nothing (404, server down)
+      // still leaves a queryable (empty) warehouse for step 3 instead of a
+      // missing-table error — the reference orchestrator's create-if-absent.
+      graft.sinks.JdbcWarehouse.ensureTarget(jdbcUrl)
       UpsertPipeline.runOnceJdbc(spark, landing, jdbcUrl, checkpoint)
 
       println("[3/3] sample SQL over the warehouse")

@@ -22,4 +22,22 @@ class MainSpec extends SparkSpec {
     val again = Main.run(spark, opts).collect()
     assert(again.length == 3, s"re-run duplicated rows: ${again.length}")
   }
+
+  test("a fetch that lands nothing still yields a queryable empty warehouse") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/gone.csv", exchange => {
+      exchange.sendResponseHeaders(404, -1); exchange.close()
+    })
+    server.start()
+    try {
+      val opts = Map(
+        "url" -> s"http://127.0.0.1:${server.getAddress.getPort}/gone.csv",
+        "jdbc" -> "jdbc:derby:memory:graftmain404;create=true",
+        "landing" -> java.nio.file.Files.createTempDirectory("graft_main404_l_").toString,
+        "checkpoint" -> java.nio.file.Files.createTempDirectory("graft_main404_c_").toString)
+      assert(Main.run(spark, opts).collect().isEmpty,
+        "no input must mean an empty sample, not a missing-table error")
+    } finally server.stop(0)
+  }
 }
