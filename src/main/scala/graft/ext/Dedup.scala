@@ -602,7 +602,9 @@ object Dedup {
     // (doing so measured 5-10× slower than this form at sf0.1).
     val hsets = corpus
       .select($"doc_id",
-        array_distinct(graft.functions.NativeKernels.shingleHashes($"text", 3)).as("hs"))
+        // the kernel's LinkedHashSet already emits DISTINCT hashes — no
+        // array_distinct pass needed on top
+        graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
       .withColumn("sz", size($"hs"))
       .filter($"sz" > 0)
     // Reused frames are persisted: tokens feeds the df count AND the rank
