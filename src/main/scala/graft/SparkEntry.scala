@@ -1442,6 +1442,47 @@ object SparkEntry {
         |FROM m, generate_series(0, 6, 2) AS t(f)
         |WHERE f < n_frames
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // q62: corpus-dedup summary, oracle-checked end-to-end — the quadratic
+    // shingle-Jaccard pair set (q121's oracle CTE), undirected closure via
+    // a recursive CTE (the pair graph is tiny: components are near-dup
+    // clusters), then n_removed = vertices whose component min-label is
+    // not themselves. Feasible at the sf0.01 gate (500-doc corpus); at
+    // sf0.1 this oracle is quadratic like q121's and is excluded the same
+    // way. Completeness premise is the same as q34's: every qualifying
+    // pair on this corpus has J >= 0.9, where banding recall is ~1.
+    "q62_neardup_corpus" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM corpus
+        |), s AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tk WHERE len(toks) > 0
+        |), sz AS (
+        |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
+        |), p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+        |), und AS (
+        |  SELECT a_id AS a, b_id AS b FROM p UNION SELECT b_id, a_id FROM p
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+        |), lbl AS (
+        |  SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a
+        |)
+        |SELECT (SELECT count(*) FROM corpus) AS n_before,
+        |  (SELECT count(*) FROM corpus)
+        |    - (SELECT count(*) FROM lbl WHERE label < id) AS n_after,
+        |  (SELECT count(*) FROM lbl WHERE label < id) AS n_removed""".stripMargin,
     "q113_skyline" ->
       """WITH pts AS (
         |  SELECT l_suppkey AS suppkey,

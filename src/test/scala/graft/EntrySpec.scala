@@ -17,9 +17,11 @@ class EntrySpec extends SparkSpec {
     // hash-based / approximate ops legitimately have no SQL oracle
     // q34/q39 graduated to oracle-checked in round 6 (windowed quadratic
     // scan / full-corpus cosine scan).
+    // q62 graduated in round 6 too: recursive-CTE closure over the
+    // quadratic pair set reproduces the dedup summary in DuckDB.
     assert(noOracle == Set("q21_approx_distinct", "q33_fingerprint",
       "q35_simhash_neardup", "q38_ann_lsh",
-      "q42_ann_ivf", "q62_neardup_corpus",
+      "q42_ann_ivf",
       "q83_heavy_hitters", "q98_ann_pq", "q99_ann_ivfpq",
       "q105_approx_percentiles", "q118_sketch_rollup",
       "q138_rolling_wau_sketch"))
