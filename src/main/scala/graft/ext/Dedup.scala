@@ -476,12 +476,17 @@ object Dedup {
         graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
       .persist()
     val sigs = hdocs.select($"doc_id", minhashSignature($"hs").as("sig"))
-    candidatePairs(lshBands(sigs))
+    val pairs = candidatePairs(lshBands(sigs))
       .join(hdocs.select($"doc_id".as("left_id"), $"hs".as("ls")), "left_id")
       .join(hdocs.select($"doc_id".as("right_id"), $"hs".as("rs")), "right_id")
       .withColumn("jaccard", round(jaccard($"ls", $"rs"), 6))
       .filter($"jaccard" >= t)
       .select($"left_id", $"right_id", $"jaccard")
+      // Result-sized leaf (eager): lets the corpus-wide cache release NOW
+      // instead of leaking in the block manager for the session's lifetime.
+      .localCheckpoint()
+    hdocs.unpersist(blocking = false)
+    pairs
   }
 
   def q62NearDupCorpus(spark: SparkSession, dir: String): DataFrame = {

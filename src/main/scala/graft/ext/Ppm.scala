@@ -83,11 +83,14 @@ object Ppm {
     val h = readInt()
     val maxval = readInt()
     if (maxval != 255) fail(s"unsupported maxval $maxval")
+    if (w == 0 || h == 0) fail("zero-dimension image")
     // exactly ONE whitespace byte separates the header from pixel data
     if (pos >= bytes.length || !isSpace(bytes(pos))) fail("missing pixel separator")
     pos += 1
-    val need = w * h * 3
-    if (bytes.length - pos != need)
+    // Long math: w and h are each <= 2^24, so w*h*3 can overflow Int and a
+    // crafted header could alias need == leftover bytes — validate unwrapped.
+    val need = w.toLong * h * 3
+    if ((bytes.length - pos).toLong != need)
       fail(s"expected $need pixel bytes, have ${bytes.length - pos}")
     Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
   }

@@ -78,10 +78,10 @@ object Wav {
           buf.position(start + size + (size & 1)) // chunks are word-aligned
         case "data" =>
           if (size % 2 != 0) fail("odd PCM16 data size")
+          if (size == 0) fail("empty data chunk")
           samples = new Array[Short](size / 2)
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
-          if ((size & 1) == 1) buf.get()
         case _ => // unknown chunk (LIST, fact, ...): skip, word-aligned
           buf.position(buf.position() + size + (size & 1))
       }

@@ -68,6 +68,9 @@ object Y4m {
       else if (tag.startsWith("C")) colorspace = tag
     }
     if (w <= 0 || h <= 0) fail(s"missing/invalid dimensions W$w H$h")
+    // Magnitude bound: unbounded header dims would overflow the plane sizes
+    // below (2^16 × 2^16 luma wraps to 0) and defeat the truncation check.
+    if (w > (1 << 14) || h > (1 << 14)) fail(s"dimensions W$w H$h out of range")
     if (colorspace != "C420" && colorspace != "C420jpeg" && colorspace != "C420mpeg2")
       fail(s"unsupported colorspace $colorspace")
     val ySize = w * h

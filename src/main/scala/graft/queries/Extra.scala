@@ -662,8 +662,11 @@ object Extra {
     // materializes it — without the checkpoint the pruned pipeline would
     // execute twice.
     val pruned = report(li.join(frequent, "l_partkey"), minSupport).localCheckpoint()
-    val nAb = pruned.select($"n_ab").collect()
-    if (nAb.length >= topK && nAb.forall(_.getLong(0) >= minSupport)) pruned
+    // Exactness guard: the minAb floor already guarantees every surviving
+    // row has n_ab >= minSupport, so a FULL top-K means no pruned-away
+    // (necessarily sub-threshold) pair could have placed — only a short
+    // result can hide one, and that falls back to the unpruned expansion.
+    if (pruned.count() >= topK) pruned
     else report(li, 1L)
   }
 

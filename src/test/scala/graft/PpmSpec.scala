@@ -33,6 +33,10 @@ class PpmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ppm.decode(good.dropRight(1))) // truncated pixels
     intercept[IllegalArgumentException](Ppm.decode(good ++ Array[Byte](9))) // trailing junk
     intercept[IllegalArgumentException](Ppm.decode("P6\n2 2\n65535\n ".getBytes ++ new Array[Byte](12)))
+    // dimension product overflowing Int must not alias a zero-byte payload
+    intercept[IllegalArgumentException](
+      Ppm.decode("P6\n16777216 16777216\n255\n ".getBytes))
+    intercept[IllegalArgumentException](Ppm.decode("P6\n0 5\n255\n ".getBytes))
   }
 
   test("nearest-neighbor resize maps (ix, iy) to (floor(ix*w/ow), floor(iy*h/oh))") {

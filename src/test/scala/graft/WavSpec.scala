@@ -34,6 +34,11 @@ class WavSpec extends SparkSpec {
     // stereo is rejected (channels short lives at offset 22)
     val stereo = good.clone(); stereo(22) = 2
     intercept[IllegalArgumentException](Wav.decode(stereo))
+    // a zero-sample data chunk parses structurally but must be rejected
+    // (stats over zero samples would be silent NaNs)
+    val empty = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    empty.put(good, 0, 40).putInt(0)
+    intercept[IllegalArgumentException](Wav.decode(empty.array()))
   }
 
   test("q141 decoded stats equal the sawtooth closed forms") {

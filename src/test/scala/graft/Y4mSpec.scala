@@ -33,6 +33,9 @@ class Y4mSpec extends SparkSpec {
     intercept[IllegalArgumentException](Y4m.decode(noDims))
     val badCs = new String(good, "ISO-8859-1").replace("C420\n", "C444\n")
     intercept[IllegalArgumentException](Y4m.decode(badCs.getBytes("ISO-8859-1")))
+    // unbounded header dims would overflow the plane sizes — rejected
+    intercept[IllegalArgumentException](
+      Y4m.decode("YUV4MPEG2 W65536 H65536 C420\nFRAME\n".getBytes("US-ASCII")))
   }
 
   test("q142 sampled-frame luma means equal the closed forms") {
