@@ -103,14 +103,19 @@ object Dedup {
   def writeHistoryHashes(history: DataFrame, table: String, buckets: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
     val spark = history.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // Quote each part of a possibly-qualified name separately: backticking
+    // the whole string would turn `db.tbl` into one identifier in the
+    // current database, silently never dropping the real target.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val quoted =
+      ident.database.map(d => s"`$d`.").getOrElse("") + s"`${ident.table}`"
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     // A previous JVM's managed-table files can survive in spark-warehouse
     // while THIS session's metastore has no entry to DROP; saveAsTable then
     // refuses the leftover location. Managed-table files carry no state the
     // rewrite needs, so clear the stale directory first — at the location
     // the CATALOG would assign (honors the current database / a qualified
     // name; a hand-built <warehouse>/<table> path would miss `db.db/…`).
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -331,9 +336,22 @@ object Dedup {
       .select($"doc_id",
         graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
     val sigs = hdocs.select($"doc_id", minhashSignature($"hs").as("sig"))
+    // Window membership by explicit id ranges, NOT pmod: natural ids reach
+    // NearDupIdOffset at very large SFs, where pmod(doc_id, offset) would
+    // alias a natural doc at 1e6+k into the window (and planted ids would
+    // collide with natural ones outright). The planted slice is exactly
+    // [offset, offset + nPlanted) by construction (withPlantedNear above).
+    val nPlanted = 20
+    def inWindow(c: Column): Column =
+      c < oracleWindow ||
+        (c >= NearDupIdOffset && c < NearDupIdOffset + nPlanted)
+    // `pairs` feeds three consumers (candIds + both verify joins);
+    // localCheckpoint materializes the banding pipeline once instead of
+    // re-running the signature/self-join DAG up to 3x (the same measured
+    // 3x q121 documents for its candidate set).
     val pairs = candidatePairs(lshBands(sigs))
-      .filter(pmod($"left_id", lit(NearDupIdOffset)) < oracleWindow &&
-        pmod($"right_id", lit(NearDupIdOffset)) < oracleWindow)
+      .filter(inWindow($"left_id") && inWindow($"right_id"))
+      .localCheckpoint()
     val candIds = pairs.select($"left_id".as("doc_id"))
       .union(pairs.select($"right_id")).distinct()
     // Zero-token docs (empty/all-separator text) never reach the verify:

@@ -73,6 +73,11 @@ object Y4m {
     if (w > (1 << 14) || h > (1 << 14)) fail(s"dimensions W$w H$h out of range")
     if (colorspace != "C420" && colorspace != "C420jpeg" && colorspace != "C420mpeg2")
       fail(s"unsupported colorspace $colorspace")
+    // 4:2:0 subsampling needs even dimensions (encode enforces the same);
+    // accepting odd W/H here would floor the chroma plane size and silently
+    // misalign every subsequent frame boundary.
+    if (w % 2 != 0 || h % 2 != 0)
+      fail(s"odd dimensions W$w H$h unsupported for $colorspace")
     val ySize = w * h
     val cSize = (w / 2) * (h / 2)
     val frames = Seq.newBuilder[Frame]
