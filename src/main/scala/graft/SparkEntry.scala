@@ -133,6 +133,8 @@ object SparkEntry {
     "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
     "q141_wav_decode" -> (Multimodal.q141WavDecode _),
     "q142_video_frames" -> (Multimodal.q142VideoFrames _),
+    "q143_minhash_neardup_table" ->
+      ((s: SparkSession, d: String) => Dedup.q143MinhashNearDupMaterialized(s, d)),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -198,6 +200,36 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_s""".stripMargin
+
+  /** Shared oracle for q34 and its materialized-signature-table twin q143
+    * (the storage layout must be invisible in the result): quadratic
+    * string-shingle scan over the bounded window (+ planted near-copies)
+    * with the exact q121 tokenization. */
+  private val q34OracleRef: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+      |), tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+      |  FROM corpus
+      |), s AS (
+      |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+      |  FROM tk WHERE len(toks) > 0
+      |), sz AS (
+      |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
+      |), p AS (
+      |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+      |    len(list_intersect(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
+      |  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+      |)
+      |SELECT left_id, right_id,
+      |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+      |FROM p
+      |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.5
+      |ORDER BY left_id, right_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -834,31 +866,11 @@ object SparkEntry {
     // exact q121 shingle semantics. Completeness of the banded candidates on
     // this corpus (every qualifying window pair has J >= 0.9) is what makes
     // the oracle equality exact; see q34MinhashNearDup scaladoc.
-    "q34_minhash_neardup" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
-        |), tk AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
-        |  FROM corpus
-        |), s AS (
-        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
-        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
-        |  FROM tk WHERE len(toks) > 0
-        |), sz AS (
-        |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
-        |), p AS (
-        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-        |    len(list_intersect(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
-        |  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
-        |)
-        |SELECT left_id, right_id,
-        |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
-        |FROM p
-        |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.5
-        |ORDER BY left_id, right_id""".stripMargin,
+    "q34_minhash_neardup" -> q34OracleRef,
+    // q143 = q34's semantics with the signature side read from the
+    // materialized table — the layout must be invisible in the result, so
+    // it shares q34's oracle verbatim (the q139/q112 pattern).
+    "q143_minhash_neardup_table" -> q34OracleRef,
     // q39: qualifying pairs at cos >= 0.99 are exactly the planted copies
     // at every SF (max natural cosine ~0.6, checked), so the quadratic
     // cosine scan is feasible corpus-wide and LSH recall is provably 1

@@ -87,14 +87,18 @@ object Extra {
       |ORDER BY n_slow DESC, s_suppkey""".stripMargin
 
   /** Equi-depth (decile) histogram of order values: global ntile over a
-    * deterministic total order, then per-bucket bounds/mass. Global ntile is
-    * inherently a single total-order pass — the exact counterpart of the
-    * approx-percentile path (q26), which is what runs at 100 TB. */
+    * deterministic total order, then per-bucket bounds/mass. The global
+    * position comes from [[graft.ops.DistributedRank]]'s two-pass range
+    * rank — every partition ranks locally in parallel and a broadcast
+    * offset cumsum globalizes — NOT a single-partition window, so the
+    * exact histogram scales like the approx-percentile path (q26). */
   def q76EquiDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(spark, dir)
-      .withColumn("decile", ntile(10).over(w))
+    import graft.ops.DistributedRank
+    val ranked = DistributedRank.withRowNumber(Tables.orders(spark, dir),
+      Seq($"o_totalprice", $"o_orderkey"), "rn", "n_total")
+    ranked
+      .withColumn("decile", DistributedRank.ntileOf($"rn", $"n_total", 10))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_orders"),
         min($"o_totalprice").as("lo"),
@@ -150,17 +154,19 @@ object Extra {
   /** Greedy sequence packing for a 4096-token context window: documents in
     * doc_id order are assigned to the bin where their running token offset
     * starts (no doc splitting — a straddling doc belongs to its start bin).
-    * The cumulative sum is one window pass; at 100 TB the same shape runs
-    * per shard with per-shard offsets. Reports per-bin fill. */
+    * The global running offset is [[graft.ops.DistributedRank]]'s two-pass
+    * range cumsum (parallel local prefix sums + broadcast partition
+    * offsets) — not a single-partition window — so corpus-wide packing
+    * scales; per-shard offsets remain the alternative when bins may be
+    * shard-local. Reports per-bin fill. */
   def q80SequencePacking(spark: SparkSession, dir: String,
                          contextLen: Int = 4096): DataFrame = {
     import spark.implicits._
-    val w = Window.orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    import graft.ops.DistributedRank
+    val sized = Tables.documents(spark, dir)
       .select($"doc_id",
         size(split(lower($"text"), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("offset", coalesce(sum($"n_tokens").over(w), lit(0L)))
+    DistributedRank.withRunningSum(sized, Seq($"doc_id"), $"n_tokens", "offset")
       .withColumn("bin", ($"offset" / contextLen).cast("long"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_docs"),

@@ -17,8 +17,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark.sessionState).toHexString
+
+  /** Reads the table through [[Staged.tableDir]]: the big tables are
+    * re-staged once per JVM into a multi-file layout so scan stages
+    * parallelize (the raw fixture is one file with one row group — a
+    * single-task scan however wide the cluster); small dims read raw.
+    * Row set and schema are identical either way.
+    *
+    * The analyzed DataFrame is memoized per (session, dir, table):
+    * `spark.read.parquet` costs a fresh file listing + footer schema read
+    * per call, a pure driver-side tax when 141 bench queries each re-open
+    * the same ten tables. Logical plans are immutable, so sharing one
+    * frame across queries is free. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    dfCache.computeIfAbsent(s"${sessionKey(spark)}:$dir:$name",
+      _ => spark.read.parquet(Staged.tableDir(spark, dir, name)))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -32,23 +52,36 @@ object Tables {
     * derive a µs-truncated TimestampType `ts` for window/date functions,
     * keeping `ts_ns` for exact ordering/output parity with ns-native engines. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    // NOT computeIfAbsent: the builder calls load() — a nested compute on
+    // the same map throws "Recursive update". Benign double-build race.
+    val key = s"${sessionKey(s)}:$d:events-derived"
+    val cached = dfCache.get(key)
+    if (cached != null) cached
+    else {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = load(s, d, "events")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+      dfCache.putIfAbsent(key, df)
+      dfCache.get(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` works against the
     * same names the DuckDB oracle uses. `events` goes through its ns-safe
-    * loader. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach { n =>
+    * loader. Idempotent per (session, dir): re-registering ten views per
+    * SQL query is pure driver latency, so repeat calls for the same dir
+    * are no-ops (a dir CHANGE re-registers everything). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val prev = registeredDir.put(sessionKey(spark), dir)
+    if (prev != dir) all.foreach { n =>
       val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
       df.createOrReplaceTempView(n)
     }
+  }
 
   /** CSV reader with the reference's option semantics (S1,
     * `scripts/etl_process.py:71-74`): header, explicit delimiter, explicit

@@ -30,15 +30,13 @@ object EventsStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_${System.nanoTime()}"
-    // The file stream source wants a directory to watch; stage the static
-    // fixture behind a symlink so the same code serves a live landing dir.
-    val watchDir = graft.sources.TempDirs.create("graft_stream_src_")
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // The file stream source wants a directory to watch; the static fixture
+    // is staged behind a symlink (shared, memoized — see Staged) so the
+    // same code serves a live landing dir.
+    val watchDir = graft.sources.Staged.eventsWatchDir(spark, dir)
     val stream = spark.readStream
       .schema(rawSchema)
-      .parquet(watchDir.toString)
+      .parquet(watchDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
@@ -94,13 +92,10 @@ object EventsStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_sessions_${System.nanoTime()}"
-    val watchDir = graft.sources.TempDirs.create("graft_stream_sess_")
-    java.nio.file.Files.createSymbolicLink(
-      watchDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val watchDir = graft.sources.Staged.eventsWatchDir(spark, dir)
     val stream = spark.readStream
       .schema(rawSchema)
-      .parquet(watchDir.toString)
+      .parquet(watchDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       // Boundary semantics: session_window merges on delta ≤ gap (touching
@@ -144,73 +139,17 @@ object EventsStream {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_ssjoin_${System.nanoTime()}"
-    val watch = graft.sources.TempDirs.create("graft_ssjoin_")
-    val ev = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet")
-    val (minTs, maxTs) = {
-      val r = ev.agg(min($"ts"), max($"ts")).head
-      (r.getLong(0), r.getLong(1))
-    }
-    val span = maxTs - minTs
-    val cut = minTs + span / 2
-    val sentinelTs = maxTs + 30L * 24 * 3600 * 1000000000L
-    // Stage all chronological slices in ONE pass: a slice-partitioned write
-    // (filtered writes would scan events once per slice), then move each
-    // slice's part file up into the flat watched dir (the file source does
-    // not descend into partition subdirectories).
-    //
-    // TWO data slices + the sentinel: the outer join's OUTPUT is
-    // emission-time-independent — matches pair inside the join state
-    // whenever both sides have arrived, and every unmatched click emits by
-    // the time the sentinel pushes the watermark past all real windows — so
-    // slicing granularity only changes WHEN rows emit, not WHAT emits
-    // (batch parity pinned by the oracle). Each extra micro-batch costs a
-    // fixed state-store round (~1.2 s here), so the minimum slicing that
-    // still exercises mid-stream watermark advancement (one real
-    // eviction boundary between the halves) is the right one.
-    val staging = graft.sources.TempDirs.create("graft_ssjoin_stage_")
-    ev.unionByName(Seq(
-        (-1L, sentinelTs, -1L, "click", 0.0, "{}"),
-        (-2L, sentinelTs, -1L, "purchase", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
-      .withColumn("slice",
-        when($"user_id" === -1L, 2)
-          .when($"ts" <= cut, 0).otherwise(1))
-      .repartition(1)
-      .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
-    // FileStreamSource orders files by millisecond-granularity modification
-    // time with an unspecified tie-break; all three slices land within the
-    // same write and could tie. Stamp explicitly increasing mtimes so the
-    // replay is provably chronological — if a later slice (worst: the
-    // sentinel) were consumed first, the watermark would jump ahead and
-    // silently drop earlier events as late.
-    val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
-    for (s <- 0 to 2) {
-      val sliceDir = staging.resolve(s"slice=$s")
-      // Files.list holds a directory handle until closed; abandoning the
-      // stream leaks one handle per slice for the driver's lifetime.
-      val listing = java.nio.file.Files.list(sliceDir)
-      val moved =
-        try {
-          val part = listing.iterator()
-          var done = false
-          while (part.hasNext && !done) {
-            val p = part.next()
-            if (p.getFileName.toString.endsWith(".parquet")) {
-              val dest = watch.resolve(s"ev_$s.parquet")
-              java.nio.file.Files.move(p, dest)
-              java.nio.file.Files.setLastModifiedTime(dest,
-                java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
-              done = true
-            }
-          }
-          done
-        } finally listing.close()
-      require(moved, s"no part file for slice $s")
-    }
+    // Slice staging (TWO data slices + the far-future sentinel, stamped
+    // with increasing mtimes) lives in the memoized registry — see
+    // [[graft.sources.Staged.ssjoinWatchDir]] for the mechanics and why
+    // that slicing is minimal. The staged dir is read-only, so repeated
+    // runs and other sessions share it; each extra micro-batch costs a
+    // fixed state-store round (~1.2 s here).
+    val watch = graft.sources.Staged.ssjoinWatchDir(spark, dir)
     def src() = spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(watch.toString)
+      .parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val clicks = src().filter($"event_type" === "click")
       .select($"user_id", $"ts".as("click_ts"))

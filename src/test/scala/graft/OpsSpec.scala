@@ -253,4 +253,36 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
+
+  test("distributed rank equals single-partition window functions, remainder sizes included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.ops.DistributedRank
+    // n = 150 with k = 4 exercises fractional base bucket sizes (the
+    // boundary class where float division once shifted every 38th row);
+    // scrambled values + 8 input partitions exercise real range movement.
+    val df = (1 to 150).map(i => (i.toLong, (i * 7919 % 151).toLong))
+      .toDF("id", "v").repartition(8)
+    val w = Window.orderBy($"v", $"id")
+    val expected = df
+      .select($"id", ntile(4).over(w).as("q"),
+        percent_rank().over(w).as("pr"), row_number().over(w).as("rn"),
+        coalesce(sum($"v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("run"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getLong(4))).toMap
+    val ranked = DistributedRank.withRowNumber(df, Seq($"v", $"id"), "rn", "n")
+      .select($"id", DistributedRank.ntileOf($"rn", $"n", 4).as("q"),
+        DistributedRank.percentRankOf($"rn", $"n").as("pr"), $"rn")
+    val cum = DistributedRank.withRunningSum(df, Seq($"v", $"id"), $"v", "run")
+      .select($"id", $"run")
+    ranked.join(cum, "id").collect().foreach { r =>
+      val (q, pr, rn, run) = expected(r.getLong(0))
+      assert(r.getInt(1) == q, s"ntile mismatch for id ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - pr) < 1e-12)
+      assert(r.getLong(3) == rn.toLong)
+      assert(r.getLong(4) == run, s"running sum mismatch for id ${r.getLong(0)}")
+    }
+  }
 }

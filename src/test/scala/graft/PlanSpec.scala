@@ -339,6 +339,70 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_hist_hashes_spec")
   }
 
+  test("q55/q76/q80: global rank runs as range-partitioned parallel windows, never a single-partition pass over data") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // Plain (non-adaptive) plans so the whole tree is walkable up front.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dfs = Seq(
+        "q55" -> graft.queries.Advanced.q55Ntile(spark, sf0001),
+        "q76" -> graft.queries.Extra.q76EquiDepthHistogram(spark, sf0001),
+        "q80" -> graft.queries.Extra.q80SequencePacking(spark, sf0001))
+      for ((name, df) <- dfs) {
+        val plan = df.queryExecution.executedPlan
+        // The data path must range-repartition (parallel local ranks)...
+        assert(plan.collect {
+            case e: ShuffleExchangeLike
+              if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+          }.nonEmpty, s"$name: expected a range repartition for the local ranks")
+        // ...and any window WITHOUT a partition spec may only consume the
+        // per-partition count/sum aggregate (≤ shuffle-partitions rows —
+        // the broadcast offset cumsum), never table-scale input. Chained
+        // windows over that same bounded frame are fine.
+        def feeds(p: SparkPlan): SparkPlan = p match {
+          case c: WholeStageCodegenExec => feeds(c.child)
+          case i: InputAdapter => feeds(i.child)
+          case s: SortExec => feeds(s.child)
+          case e: Exchange => feeds(e.child)
+          case pr: ProjectExec => feeds(pr.child)
+          case w: WindowExec => feeds(w.child)
+          case other => other
+        }
+        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+          .foreach { w =>
+            assert(feeds(w.child).isInstanceOf[BaseAggregateExec],
+              s"$name: single-partition window over non-aggregate input:\n$w")
+          }
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("q143: materialized signature table — zero shingle kernels in the query, bucketed sig scan, result parity with q34") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.ext.Dedup.q143MinhashNearDupMaterialized(spark, sf0001)
+    // The corpus-wide shingle pass lives in the one-time table write; the
+    // QUERY must never re-shingle (its only shingling is the bounded
+    // string-set verify, which is a HOF, not the kernel).
+    val kernels = df.queryExecution.executedPlan.flatMap(_.expressions)
+      .flatMap(_.collect { case s: graft.functions.ShingleHashes => s })
+    assert(kernels.isEmpty,
+      s"q143 must not re-shingle the corpus (found ${kernels.size} kernels)")
+    // The signature side reads the bucketed table as a bucketed scan.
+    val bucketed = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec if s.bucketedScan => s
+    }
+    assert(bucketed.nonEmpty, "signature table must be read as a bucketed scan")
+    // Layout invisible in the result: parity with the inline q34 path.
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = graft.ext.Dedup.q34MinhashNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sameElements(want))
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
