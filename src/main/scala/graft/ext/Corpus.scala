@@ -175,31 +175,31 @@ object Corpus {
     *
     * Both arms' ranks derive from already-parity-safe scores (BM25's
     * fixed-point sum, cosine rounded at 1e-6) with doc-id tiebreaks, so
-    * the fused ordering is identical in both engines. The per-arm global
-    * rank windows run over arm-bounded frames (term-bearing docs / the
-    * vector corpus); at real corpus scale both arms would first bound
-    * their candidates with the house `TopKAggregator` (partial top-k
-    * before any shuffle), which preserves exactly the top-n the window
-    * ranks here. */
+    * the fused ordering is identical in both engines. Each arm's top-n is
+    * bound by the house [[graft.functions.TopKAggregator]] — a partial
+    * aggregate whose map side keeps only its local top-n, so the shuffle
+    * moves n rows per partition instead of every scored document, and no
+    * corpus-scale frame ever passes through a single-partition ranking
+    * window (plan-guarded in PlanSpec). Rank = position in the aggregated
+    * list under the same (score desc, id asc) total order the window
+    * ranked, so the result is bit-identical to the window formulation. */
   def q125HybridRetrieval(spark: SparkSession, dir: String,
                           terms: Seq[String] = Seq("merge", "stream", "window"),
                           n: Int = 50, k0: Int = 60, topK: Int = 15): DataFrame = {
     import spark.implicits._
-    val lex = bm25Scores(spark, dir, terms)
-      .withColumn("r_lex",
-        row_number().over(Window.orderBy($"bm25".desc, $"doc_id")))
-      .filter($"r_lex" <= n)
-      .select($"doc_id", $"r_lex")
+    val lex = globalTopN(
+        bm25Scores(spark, dir, terms)
+          .select($"doc_id".as("id"), $"bm25".as("score")), n)
+      .select($"id".as("doc_id"), $"rank".as("r_lex"))
     val emb = Tables.embeddings(spark, dir)
     val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
-    val vec = emb.filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(qv))
-      .withColumn("cos",
-        round(graft.functions.VectorOps.cosine($"qe", $"embedding"), 6))
-      .withColumn("r_vec",
-        row_number().over(Window.orderBy($"cos".desc, $"vec_id")))
-      .filter($"r_vec" <= n)
-      .select($"vec_id".as("doc_id"), $"r_vec")
+    val vec = globalTopN(
+        emb.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(qv))
+          .select($"vec_id".as("id"),
+            round(graft.functions.VectorOps.cosine($"qe", $"embedding"), 6)
+              .as("score")), n)
+      .select($"id".as("doc_id"), $"rank".as("r_vec"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select($"doc_id",
         coalesce($"r_lex", lit(0)).as("r_lex"),
@@ -209,5 +209,20 @@ object Corpus {
           coalesce(lit(1.0) / (lit(k0) + $"r_vec"), lit(0.0)), 9).as("rrf"))
       .orderBy($"rrf".desc, $"doc_id")
       .limit(topK)
+  }
+
+  /** Global top-n of an (id, score) frame as (id, rank) rows, rank 1-based
+    * under (score desc, id asc) — the bounded-buffer replacement for
+    * `row_number().over(Window.orderBy(...))` + `filter(rank <= n)`:
+    * identical output, but every map task ships at most n rows and the
+    * single final task folds ≤ n·partitions rows instead of sorting the
+    * whole frame in one task. */
+  private def globalTopN(scored: DataFrame, n: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[graft.functions.TopKAggregator.Scored]
+      .select(new graft.functions.TopKAggregator.TopK(n).toColumn)
+      .flatMap(_.zipWithIndex.map { case (s, i) => (s.id, i + 1) })
+      .toDF("id", "rank")
   }
 }

@@ -135,9 +135,10 @@ object Dedup {
     * 31-bit hashed 3-shingle set and the 64-slot signature — bucketed and
     * bucket-sorted on doc_id. This is the write-once materialization the
     * near-dup pipelines reuse (PERFORMANCE.md names it the first thing
-    * that changes at 1000 executors): banding reads `sig`, verification
-    * equi-joins `hs` by doc_id consuming the bucketing with no exchange or
-    * sort on the signature side, and NOTHING ever re-shingles the corpus —
+    * that changes at 1000 executors): banding reads `sig`, and the
+    * candidate-pair prefilter equi-joins `hs` back by doc_id — a merge
+    * join that consumes the bucketing with no exchange on the table side
+    * (plan-guarded in PlanSpec), so NOTHING ever re-shingles the corpus —
     * a daily ingest appends new docs' rows with the same bucketing. */
   def writeSignatureTable(corpus: DataFrame, table: String, buckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
@@ -375,22 +376,37 @@ object Dedup {
     * signature table is maintained by ingest and every near-dup query is a
     * reader. Plan-guarded in PlanSpec: the query contains ZERO
     * shingle-hash kernels (the corpus-wide shingle pass lives in the
-    * one-time table write); the bounded string-set verify reads only
-    * candidate docs. */
+    * one-time table write), and the candidate prefilter's `hs` probe reads
+    * the table as a BUCKETED scan (the doc_id merge join consumes the
+    * bucketing — no exchange on the table side); the bounded string-set
+    * verify reads only candidate docs. */
   def q143MinhashNearDupMaterialized(spark: SparkSession, dir: String,
                                      oracleWindow: Long = 400L): DataFrame = {
     import spark.implicits._
     val corpus = withPlantedNear(Tables.documents(spark, dir), 20)
     val table = graft.sources.Staged.minhashSignatureTable(spark, dir)
-    val sigs = spark.table(table).select($"doc_id", $"sig")
-    windowedNearDupFromSigs(corpus, sigs, oracleWindow, nPlanted = 20)
+    val tbl = spark.table(table)
+    windowedNearDupFromSigs(corpus, tbl.select($"doc_id", $"sig"), oracleWindow,
+      nPlanted = 20, hsLookup = Some(tbl.select($"doc_id", $"hs")))
   }
 
   /** Shared windowed LSH→verify tail of q34/q143: candidate pairs from
     * banded signatures, windowed to the oracle slice, string-set verified
-    * against `corpus` (bounded candidate ids only). */
+    * against `corpus` (bounded candidate ids only).
+    *
+    * `hsLookup` (q143): the signature table's (doc_id, hs) projection.
+    * When present, candidate pairs are prefiltered on hash-set jaccard
+    * read FROM THE TABLE — the probe is a doc_id merge join that consumes
+    * the table's bucketing (no exchange, no re-shingle on the table side)
+    * before the bounded string-set verify re-derives exact sets for the
+    * survivors. The prefilter threshold (0.4) sits strictly below the 0.5
+    * report threshold: hash-set vs string-set jaccard drift is bounded by
+    * 31-bit collision mass, O(|set|²/2³¹) ≈ 1e-4 for these docs, so no
+    * true ≥ 0.5 pair can fall under 0.4 — results are identical to the
+    * no-prefilter path (asserted against q34 in PlanSpec). */
   private def windowedNearDupFromSigs(corpus: DataFrame, sigs: DataFrame,
-                                      oracleWindow: Long, nPlanted: Int): DataFrame = {
+                                      oracleWindow: Long, nPlanted: Int,
+                                      hsLookup: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // Window membership by explicit id ranges, NOT pmod: natural ids reach
@@ -401,15 +417,40 @@ object Dedup {
     def inWindow(c: Column): Column =
       c < oracleWindow ||
         (c >= NearDupIdOffset && c < NearDupIdOffset + nPlanted)
-    // `pairs` feeds three consumers (candIds + both verify joins);
-    // localCheckpoint materializes the banding pipeline once instead of
-    // re-running the signature/self-join DAG up to 3x (the same measured
-    // 3x q121 documents for its candidate set).
-    val pairs = candidatePairs(lshBands(sigs))
+    // `rawPairs` feeds several consumers (candIds, the prefilter, and/or
+    // both verify joins); localCheckpoint materializes the banding pipeline
+    // once instead of re-running the signature/self-join DAG up to 3x (the
+    // same measured 3x q121 documents for its candidate set).
+    val rawPairs = candidatePairs(lshBands(sigs))
       .filter(inWindow($"left_id") && inWindow($"right_id"))
       .localCheckpoint()
-    val candIds = pairs.select($"left_id".as("doc_id"))
-      .union(pairs.select($"right_id")).distinct()
+    val candIds = rawPairs.select($"left_id".as("doc_id"))
+      .union(rawPairs.select($"right_id")).distinct()
+    val pairs = hsLookup match {
+      case None => rawPairs
+      case Some(hs) =>
+        // The hs probe stays IN-PLAN (no checkpoint): it is the bucketed
+        // table read the plan guard pins. SHUFFLE_MERGE pins the production
+        // join shape — at sf the optimizer would broadcast the tiny id set
+        // and stream the table with no distribution requirement, silently
+        // degrading the bucketed scan to a plain one; at corpus scale the
+        // candidate set is far beyond broadcast and the merge join against
+        // the bucketing is the only exchange-free option.
+        val candHs = hs.join(candIds.hint("SHUFFLE_MERGE"), "doc_id")
+        val inter = size(array_intersect($"lh", $"rh"))
+        val uni = size(array_union($"lh", $"rh"))
+        // CASE guards the 0/0 of two empty hash sets (zero-token docs, which
+        // band together on all-zero signatures) — ANSI mode would otherwise
+        // raise DIVIDE_BY_ZERO; scoring them 0.0 drops them here exactly as
+        // the string verify's zero-token filter drops them below.
+        val hashJac = when(uni === 0, lit(0.0))
+          .otherwise(inter.cast("double") / uni)
+        rawPairs
+          .join(candHs.select($"doc_id".as("left_id"), $"hs".as("lh")), "left_id")
+          .join(candHs.select($"doc_id".as("right_id"), $"hs".as("rh")), "right_id")
+          .filter(hashJac >= 0.4)
+          .select($"left_id", $"right_id")
+    }
     // Zero-token docs (empty/all-separator text) never reach the verify:
     // the oracle's `len(toks) > 0` excludes them, and without this filter
     // they would pair up at J = 1.0 — their edge-stripped split yields the

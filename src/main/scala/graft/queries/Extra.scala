@@ -684,22 +684,21 @@ object Extra {
     * with the per-KEY view that predicts partition imbalance.
     *
     * One aggregation builds the key→count table (map-side partial), one
-    * more folds it to the report. The top-1%-share rank runs as a single
-    * global window over the COUNT table (|keys| rows, not |rows|) — fine
-    * for a diagnostic at this cardinality; at billions of keys the share
-    * would come from an approx-quantile threshold instead, as noted
-    * inline. Exact percentiles follow the q26 parity pattern. */
+    * more folds it to the report. The top-1%-share rank runs through
+    * [[graft.ops.DistributedRank]] over the COUNT table (|keys| rows, not
+    * |rows|): range-partitioned parallel local ranks + a broadcast offset
+    * cumsum, so even at billions of keys no single task ever sorts the
+    * whole count table — the rank is exact, not an approx-quantile
+    * threshold, so ties at the top-1% boundary resolve identically to the
+    * oracle. Exact percentiles follow the q26 parity pattern. */
   def q124SkewReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.lineitem(spark, dir)
       .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
-    // Global rank over the key-count table (NOT the fact table). At extreme
-    // key cardinality, replace with: threshold = approx p99 of cnt, share =
-    // sum(cnt) where cnt >= threshold — no global sort needed.
-    val ranked = counts
-      .withColumn("rk", row_number().over(Window.orderBy($"cnt".desc, $"l_partkey")))
-      .withColumn("n_keys", count(lit(1)).over(Window.partitionBy()))
+    // Exact global rank over the key-count table (NOT the fact table),
+    // distributed: rk + the key total in one two-pass decomposition.
+    val ranked = graft.ops.DistributedRank.withRowNumber(
+      counts, Seq($"cnt".desc, $"l_partkey"), "rk", "n_keys")
     ranked.agg(
         max($"n_keys").as("n_keys"),
         sum($"cnt").as("n_rows"),

@@ -22,8 +22,15 @@ object Tables {
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def sessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark.sessionState).toHexString
+  /** Cache key for a session. The classic session's UUID is unique for the
+    * JVM's lifetime; identityHashCode (the pre-round-8 key) is NOT — two
+    * live sessions can collide and silently share cached frames / staged
+    * catalog tables. (Entries still pin their session for the JVM lifetime;
+    * that is the registry's deliberate design, same as Staged.) */
+  private[sources] def sessionKey(spark: SparkSession): String = spark match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case other => System.identityHashCode(other.sessionState).toHexString
+  }
 
   /** Reads the table through [[Staged.tableDir]]: the big tables are
     * re-staged once per JVM into a multi-file layout so scan stages

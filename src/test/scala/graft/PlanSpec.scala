@@ -351,7 +351,8 @@ class PlanSpec extends SparkSpec {
       val dfs = Seq(
         "q55" -> graft.queries.Advanced.q55Ntile(spark, sf0001),
         "q76" -> graft.queries.Extra.q76EquiDepthHistogram(spark, sf0001),
-        "q80" -> graft.queries.Extra.q80SequencePacking(spark, sf0001))
+        "q80" -> graft.queries.Extra.q80SequencePacking(spark, sf0001),
+        "q124" -> graft.queries.Extra.q124SkewReport(spark, sf0001))
       for ((name, df) <- dfs) {
         val plan = df.queryExecution.executedPlan
         // The data path must range-repartition (parallel local ranks)...
@@ -381,26 +382,67 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
-  test("q143: materialized signature table — zero shingle kernels in the query, bucketed sig scan, result parity with q34") {
+  test("q125: hybrid retrieval ranks via bounded top-k aggregation — no ranking window at all") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ext.Corpus.q125HybridRetrieval(spark, sf0001)
+        .queryExecution.executedPlan
+      // Both arms' ranks come from the TopKAggregator partial aggregate
+      // (map-side bounded buffers), so the corpus-scale single-partition
+      // ranking windows this query used to carry must be gone entirely.
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "q125 must not rank through a window")
+      assert(plan.collect { case a: ObjectHashAggregateExec => a }.nonEmpty,
+        "q125's arms should aggregate through the typed top-k buffers")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("q143: materialized signature table — zero shingle kernels in the query, bucketed hs probe with no table-side exchange, result parity with q34") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val df = graft.ext.Dedup.q143MinhashNearDupMaterialized(spark, sf0001)
-    // The corpus-wide shingle pass lives in the one-time table write; the
-    // QUERY must never re-shingle (its only shingling is the bounded
-    // string-set verify, which is a HOF, not the kernel).
-    val kernels = df.queryExecution.executedPlan.flatMap(_.expressions)
-      .flatMap(_.collect { case s: graft.functions.ShingleHashes => s })
-    assert(kernels.isEmpty,
-      s"q143 must not re-shingle the corpus (found ${kernels.size} kernels)")
-    // The signature side reads the bucketed table as a bucketed scan.
-    val bucketed = df.queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec if s.bucketedScan => s
-    }
-    assert(bucketed.nonEmpty, "signature table must be read as a bucketed scan")
-    // Layout invisible in the result: parity with the inline q34 path.
-    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val want = graft.ext.Dedup.q34MinhashNearDup(spark, sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.sameElements(want))
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // Plain (non-adaptive) plan so the whole tree is walkable up front
+    // (AdaptiveSparkPlanExec is a leaf — collect would see nothing).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ext.Dedup.q143MinhashNearDupMaterialized(spark, sf0001)
+      val plan = df.queryExecution.executedPlan
+      // The corpus-wide shingle pass lives in the one-time table write; the
+      // QUERY must never re-shingle (its only shingling is the bounded
+      // string-set verify, which is a HOF, not the kernel).
+      val kernels = plan.flatMap(_.expressions)
+        .flatMap(_.collect { case s: graft.functions.ShingleHashes => s })
+      assert(kernels.isEmpty,
+        s"q143 must not re-shingle the corpus (found ${kernels.size} kernels)")
+      // The hs prefilter probe consumes the table's doc_id bucketing: a
+      // merge join whose table side is a BUCKETED scan with NO exchange —
+      // that side is the 100 TB side, and one exchange there is the whole
+      // cost model (the candidate-id side may shuffle; it is pair-bounded).
+      val hsJoins = plan.collect {
+        case j: SortMergeJoinExec
+            if j.left.collectFirst {
+              case s: FileSourceScanExec if s.bucketedScan => s }.nonEmpty ||
+              j.right.collectFirst {
+                case s: FileSourceScanExec if s.bucketedScan => s }.nonEmpty => j
+      }
+      assert(hsJoins.nonEmpty,
+        "hs probe must merge-join a bucketed scan of the signature table")
+      hsJoins.foreach { j =>
+        val tableSide =
+          if (j.left.collectFirst {
+            case s: FileSourceScanExec if s.bucketedScan => s }.nonEmpty) j.left
+          else j.right
+        assert(tableSide.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          "signature-table side of the hs probe must not shuffle")
+      }
+      // Layout invisible in the result: parity with the inline q34 path.
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val want = graft.ext.Dedup.q34MinhashNearDup(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.sameElements(want))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("salted join equals plain join and spreads a hot key across salts") {
