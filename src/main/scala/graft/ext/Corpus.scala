@@ -216,7 +216,15 @@ object Corpus {
     * `row_number().over(Window.orderBy(...))` + `filter(rank <= n)`:
     * identical output, but every map task ships at most n rows and the
     * single final task folds ≤ n·partitions rows instead of sorting the
-    * whole frame in one task. */
+    * whole frame in one task.
+    *
+    * PRECONDITION: scores must be finite. The typed buffer orders by Scala's
+    * `-score` ordering, which ranks NaN LAST, while Spark's `desc` window
+    * sort ranks NaN FIRST — so a NaN score would silently diverge from the
+    * window formulation this replaces. Both current callers satisfy it by
+    * construction (cosine guards zero-norm to 0.0; bm25 is a finite
+    * fixed-point sum); a new caller whose score can be NaN must filter
+    * `!isnan(score)` first or define its NaN rank explicitly. */
   private def globalTopN(scored: DataFrame, n: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._

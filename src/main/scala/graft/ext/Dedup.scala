@@ -403,7 +403,13 @@ object Dedup {
     * report threshold: hash-set vs string-set jaccard drift is bounded by
     * 31-bit collision mass, O(|set|²/2³¹) ≈ 1e-4 for these docs, so no
     * true ≥ 0.5 pair can fall under 0.4 — results are identical to the
-    * no-prefilter path (asserted against q34 in PlanSpec). */
+    * no-prefilter path (asserted against q34 in PlanSpec). That drift bound
+    * grows QUADRATICALLY with shingle-set size: the 0.1 margin is consumed
+    * near ~1.5e4 distinct shingles per doc (drift ≈ |set|²/2³¹ ≈ 0.1), so
+    * the 0.4 constant assumes docs under ~10k distinct shingles (≈ 10k
+    * tokens). A corpus beyond that must either derive the margin from its
+    * measured max shingle-set size or widen the hash space (64-bit hashes
+    * push the crossover past 1e9 shingles). */
   private def windowedNearDupFromSigs(corpus: DataFrame, sigs: DataFrame,
                                       oracleWindow: Long, nPlanted: Int,
                                       hsLookup: Option[DataFrame] = None): DataFrame = {

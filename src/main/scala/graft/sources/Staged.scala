@@ -64,13 +64,13 @@ object Staged {
       case Some(n) =>
         getOrStage(s"ptable:$dir:$name") {
           val out = TempDirs.create(s"graft_tbl_${name}_").toString + s"/$name"
-          // events carries parquet TIMESTAMP(NANOS); read nanos as long
-          // (exact) — the staged copy then holds plain INT64 and the conf
-          // is a no-op for every later read.
-          if (name == "events")
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$dir/$name.parquet")
-            .repartition(n)
+          // events fixtures have shipped ns-TIMESTAMP and µs-NTZ `ts`
+          // across generations; the staged copy always holds plain INT64
+          // epoch-nanos, so every later read is format-independent.
+          val raw =
+            if (name == "events") Tables.readEventsRaw(spark, s"$dir/$name.parquet")
+            else spark.read.parquet(s"$dir/$name.parquet")
+          raw.repartition(n)
             .write.mode("overwrite").parquet(out)
           out
         }
@@ -136,16 +136,33 @@ object Staged {
       name
     }
 
-  /** Shared landing dir for the file-stream queries (q23/q82): the static
-    * events fixture staged behind a symlink, exactly how a live landing dir
-    * would receive it. Read-only — safely shared by every stream that
-    * watches it. */
+  /** Shared landing dir for the file-stream queries (q23/q82): the events
+    * fixture staged as a normalized (ts = INT64 epoch-nanos) single-file
+    * copy, exactly how a live landing dir would receive it. The copy (not a
+    * symlink to the raw fixture) is what lets the streams keep one fixed
+    * read schema ([[graft.streaming.EventsStream.rawSchema]]) across
+    * fixture format generations. Read-only — safely shared by every stream
+    * that watches it. */
   def eventsWatchDir(spark: SparkSession, dir: String): String =
     getOrStage(s"events_watch:$dir") {
       val watchDir = TempDirs.create("graft_stream_src_")
-      java.nio.file.Files.createSymbolicLink(
-        watchDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val staging = TempDirs.create("graft_stream_stage_")
+      Tables.readEventsRaw(spark, s"$dir/events.parquet")
+        .repartition(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val listing = java.nio.file.Files.list(staging)
+      try {
+        val it = listing.iterator()
+        var moved = false
+        while (it.hasNext && !moved) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, watchDir.resolve("events.parquet"))
+            moved = true
+          }
+        }
+        require(moved, s"no part file staged for events watch dir from $dir")
+      } finally listing.close()
       watchDir.toString
     }
 
@@ -158,8 +175,7 @@ object Staged {
     getOrStage(s"ssjoin_watch:$dir") {
       import spark.implicits._
       val watch = TempDirs.create("graft_ssjoin_")
-      val ev = spark.read.schema(graft.streaming.EventsStream.rawSchema)
-        .parquet(s"$dir/events.parquet")
+      val ev = Tables.readEventsRaw(spark, s"$dir/events.parquet")
       val (minTs, maxTs) = {
         val r = ev.agg(min($"ts"), max($"ts")).head
         (r.getLong(0), r.getLong(1))

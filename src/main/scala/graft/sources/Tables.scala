@@ -28,7 +28,8 @@ object Tables {
     * catalog tables. (Entries still pin their session for the JVM lifetime;
     * that is the registry's deliberate design, same as Staged.) */
   private[sources] def sessionKey(spark: SparkSession): String = spark match {
-    case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+    case c: org.apache.spark.sql.classic.SparkSession =>
+      org.apache.spark.sql.graftshim.sessionUUIDOf(c)
     case other => System.identityHashCode(other.sessionState).toHexString
   }
 
@@ -54,10 +55,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long (exact) and
-    * derive a µs-truncated TimestampType `ts` for window/date functions,
-    * keeping `ts_ns` for exact ordering/output parity with ns-native engines. */
+  /** Normalize the events `ts` column to a LongType epoch-nanos column named
+    * `ts` (same position), whatever physical type the fixture carries.
+    * Fixture generations have shipped parquet TIMESTAMP(NANOS) (read as long
+    * via `nanosAsLong`) and TIMESTAMP_NTZ(MICROS); the engine's internal
+    * contract is fixed regardless: `ts` = epoch ns as long. The NTZ cast to
+    * TimestampType is exact because every entry point pins the session
+    * timezone to UTC (Bench/Verify/SparkEntry builders). */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _: TimestampNTZType | _: TimestampType =>
+        df.select(df.columns.map { c =>
+          if (c == "ts") (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts")
+          else col(c)
+        }.toIndexedSeq: _*)
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+
+  /** Adaptive raw read of an events parquet file/dir: handles both the
+    * ns-era fixture (TIMESTAMP(NANOS) → nanosAsLong) and the µs-era fixture
+    * (TIMESTAMP_NTZ) and always returns `ts` as epoch-nanos LongType. */
+  def readEventsRaw(s: SparkSession, path: String): DataFrame = {
+    // No-op for µs/NTZ data; required so a NANOS-unit fixture loads as long
+    // instead of failing with [PARQUET_TYPE_ILLEGAL].
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(s.read.parquet(path))
+  }
+
+  /** The events table: `ts_ns` (LongType epoch nanos, exact ordering/output
+    * parity with ns-native engines) + a µs-truncated TimestampType `ts` for
+    * window/date functions. The staged copy already holds `ts` as INT64
+    * nanos ([[Staged.tableDir]] normalizes at staging); the
+    * [[normalizeEventsTs]] pass here is a type-adaptive no-op on that and a
+    * real conversion on any un-staged layout. */
   def events(s: SparkSession, d: String): DataFrame = {
     // NOT computeIfAbsent: the builder calls load() — a nested compute on
     // the same map throws "Recursive update". Benign double-build race.
@@ -66,7 +100,7 @@ object Tables {
     if (cached != null) cached
     else {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = load(s, d, "events")
+      val df = normalizeEventsTs(load(s, d, "events"))
         .withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts_ns div 1000")))

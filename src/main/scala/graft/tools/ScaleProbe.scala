@@ -59,11 +59,10 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     // events: replicate with user_id + event_id offsets — "8× the users over
     // the same 30-day window", so per-user stream lengths stay constant
-    // while the shuffles and distinct counts grow 8×. The ns column is
-    // written back as the raw long the loader reads (nanosAsLong), so the
-    // round-trip is exact.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$base/events.parquet")
+    // while the shuffles and distinct counts grow 8×. The adaptive raw read
+    // normalizes ts to INT64 epoch-nanos whatever the fixture generation
+    // shipped, so the replicated copy round-trips through the loader exactly.
+    val ev = graft.sources.Tables.readEventsRaw(spark, s"$base/events.parquet")
     (0 until replicas).map { r =>
       ev.withColumn("user_id", $"user_id" + r * OffsetStep)
         .withColumn("event_id", $"event_id" + r * OffsetStep)

@@ -19,6 +19,11 @@ package object graftshim {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** The classic session's JVM-unique UUID (`sessionUUID` is private[sql]).
+    * Unlike identityHashCode, never reused across a session's GC. */
+  def sessionUUIDOf(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Wrap a logical plan as a DataFrame (Dataset.ofRows is private[sql]). */
   def dfFromPlan(spark: SparkSession,
                  plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
