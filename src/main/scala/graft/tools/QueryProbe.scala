@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Debug harness: run named SparkEntry queries in isolation with wall-time
+  * per run (repeats to separate warm-up from steady state), optionally
+  * printing the formatted plan. Usage:
+  *
+  *   runMain graft.tools.QueryProbe <sfDir> <reps> [--explain] q42_ann_ivf ...
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val explain = args.contains("--explain")
+    val names = args.drop(2).filterNot(_ == "--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Staged.prepare(spark, sfDir)
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      if (explain) fn(spark, sfDir).explain("formatted")
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] $name rep $i: $sec%.3f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

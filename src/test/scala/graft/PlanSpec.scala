@@ -300,6 +300,19 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_hist_hashes_spec")
     graft.ext.Dedup.writeHistoryHashes(history, "graft_hist_hashes_spec", 8)
     try {
+      // Layout guard: ONE file per bucket. Without the pre-write
+      // repartition, every input partition writes its own file per bucket
+      // (p×b tiny files), and each downstream scan pays p× the tasks, file
+      // opens, and per-task aggregate buffers (Spark's runtime bloom filter
+      // allocates ~1 MB per scan task — measured 7-14 s vs ~1 s for the
+      // q143 probe join on the fragmented vs compact layout at sf0.1).
+      val loc = java.nio.file.Paths.get(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("graft_hist_hashes_spec"))
+          .location.toString))
+      val nFiles = java.nio.file.Files.list(loc).filter(
+        p => p.getFileName.toString.endsWith(".parquet")).count()
+      assert(nFiles <= 8, s"bucketed table fragmented: $nFiles files for 8 buckets")
       // Force the confirm join to sort-merge (in production history is far
       // beyond any broadcast threshold) so the plan assert is meaningful.
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
