@@ -58,6 +58,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Bucketed tables here exist only for bucketing-aware joins; see
+      // GraftSession for why the auto heuristic is disabled.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // Bench-scale split sizing: the staged tables are ~0.1–0.7 MB/file
       // (Staged.tableDir), so the 128 MB default would pack every file of
       // a table back into ONE split and re-serialize the scans this layout

@@ -20,6 +20,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // The engine's bucketed tables (MinHash signatures, dedup history
+      // hashes) exist solely for their bucketing-aware merge joins; Spark's
+      // DisableUnnecessaryBucketedScan heuristic drops the bucketed read in
+      // exactly those plans when the probe side's stats are unknown (a
+      // localCheckpoint boundary), reintroducing the table-side exchange
+      // the layout was built to avoid — measured 1.5-3× slower on q139/q143
+      // at sf0.1, worse with data. No other scans are bucketed, so forcing
+      // bucketed reads session-wide costs nothing.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,16 +15,23 @@ object QueryProbe {
     val explain = args.contains("--explain")
     val names = args.drop(2).filterNot(_ == "--explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val extraConfs = sys.env.getOrElse("SPARK_GRAFT_CONFS", "")
+      .split(';').toIndexedSeq.filter(_.contains('='))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Bucketed tables here exist only for bucketing-aware joins; see
+      // GraftSession for why the auto heuristic is disabled.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Staged.prepare(spark, sfDir)
     names.foreach { name =>
