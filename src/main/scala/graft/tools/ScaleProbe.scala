@@ -12,6 +12,12 @@ import graft.sources.Tables
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("scale-probe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Same split sizing as Bench: the staged bench-scale files are ~0.1-3 MB
+    // each, and the 128 MB default (with its 4 MB open-cost floor) packs a
+    // whole table into 1-2 splits — the probe would then measure split
+    // packing, not operator scaling (q10's 8x ratio read 12x from a
+    // 1-task scan of the replicated lineitem; 7x with honest splits).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
     import spark.implicits._
     val base = "/root/testdata/sf0.1"
     val big = graft.sources.TempDirs.create("graft_sf08_").toString
