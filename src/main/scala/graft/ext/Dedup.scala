@@ -806,7 +806,30 @@ object Dedup {
       .localCheckpoint()
     tokens.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
-    // Exact verify on TRUE string shingle sets, derived only for candidate
+    // Hash-set prefilter before the string verify (q143's drift argument,
+    // wider margin): a true pair has J_string ≥ t = 0.5, and hash-set vs
+    // string-set jaccard drift is bounded by 31-bit collision mass
+    // O(|set|²/2³¹) ≈ 1e-4 for these docs (quadratic in shingle-set size —
+    // sound for docs under ~10k distinct shingles, see q143's margin note),
+    // so no true pair scores under 0.45 here. The filters above are
+    // deliberately permissive (prefix/length/positional admit every pair
+    // that COULD reach t), which on a template-heavy corpus leaves a large
+    // moderately-similar candidate mass — 125,764 pairs for 278 results
+    // measured at sf0.1 — and the expensive string tokenize+join then ran
+    // over all of it. The prefilter scores candidates on the ALREADY
+    // COMPUTED hash sets with the fused sorted-merge jaccard kernel (no
+    // per-pair array materialization) and hands the string verify a
+    // result-sized survivor set.
+    val hsorted = hsets.select($"doc_id", sort_array($"hs").as("hss"))
+      .localCheckpoint() // broadcast by BOTH survivor joins: one kernel pass
+    val surv = cand
+      .join(hsorted.select($"doc_id".as("a_id"), $"hss".as("ha")), "a_id")
+      .join(hsorted.select($"doc_id".as("b_id"), $"hss".as("hb")), "b_id")
+      .filter(graft.functions.NativeKernels.jaccardSortedLongs($"ha", $"hb")
+        >= lit(t) - lit(0.05))
+      .select($"a_id", $"b_id")
+      .localCheckpoint() // referenced by candIds (twice) and the verify join
+    // Exact verify on TRUE string shingle sets, derived only for surviving
     // documents (near-dups + bounded collision mass — never N²), so the
     // result is bit-equal to the quadratic string-set oracle. Tokenization
     // here (and in the oracle) is runs of bytes ≤ 0x20 with empty tokens
@@ -814,8 +837,8 @@ object Dedup {
     // the string sets agree on every input, including leading/trailing
     // whitespace and control bytes (a \s+ split would keep a leading empty
     // token the kernel never emits, silently desynchronizing the two).
-    val candIds = cand.select($"a_id".as("doc_id"))
-      .union(cand.select($"b_id")).distinct()
+    val candIds = surv.select($"a_id".as("doc_id"))
+      .union(surv.select($"b_id")).distinct()
     // Also a leaf: referenced from both sides of the verify join.
     // Edge separators are stripped BEFORE the split instead of filtering
     // empty tokens after it: a `filter(..., lambda)` HOF here is interpreted
@@ -830,7 +853,7 @@ object Dedup {
           "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
       .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("toks"))
       .localCheckpoint()
-    val verified = cand
+    val verified = surv
       .join(vsets.select($"doc_id".as("a_id"), $"toks".as("ta")), "a_id")
       .join(vsets.select($"doc_id".as("b_id"), $"toks".as("tb")), "b_id")
       .withColumn("inter", size(array_intersect($"ta", $"tb")))

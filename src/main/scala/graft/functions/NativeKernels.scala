@@ -169,6 +169,28 @@ object Kernels {
   private val LshDims = 64
   private val Planes = planeMatrix(LshTables, LshPlanes, LshDims)
 
+  /** Jaccard similarity of two SORTED-ascending distinct long arrays via a
+    * two-pointer merge: zero per-row allocation, pure long compares. The
+    * `array_intersect`/`array_union` formulation materializes two result
+    * arrays per pair only to take their sizes — measured 3.2 s vs <1 s for
+    * the 125k-pair q121 hash verify at sf0.1. PRECONDITION: both inputs
+    * sorted ascending with distinct elements (`sort_array` over a set-
+    * valued column); unsorted input silently undercounts the overlap.
+    * Two empty sets score 0.0 (matches the verify paths' zero-token rule,
+    * q143's CASE guard and the oracle's `len(toks) > 0` filter). */
+  def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** Distinct 31-bit hashes of word k-shingles, computed straight off the
     * UTF-8 bytes: tokenize on whitespace, FNV-1a per token, combine k token
     * hashes per window. No shingle strings are ever materialized — the
@@ -393,6 +415,18 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def foldable: Boolean = left.foldable && right.foldable
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSortedLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaccardSortedLongs($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class MinHashSig(child: Expression) extends UnaryExpression {
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -545,6 +579,8 @@ object NativeKernels {
     columnOf(CosineSimF(expressionOf(a), expressionOf(b)))
   def minhashSig(hashed: Column): Column =
     columnOf(MinHashSig(expressionOf(hashed)))
+  def jaccardSortedLongs(a: Column, b: Column): Column =
+    columnOf(JaccardSortedLongs(expressionOf(a), expressionOf(b)))
   def simhash64(hashes: Column): Column =
     columnOf(SimHash64(expressionOf(hashes)))
   def normalizeL2(emb: Column): Column =

@@ -179,6 +179,24 @@ class OpsSpec extends SparkSpec {
          graft.ext.Dedup.minhashSignatureHof($"hs")).as("eq"))
       .collect().forall(_.getBoolean(0))
     assert(mhEq)
+
+    // Fused sorted-merge jaccard ≡ the array_intersect/array_union
+    // formulation on real shingle sets (plus the empty/empty edge = 0.0,
+    // the verify paths' zero-token rule).
+    val pairs = docs.select($"doc_id", sort_array($"hs").as("ha"))
+      .crossJoin(docs.select(sort_array($"hs").as("hb")).limit(7))
+    val jacEq = pairs.select(
+        (graft.functions.NativeKernels.jaccardSortedLongs($"ha", $"hb") ===
+          when(size(array_union($"ha", $"hb")) === 0, 0.0)
+            .otherwise(size(array_intersect($"ha", $"hb")).cast("double") /
+              size(array_union($"ha", $"hb")))).as("eq"))
+      .collect().forall(_.getBoolean(0))
+    assert(jacEq)
+    val empty = docs.sparkSession.sql(
+      "SELECT CAST(array() AS array<bigint>) AS a").select(
+      graft.functions.NativeKernels.jaccardSortedLongs($"a", $"a"))
+      .collect().head.getDouble(0)
+    assert(empty == 0.0)
   }
 
   test("property: bucketized range join equals the naive non-equi join on random inputs") {
