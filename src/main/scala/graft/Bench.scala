@@ -111,6 +111,13 @@ object Bench {
     var order = 0
     val results = names.map { name =>
       val (r0, g0, c0, n0) = settled()
+      // JMH-style inter-iteration GC, OUTSIDE the timed region: without it
+      // the previous query's garbage (e.g. q20's exact-distinct Expand
+      // right before q21) is collected inside the next query's window and
+      // attributed to it — q21 measured 0.3 s isolated vs 1.4-7 s in-suite
+      // purely from inherited heap pressure. A long-lived cluster pays GC
+      // continuously; the per-query number should measure the query.
+      System.gc()
       val j0 = jvmGcMs()
       val t0 = System.nanoTime()
       try run(name, sfDir)
