@@ -12,10 +12,22 @@ import org.apache.spark.sql.SparkSession
   * session-level costs a long-lived 1000-executor cluster pays once, so the
   * timed numbers reflect steady-state per-query latency.
   *
+  * Contention robustness: each query is timed as the MEDIAN of
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) back-to-back reps — a one-off
+  * descheduling burst inflates at most one rep, and the median discards it.
+  * The compact stdout line also carries the suite-level `task_cpu_ratio`
+  * (summed executor task run time / summed task CPU time). Run time counts
+  * I/O waits and SMT sharing too, so the QUIET baseline on this box is
+  * ~1.9 (measured, 144 queries × 3 reps); a materially higher ratio (the
+  * r09 contended artifact measured 2.75 alongside 11/32 effective
+  * parallelism) means tasks were descheduled by external load and the wall
+  * numbers are weather, not code.
+  *
   * The full artifact (bench_out.json) is self-diagnosing: each query records
-  * its run-order index, summed executor task time, task/JVM GC time and CPU
-  * time next to wall time, so a contended run (wall ≫ task time, or GC spike)
-  * is provably machine noise rather than arguably so.
+  * its run-order index, every rep's wall time, summed executor task time,
+  * task/JVM GC time and CPU time next to wall time, so a contended run
+  * (wall ≫ task time, or GC spike) is provably machine noise rather than
+  * arguably so.
   */
 object Bench {
 
@@ -45,13 +57,36 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
-  private final case class Diag(order: Int, wall: Double, taskSec: Double,
-                                taskGcSec: Double, jvmGcSec: Double,
-                                cpuSec: Double, nTasks: Long)
+  /** `wall` is the median of `walls` (one entry per rep); task/GC/CPU
+    * metrics are summed across ALL reps of the query. */
+  private final case class Diag(order: Int, wall: Double, walls: Seq[Double],
+                                taskSec: Double, taskGcSec: Double,
+                                jvmGcSec: Double, cpuSec: Double, nTasks: Long)
+
+  /** Mute the benign per-query WARN chatter that drowns the driver's
+    * 2000-char stdout/stderr tail. Every unpartitioned-window site in this
+    * repo is a bounded frame (month/day grids, a 25-row nation rank —
+    * audited in VERDICT r09), so `WindowExec`'s "No Partition Defined"
+    * warning carries no signal here; real anomalies still surface at ERROR. */
+  def muteBenignWarns(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging impl absent: keep the noise
 
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Failsafe against the budget, not a measurement knob: a quiet box fits
+    // warmup + prepare + 3 full passes well inside this; a badly contended
+    // box (the r09 weather) must still DELIVER an artifact, so extra reps —
+    // never the first — are skipped once the whole run crosses the deadline.
+    // A query's median is then over however many reps it completed
+    // (`wall_reps` in bench_out.json shows exactly which).
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "540").toDouble
+    def elapsedSec(): Double = (System.nanoTime() - tMain) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,6 +106,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    muteBenignWarns()
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -117,16 +153,24 @@ object Bench {
       // attributed to it — q21 measured 0.3 s isolated vs 1.4-7 s in-suite
       // purely from inherited heap pressure. A long-lived cluster pays GC
       // continuously; the per-query number should measure the query.
+      // (Once per query, not per rep: a rep's own garbage IS part of the
+      // next rep's steady-state cost, and the median absorbs the outlier.)
       System.gc()
       val j0 = jvmGcMs()
-      val t0 = System.nanoTime()
-      try run(name, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      val wall = (System.nanoTime() - t0) / 1e9
+      val walls = (1 to reps).flatMap { i =>
+        if (i > 1 && elapsedSec() > deadlineSec) None
+        else {
+          val t0 = System.nanoTime()
+          try run(name, sfDir)
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+          Some((System.nanoTime() - t0) / 1e9)
+        }
+      }
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
       order += 1
-      name -> Diag(order, wall, (r1 - r0) / 1e3, (g1 - g0) / 1e3,
+      name -> Diag(order, walls.sorted.apply((walls.size - 1) / 2), walls,
+        (r1 - r0) / 1e3, (g1 - g0) / 1e3,
         (j1 - j0) / 1e3, (c1 - c0) / 1e9, n1 - n0)
     }
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -135,11 +179,19 @@ object Bench {
     def toDiagJson(rs: Seq[(String, Diag)]): String =
       rs.map { case (k, d) =>
         "\"" + k + "\":{\"order\":" + d.order + ",\"wall_sec\":" + sec(d.wall) +
+          ",\"wall_reps\":" + d.walls.map(sec).mkString("[", ",", "]") +
           ",\"task_sec\":" + sec(d.taskSec) + ",\"task_gc_sec\":" + sec(d.taskGcSec) +
           ",\"jvm_gc_sec\":" + sec(d.jvmGcSec) + ",\"cpu_sec\":" + sec(d.cpuSec) +
           ",\"n_tasks\":" + d.nTasks + "}"
       }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
+    // Suite-level contention fingerprint: executor task run time vs task CPU
+    // time across every rep of every query. Quiet-box baseline ~1.9 (run
+    // time includes I/O waits + SMT sharing); ≳2.5 = external load
+    // descheduled tasks and the walls overstate the code (r09: 2.75).
+    val sumTask = results.map(_._2.taskSec).sum
+    val sumCpu = results.map(_._2.cpuSec).sum
+    val contention = if (sumCpu > 0) sumTask / sumCpu else 0.0
     // The driver captures only a ~2000-char TAIL of stdout, so a single line
     // carrying all ~141 per-query timings (~4.5 KB) arrives with its head cut
     // off and never parses (BENCH_r04/r05 both show `parsed: null`). Split the
@@ -151,10 +203,12 @@ object Bench {
       s""","n_queries":${results.size},"queries":${toJson(slowest)}""" +
       s""","queries_omitted":${results.size - slowest.size}""" +
       s""","prepare_sec":${sec(prepareSec)}""" +
+      s""","reps":$reps,"task_cpu_ratio":${sec(contention)}""" +
       s""","full_map":"bench_out.json","value":${sec(total)}}"""
     println(compact)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","queries":${toJson(results)},"prepare_sec":${sec(prepareSec)}""" +
+      s""","reps":$reps,"task_cpu_ratio":${sec(contention)}""" +
       s""","diag":${toDiagJson(results)},"value":${sec(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -135,6 +135,8 @@ object SparkEntry {
     "q142_video_frames" -> (Multimodal.q142VideoFrames _),
     "q143_minhash_neardup_table" ->
       ((s: SparkSession, d: String) => Dedup.q143MinhashNearDupMaterialized(s, d)),
+    "q144_fingerprint_planted" -> (TextAnalysis.q144FingerprintPlanted _),
+    "q145_simhash_planted" -> (Dedup.q145SimhashPlantedRecall _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -871,6 +873,23 @@ object SparkEntry {
     // materialized table — the layout must be invisible in the result, so
     // it shares q34's oracle verbatim (the q139/q112 pattern).
     "q143_minhash_neardup_table" -> q34OracleRef,
+    // q144/q145: companion oracles for the hash-kernel queries q33/q35
+    // (those stay no_oracle — DuckDB can't compute the kernels). The
+    // INVARIANT is SQL-statable: a fingerprint/SimHash is a pure function
+    // of the text, so a planted exact copy must fingerprint equal (q144)
+    // and must surface from the banding pipeline at hamming 0 (q145).
+    // The oracle derives the planted pairs from `documents` by the same
+    // doc_id arithmetic and states the invariant's required value.
+    "q144_fingerprint_planted" ->
+      """SELECT doc_id AS orig_id, doc_id + 2000000 AS copy_id,
+        |       true AS fp_equal
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 25)
+        |ORDER BY orig_id""".stripMargin,
+    "q145_simhash_planted" ->
+      """SELECT doc_id AS orig_id, doc_id + 2000000 AS copy_id,
+        |       0 AS hamming
+        |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 25)
+        |ORDER BY orig_id""".stripMargin,
     // q39: qualifying pairs at cos >= 0.99 are exactly the planted copies
     // at every SF (max natural cosine ~0.6, checked), so the quadratic
     // cosine scan is feasible corpus-wide and LSH recall is provably 1

@@ -501,13 +501,15 @@ object Dedup {
   def simhashFromHashes(hashes: Column): Column =
     graft.functions.NativeKernels.simhash64(hashes)
 
-  /** SimHash near-dup: band the 64-bit hash into 4×16-bit chunks (pigeonhole
-    * guarantee for hamming ≤ 3; wider distances need multi-probe), bucket-join
-    * candidates, verify exact hamming distance ≤ maxHamming via bit_count. */
-  def q35SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** SimHash banding core over a `(doc_id, text)` corpus: band the 64-bit
+    * hash into 4×16-bit chunks (pigeonhole guarantee for hamming ≤ 3; wider
+    * distances need multi-probe), bucket-join candidates, verify exact
+    * hamming distance ≤ `maxHamming` via bit_count. Emits canonical
+    * `left_id < right_id` pairs. */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val maxHamming = 8
-    val docs = withPlantedNear(Tables.documents(spark, dir), 20)
+    val docs = corpus
       .withColumn("th", transform(split($"text", "\\s+"), t => xxhash64(t)))
       .select($"doc_id", simhashFromHashes($"th").as("sh"))
     val chunks = docs.select($"doc_id", $"sh",
@@ -522,7 +524,41 @@ object Dedup {
         bit_count($"lsh".bitwiseXOR($"rsh")).as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
+  }
+
+  /** SimHash near-dup over the documents corpus + 20 planted near-copies. */
+  def q35SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashPairs(
+      withPlantedNear(Tables.documents(spark, dir), 20).select($"doc_id", $"text"),
+      maxHamming = 8)
       .orderBy($"left_id", $"right_id")
+  }
+
+  /** Planted-recall COMPANION ORACLE for q35 (VERDICT r09 #4): q35 itself is
+    * `no_oracle` — DuckDB cannot compute xxhash64/SimHash — but this
+    * invariant is SQL-statable without computing any hash: exact copies of
+    * the 25 lowest-doc_id documents are planted at
+    * doc_id + [[ExactDupIdOffset]]; an identical token sequence yields an
+    * identical SimHash, all four pigeonhole chunks collide (banding MUST
+    * surface the candidate), and the verified hamming distance is exactly 0.
+    * So the full q35 pipeline — hash, band, join, verify — must emit every
+    * planted pair with hamming = 0; any miss shows as -1. The expected-pair
+    * side is 25 rows (broadcast); the pipeline side is the real corpus scan. */
+  def q145SimhashPlantedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 25
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val firstK = base.orderBy($"doc_id").limit(k)
+    val corpus = base.unionByName(
+      firstK.select(($"doc_id" + ExactDupIdOffset).as("doc_id"), $"text"))
+    val pairs = simhashPairs(corpus, maxHamming = 8)
+    firstK.select($"doc_id".as("left_id"),
+        ($"doc_id" + ExactDupIdOffset).as("right_id"))
+      .join(pairs, Seq("left_id", "right_id"), "left")
+      .select($"left_id".as("orig_id"), $"right_id".as("copy_id"),
+        coalesce($"hamming", lit(-1)).as("hamming"))
+      .orderBy($"orig_id")
   }
 
   /** Connected components over near-dup pairs by iterative min-label

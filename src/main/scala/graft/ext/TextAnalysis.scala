@@ -109,4 +109,29 @@ object TextAnalysis {
         length($"text").as("n_chars_measured"))
       .orderBy($"doc_id")
   }
+
+  /** Planted-equality COMPANION ORACLE for q33 (VERDICT r09 #4): q33 itself
+    * is `no_oracle` — DuckDB cannot compute the rolling-hash kernel — but
+    * this invariant is SQL-statable without computing it: the fingerprint is
+    * a pure function of the text, so exact copies of the 25 lowest-doc_id
+    * documents planted at doc_id + [[graft.ext.Dedup.ExactDupIdOffset]]
+    * must fingerprint identically — `fp_equal` is TRUE on every planted
+    * pair. Null-safe (`<=>`): a doc shorter than the 32-char window
+    * fingerprints as null on BOTH sides, which still counts as equal. The
+    * 25-pair probe side broadcasts; the fingerprint pass is the real
+    * corpus-wide scan-speed kernel. */
+  def q144FingerprintPlanted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 25
+    val off = graft.ext.Dedup.ExactDupIdOffset
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val firstK = base.orderBy($"doc_id").limit(k)
+    val fp = base.unionByName(firstK.select(($"doc_id" + off).as("doc_id"), $"text"))
+      .select($"doc_id", RollingHash.rollingHashMin($"text", 32).as("fingerprint"))
+    firstK.select($"doc_id".as("orig_id"), ($"doc_id" + off).as("copy_id"))
+      .join(fp.select($"doc_id".as("orig_id"), $"fingerprint".as("fp_orig")), Seq("orig_id"))
+      .join(fp.select($"doc_id".as("copy_id"), $"fingerprint".as("fp_copy")), Seq("copy_id"))
+      .select($"orig_id", $"copy_id", ($"fp_orig" <=> $"fp_copy").as("fp_equal"))
+      .orderBy($"orig_id")
+  }
 }

@@ -64,13 +64,23 @@ object Tables {
     * timezone to UTC (Bench/Verify/SparkEntry builders). */
   def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    def toNanos = df.select(df.columns.map { c =>
+      if (c == "ts") (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts")
+      else col(c)
+    }.toIndexedSeq: _*)
     df.schema("ts").dataType match {
       case LongType => df
-      case _: TimestampNTZType | _: TimestampType =>
-        df.select(df.columns.map { c =>
-          if (c == "ts") (unix_micros(col("ts").cast(TimestampType)) * 1000L).as("ts")
-          else col(c)
-        }.toIndexedSeq: _*)
+      case _: TimestampNTZType =>
+        // An NTZ value is a wall-clock; its cast to TimestampType reads it
+        // IN THE SESSION ZONE. Every engine entry point pins UTC, but a
+        // caller from a non-UTC session would silently shift every event —
+        // fail loudly at this boundary instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventsTs requires spark.sql.session.timeZone=UTC to " +
+            s"convert TIMESTAMP_NTZ exactly (session zone is '$tz')")
+        toNanos
+      case _: TimestampType => toNanos // instant-typed: zone-independent
       case other =>
         throw new IllegalStateException(s"unexpected events.ts type: $other")
     }
@@ -78,7 +88,13 @@ object Tables {
 
   /** Adaptive raw read of an events parquet file/dir: handles both the
     * ns-era fixture (TIMESTAMP(NANOS) → nanosAsLong) and the µs-era fixture
-    * (TIMESTAMP_NTZ) and always returns `ts` as epoch-nanos LongType. */
+    * (TIMESTAMP_NTZ) and always returns `ts` as epoch-nanos LongType.
+    *
+    * Side effect: persistently sets `spark.sql.legacy.parquet.nanosAsLong`
+    * on the session (NOT save/restored — the conf is read again at scan
+    * execution, and [[Staged.prepare]] runs reads concurrently, so a
+    * scoped restore could race another in-flight read). The flag only
+    * changes how NANOS-unit parquet loads, a type nothing else reads. */
   def readEventsRaw(s: SparkSession, path: String): DataFrame = {
     // No-op for µs/NTZ data; required so a NANOS-unit fixture loads as long
     // instead of failing with [PARQUET_TYPE_ILLEGAL].

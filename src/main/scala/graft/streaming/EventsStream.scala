@@ -31,8 +31,9 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_stream_${System.nanoTime()}"
     // The file stream source wants a directory to watch; the static fixture
-    // is staged behind a symlink (shared, memoized — see Staged) so the
-    // same code serves a live landing dir.
+    // is staged as a normalized single-file copy (ts = INT64 epoch-nanos,
+    // shared, memoized — see Staged.eventsWatchDir) so the same code serves
+    // a live landing dir and rawSchema holds across fixture generations.
     val watchDir = graft.sources.Staged.eventsWatchDir(spark, dir)
     val stream = spark.readStream
       .schema(rawSchema)

@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val reps = args(1).toInt
-    val explain = args.contains("--explain")
-    val names = args.drop(2).filterNot(_ == "--explain")
+    // Flags first, positionals after: `--explain` may appear anywhere
+    // without shifting <sfDir>/<reps> (query names can't start with "--").
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val explain = flags.contains("--explain")
+    val sfDir = positional(0)
+    val reps = positional(1).toInt
+    val names = positional.drop(2).toIndexedSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val extraConfs = sys.env.getOrElse("SPARK_GRAFT_CONFS", "")
       .split(';').toIndexedSeq.filter(_.contains('='))

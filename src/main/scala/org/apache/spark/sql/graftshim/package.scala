@@ -8,8 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * Spark code.
   */
 package object graftshim {
-  def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  // Each accessor below bridges a `private[sql]` internal; every line carries
+  // a canary note naming the Spark version it compiles against, so a future
+  // Spark bump that breaks one fails loudly AND names its verified baseline.
+  def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e) // verified Spark 4.1.2
+  def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c) // verified Spark 4.1.2
 
   /** Register a temp SQL function on a live session (the runtime counterpart
     * of SparkSessionExtensions.injectFunction, which only applies at session
@@ -17,17 +20,17 @@ package object graftshim {
   def registerTempFunction(spark: SparkSession, name: String,
                            builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "scala_udf")
+      name, builder, "scala_udf") // verified Spark 4.1.2
 
   /** The classic session's JVM-unique UUID (`sessionUUID` is private[sql]).
     * Unlike identityHashCode, never reused across a session's GC. */
   def sessionUUIDOf(spark: SparkSession): String =
-    spark.asInstanceOf[classic.SparkSession].sessionUUID
+    spark.asInstanceOf[classic.SparkSession].sessionUUID // verified Spark 4.1.2
 
   /** Wrap a logical plan as a DataFrame (Dataset.ofRows is private[sql]). */
   def dfFromPlan(spark: SparkSession,
                  plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
-    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan) // verified Spark 4.1.2
 
   /** Append a planner strategy to the live session (idempotent). */
   def addStrategy(spark: SparkSession,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Dedup / similarity pipelines: the planted duplicates must be found, and
   * the ANN path must agree with the exact baseline on most neighbors. */
@@ -11,6 +11,19 @@ class ExtSpec extends SparkSpec {
     val dups = out.filter(_.getLong(1) == 2L)
     assert(dups.length == 30)
     assert(out.length == 500) // 500 distinct texts remain canonical
+  }
+
+  test("q144 companion oracle: planted exact copies fingerprint equal") {
+    val out = TextAnalysis.q144FingerprintPlanted(spark, sf0001).collect()
+    assert(out.length == 25)
+    assert(out.forall(_.getBoolean(2)), "every planted pair must fp-match")
+  }
+
+  test("q145 companion oracle: simhash banding recalls planted copies at hamming 0") {
+    val out = Dedup.q145SimhashPlantedRecall(spark, sf0001).collect()
+    assert(out.length == 25)
+    assert(out.forall(_.getInt(2) == 0),
+      "every planted exact copy must surface from banding with hamming 0")
   }
 
   test("bloom-prefiltered batch-vs-history dedup equals the exact anti-join at any fpp") {

@@ -310,8 +310,12 @@ class PlanSpec extends SparkSpec {
         spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier("graft_hist_hashes_spec"))
           .location.toString))
-      val nFiles = java.nio.file.Files.list(loc).filter(
-        p => p.getFileName.toString.endsWith(".parquet")).count()
+      // Files.list holds a directory handle until closed (same discipline
+      // as Staged.eventsWatchDir's listing).
+      val listing = java.nio.file.Files.list(loc)
+      val nFiles =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+        finally listing.close()
       assert(nFiles <= 8, s"bucketed table fragmented: $nFiles files for 8 buckets")
       // Force the confirm join to sort-merge (in production history is far
       // beyond any broadcast threshold) so the plan assert is meaningful.
