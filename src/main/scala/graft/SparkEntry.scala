@@ -137,6 +137,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.q143MinhashNearDupMaterialized(s, d)),
     "q144_fingerprint_planted" -> (TextAnalysis.q144FingerprintPlanted _),
     "q145_simhash_planted" -> (Dedup.q145SimhashPlantedRecall _),
+    "q146_hll_error_bound" -> (Analytics.q146HllErrorBound _),
+    "q147_percentile_rank_bound" -> (Analytics.q147PercentileRankBound _),
+    "q148_cms_guarantees" ->
+      ((s: SparkSession, d: String) => Extra.q148CmsGuarantees(s, d)),
+    "q149_ann_recall_floors" -> (Similarity.q149AnnRecallFloors _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -890,6 +895,34 @@ object SparkEntry {
         |       0 AS hamming
         |FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 25)
         |ORDER BY orig_id""".stripMargin,
+    // q146-q149: companion oracles for the sketch/ANN family (q21/q118/q138
+    // HLL, q105 GK percentiles, q83 CMS, q38/q42/q98/q99 ANN — all stay
+    // no_oracle because DuckDB runs different sketches / can't reproduce
+    // trained quantizers). Each states the kernel's published guarantee as
+    // a SQL-checkable invariant next to the exact values DuckDB CAN
+    // compute: estimate-within-bound, rank-within-band, never-undercount,
+    // recall-above-floor.
+    "q146_hll_error_bound" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS exact_buyers,
+        |       true AS acd_within_5pct, true AS hll_within_5pct
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q147_percentile_rank_bound" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       true AS p50_ok, true AS p95_ok, true AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q148_cms_guarantees" ->
+      """SELECT l_partkey, count(*) AS exact_n,
+        |       true AS no_undercount, true AS overcount_bounded
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY exact_n DESC, l_partkey LIMIT 10""".stripMargin,
+    "q149_ann_recall_floors" ->
+      """SELECT m.method, q.n_queries, true AS recall_ge_floor
+        |FROM (SELECT 'ivf' AS method UNION ALL SELECT 'ivfpq'
+        |      UNION ALL SELECT 'lsh' UNION ALL SELECT 'pq') m
+        |CROSS JOIN (SELECT count(*) AS n_queries
+        |            FROM embeddings WHERE vec_id < 8) q
+        |ORDER BY m.method""".stripMargin,
     // q39: qualifying pairs at cos >= 0.99 are exactly the planted copies
     // at every SF (max natural cosine ~0.6, checked), so the quadratic
     // cosine scan is feasible corpus-wide and LSH recall is provably 1

@@ -284,4 +284,37 @@ object Similarity {
         base.filter($"vec_id" < 10).withColumn("vec_id", $"vec_id" + 100000L))
     nearDupPairs(corpus)
   }
+
+  /** Recall-floor COMPANION ORACLE for the ANN quartet q38/q42/q98/q99
+    * (VERDICT r09 #4 pattern, completing it for the sketch/ANN family).
+    * The ANN result sets stay `no_oracle` — DuckDB can't reproduce LSH
+    * buckets or trained quantizers — but the property that makes each of
+    * them AN ANSWER is SQL-statable: recall@5 against the exact brute-force
+    * top-5 (q37) must clear a per-method floor. Every method is seeded and
+    * trains on deterministic samples, so the realized recall is a pure
+    * function of the fixture and the floors (set with wide margin under the
+    * spec-measured values: LSH ≈0.55, IVF ≈0.4+, PQ ≈1.0 on re-rank,
+    * IVFPQ ≥0.65) are stable. All-DataFrame: hits counted by a LEFT SEMI
+    * join of exact pairs against ANN pairs — 40-row sides, nothing
+    * collected. DuckDB states the method domain, the data-derived query
+    * count, and the required TRUEs. */
+  def q149AnnRecallFloors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = q37TopKBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id").cache()
+    def row(method: String, ann: DataFrame, floor: Double): DataFrame = {
+      val hits = exact.join(ann.select($"query_id", $"neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(countDistinct($"query_id").as("n_queries"),
+          count(lit(1)).as("total"))
+        .crossJoin(hits.agg(count(lit(1)).as("hits")))
+        .select(lit(method).as("method"), $"n_queries",
+          ($"hits" >= $"total" * floor).as("recall_ge_floor"))
+    }
+    row("ivf", q42AnnIvf(spark, dir), 0.25)
+      .unionByName(row("ivfpq", IvfPq.q99AnnIvfPq(spark, dir), 0.3))
+      .unionByName(row("lsh", q38AnnLsh(spark, dir), 0.3))
+      .unionByName(row("pq", Pq.q98AnnPq(spark, dir), 0.5))
+      .orderBy($"method")
+  }
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+import org.apache.spark.sql.graftshim.{columnOf, expressionOf, AbstractDataType}
 
 /** Native Catalyst expressions for the similarity/dedup hot paths.
   *
@@ -449,7 +449,13 @@ case class MortonInterleave(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class NormalizeL2F(child: Expression) extends UnaryExpression {
+case class NormalizeL2F(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  // The kernel reads raw float slots (Kernels.normalizeF getFloat); pinning
+  // the input type makes a widened fixture auto-cast at analysis instead of
+  // silently mis-reading 8-byte slots. Same guard on both LSH signature
+  // expressions; CosineSimF dispatches by type instead.
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -480,7 +486,8 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 }
 
 case class LshSigsCfg(child: Expression, numTables: Int, planesPerTable: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   require(planesPerTable >= 1 && planesPerTable <= 24, "planesPerTable must be in [1, 24]")
   // table index is folded into the bucket key as (t << 24); more than 255
   // tables would wrap and silently share keyspace across tables.
@@ -563,7 +570,9 @@ case class PqAdcScore(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
-case class LshSigs(child: Expression) extends UnaryExpression {
+case class LshSigs(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(v: Any): Any =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -200,6 +200,86 @@ object Analytics {
         element_at($"approx_pcts", 1).as("p50"),
         element_at($"approx_pcts", 2).as("p95"),
         element_at($"approx_pcts", 3).as("p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Error-bound COMPANION ORACLE for the HLL family (q21's
+    * `approx_count_distinct` and q118/q138's `hll_sketch_agg` kernel —
+    * VERDICT r09 #4 pattern, same shape as q144/q145). The sketches stay
+    * `no_oracle` (DuckDB's HLL is a different sketch), but the INVARIANT is
+    * SQL-statable without computing them: both estimators carry a published
+    * relative-error bound (rsd 1% for ACD; ≈0.81% for lgK=14 DataSketches
+    * HLL), so every per-segment estimate must land within a generous 5%
+    * (> 5 sigma) of the exact distinct count DuckDB can compute. One
+    * aggregation pass evaluates the exact path and both sketches
+    * side-by-side — exactly the sketch-vs-exact audit a production
+    * deployment runs on a sampled partition before trusting the sketch
+    * corpus-wide. */
+  def q146HllErrorBound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Dedup (segment, custkey) FIRST: every measure below is
+    // duplicate-insensitive (exact distinct by definition; both HLL
+    // variants hash each key to the same registers however often it
+    // repeats), so the pre-aggregation is semantically free — and it
+    // removes the Expand that mixing countDistinct with two sketch
+    // aggregates would otherwise plan (measured 33 s at sf0.1: every
+    // source row duplicated per aggregate branch, each carrying a 2^14-
+    // register sketch update; deduped: one hash agg + sketches over the
+    // collapsed keys, ~1 s).
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_custkey").distinct()
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("exact_buyers"),
+        approx_count_distinct($"o_custkey", 0.01).as("acd"),
+        hll_sketch_estimate(hll_sketch_agg($"o_custkey", lit(14))).as("hll"))
+      .select($"c_mktsegment", $"exact_buyers",
+        (abs($"acd" - $"exact_buyers") <= $"exact_buyers" * 0.05)
+          .as("acd_within_5pct"),
+        (abs($"hll" - $"exact_buyers") <= $"exact_buyers" * 0.05)
+          .as("hll_within_5pct"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Rank-error COMPANION ORACLE for q105's Greenwald-Khanna
+    * `approx_percentile` (accuracy 10⁴ ⇒ rank error ≤ n/10⁴). The returned
+    * value v is a real element whose rank interval is
+    * [count(< v) + 1, count(≤ v)]; GK guarantees that interval intersects
+    * [q·n − n/10⁴, q·n + n/10⁴]. The check states that with 50× slack
+    * (n/200 + 1, absorbing value ties): count(< v) must not exceed the
+    * upper band and count(≤ v) must reach the lower band. DuckDB states the
+    * group domain, exact row counts, and the required TRUEs. Two passes:
+    * the sketch aggregation, then one broadcast-join re-scan to rank the
+    * three returned values per group — the same audit shape as q146. */
+  def q147PercentileRankBound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_returnflag", $"l_extendedprice")
+    val pct = li
+      .groupBy($"l_returnflag")
+      .agg(approx_percentile($"l_extendedprice",
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps"))
+      .select($"l_returnflag",
+        element_at($"ps", 1).as("p50"),
+        element_at($"ps", 2).as("p95"),
+        element_at($"ps", 3).as("p99"))
+    def rankCounts(tag: String, p: Column): Seq[Column] = Seq(
+      sum(when($"l_extendedprice" < p, 1L).otherwise(0L)).as(s"lt_$tag"),
+      sum(when($"l_extendedprice" <= p, 1L).otherwise(0L)).as(s"le_$tag"))
+    def ok(q: Double, tag: String): Column = {
+      val slack = $"n" / 200.0 + 1.0
+      (col(s"lt_$tag") <= $"n" * q + slack) &&
+        (col(s"le_$tag") >= $"n" * q - slack)
+    }
+    val counted = li.join(broadcast(pct), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        (rankCounts("p50", $"p50") ++ rankCounts("p95", $"p95") ++
+          rankCounts("p99", $"p99")): _*)
+    counted
+      .select($"l_returnflag", $"n",
+        ok(0.5, "p50").as("p50_ok"), ok(0.95, "p95").as("p95_ok"),
+        ok(0.99, "p99").as("p99_ok"))
       .orderBy($"l_returnflag")
   }
 

@@ -310,6 +310,38 @@ object Extra {
       .orderBy($"exact_n".desc, $"l_partkey".asc)
   }
 
+  /** Guarantee COMPANION ORACLE for q83's count-min sketch (VERDICT r09 #4
+    * pattern). q83 stays `no_oracle` (DuckDB has no CMS), but the sketch's
+    * two published guarantees are SQL-statable without computing it: a CMS
+    * NEVER undercounts (hard, deterministic — every cell the key hashes to
+    * counted every occurrence), and overcounts by at most ε·N with
+    * probability 1−δ (ε = 10⁻⁴, δ = 0.01 here; the fixed seed makes the
+    * realized overcount deterministic per fixture, and a 10× slack on the
+    * ε·N band puts the check far inside the tail). DuckDB states the exact
+    * top-k domain, counts, and the required TRUEs. The total-count scalar
+    * rides the same exact aggregation (one extra grand-total row via
+    * rollup-free union would cost a pass; a window sum over the 10-row
+    * limit result is free). */
+  def q148CmsGuarantees(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val li = Tables.lineitem(spark, dir)
+    val eps = 0.0001
+    val sketch: CountMinSketch = li.stat.countMinSketch(
+      $"l_partkey", eps = eps, confidence = 0.99, seed = 42)
+    val totalN = sketch.totalCount() // N rode along with the sketch pass
+    val slack = math.ceil(eps * totalN).toLong * 10L + 1L
+    val topExact = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"l_partkey".asc).limit(k)
+    val est = udf((pk: Long) => sketch.estimateCount(pk))
+    topExact
+      .withColumn("sketch_n", est($"l_partkey"))
+      .select($"l_partkey", $"exact_n",
+        ($"sketch_n" >= $"exact_n").as("no_undercount"),
+        ($"sketch_n" - $"exact_n" <= slack).as("overcount_bounded"))
+      .orderBy($"exact_n".desc, $"l_partkey".asc)
+  }
+
   /** Daily OHLC over the events stream: open/close picked by deterministic
     * (µs, event_id) ordering via `min_by`/`max_by` over the time struct —
     * ONE partial-aggregating pass, no per-day window sort (a day of events

@@ -125,7 +125,26 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Embeddings with the element type pinned to `array<float>`, whatever
+    * width the fixture shipped. Same defense as [[normalizeEventsTs]] (the
+    * events fixture's physical type DID change under round 8): three native
+    * kernels (`NormalizeL2F`, both LSH signature expressions) read elements
+    * with `getFloat`, so a regenerated `array<double>` fixture would not
+    * fail analysis — it would silently mis-read 4 bytes of every 8-byte
+    * slot. One cast at the scan boundary (free when the fixture is already
+    * float; columnar, codegen'd when not) keeps every downstream kernel on
+    * the type it was written for. Pinned by EmbeddingsWidthSpec. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _: ArrayType =>
+        df.withColumn("embedding", df.col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding must be an array column, fixture has $other")
+    }
+  }
 
   /** Register every table as a temp view so `spark.sql` works against the
     * same names the DuckDB oracle uses. `events` goes through its ns-safe

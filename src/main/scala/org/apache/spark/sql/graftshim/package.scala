@@ -11,6 +11,10 @@ package object graftshim {
   // Each accessor below bridges a `private[sql]` internal; every line carries
   // a canary note naming the Spark version it compiles against, so a future
   // Spark bump that breaks one fails loudly AND names its verified baseline.
+  /** `types.AbstractDataType` is `private[sql]`; expressions outside the sql
+    * package need it only to OVERRIDE `ExpectsInputTypes.inputTypes`. */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType // verified Spark 4.1.2
+
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e) // verified Spark 4.1.2
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c) // verified Spark 4.1.2
 
