@@ -303,7 +303,10 @@ object Similarity {
     val exact = q37TopKBruteForce(spark, dir)
       .select($"query_id", $"neighbor_id").cache()
     def row(method: String, ann: DataFrame, floor: Double): DataFrame = {
-      val hits = exact.join(ann.select($"query_id", $"neighbor_id"),
+      // Both sides are k·nQueries rows, but the estimator can't see that
+      // through the ranking pipelines — hint the ANN side so the hit count
+      // is a broadcast semi-join, not a shuffle of two 40-row sets.
+      val hits = exact.join(broadcast(ann.select($"query_id", $"neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
       exact.agg(countDistinct($"query_id").as("n_queries"),
           count(lit(1)).as("total"))

@@ -78,7 +78,7 @@ object ScaleProbe {
     val allHeadline = Seq("q01_pricing_summary", "q10_revenue_by_nation",
       "q12_running_totals", "q07_upsert", "q11_top_customers_per_region",
       "q34_minhash_neardup", "q30_text_stats", "q52_bpe_token_estimate",
-      "q39_embedding_neardup", "q42_ann_ivf", "q62_neardup_corpus",
+      "q39_embedding_neardup", "q38_ann_lsh", "q42_ann_ivf", "q62_neardup_corpus",
       "q86_decontamination", "q92_incremental_agg", "q94_doc_chunks",
       "q96_inverted_index", "q98_ann_pq", "q99_ann_ivfpq", "q100_cdc_apply",
       "q104_column_profile", "q107_zonemap_prune", "q108_mv_rewrite",
@@ -86,7 +86,11 @@ object ScaleProbe {
       "q114_bm25", "q115_lm_quality",
       "q116_weighted_sample", "q121_setsim_join", "q122_market_basket",
       "q128_activity_islands", "q129_twap", "q131_bloom_lookup",
-      "q132_canonical_docs", "q133_ab_experiment", "q135_rolling_wau")
+      "q132_canonical_docs", "q133_ab_experiment", "q135_rolling_wau",
+      // sketch-audit companions: linear-scan shapes, probed to prove the
+      // audits themselves stay cheap as data grows
+      "q146_hll_error_bound", "q147_percentile_rank_bound",
+      "q148_cms_guarantees")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

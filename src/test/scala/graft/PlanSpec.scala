@@ -288,6 +288,39 @@ class PlanSpec extends SparkSpec {
       "a range-join formulation against the grid would nested-loop over every row")
   }
 
+  test("q146: sketch-vs-exact audit pre-dedups — no Expand, no per-branch row duplication") {
+    // The duplicate-insensitive measures (exact distinct, ACD, HLL sketch)
+    // must aggregate the DEDUPED (segment, custkey) pairs; the naive
+    // mixed-distinct form plans an Expand that duplicates every source row
+    // per aggregate branch with a 2^14-register sketch update each
+    // (measured 33 s vs ~1 s at sf0.1).
+    val plan = planOf(graft.queries.Analytics.q146HllErrorBound(spark, sf0001))
+    assert(!plan.contains("Expand"),
+      "q146 must pre-dedup keys, not Expand rows per aggregate branch")
+    // dedup partial+final (HashAggregate) then sketch partial+final (the
+    // DataSketches agg is TypedImperative → ObjectHashAggregate)
+    val aggs = """\(\d+\) (ObjectHashAggregate|HashAggregate)""".r.findAllIn(plan).size
+    assert(aggs == 4, s"dedup partial+final then sketch partial+final, saw $aggs")
+  }
+
+  test("q147: the rank re-scan joins the 3-row percentile table by broadcast, never shuffle") {
+    val plan = planOf(graft.queries.Analytics.q147PercentileRankBound(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-group percentiles must broadcast onto the lineitem re-scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffle join here would re-shuffle the fact table to rank 9 scalars")
+  }
+
+  test("q149: recall audit plans no cartesian product and no shuffle join") {
+    // Broadcast nested-loops ARE expected (the 8-query broadcast against
+    // the corpus scan, the 1-row scalar crosses); what must never appear is
+    // an unbroadcast cartesian or a shuffle join of the 40-row result sets.
+    val plan = planOf(graft.ext.Similarity.q149AnnRecallFloors(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), "unbroadcast cartesian in the audit")
+    assert(!plan.contains("SortMergeJoin"),
+      "shuffle join where every side is bounded (queries, top-k, scalars)")
+  }
+
   test("q112 full-scale path: bucketed history hashes confirm-join with no history-side exchange") {
     import org.apache.spark.sql.functions._
     val history = graft.sources.Tables.documents(spark, sf0001)
