@@ -142,6 +142,7 @@ object SparkEntry {
     "q148_cms_guarantees" ->
       ((s: SparkSession, d: String) => Extra.q148CmsGuarantees(s, d)),
     "q149_ann_recall_floors" -> (Similarity.q149AnnRecallFloors _),
+    "q150_incremental_neardup" -> (Dedup.q150IncrementalNearDup _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -923,6 +924,49 @@ object SparkEntry {
         |CROSS JOIN (SELECT count(*) AS n_queries
         |            FROM embeddings WHERE vec_id < 8) q
         |ORDER BY m.method""".stripMargin,
+    // q150: incremental near-dup — the deterministic ingest batch (15
+    // one-token near-copies + 10 token-reversed new docs, derived by id
+    // arithmetic) against the q34/q143 history window. Same quadratic
+    // string-shingle oracle device as q34; same completeness premise
+    // (qualifying pairs are near-copies, banding miss < 1e-8).
+    "q150_incremental_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), batch AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+        |  FROM documents WHERE doc_id < 15
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, reverse(text)
+        |  FROM documents WHERE doc_id >= 15 AND doc_id < 25
+        |), tkc AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM corpus
+        |), tkb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM batch
+        |), sc AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tkc WHERE len(toks) > 0
+        |), sb AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tkb WHERE len(toks) > 0
+        |), p AS (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS history_id,
+        |    len(list_intersect(b.sh, c.sh)) AS i, len(b.sh) AS nb, len(c.sh) AS nc
+        |  FROM sb b JOIN sc c ON true
+        |  WHERE len(c.sh) > 0 AND len(b.sh) > 0
+        |)
+        |SELECT batch_id, history_id,
+        |  round(CAST(i AS DOUBLE) / (nb + nc - i), 6) AS jaccard
+        |FROM p
+        |WHERE round(CAST(i AS DOUBLE) / (nb + nc - i), 6) >= 0.5
+        |ORDER BY batch_id, history_id""".stripMargin,
     // q39: qualifying pairs at cos >= 0.99 are exactly the planted copies
     // at every SF (max natural cosine ~0.6, checked), so the quadratic
     // cosine scan is feasible corpus-wide and LSH recall is provably 1

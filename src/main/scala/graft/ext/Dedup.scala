@@ -403,6 +403,109 @@ object Dedup {
       nPlanted = 20, hsLookup = Some(tbl.select($"doc_id", $"hs")))
   }
 
+  /** Batch ids sit above every other planted range (exact 2e6, near 1e6). */
+  val BatchIdOffset = 3000000L
+
+  /** The deterministic q150 ingest batch, derived from `documents` by id
+    * arithmetic so the DuckDB oracle can restate it: 15 near-copies (one
+    * appended token — J ≥ (t−2)/t vs their originals AND vs the planted
+    * ' xtra' copies, ≥ 0.8 at the corpus's shortest window docs) and 10
+    * genuinely-new docs (token-reversed text shares essentially no word
+    * 3-shingles with any natural doc). */
+  def incrementalNearDupBatch(docs: DataFrame): DataFrame = {
+    val near = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + BatchIdOffset).as("doc_id"),
+        concat(col("text"), lit(" fresh")).as("text"))
+    val fresh = docs.filter(col("doc_id") >= 15 && col("doc_id") < 25)
+      .select((col("doc_id") + BatchIdOffset).as("doc_id"),
+        reverse(col("text")).as("text"))
+    near.unionByName(fresh)
+  }
+
+  /** Incremental NEAR-dup against history — the crawl-ingest shape at
+    * 100 TB: a small new batch is checked against the corpus-wide
+    * materialized signature table ([[writeSignatureTable]]) with ZERO
+    * corpus-side shuffle and ZERO corpus re-shingling. The near-dup twin of
+    * [[newAgainstHistoryTable]] (exact hashes) — between them, a daily
+    * ingest needs no corpus rescan for either dedup mode.
+    *
+    * Shape (plan-guarded in PlanSpec):
+    *  - batch → shingle-hash kernel → minhash signature → band keys: all
+    *    batch-sized work.
+    *  - history bands derive from the signature table's `sig` column as a
+    *    projection + posexplode over the table SCAN; candidates come from a
+    *    BROADCAST hash join of the (tiny) batch band set against that
+    *    stream — the corpus side flows scan→project→generate→join with no
+    *    exchange. Only candidate (batch_id, history_id) pairs — result-
+    *    bounded by LSH selectivity — ever shuffle (the distinct).
+    *  - exact verify re-derives TRUE string shingle sets for candidate
+    *    history ids only (id-bounded fetch) and the broadcast-sized batch.
+    *
+    * Reported pairs are windowed to `historyWindow` ids (same device as
+    * q34/q143: the pipeline runs corpus-wide; only the reported slice is
+    * windowed so the quadratic DuckDB oracle stays feasible). Completeness
+    * premise as q34: every qualifying batch×window pair is a near-copy
+    * (J ≥ 0.8 even at the window's shortest docs), where 32-band/4-row
+    * banding misses with probability < 1e-8. */
+  /** Candidate (batch_id, history_id) pairs for the incremental near-dup:
+    * batch band keys broadcast against the signature table's band stream —
+    * the corpus side flows scan→project→posexplode→broadcast-join with no
+    * exchange (plan-guarded), and only these result-bounded pairs shuffle
+    * (the distinct). Split out (uncheckpointed) so PlanSpec can walk it. */
+  def incrementalNearDupCandidates(spark: SparkSession, table: String,
+                                   batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bSigs = batch
+      .select($"doc_id",
+        graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
+      .select($"doc_id", minhashSignature($"hs").as("sig"))
+    val bBands = lshBands(bSigs)
+      .select($"band", $"band_sig", $"doc_id".as("batch_id"))
+    val tBands = lshBands(spark.table(table).select($"doc_id", $"sig"))
+    tBands.join(broadcast(bBands), Seq("band", "band_sig"))
+      .select($"batch_id", $"doc_id".as("history_id")).distinct()
+  }
+
+  def newNearDupsAgainstSignatureTable(spark: SparkSession, table: String,
+                                       batch: DataFrame, corpus: DataFrame,
+                                       historyWindow: Long = 400L): DataFrame = {
+    import spark.implicits._
+    val cand = incrementalNearDupCandidates(spark, table, batch)
+      .localCheckpoint() // feeds the id fetch AND the verify join once
+    def strSets(df: DataFrame): DataFrame = df
+      .filter(regexp_replace($"text", "[\\x00-\\x20]", "") =!= "")
+      .select($"doc_id",
+        split(regexp_replace($"text",
+          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
+      .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("sh"))
+    val histSets = strSets(
+      corpus.join(cand.select($"history_id".as("doc_id")).distinct(), "doc_id"))
+    cand
+      .join(broadcast(strSets(batch)
+        .select($"doc_id".as("batch_id"), $"sh".as("bs"))), "batch_id")
+      .join(histSets.select($"doc_id".as("history_id"), $"sh".as("hs2")), "history_id")
+      .withColumn("inter", size(array_intersect($"bs", $"hs2")))
+      .withColumn("jaccard", round($"inter".cast("double")
+        / (size($"bs") + size($"hs2") - $"inter"), 6))
+      .filter($"jaccard" >= 0.5)
+      .filter($"history_id" < historyWindow ||
+        ($"history_id" >= NearDupIdOffset && $"history_id" < NearDupIdOffset + 20))
+      .select($"batch_id", $"history_id", $"jaccard")
+      .orderBy($"batch_id", $"history_id")
+  }
+
+  /** q150: [[newNearDupsAgainstSignatureTable]] on the deterministic batch
+    * against the staged per-corpus signature table (history = documents +
+    * the 20 planted ' xtra' near-copies, exactly the table q143 reads). */
+  def q150IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = withPlantedNear(docs, 20)
+    val table = graft.sources.Staged.minhashSignatureTable(spark, dir)
+    newNearDupsAgainstSignatureTable(spark, table,
+      incrementalNearDupBatch(docs), corpus)
+  }
+
   /** Shared windowed LSH→verify tail of q34/q143: candidate pairs from
     * banded signatures, windowed to the oracle slice, string-set verified
     * against `corpus` (bounded candidate ids only).

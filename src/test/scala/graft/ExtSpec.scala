@@ -26,6 +26,23 @@ class ExtSpec extends SparkSpec {
       "every planted exact copy must surface from banding with hamming 0")
   }
 
+  test("q150: ingest batch near-dups flag every near-copy (original + planted twin), reversed docs flag nothing") {
+    val out = Dedup.q150IncrementalNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val off = Dedup.BatchIdOffset
+    // Each of the 15 near batch docs must match its original AND the
+    // planted ' xtra' copy of that original (ids < 15 < 20 planted).
+    for (i <- 0L until 15L) {
+      assert(out.exists(p => p._1 == off + i && p._2 == i),
+        s"batch near-doc $i must match its original")
+      assert(out.exists(p => p._1 == off + i && p._2 == Dedup.NearDupIdOffset + i),
+        s"batch near-doc $i must match the planted near-copy of $i")
+    }
+    // Token-reversed docs are genuinely new: no pair may involve them.
+    assert(!out.exists(_._1 >= off + 15), "reversed batch docs must flag nothing")
+    assert(out.forall(_._3 >= 0.5))
+  }
+
   test("bloom-prefiltered batch-vs-history dedup equals the exact anti-join at any fpp") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

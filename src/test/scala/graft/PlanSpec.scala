@@ -494,6 +494,45 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("q150: incremental near-dup candidates — corpus side reaches the broadcast band join with no exchange, shingle kernel on the batch side only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf0001)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val table = graft.sources.Staged.minhashSignatureTable(spark, sf0001)
+      val cand = graft.ext.Dedup.incrementalNearDupCandidates(
+        spark, table, graft.ext.Dedup.incrementalNearDupBatch(docs))
+      val plan = cand.queryExecution.executedPlan
+      // The history side is the 100 TB side: its band stream must flow
+      // scan→project→generate into the broadcast join with NO exchange.
+      def exchangeFreeToScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: FileSourceScanExec => true
+          case _: ShuffleExchangeLike => false
+          case other => other.children.nonEmpty &&
+            other.children.exists(exchangeFreeToScan)
+        }
+      val bandJoins = plan.collect {
+        case j: BroadcastHashJoinExec if exchangeFreeToScan(j.left) => j
+      }
+      assert(bandJoins.nonEmpty,
+        "corpus band stream must reach the broadcast join with no exchange")
+      // Shingle kernels only on the batch side: the planner pushes the
+      // kernel into each of the batch union's two branches (near + reversed)
+      // — two instances, both consuming batch text. The corpus was shingled
+      // once, at signature-table write time, so any MORE instances would
+      // mean a corpus re-shingle crept in.
+      val kernels = plan.flatMap(_.expressions)
+        .flatMap(_.collect { case s: graft.functions.ShingleHashes => s })
+      assert(kernels.size == 2,
+        s"expected the two batch-branch shingle kernels only, found ${kernels.size}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
