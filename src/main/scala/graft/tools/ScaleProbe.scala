@@ -90,7 +90,9 @@ object ScaleProbe {
       // sketch-audit companions: linear-scan shapes, probed to prove the
       // audits themselves stay cheap as data grows
       "q146_hll_error_bound", "q147_percentile_rank_bound",
-      "q148_cms_guarantees")
+      "q148_cms_guarantees",
+      // ingest-shape near-dup: batch work constant, corpus side scan-bound
+      "q150_incremental_neardup")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 
