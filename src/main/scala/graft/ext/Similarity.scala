@@ -292,9 +292,11 @@ object Similarity {
     * them AN ANSWER is SQL-statable: recall@5 against the exact brute-force
     * top-5 (q37) must clear a per-method floor. Every method is seeded and
     * trains on deterministic samples, so the realized recall is a pure
-    * function of the fixture and the floors (set with wide margin under the
-    * spec-measured values: LSH ≈0.55, IVF ≈0.4+, PQ ≈1.0 on re-rank,
-    * IVFPQ ≥0.65) are stable. All-DataFrame: hits counted by a LEFT SEMI
+    * function of the fixture; the floors sit ≥ 1.75× under the realized
+    * values at both oracle SFs (graft.tools.AnnRecallProbe: LSH 0.53–0.58,
+    * IVF 0.45–0.68, PQ 0.98–1.0, IVFPQ 0.55–0.65) so a fixture
+    * regeneration has wide headroom before a floor bites — re-run the
+    * probe after any regeneration. All-DataFrame: hits counted by a LEFT SEMI
     * join of exact pairs against ANN pairs — 40-row sides, nothing
     * collected. DuckDB states the method domain, the data-derived query
     * count, and the required TRUEs. */
