@@ -143,6 +143,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Extra.q148CmsGuarantees(s, d)),
     "q149_ann_recall_floors" -> (Similarity.q149AnnRecallFloors _),
     "q150_incremental_neardup" -> (Dedup.q150IncrementalNearDup _),
+    "q151_incremental_embedding_neardup" ->
+      (Similarity.q151IncrementalEmbeddingNearDup _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -966,6 +968,27 @@ object SparkEntry {
         |  round(CAST(i AS DOUBLE) / (nb + nc - i), 6) AS jaccard
         |FROM p
         |WHERE round(CAST(i AS DOUBLE) / (nb + nc - i), 6) >= 0.5
+        |ORDER BY batch_id, history_id""".stripMargin,
+    // q151: embedding-ingest near-dup. The batch is small, so the oracle's
+    // batch x corpus quadratic cosine is cheap — NO window device needed.
+    // Completeness: qualifying pairs are the exact copies at cos 1.0 (LSH
+    // recall provably 1), and the measured dead zone is wide (no pair in
+    // [0.8, 0.99) at either oracle SF). DOUBLE[] cast pins DuckDB to the
+    // kernel's widen-then-sum, as in q39.
+    "q151_incremental_embedding_neardup" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 3000000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 3000000, [-x for x in embedding]
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+        |)
+        |SELECT b.vec_id AS batch_id, e.vec_id AS history_id,
+        |  round(list_cosine_similarity(b.embedding::DOUBLE[],
+        |    e.embedding::DOUBLE[]), 6) AS cos
+        |FROM batch b JOIN embeddings e ON true
+        |WHERE round(list_cosine_similarity(b.embedding::DOUBLE[],
+        |    e.embedding::DOUBLE[]), 6) >= 0.99
         |ORDER BY batch_id, history_id""".stripMargin,
     // q39: qualifying pairs at cos >= 0.99 are exactly the planted copies
     // at every SF (max natural cosine ~0.6, checked), so the quadratic

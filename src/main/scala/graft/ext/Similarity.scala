@@ -274,6 +274,74 @@ object Similarity {
       .orderBy($"left_id", $"right_id")
   }
 
+  /** Batch ids sit above every other planted range (same device as
+    * [[graft.ext.Dedup.BatchIdOffset]] on the documents side). */
+  val BatchVecIdOffset = 3000000L
+
+  /** The deterministic q151 ingest batch, derived from `embeddings` by id
+    * arithmetic so the DuckDB oracle can restate it: 10 exact copies of the
+    * first vectors (cos 1.0 — LSH recall provably 1, identical vectors
+    * share every bucket) and 10 genuinely-new vectors (negated embeddings:
+    * cosine −1 to their originals, and |cos| bounded by the corpus's ~0.6
+    * natural maximum against everything else — measured dead zone: no
+    * batch×corpus pair lands in [0.8, 0.99) at either oracle SF). */
+  def incrementalEmbeddingBatch(emb: DataFrame): DataFrame = {
+    val copies = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + BatchVecIdOffset).as("vec_id"), col("embedding"))
+    val fresh = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select((col("vec_id") + BatchVecIdOffset).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    copies.unionByName(fresh)
+  }
+
+  /** Materialize the corpus's exploded long-code LSH signature rows
+    * (vec_id, sig) as a catalog table — the write-once index an ingest
+    * maintains so no near-dup probe ever re-hashes the corpus. */
+  def writeEmbeddingSigTable(corpus: DataFrame, table: String): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    corpus
+      .select(col("vec_id"), explode(nearDupSignatures(col("embedding"))).as("sig"))
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Incremental embedding near-dup against history — the third leg of the
+    * no-corpus-rescan ingest family (exact: q112/q139; shingle near-dup:
+    * q150; this: vector near-dup). Batch signature rows BROADCAST onto the
+    * materialized signature table's stream (scan→broadcast-join, no
+    * corpus-side exchange — plan-guarded), candidate (batch_id, history_id)
+    * pairs are result-bounded, and the exact cosine verify fetches only
+    * candidate history vectors by id. The LSH-signature kernel runs on the
+    * batch alone; the corpus was hashed once, at table-write time. */
+  def newEmbeddingNearDupsAgainstSigTable(spark: SparkSession, table: String,
+                                          batch: DataFrame, history: DataFrame,
+                                          minCos: Double = 0.99): DataFrame = {
+    import spark.implicits._
+    val bSigs = batch.select($"vec_id".as("batch_id"),
+      explode(nearDupSignatures($"embedding")).as("sig"))
+    val cand = spark.table(table).join(broadcast(bSigs), Seq("sig"))
+      .select($"batch_id", $"vec_id".as("history_id")).distinct()
+    cand
+      .join(broadcast(batch.select($"vec_id".as("batch_id"),
+        $"embedding".as("be"))), "batch_id")
+      .join(history.select($"vec_id".as("history_id"),
+        $"embedding".as("he")), "history_id")
+      .withColumn("cos", round(VectorOps.cosine($"be", $"he"), 6))
+      .filter($"cos" >= minCos)
+      .select($"batch_id", $"history_id", $"cos")
+      .orderBy($"batch_id", $"history_id")
+  }
+
+  /** q151: [[newEmbeddingNearDupsAgainstSigTable]] on the deterministic
+    * batch against the staged per-corpus signature table (history = the
+    * plain embeddings table). */
+  def q151IncrementalEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val table = graft.sources.Staged.embeddingSigTable(spark, dir)
+    newEmbeddingNearDupsAgainstSigTable(spark, table,
+      incrementalEmbeddingBatch(emb), emb)
+  }
+
   /** Embedding near-dup detection: plant exact copies of the first 10
     * vectors, find pairs with cosine ≥ 0.99 via LSH buckets + exact verify
     * ([[nearDupCandidates]] → [[nearDupPairs]]). */

@@ -149,6 +149,16 @@ object Staged {
       name
     }
 
+  /** q151's write-once corpus index: exploded long-code LSH signature rows
+    * of the plain embeddings table. */
+  def embeddingSigTable(spark: SparkSession, dir: String): String =
+    getOrStage(s"embedding_sigs:${catalogId(spark)}:$dir") {
+      val name = s"graft_embedding_sigs_${tag(dir)}"
+      graft.ext.Similarity.writeEmbeddingSigTable(
+        Tables.embeddings(spark, dir), name)
+      name
+    }
+
   /** q108's materialized view: the (l_returnflag, l_linestatus) rollup of
     * lineitem, registered with [[graft.plans.MvRewrite]]. Returns the MV
     * name (registration is the useful effect). */
@@ -288,6 +298,7 @@ object Staged {
         timed("clusteredLi")(clusteredLineitem(spark, dir)),
         timed("historyHashes")(historyHashTable(spark, dir)),
         timed("minhashSigs")(minhashSignatureTable(spark, dir)),
+        timed("embeddingSigs")(embeddingSigTable(spark, dir)),
         timed("mv108Rollup")(mv108Rollup(spark, dir)),
         timed("eventsWatch")(eventsWatchDir(spark, dir)),
         timed("ssjoinWatch")(ssjoinWatchDir(spark, dir)))), Duration.Inf)

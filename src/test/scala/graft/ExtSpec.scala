@@ -43,6 +43,17 @@ class ExtSpec extends SparkSpec {
     assert(out.forall(_._3 >= 0.5))
   }
 
+  test("q151: embedding ingest batch — every exact copy found at cos 1.0, negated vectors flag nothing") {
+    val out = Similarity.q151IncrementalEmbeddingNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val off = Similarity.BatchVecIdOffset
+    assert(out.length == 10, s"exactly the 10 planted copies, got ${out.length}")
+    for (i <- 0L until 10L)
+      assert(out.contains((off + i, i, 1.0)),
+        s"batch copy $i must match its original at cos 1.0")
+    assert(!out.exists(_._1 >= off + 10), "negated batch vectors must flag nothing")
+  }
+
   test("bloom-prefiltered batch-vs-history dedup equals the exact anti-join at any fpp") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -533,6 +533,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("q151: embedding-ingest candidates — sig-table side reaches the broadcast join with no exchange, LSH kernel on the batch side only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ext.Similarity.q151IncrementalEmbeddingNearDup(spark, sf0001)
+      val plan = df.queryExecution.executedPlan
+      def exchangeFreeToScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: FileSourceScanExec => true
+          case _: ShuffleExchangeLike => false
+          case other => other.children.nonEmpty &&
+            other.children.exists(exchangeFreeToScan)
+        }
+      val bandJoins = plan.collect {
+        case j: BroadcastHashJoinExec if exchangeFreeToScan(j.left) => j
+      }
+      assert(bandJoins.nonEmpty,
+        "signature-table stream must reach the broadcast join with no exchange")
+      // The corpus was LSH-hashed once, at table-write time: any kernel in
+      // the QUERY must consume batch vectors (the optimizer may or may not
+      // push it into the batch union's two branches — 1 or 2 instances).
+      val kernels = plan.flatMap(_.expressions)
+        .flatMap(_.collect { case s: graft.functions.LshSigsCfg => s })
+      assert(kernels.nonEmpty && kernels.size <= 2,
+        s"expected only the batch-side LSH kernel(s), found ${kernels.size}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("salted join equals plain join and spreads a hot key across salts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
