@@ -92,7 +92,7 @@ object ScaleProbe {
       "q146_hll_error_bound", "q147_percentile_rank_bound",
       "q148_cms_guarantees",
       // ingest-shape near-dup: batch work constant, corpus side scan-bound
-      "q150_incremental_neardup")
+      "q150_incremental_neardup", "q151_incremental_embedding_neardup")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 
