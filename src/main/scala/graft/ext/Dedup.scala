@@ -109,7 +109,7 @@ object Dedup {
     * the stale directory is cleared too — at the location the CATALOG would
     * assign (honors the current database / a qualified name; a hand-built
     * <warehouse>/<table> path would miss `db.db/…`). */
-  private def dropForRewrite(spark: SparkSession, table: String): Unit = {
+  private[ext] def dropForRewrite(spark: SparkSession, table: String): Unit = {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val quoted =
       ident.database.map(d => s"`$d`.").getOrElse("") + s"`${ident.table}`"

@@ -299,7 +299,11 @@ object Similarity {
     * maintains so no near-dup probe ever re-hashes the corpus. */
   def writeEmbeddingSigTable(corpus: DataFrame, table: String): Unit = {
     val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // Dedup.dropForRewrite also clears a stale spark-warehouse LOCATION a
+    // previous session left behind (DROP alone misses it and saveAsTable
+    // then refuses with LOCATION_ALREADY_EXISTS — seen in the first bench
+    // run of q151).
+    Dedup.dropForRewrite(spark, table)
     corpus
       .select(col("vec_id"), explode(nearDupSignatures(col("embedding"))).as("sig"))
       .write.mode("overwrite").format("parquet").saveAsTable(table)
