@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Advanced, Analytics, EventAnalytics, Extra, Flagship, Parity}
-import graft.ext.{Corpus, Dedup, IvfPq, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, IvfPq, Multimodal, Pq, SemDedup, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -145,6 +145,9 @@ object SparkEntry {
     "q150_incremental_neardup" -> (Dedup.q150IncrementalNearDup _),
     "q151_incremental_embedding_neardup" ->
       (Similarity.q151IncrementalEmbeddingNearDup _),
+    "q152_semdedup" -> (SemDedup.q152SemDedup _),
+    "q153_streaming_neardup_ingest" ->
+      (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
     "q114_bm25" -> ((s, dir) => Corpus.q114Bm25(s, dir)),
     "q115_lm_quality" -> ((s, dir) => ext.Quality.q115LmQuality(s, dir)),
@@ -989,6 +992,61 @@ object SparkEntry {
         |FROM batch b JOIN embeddings e ON true
         |WHERE round(list_cosine_similarity(b.embedding::DOUBLE[],
         |    e.embedding::DOUBLE[]), 6) >= 0.99
+        |ORDER BY batch_id, history_id""".stripMargin,
+    // q152: SemDeDup. The k-means clustering is not SQL-statable, but the
+    // drop list is: an exact copy lands in its original's cell by
+    // construction (identical vector => identical argmin), ties on
+    // centrality, and loses the id tie-break — so the planted copies are
+    // exactly the dropped set, each kept by its original at cos 1.0. The
+    // natural corpus has no cosine >= 0.99 pair (q39's dead zone), and
+    // within-cluster comparison can only SHRINK the pair set vs q39's
+    // corpus-wide scan — no extra rows can appear.
+    "q152_semdedup" ->
+      """SELECT vec_id + 2000000 AS dropped_id, vec_id AS kept_id,
+        |  1.0 AS cos
+        |FROM embeddings WHERE vec_id < 25
+        |ORDER BY dropped_id""".stripMargin,
+    // q153: the q150 ingest replayed through a file stream + foreachBatch.
+    // Each batch row is compared against history only, so the union of
+    // per-micro-batch results equals the one-shot batch result — the
+    // oracle is q150's, verbatim.
+    "q153_streaming_neardup_ingest" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), batch AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+        |  FROM documents WHERE doc_id < 15
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, reverse(text)
+        |  FROM documents WHERE doc_id >= 15 AND doc_id < 25
+        |), tkc AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM corpus
+        |), tkb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM batch
+        |), sc AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tkc WHERE len(toks) > 0
+        |), sb AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tkb WHERE len(toks) > 0
+        |), p AS (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS history_id,
+        |    len(list_intersect(b.sh, c.sh)) AS i, len(b.sh) AS nb, len(c.sh) AS nc
+        |  FROM sb b JOIN sc c ON true
+        |  WHERE len(c.sh) > 0 AND len(b.sh) > 0
+        |)
+        |SELECT batch_id, history_id,
+        |  round(CAST(i AS DOUBLE) / (nb + nc - i), 6) AS jaccard
+        |FROM p
+        |WHERE round(CAST(i AS DOUBLE) / (nb + nc - i), 6) >= 0.5
         |ORDER BY batch_id, history_id""".stripMargin,
     // q39: qualifying pairs at cos >= 0.99 are exactly the planted copies
     // at every SF (max natural cosine ~0.6, checked), so the quadratic
