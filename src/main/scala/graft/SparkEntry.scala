@@ -146,6 +146,10 @@ object SparkEntry {
     "q151_incremental_embedding_neardup" ->
       (Similarity.q151IncrementalEmbeddingNearDup _),
     "q152_semdedup" -> (SemDedup.q152SemDedup _),
+    "q154_temperature_mixing" ->
+      ((s: SparkSession, d: String) => Corpus.q154TemperatureMixing(s, d)),
+    "q155_corpus_shuffle" ->
+      ((s: SparkSession, d: String) => Corpus.q155CorpusShuffle(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1001,6 +1005,43 @@ object SparkEntry {
     // natural corpus has no cosine >= 0.99 pair (q39's dead zone), and
     // within-cluster comparison can only SHRINK the pair set vs q39's
     // corpus-wide scan — no extra rows can appear.
+    // q154: α=0.5 temperature mixing. sqrt is correctly rounded IEEE on
+    // both engines (general pow is not); scaled shares pin to 1e-6 fixed
+    // point and the budget split is exact integer division (div / //).
+    "q154_temperature_mixing" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |  FROM documents GROUP BY lang
+        |), s AS (
+        |  SELECT lang, n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(round(sqrt(CAST(n_chars AS DOUBLE)
+        |      / CAST(sum(n_chars) OVER () AS DOUBLE)) * 1000000) AS BIGINT) AS s_fp
+        |  FROM per
+        |), t AS (
+        |  SELECT *, sum(s_fp) OVER () AS s_tot,
+        |    (s_fp * 100000) // sum(s_fp) OVER () AS target_docs
+        |  FROM s
+        |)
+        |SELECT lang, n_docs, n_chars,
+        |  round(CAST(s_fp AS DOUBLE) / s_tot, 6) AS weight,
+        |  CAST(target_docs AS BIGINT) AS target_docs,
+        |  round(CAST(target_docs AS DOUBLE) / n_docs, 6) AS sample_rate
+        |FROM t ORDER BY lang""".stripMargin,
+    // q155: deterministic shuffle/shard export — the q116/q93 md5-u32
+    // device; shard = u32 mod 8, position = per-shard hash order.
+    "q155_corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) AS okey
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, okey, CAST(okey % 8 AS INTEGER) AS shard FROM k
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+        |    AS INTEGER) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "q152_semdedup" ->
       """SELECT vec_id + 2000000 AS dropped_id, vec_id AS kept_id,
         |  1.0 AS cos

@@ -211,6 +211,74 @@ object Corpus {
       .limit(topK)
   }
 
+  /** q154: temperature-scaled mixture weights over languages — the
+    * multilingual-pretraining sampler (mC4/XLM-R style): natural share
+    * pᵢ = charsᵢ/Σchars is flattened to pᵢ^α (α = 0.5 here) and
+    * renormalized, upweighting low-resource languages; each language gets
+    * a target document count from a fixed budget and an implied sampling
+    * rate (> 1 ⇒ upsampling epochs).
+    *
+    * Cross-engine discipline: α = 0.5 so the flattening is `sqrt` —
+    * correctly rounded in IEEE 754 on both engines (a general `pow` is
+    * not) — then the scaled shares are pinned to 1e-6 fixed point as longs
+    * and ALL downstream arithmetic (the normalizer Σsᵢ, the budget split
+    * floor(sᵢ·B/S)) is exact integer math, so Spark and DuckDB cannot
+    * diverge. Scale shape: one groupBy on a bounded key (languages), then
+    * window math over the |langs|-row aggregate — driver-free, and the
+    * expensive side (the corpus scan) aggregates partially map-side. */
+  def q154TemperatureMixing(spark: SparkSession, dir: String,
+                            budgetDocs: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+    // The frame below is |langs| rows — the unpartitioned windows are
+    // bounded by the language count, never by the corpus.
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perLang
+      .withColumn("s_fp",
+        round(sqrt($"n_chars" / sum($"n_chars").over(all)) * lit(1000000L))
+          .cast("long"))
+      .withColumn("s_tot", sum($"s_fp").over(all))
+      // `div` (not `/`): BOTH engines do exact integer division of the
+      // fixed-point longs (DuckDB `//`), so the budget split cannot drift.
+      .withColumn("target_docs", expr(s"(s_fp * ${budgetDocs}L) div s_tot"))
+      .select($"lang", $"n_docs", $"n_chars",
+        round($"s_fp".cast("double") / $"s_tot", 6).as("weight"),
+        $"target_docs",
+        round($"target_docs" / $"n_docs", 6).as("sample_rate"))
+      .orderBy($"lang")
+  }
+
+  /** q155: deterministic corpus shuffle + shard assignment — the training-
+    * order export step after splitting (q93) and packing (q80): every
+    * document gets a pseudorandom but reproducible (shard, position) from a
+    * pure function of its id, so any engine (and any re-run) derives the
+    * same training order without ever materializing a global sort.
+    *
+    * Scale shape: shard = hash bucket ⇒ ONE hash shuffle on the shard key;
+    * position = row_number within shard ordered by the same hash ⇒ a
+    * per-shard local sort. Shard count scales with the corpus
+    * (shards ∝ N / shardCapacity) so the per-shard sort is bounded — the
+    * global order is the concatenation of shard files and never exists on
+    * one node. The md5-derived u32 is the q116/q93 device: engine-neutral,
+    * append-stable (new docs never reorder existing shards' relative
+    * order ... they interleave by hash, which is exactly what a streaming
+    * re-shuffle of a grown corpus should do). */
+  def q155CorpusShuffle(spark: SparkSession, dir: String,
+                        nShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val u32 = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy($"shard").orderBy($"okey".asc, $"doc_id".asc)
+    Tables.documents(spark, dir)
+      .select($"doc_id", u32.as("okey"))
+      .withColumn("shard", pmod($"okey", lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   /** Global top-n of an (id, score) frame as (id, rank) rows, rank 1-based
     * under (score desc, id asc) — the bounded-buffer replacement for
     * `row_number().over(Window.orderBy(...))` + `filter(rank <= n)`:

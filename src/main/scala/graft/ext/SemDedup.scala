@@ -46,9 +46,19 @@ import graft.sources.Tables
   */
 object SemDedup {
 
-  /** Cluster count at test scale — at production scale grow as
-    * N / targetCellSize (see scaladoc). */
+  /** Cluster count floor at test scale. */
   val NCells = 16
+
+  /** Target vectors per cell — the knob the scale rule divides by. */
+  val TargetCell = 256
+
+  /** The scale rule made executable: nCells = max(16, N/256), so per-cell
+    * pair work stays ~TargetCell²/2 and total work linear in N. (At true
+    * 100 TB scale the k-means itself would train hierarchically /
+    * mini-batch rather than from one 4096-row sample; the assignment and
+    * pairing SHAPE — one codegen'd argmin scan, one cell-key equi-join —
+    * is what carries over unchanged.) */
+  def cellsFor(n: Long): Int = math.max(NCells, (n / TargetCell).toInt)
 
   /** Semantic near-dup drops over a (`vec_id`, `embedding`) corpus.
     * Returns (dropped_id, kept_id, cos) ordered by dropped_id. */
@@ -101,6 +111,9 @@ object SemDedup {
     val base = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val corpus = base.unionByName(base.filter($"vec_id" < 25)
       .select(($"vec_id" + CopyIdOffset).as("vec_id"), $"embedding"))
-    semDedup(corpus)
+    // The cluster count follows the corpus (scale rule above); the planted
+    // drop-list oracle is nCells-independent — identical vectors share a
+    // cell under ANY centroid set.
+    semDedup(corpus, nCells = cellsFor(corpus.count()))
   }
 }

@@ -92,7 +92,12 @@ object ScaleProbe {
       "q146_hll_error_bound", "q147_percentile_rank_bound",
       "q148_cms_guarantees",
       // ingest-shape near-dup: batch work constant, corpus side scan-bound
-      "q150_incremental_neardup", "q151_incremental_embedding_neardup")
+      "q150_incremental_neardup", "q151_incremental_embedding_neardup",
+      // round-11 additions: SemDeDup (nCells scale rule holds per-cell pair
+      // work constant), the streaming ingest twin of q150, and the two
+      // corpus-export ops (bounded-key agg; shard-window shuffle)
+      "q152_semdedup", "q153_streaming_neardup_ingest",
+      "q154_temperature_mixing", "q155_corpus_shuffle")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

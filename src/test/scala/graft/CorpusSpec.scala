@@ -80,4 +80,42 @@ class CorpusSpec extends SparkSpec {
     assert(byDoc(1L) > byDoc(2L), "higher tf at equal length wins")
     assert(byDoc(1L) > byDoc(3L), "equal tf in a shorter doc wins")
   }
+
+  test("q154: weights renormalize to 1, flattening upweights the low-resource tail") {
+    val rows = Corpus.q154TemperatureMixing(spark, sf0001).collect()
+    val weightSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(weightSum - 1.0) < 1e-4, s"weights must sum to ~1, got $weightSum")
+    val budget = rows.map(_.getLong(4)).sum
+    assert(budget <= 100000L && budget > 99000L,
+      s"integer budget split must not overshoot and floors lose <1 doc/lang, got $budget")
+    // α = 0.5 flattening: every language's weight sits between its natural
+    // char share and the uniform share (the defining property of 0<α<1).
+    val totChars = rows.map(_.getLong(2)).sum.toDouble
+    val uniform = 1.0 / rows.length
+    rows.foreach { r =>
+      val natural = r.getLong(2) / totChars
+      val w = r.getDouble(3)
+      val lo = math.min(natural, uniform) - 1e-6
+      val hi = math.max(natural, uniform) + 1e-6
+      assert(w >= lo && w <= hi,
+        s"lang ${r.getString(0)}: weight $w outside [$lo, $hi] (natural $natural)")
+    }
+  }
+
+  test("q155: a permutation into shards — every doc once, positions contiguous per shard") {
+    val rows = Corpus.q155CorpusShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong == nDocs, "every document appears exactly once")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      val ps = members.map(_._3).sorted
+      assert(ps.toSeq == (1 to members.length).toSeq,
+        s"shard $shard positions must be contiguous 1..${members.length}")
+    }
+    // Deterministic: a second run reproduces the identical order.
+    val again = Corpus.q155CorpusShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -20,15 +20,20 @@ class EventOpsSpec extends SparkSpec {
         graft.streaming.EventsStream.rawSchema)
       .coalesce(1)
       .write.mode("overwrite").parquet(staging.toString)
-    val part = java.nio.file.Files.list(staging).iterator()
+    // Files.list holds a directory handle until closed (same discipline
+    // as Staged.eventsWatchDir).
+    val listing = java.nio.file.Files.list(staging)
     var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        java.nio.file.Files.move(p, java.nio.file.Paths.get(dir, "events.parquet"))
-        moved = true
+    try {
+      val part = listing.iterator()
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p, java.nio.file.Paths.get(dir, "events.parquet"))
+          moved = true
+        }
       }
-    }
+    } finally listing.close()
     require(moved, "no part file produced")
     dir
   }

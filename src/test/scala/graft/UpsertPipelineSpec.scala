@@ -89,12 +89,15 @@ class UpsertPipelineSpec extends SparkSpec {
           new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
           EventsStream.rawSchema)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).iterator()
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet"))
-          Files.move(p, landing.resolve(name))
-      }
+      val listing = Files.list(staging)
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            Files.move(p, landing.resolve(name))
+        }
+      } finally listing.close()
     }
     val batch1 = Seq(
       Row(1L, t0, 1L, "click", 1.5, "{}"),
