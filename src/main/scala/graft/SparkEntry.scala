@@ -150,6 +150,11 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Corpus.q154TemperatureMixing(s, d)),
     "q155_corpus_shuffle" ->
       ((s: SparkSession, d: String) => Corpus.q155CorpusShuffle(s, d)),
+    "q156_boilerplate_strip" ->
+      ((s: SparkSession, d: String) => Corpus.q156BoilerplateStrip(s, d)),
+    "q157_streaming_dedup" -> (streaming.EventsStream.q157StreamingDedup _),
+    "q158_filter_funnel" ->
+      ((s: SparkSession, d: String) => ext.Quality.q158FilterFunnel(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1042,6 +1047,65 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
         |    AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // q156: rebuild the identical planted-header corpus (pure function of
+    // doc_id/source), rediscover headers by (source, 6-token-prefix) df,
+    // and report the strip per source — DuckDB list ops mirror the
+    // slice/array_join Spark pipeline one-to-one.
+    "q156_boilerplate_strip" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'hdr ' || source || ' nav home login search ' || text
+        |      ELSE text END AS text
+        |  FROM documents
+        |), pref AS (
+        |  SELECT doc_id, source, t,
+        |    md5(array_to_string(t[1:6], ' ')) AS p
+        |  FROM (SELECT doc_id, source,
+        |          regexp_split_to_array(text, '\s+') AS t FROM docs)
+        |), hdrs AS (
+        |  SELECT source, p FROM pref GROUP BY source, p HAVING count(*) >= 5
+        |), marked AS (
+        |  SELECT pref.source, len(pref.t) AS n_tok,
+        |    (hdrs.p IS NOT NULL) AS is_hdr
+        |  FROM pref LEFT JOIN hdrs
+        |    ON pref.source = hdrs.source AND pref.p = hdrs.p
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  count(*) FILTER (is_hdr) AS n_stripped,
+        |  CAST(sum(n_tok) AS BIGINT) AS tok_before,
+        |  CAST(sum(n_tok - CASE WHEN is_hdr THEN 6 ELSE 0 END) AS BIGINT)
+        |    AS tok_after
+        |FROM marked GROUP BY source ORDER BY source""".stripMargin,
+    // q157: the deduplicated stream IS the events table (fixture ids are
+    // unique; the staged duplicates are re-deliveries of existing rows), so
+    // the oracle is the plain per-type rollup.
+    "q157_streaming_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q158_filter_funnel" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tok,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop_n
+        |  FROM documents
+        |), v AS (
+        |  SELECT lang, n_tok,
+        |    CASE WHEN n_tok < 15 THEN 'too_short'
+        |      WHEN n_tok > 5000 THEN 'too_long'
+        |      WHEN nsp * 1000 // n_tok < 4000
+        |        OR nsp * 1000 // n_tok > 9000 THEN 'weird_tokens'
+        |      WHEN stop_n * 100 < n_tok * 2 THEN 'low_stopword'
+        |      ELSE 'pass' END AS verdict
+        |  FROM s
+        |)
+        |SELECT lang, verdict, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM v GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,
     "q152_semdedup" ->
       """SELECT vec_id + 2000000 AS dropped_id, vec_id AS kept_id,
         |  1.0 AS cos

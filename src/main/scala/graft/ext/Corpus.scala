@@ -301,4 +301,57 @@ object Corpus {
       .flatMap(_.zipWithIndex.map { case (s, i) => (s.id, i + 1) })
       .toDF("id", "rank")
   }
+
+  /** Planted-boilerplate fixture for q156: every third document gets a
+    * deterministic per-source 6-token navigation header prepended — the
+    * scraped-page shape (same site ⇒ same chrome) the boilerplate-strip
+    * step exists for. Pure function of (doc_id, source): reproducible in
+    * any engine, which is what lets the DuckDB oracle rebuild the identical
+    * corpus. */
+  def withPlantedHeaders(docs: DataFrame): DataFrame = {
+    val planted = pmod(col("doc_id"), lit(3L)) === 0
+    docs.withColumn("text",
+      when(planted,
+        concat(lit("hdr "), col("source"), lit(" nav home login search "),
+          col("text")))
+        .otherwise(col("text")))
+  }
+
+  /** q156: boilerplate-header detection + strip report — the CCNet/
+    * RefinedWeb-style step that removes per-site chrome (nav bars, cookie
+    * banners) before dedup and tokenization. A header is DISCOVERED, not
+    * configured: a leading 6-token prefix shared by ≥ `minDf` documents of
+    * the same source cannot be organic text and is classed as boilerplate;
+    * flagged documents are stripped of exactly that prefix. Reported per
+    * source: document counts, stripped counts, and token mass before/after.
+    *
+    * Scale shape: the prefix fingerprint is scan-local (md5 of the first 6
+    * tokens — never the whole text); detection is one hash aggregate on
+    * (source, prefix); the detected-header set is bounded by
+    * |sources| × |distinct headers| (site chrome, not corpus size) so the
+    * flag-back join BROADCASTS it; the report is one more hash aggregate on
+    * the 20-value source key. Two small shuffles, no window, nothing
+    * driver-side. */
+  def q156BoilerplateStrip(spark: SparkSession, dir: String,
+                           width: Int = 6, minDf: Long = 5L): DataFrame = {
+    import spark.implicits._
+    val docs = withPlantedHeaders(
+      Tables.documents(spark, dir).select($"doc_id", $"source", $"text"))
+    val pref = docs
+      .select($"doc_id", $"source", split($"text", "\\s+").as("t"))
+      .withColumn("p", md5(array_join(slice($"t", 1, width), " ")))
+    val headers = pref.groupBy($"source", $"p")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" >= minDf)
+      .select($"source", $"p", lit(1).as("is_hdr"))
+    pref
+      .join(broadcast(headers), Seq("source", "p"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"is_hdr").as("n_stripped"),
+        sum(size($"t")).as("tok_before"),
+        sum(size($"t") - when($"is_hdr".isNotNull, width).otherwise(0))
+          .as("tok_after"))
+      .orderBy($"source")
+  }
 }

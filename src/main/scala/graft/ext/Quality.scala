@@ -129,4 +129,54 @@ object Quality {
       .orderBy($"entropy".asc, $"doc_id")
       .limit(topK)
   }
+
+  /** q158: composed quality-filter funnel — the FineWeb/Gopher-style rule
+    * cascade every pretraining pipeline runs as ONE pass, with each document
+    * attributed to its FIRST failing rule (so the per-rule counts read as a
+    * funnel: what each rule would remove from what survived the rules above
+    * it). Rules, in order:
+    *   1. too_short    — fewer than `minTok` whitespace tokens;
+    *   2. too_long     — more than `maxTok` tokens (truncation candidates);
+    *   3. weird_tokens — mean token length outside [4.0, 9.0] chars
+    *                     (gibberish / base64 / char-soup detector);
+    *   4. low_stopword — stopword tokens < 2% of all tokens (the classic
+    *                     "not natural prose" signal);
+    *   5. pass.
+    * Reported per (lang, verdict) with doc and token mass, so the cost of
+    * each rule per language is visible before anyone commits to it.
+    *
+    * Every signal is SCAN-LOCAL (token count, non-space char count, a
+    * stopword scan over the token array — no explode, no join) and the
+    * only shuffle is the final hash aggregate on the tiny
+    * (lang, verdict) key: the one-pass shape that turns a 100 TB corpus
+    * audit into a single bounded-output scan. Mean token length is compared
+    * in 1e-3 fixed point (exact integer division in both engines), the
+    * house cross-engine discipline. */
+  def q158FilterFunnel(spark: SparkSession, dir: String,
+                       minTok: Int = 15, maxTok: Int = 5000): DataFrame =
+    filterFunnel(Tables.documents(spark, dir), minTok, maxTok)
+
+  /** The q158 rule cascade over any (lang, text) frame — split out so specs
+    * can feed hand-built documents with a known verdict per rule. */
+  def filterFunnel(docs: DataFrame,
+                   minTok: Int = 15, maxTok: Int = 5000): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in")
+    val graded = docs
+      .select(col("lang"), split(col("text"), "\\s+").as("t"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("nsp"))
+      .withColumn("n_tok", size(col("t")))
+      .withColumn("stop_n",
+        size(filter(col("t"), x => x.isInCollection(stopwords))))
+      // exact integer fixed-point mean token length (×1000)
+      .withColumn("mfp", expr("nsp * 1000L div n_tok"))
+      .withColumn("verdict",
+        when(col("n_tok") < minTok, "too_short")
+          .when(col("n_tok") > maxTok, "too_long")
+          .when(col("mfp") < 4000L || col("mfp") > 9000L, "weird_tokens")
+          .when(col("stop_n") * 100 < col("n_tok") * 2, "low_stopword")
+          .otherwise("pass"))
+    graded.groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("lang"), col("verdict"))
+  }
 }

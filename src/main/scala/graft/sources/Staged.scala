@@ -308,6 +308,59 @@ object Staged {
       watch.toString
     }
 
+  /** q157's landing dir: events staged as two chronological slices where
+    * the SECOND slice re-delivers every 7th event of the first — the
+    * at-least-once delivery duplication (source retries, upstream replays)
+    * that streaming exact-dedup exists to absorb. Mtimes strictly increase
+    * so `maxFilesPerTrigger=1` replays original-then-redelivery in order.
+    * Read-only, shareable. */
+  def dedupWatchDir(spark: SparkSession, dir: String): String =
+    getOrStage(s"dedup_watch:$dir") {
+      import spark.implicits._
+      val watch = TempDirs.create("graft_dedup_watch_")
+      val staging = TempDirs.create("graft_dedup_stage_")
+      val ev = Tables.readEventsRaw(spark, s"$dir/events.parquet")
+      val cut = {
+        val r = ev.agg(min($"ts"), max($"ts")).head
+        r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+      }
+      // One pass: rows route to their slice; first-half rows with
+      // event_id ≡ 0 (mod 7) ALSO land in slice 1 as duplicates (explode of
+      // a per-row slice list, no second scan of events).
+      ev.withColumn("slice", explode(
+          when($"ts" <= cut && pmod($"event_id", lit(7L)) === 0,
+            array(lit(0), lit(1)))
+            .when($"ts" <= cut, array(lit(0)))
+            .otherwise(array(lit(1)))))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
+      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
+      for (s <- 0 to 1) {
+        val sliceDir = staging.resolve(s"slice=$s")
+        // Files.list holds a directory handle until closed (same discipline
+        // as ssjoinWatchDir).
+        val listing = java.nio.file.Files.list(sliceDir)
+        val moved =
+          try {
+            val part = listing.iterator()
+            var done = false
+            while (part.hasNext && !done) {
+              val p = part.next()
+              if (p.getFileName.toString.endsWith(".parquet")) {
+                val dest = watch.resolve(s"delivery_$s.parquet")
+                java.nio.file.Files.move(p, dest)
+                java.nio.file.Files.setLastModifiedTime(dest,
+                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
+                done = true
+              }
+            }
+            done
+          } finally listing.close()
+        require(moved, s"no part file for dedup slice $s")
+      }
+      watch.toString
+    }
+
   /** Build every staged layout for `dir`. Bench calls this once, untimed,
     * before the timed loop — the production analog of "the indexes already
     * exist when the queries run". Queries never require it: each staging is
@@ -345,6 +398,7 @@ object Staged {
         timed("mv108Rollup")(mv108Rollup(spark, dir)),
         timed("eventsWatch")(eventsWatchDir(spark, dir)),
         timed("ssjoinWatch")(ssjoinWatchDir(spark, dir)),
+        timed("dedupWatch")(dedupWatchDir(spark, dir)),
         timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)))), Duration.Inf)
     } finally pool.shutdown()
   }

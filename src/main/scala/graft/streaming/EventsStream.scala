@@ -187,4 +187,52 @@ object EventsStream {
         coalesce(unix_micros($"p_ts"), lit(-1L)).as("purchase_us"))
       .orderBy($"user_id", $"click_us", $"purchase_us")
   }
+
+  /** q157: streaming exact deduplication under at-least-once delivery —
+    * `dropDuplicatesWithinWatermark` on the event id over a landing dir
+    * whose second delivery RE-SHIPS every 7th first-half event
+    * ([[graft.sources.Staged.dedupWatchDir]]). The dedup state retains one
+    * tiny (id, first-seen-ts) entry per event inside the watermark horizon
+    * and evicts everything older — the bounded-state shape that makes
+    * exactly-once semantics from an at-least-once source affordable on a
+    * 100 TB/day feed, where `dropDuplicates` (unbounded state) would OOM
+    * and a batch `distinct` would re-shuffle the full history every run.
+    *
+    * Here the delay (45 days) exceeds the fixture's 30-day span, so the
+    * run-once result is EXACTLY the batch distinct and the shared
+    * per-type rollup oracle holds; a production feed sets the delay to its
+    * real re-delivery horizon (hours), trading state for how late a
+    * duplicate can arrive and still be caught. Output: per-type counts over
+    * the deduplicated stream — identical to the same rollup over the
+    * duplicate-free events table. */
+  def q157StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = graft.sources.Staged.dedupWatchDir(spark, dir)
+    val outDir = graft.sources.TempDirs.create("graft_dedup_out_").toString
+    val deduped = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "45 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = startPinned(spark) {
+      deduped.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation",
+          graft.sources.TempDirs.create("graft_dedup_ck_").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
 }

@@ -97,7 +97,11 @@ object ScaleProbe {
       // work constant), the streaming ingest twin of q150, and the two
       // corpus-export ops (bounded-key agg; shard-window shuffle)
       "q152_semdedup", "q153_streaming_neardup_ingest",
-      "q154_temperature_mixing", "q155_corpus_shuffle")
+      "q154_temperature_mixing", "q155_corpus_shuffle",
+      // round-10 additions: header strip (scan + broadcast flag-back),
+      // streaming dedup (state ∝ in-horizon ids, micro-batch overhead
+      // fixed), filter funnel (pure scan + bounded-key agg)
+      "q156_boilerplate_strip", "q157_streaming_dedup", "q158_filter_funnel")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -118,4 +118,25 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("q156: every planted header is discovered and stripped; organic text untouched") {
+    import spark.implicits._
+    val planted = graft.sources.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.pmod($"doc_id",
+        org.apache.spark.sql.functions.lit(3L)) === 0)
+      .groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val report = Corpus.q156BoilerplateStrip(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(report.keySet == planted.keySet, "every source reports")
+    report.foreach { case (src, (nDocs, nStripped, before, after)) =>
+      assert(nStripped == planted(src),
+        s"$src: stripped $nStripped docs, planted ${planted(src)}")
+      assert(before - after == 6 * nStripped,
+        s"$src: exactly the 6-token header must be removed per flagged doc")
+      assert(nDocs >= nStripped)
+    }
+  }
 }

@@ -578,4 +578,13 @@ class PlanSpec extends SparkSpec {
       .filter($"k" === 1L).select("s").distinct().count()
     assert(nSalts == 8, s"hot key only spread over $nSalts salts")
   }
+
+  test("q156: the detected-header flag-back join broadcasts; no corpus-sized sort-merge") {
+    // The header set is |sources| × |site chrome| — metadata, not corpus —
+    // so flagging documents must never shuffle the document side.
+    val plan = planOf(graft.ext.Corpus.q156BoilerplateStrip(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), "header flag-back not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "document side must not shuffle for the header join")
+  }
 }

@@ -326,4 +326,31 @@ class QualitySpec extends SparkSpec {
         s"$t: estimate $est vs exact ${exact(t)} exceeds 2%")
     }
   }
+
+  test("q158: first-failing-rule semantics on hand-built docs; the funnel partitions the corpus") {
+    import spark.implicits._
+    // One doc per rule, each FAILING its own rule while also matching a
+    // later one — proving attribution goes to the FIRST failing rule.
+    val handmade = Seq(
+      // 3 tokens AND no stopwords: too_short must win over low_stopword.
+      ("xx", "zz zz zz"),
+      // 16 one-char tokens (mfp 1000) AND no stopwords: weird_tokens wins.
+      ("xx", Seq.fill(16)("z").mkString(" ")),
+      // 16 normal tokens, no stopwords: only low_stopword fires.
+      ("xx", Seq.fill(16)("zebra").mkString(" ")),
+      // 16 normal tokens, 1 stopword (6.25% ≥ 2%): passes everything.
+      ("xx", ("the" +: Seq.fill(15)("zebra")).mkString(" "))
+    ).toDF("lang", "text")
+    val verdicts = graft.ext.Quality.filterFunnel(handmade).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(verdicts == Map(
+      "too_short" -> 1L, "weird_tokens" -> 1L, "low_stopword" -> 1L,
+      "pass" -> 1L), s"got $verdicts")
+    // Funnel property on the real corpus: verdicts partition the documents.
+    val funnel = graft.ext.Quality.q158FilterFunnel(spark, sf0001).collect()
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(funnel.map(_.getLong(2)).sum == total, "every doc exactly one verdict")
+    val allowed = Set("too_short", "too_long", "weird_tokens", "low_stopword", "pass")
+    assert(funnel.map(_.getString(1)).forall(allowed))
+  }
 }

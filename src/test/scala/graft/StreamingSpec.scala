@@ -258,4 +258,27 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, 2L, 3.0), (1L, 3L, 7.0), (2L, 1L, 9.0)))
     } finally saved.fold(conf.unset(key))(conf.set(key, _))
   }
+
+  test("q157: streaming dedup absorbs re-delivered duplicates — equals the unique-events rollup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The staged landing dir must REALLY contain duplicates, or the dedup
+    // proves nothing: delivered rows > distinct event ids.
+    val watch = graft.sources.Staged.dedupWatchDir(spark, sf0001)
+    val delivered = spark.read
+      .schema(graft.streaming.EventsStream.rawSchema).parquet(watch)
+    val nDelivered = delivered.count()
+    val nUnique = delivered.select($"event_id").distinct().count()
+    assert(nDelivered > nUnique,
+      s"landing dir must re-deliver duplicates ($nDelivered vs $nUnique)")
+    val streamed = graft.streaming.EventsStream
+      .q157StreamingDedup(spark, sf0001).collect().toSeq
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type").collect().toSeq
+    assert(streamed == batch)
+  }
 }
