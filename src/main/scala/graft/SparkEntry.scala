@@ -155,6 +155,8 @@ object SparkEntry {
     "q157_streaming_dedup" -> (streaming.EventsStream.q157StreamingDedup _),
     "q158_filter_funnel" ->
       ((s: SparkSession, d: String) => ext.Quality.q158FilterFunnel(s, d)),
+    "q159_schema_evolution" -> (Extra.q159SchemaEvolution _),
+    "q160_lateness_audit" -> (EventAnalytics.q160LatenessAudit _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1085,6 +1087,43 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q159: the staged deliveries are pure functions of the orders table
+    // (parity split; channel from custkey parity), so the oracle rebuilds
+    // the merged read's semantics from `orders` directly. Each channel
+    // group holds exactly one orderkey parity = one delivery.
+    "q159_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1
+        |    THEN (CASE WHEN o_custkey % 2 = 0 THEN 'web' ELSE 'store' END)
+        |    ELSE 'unknown' END AS channel,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_orderkey % 2) AS n_deliveries,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY channel ORDER BY channel""".stripMargin,
+    "q160_lateness_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + CAST(
+        |      CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |        AS UBIGINT) % 3600000000 AS BIGINT) AS arrival_us
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type, ts_us,
+        |    max(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY arrival_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw_us
+        |  FROM e
+        |), l AS (
+        |  SELECT event_type, CASE WHEN hw_us IS NULL OR hw_us <= ts_us
+        |    THEN 0 ELSE hw_us - ts_us END AS late_us
+        |  FROM h
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 15*60*1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_15m,
+        |  CAST(sum(CASE WHEN late_us > 30*60*1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_30m,
+        |  CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q158_filter_funnel" ->
       """WITH s AS (
         |  SELECT lang,

@@ -288,4 +288,45 @@ object EventAnalytics {
         .over(Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)))
       .orderBy($"day")
   }
+
+  /** q160: out-of-order delivery audit — the measurement that SIZES a
+    * watermark delay before anyone deploys one. Arrival is simulated with a
+    * bounded deterministic transport delay (md5-derived, < 1 hour, a pure
+    * function of event_id — reproducible in any engine); within each
+    * user's shard the event-time high-watermark is the running max over
+    * earlier ARRIVALS, and an event's lateness is how far it trails that
+    * mark. Per type: how many events a 15/30-minute watermark would drop,
+    * and the worst lateness — read the delay off the report.
+    *
+    * Per-USER-shard watermarks are deliberate, mirroring per-partition
+    * watermarks on a user-keyed source (the global watermark is their min):
+    * the running-max window partitions on user_id, so state is one max per
+    * user and nothing global ever serializes — the shape that still plans
+    * at 100 TB where a single global arrival order cannot exist. All
+    * arithmetic is integer µs; lateness of each user's first arrival is
+    * defined 0 (nothing preceded it). */
+  def q160LatenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val jitterUs = conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") % lit(3600000000L)
+    val w = Window.partitionBy($"user_id").orderBy($"arrival_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("arrival_us", $"ts_us" + jitterUs)
+      .withColumn("hw_us", max($"ts_us").over(w))
+      .withColumn("late_us",
+        when($"hw_us".isNull || $"hw_us" <= $"ts_us", 0L)
+          .otherwise($"hw_us" - $"ts_us"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 15L * 60 * 1000000, 1L).otherwise(0L))
+          .as("n_late_15m"),
+        sum(when($"late_us" > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .as("n_late_30m"),
+        expr("max(late_us) div 1000000").as("max_late_s"))
+      .orderBy($"event_type")
+  }
 }

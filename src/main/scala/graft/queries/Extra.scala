@@ -857,4 +857,30 @@ object Extra {
         hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est_users"))
       .orderBy($"event_type")
   }
+
+  /** q159: schema-evolution merge read — one dataset whose deliveries span
+    * a column-add migration ([[graft.sources.Staged.evolvedOrdersDir]]:
+    * delivery 0 predates `o_channel`, delivery 1 carries it), scanned as a
+    * SINGLE table via `mergeSchema` so pre-migration rows surface the new
+    * column as null. The per-channel revenue rollup proves old and new
+    * generations aggregate together without a backfill rewrite — the
+    * read-side answer to schema drift every long-lived lake needs.
+    *
+    * At 100 TB, `mergeSchema` footer-merging across every file is the
+    * expensive generality; a production table pins the CURRENT schema
+    * explicitly (`spark.read.schema(latest)`) and gets the same
+    * null-fill-per-old-file semantics from the parquet reader with zero
+    * extra planning cost — the merge here also folds in the `delivery=N`
+    * partition column, which prunes generation-scoped reads for free. */
+  def q159SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.sources.Staged.evolvedOrdersDir(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .withColumn("channel", coalesce($"o_channel", lit("unknown")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct($"delivery").as("n_deliveries"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"channel")
+  }
 }

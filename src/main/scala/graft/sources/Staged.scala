@@ -308,6 +308,29 @@ object Staged {
       watch.toString
     }
 
+  /** q159's layout: the orders table staged as two schema-GENERATIONS of
+    * one dataset — delivery 0 (even order keys) in the original four-column
+    * schema, delivery 1 (odd keys) after a migration ADDED `o_channel` —
+    * the drift every long-lived ingest path accumulates. Directory names
+    * are `delivery=N`, so the reader also gets the delivery id back as a
+    * partition column. Returns the dataset root. */
+  def evolvedOrdersDir(spark: SparkSession, dir: String): String =
+    getOrStage(s"evolved_orders:$dir") {
+      import spark.implicits._
+      val root = TempDirs.create("graft_evolved_")
+      val o = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      o.filter(pmod($"o_orderkey", lit(2L)) === 0)
+        .write.mode("overwrite")
+        .parquet(root.resolve("delivery=0").toString)
+      o.filter(pmod($"o_orderkey", lit(2L)) === 1)
+        .withColumn("o_channel",
+          when(pmod($"o_custkey", lit(2L)) === 0, "web").otherwise("store"))
+        .write.mode("overwrite")
+        .parquet(root.resolve("delivery=1").toString)
+      root.toString
+    }
+
   /** q157's landing dir: events staged as two chronological slices where
     * the SECOND slice re-delivers every 7th event of the first — the
     * at-least-once delivery duplication (source retries, upstream replays)
@@ -399,6 +422,7 @@ object Staged {
         timed("eventsWatch")(eventsWatchDir(spark, dir)),
         timed("ssjoinWatch")(ssjoinWatchDir(spark, dir)),
         timed("dedupWatch")(dedupWatchDir(spark, dir)),
+        timed("evolvedOrders")(evolvedOrdersDir(spark, dir)),
         timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)))), Duration.Inf)
     } finally pool.shutdown()
   }

@@ -101,7 +101,10 @@ object ScaleProbe {
       // round-10 additions: header strip (scan + broadcast flag-back),
       // streaming dedup (state ∝ in-horizon ids, micro-batch overhead
       // fixed), filter funnel (pure scan + bounded-key agg)
-      "q156_boilerplate_strip", "q157_streaming_dedup", "q158_filter_funnel")
+      "q156_boilerplate_strip", "q157_streaming_dedup", "q158_filter_funnel",
+      // schema-evolution merge read (footer merge + null-fill) and the
+      // per-user-shard lateness window
+      "q159_schema_evolution", "q160_lateness_audit")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

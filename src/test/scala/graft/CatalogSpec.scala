@@ -33,6 +33,23 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q159: mergeSchema surfaces the post-migration column; pre-migration rows null-fill") {
+    import spark.implicits._
+    val root = graft.sources.Staged.evolvedOrdersDir(spark, sf0001)
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.contains("o_channel"),
+      "migration-added column must appear in the merged schema")
+    assert(merged.columns.contains("delivery"),
+      "generation id must surface as a partition column")
+    // Every pre-migration row (delivery 0) null-fills the new column;
+    // every post-migration row carries a value.
+    assert(merged.filter($"delivery" === 0 && $"o_channel".isNotNull).count() == 0)
+    assert(merged.filter($"delivery" === 1 && $"o_channel".isNull).count() == 0)
+    // Nothing lost across generations: merged row count = source rows.
+    assert(merged.count() ==
+      graft.sources.Tables.orders(spark, sf0001).count())
+  }
+
   test("ANALYZE TABLE statistics drive broadcast selection without a hint (CBO)") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS graftdb")

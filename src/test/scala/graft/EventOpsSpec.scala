@@ -214,4 +214,25 @@ class EventOpsSpec extends SparkSpec {
     // Day 1: everyone active is new.
     assert(out.head._2 === out.head._3)
   }
+
+  test("q160: lateness is bounded by the transport-delay bound and thresholds nest") {
+    val rows = graft.queries.EventAnalytics.q160LatenessAudit(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, l15, l30, maxS) =>
+      // An event can only trail an earlier arrival whose event time exceeds
+      // its own by less than the jitter bound — lateness < 1 hour, always.
+      assert(maxS < 3600, s"$t: lateness $maxS s breaks the 1-hour jitter bound")
+      assert(l30 <= l15 && l15 <= n, s"$t: threshold counts must nest")
+      assert(maxS >= 0 && l15 >= 0)
+    }
+    // The audit is non-degenerate at this SF: disorder exists.
+    assert(rows.map(_._3).sum > 0, "expected some >15m-late events at sf0.01")
+    // Pure function of the fixture: a second run is identical.
+    val again = graft.queries.EventAnalytics.q160LatenessAudit(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
