@@ -157,6 +157,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => ext.Quality.q158FilterFunnel(s, d)),
     "q159_schema_evolution" -> (Extra.q159SchemaEvolution _),
     "q160_lateness_audit" -> (EventAnalytics.q160LatenessAudit _),
+    "q161_binaryfile_ingest" -> (Multimodal.q161BinaryFileIngest _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1124,6 +1125,25 @@ object SparkEntry {
         |    AS BIGINT) AS n_late_30m,
         |  CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s
         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q161: the staged files follow q140's (w, h) formula and the P6 header
+    // grammar is "P6\n<w> <h>\n255\n", so both the decoded means AND each
+    // file's exact byte length have closed forms in doc_id.
+    "q161_binaryfile_ingest" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 97 AS INTEGER) AS width,
+        |    CAST(16 + doc_id % 83 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id < 64
+        |)
+        |SELECT media_id,
+        |  CAST(9 + length(CAST(width AS VARCHAR))
+        |    + length(CAST(height AS VARCHAR))
+        |    + 3 * width * height AS BIGINT) AS file_len,
+        |  width, height,
+        |  round((width - 1) / 2.0, 6) AS mean_r,
+        |  round((height - 1) / 2.0, 6) AS mean_g,
+        |  round((width + height - 2) / 2.0, 6) AS mean_b
+        |FROM m ORDER BY media_id""".stripMargin,
     "q158_filter_funnel" ->
       """WITH s AS (
         |  SELECT lang,

@@ -215,4 +215,40 @@ object Multimodal {
       .select($"media_id", $"sample_idx", $"frame_idx")
       .orderBy($"media_id", $"sample_idx")
   }
+
+  /** q161: file-per-object media ingest — the OTHER half of the multimodal
+    * story. q140 decodes payloads already sitting in a binary COLUMN; real
+    * image corpora start as millions of individual FILES, and this query
+    * runs that ingest: `binaryFile` source over a directory of genuine
+    * `.ppm` files ([[graft.sources.Staged.ppmFilesDir]]), `pathGlobFilter`
+    * excluding the stray non-media file every crawl directory contains, id
+    * recovered from the path, then the same executor-side [[Ppm]] decode.
+    * The DuckDB oracle predicts every output — including each file's exact
+    * on-disk LENGTH from the P6 header grammar — from arithmetic alone, so
+    * a wrong glob, a truncated write, or a header misparse all break it.
+    *
+    * Scale shape: `binaryFile` lists and reads files in parallel across
+    * executors (one task per file batch), so a 100 TB image crawl ingests
+    * at scan speed; the decode is per-file CPU on the executor holding the
+    * bytes, and nothing ever concentrates on the driver. */
+  def q161BinaryFileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.sources.Staged.ppmFilesDir(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ppm").load(root)
+      .select(
+        regexp_extract($"path", "img_(\\d+)\\.ppm$", 1).cast("long")
+          .as("media_id"),
+        $"length".as("file_len"), $"content")
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, len, bytes) =>
+        val img = Ppm.decode(bytes)
+        val (r, g, b) = Ppm.channelMeans(img)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        (id, len, img.width, img.height, r6(r), r6(g), r6(b))
+      })
+      .toDF("media_id", "file_len", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+      .orderBy($"media_id")
+  }
 }

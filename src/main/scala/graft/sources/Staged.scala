@@ -308,6 +308,21 @@ object Staged {
       watch.toString
     }
 
+  /** q161's corpus: one REAL `.ppm` file per media id (the file-per-object
+    * layout image crawls land in), plus one deliberately non-media file the
+    * ingest's glob filter must skip. Sizes follow q140's (w, h) formula, so
+    * the decode oracle's closed forms apply unchanged. */
+  def ppmFilesDir(spark: SparkSession, dir: String): String =
+    getOrStage(s"ppm_files:$dir") {
+      val out = TempDirs.create("graft_ppm_files_")
+      java.nio.file.Files.write(out.resolve("MANIFEST.txt"),
+        "crawl manifest - not an image\n".getBytes("US-ASCII"))
+      for (id <- 0L until 64L)
+        java.nio.file.Files.write(out.resolve(f"img_$id%04d.ppm"),
+          graft.ext.Ppm.encode((16 + id % 97).toInt, (16 + id % 83).toInt))
+      out.toString
+    }
+
   /** q159's layout: the orders table staged as two schema-GENERATIONS of
     * one dataset — delivery 0 (even order keys) in the original four-column
     * schema, delivery 1 (odd keys) after a migration ADDED `o_channel` —
@@ -423,6 +438,7 @@ object Staged {
         timed("ssjoinWatch")(ssjoinWatchDir(spark, dir)),
         timed("dedupWatch")(dedupWatchDir(spark, dir)),
         timed("evolvedOrders")(evolvedOrdersDir(spark, dir)),
+        timed("ppmFiles")(ppmFilesDir(spark, dir)),
         timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)))), Duration.Inf)
     } finally pool.shutdown()
   }

@@ -63,4 +63,24 @@ class PpmSpec extends SparkSpec {
     assert(bad.isEmpty, "pixel-scan means must match the closed forms")
     assert(out.count() == 500) // every sf0.001 doc encodes one image
   }
+
+  test("q161: binaryFile ingest globs only media files and reports true on-disk lengths") {
+    import org.apache.spark.sql.functions._
+    val root = graft.sources.Staged.ppmFilesDir(spark, sf0001)
+    // The staged corpus really contains a non-media file the glob must skip.
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "MANIFEST.txt")))
+    val out = graft.ext.Multimodal.q161BinaryFileIngest(spark, sf0001)
+    assert(out.count() == 64, "exactly the 64 .ppm files, manifest excluded")
+    // file_len comes from the binaryFile source's metadata — cross-check
+    // every row against the actual on-disk size.
+    out.select("media_id", "file_len").collect().foreach { r =>
+      val actual = java.nio.file.Files.size(
+        java.nio.file.Paths.get(root, f"img_${r.getLong(0)}%04d.ppm"))
+      assert(r.getLong(1) == actual,
+        s"media ${r.getLong(0)}: reported ${r.getLong(1)} vs on-disk $actual")
+    }
+    val bad = out.filter(col("mean_r") =!= (col("width") - 1) / 2.0)
+    assert(bad.isEmpty, "decode means must match the closed forms")
+  }
 }
