@@ -158,6 +158,7 @@ object SparkEntry {
     "q159_schema_evolution" -> (Extra.q159SchemaEvolution _),
     "q160_lateness_audit" -> (EventAnalytics.q160LatenessAudit _),
     "q161_binaryfile_ingest" -> (Multimodal.q161BinaryFileIngest _),
+    "q162_streaming_mv" -> (streaming.EventsStream.q162StreamingMv _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1144,6 +1145,14 @@ object SparkEntry {
         |  round((height - 1) / 2.0, 6) AS mean_g,
         |  round((width + height - 2) / 2.0, 6) AS mean_b
         |FROM m ORDER BY media_id""".stripMargin,
+    // q162: the maintained MV must equal the batch rollup over unique
+    // events (the landing dir's duplicates are re-deliveries the dedup
+    // stage absorbs).
+    "q162_streaming_mv" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     "q158_filter_funnel" ->
       """WITH s AS (
         |  SELECT lang,

@@ -235,4 +235,58 @@ object EventsStream {
         round(sum($"value"), 2).as("sum_value"))
       .orderBy($"event_type")
   }
+
+  /** q162: streaming MATERIALIZED-VIEW maintenance — the continuously-kept
+    * rollup table every serving layer wants, maintained end-to-end from an
+    * AT-LEAST-ONCE landing dir (the q157 re-delivery staging): stream →
+    * `dropDuplicatesWithinWatermark` → event-time (type, day) aggregation
+    * in UPDATE mode → `foreachBatch` LWW merge into a versioned parquet
+    * table. Update mode emits a key's new RUNNING total whenever a batch
+    * touches it, and the merge overwrites that key's row — so after any
+    * prefix of batches the table is the exact rollup of the events
+    * delivered (and deduplicated) so far, and at termination it equals the
+    * batch rollup over unique events: the incremental-MV contract, with
+    * exactly-once effect from an at-least-once source.
+    *
+    * At 100 TB/day: per-batch work is proportional to the BATCH (touched
+    * keys), never the table — the aggregation state carries the running
+    * totals, the merge ships only updated (type, day) rows, and the
+    * versioned dirs swap for a table format's atomic MERGE commit. */
+  def q162StreamingMv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = graft.sources.Staged.dedupWatchDir(spark, dir)
+    val mvDir = graft.sources.TempDirs.create("graft_smv_").toString
+    val mvSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", DateType),
+      StructField("n_events", LongType),
+      StructField("sum_value", DoubleType)))
+    val updates = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "45 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+    val q = startPinned(spark) {
+      updates.writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          graft.sources.TempDirs.create("graft_smv_ck_").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cur = graft.ops.VersionedTable.read(spark, mvDir, mvSchema)
+          graft.ops.Merge.upsert(cur, b, Seq("event_type", "day"))
+            .write.mode("overwrite")
+            .parquet(graft.ops.VersionedTable.nextVersionPath(spark, mvDir))
+        }
+        .start()
+    }
+    q.awaitTermination()
+    graft.ops.VersionedTable.read(spark, mvDir, mvSchema)
+      .orderBy($"event_type", $"day")
+  }
 }

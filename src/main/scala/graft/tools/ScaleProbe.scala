@@ -104,7 +104,10 @@ object ScaleProbe {
       "q156_boilerplate_strip", "q157_streaming_dedup", "q158_filter_funnel",
       // schema-evolution merge read (footer merge + null-fill) and the
       // per-user-shard lateness window
-      "q159_schema_evolution", "q160_lateness_audit")
+      "q159_schema_evolution", "q160_lateness_audit",
+      // streaming MV maintenance: 2 micro-batches of dedup+agg state plus
+      // per-batch versioned merges — fixed overhead, batch-bounded work
+      "q162_streaming_mv")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -281,4 +281,19 @@ class StreamingSpec extends SparkSpec {
       .orderBy($"event_type").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("q162: the maintained MV equals the batch rollup and commits one version per micro-batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mv = graft.streaming.EventsStream.q162StreamingMv(spark, sf0001)
+    val rows = mv.collect().toSeq
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type", $"day").collect().toSeq
+    assert(rows == batch,
+      "MV after the at-least-once replay must equal the unique-events rollup")
+    // (type, day) is the MV's primary key — the merge must keep it unique.
+    assert(mv.select("event_type", "day").distinct().count() == rows.size)
+  }
 }
