@@ -159,6 +159,10 @@ object SparkEntry {
     "q160_lateness_audit" -> (EventAnalytics.q160LatenessAudit _),
     "q161_binaryfile_ingest" -> (Multimodal.q161BinaryFileIngest _),
     "q162_streaming_mv" -> (streaming.EventsStream.q162StreamingMv _),
+    "q163_span_dedup" ->
+      ((s: SparkSession, d: String) => Dedup.q163SpanDedup(s, d)),
+    "q164_cooccurrence_pmi" ->
+      ((s: SparkSession, d: String) => Corpus.q164CooccurrencePmi(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1153,6 +1157,58 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+    // q163: C4-style 8-token-span dedup. The oracle re-derives the spans
+    // with the generate_series lateral (q94's device), picks the corpus-wide
+    // first occurrence per span text via the same (doc_id, blk) window
+    // order, and reassembles survivors with an ordered string_agg.
+    "q163_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST((g.i - 1) / 8 AS INTEGER) AS blk,
+        |    array_to_string(tk[g.i:g.i+7], ' ') AS btext
+        |  FROM t, UNNEST(generate_series(1, len(tk), 8)) AS g(i)
+        |), m AS (
+        |  SELECT doc_id, blk, btext,
+        |    row_number() OVER (PARTITION BY md5(btext)
+        |      ORDER BY doc_id, blk) = 1 AS keep
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(btext, ' ' ORDER BY blk) FILTER (keep), '')
+        |    AS kept_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q164: co-occurrence PMI. Numerator/denominator stay exact BIGINT
+    // products so the single double division (then ln) is bit-identical
+    // across engines.
+    "q164_cooccurrence_pmi" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(text, '\s+') AS tk FROM documents
+        |), u AS (
+        |  SELECT unnest(tk) AS tok FROM t
+        |), uni AS (
+        |  SELECT tok, count(*) AS c FROM u GROUP BY tok
+        |), tot AS (SELECT count(*) AS n_tok FROM u),
+        |pairs AS (
+        |  SELECT least(tk[g.i], tk[g.i + d.d]) AS a,
+        |    greatest(tk[g.i], tk[g.i + d.d]) AS b
+        |  FROM t,
+        |    UNNEST(generate_series(1, len(tk))) AS g(i),
+        |    UNNEST(generate_series(1, 3)) AS d(d)
+        |  WHERE g.i + d.d <= len(tk)
+        |), pc AS (
+        |  SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b
+        |), ptot AS (SELECT count(*) AS n_pair FROM pairs)
+        |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  round(ln(CAST(c_ab * n_tok * n_tok AS DOUBLE)
+        |    / CAST(n_pair * ua.c * ub.c AS DOUBLE)), 6) AS pmi
+        |FROM pc, tot, ptot
+        |JOIN uni ua ON ua.tok = pc.a
+        |JOIN uni ub ON ub.tok = pc.b
+        |WHERE c_ab >= 5
+        |ORDER BY c_ab DESC, a, b LIMIT 30""".stripMargin,
     "q158_filter_funnel" ->
       """WITH s AS (
         |  SELECT lang,

@@ -354,4 +354,49 @@ object Corpus {
           .as("tok_after"))
       .orderBy($"source")
   }
+
+  /** q164: windowed token co-occurrence PMI — the association statistic
+    * behind collocation mining, word-embedding co-occurrence matrices
+    * (GloVe's X_ij), and phrase detection (word2vec's score). Pairs are the
+    * unordered (least, greatest) token pairs within a 3-token forward
+    * window inside each document; PMI = ln(c_ab·T² / (P·c_a·c_b)) with T =
+    * total tokens, P = total pairs. Reported for pairs with support ≥ 5,
+    * top-N by support.
+    *
+    * Scale shape: the pair explode is W× the token stream but every
+    * aggregate that follows is vocab-bounded — map-side partial aggregation
+    * collapses the exploded pairs into at most |V|² hashmap slots before
+    * anything shuffles, and the unigram/total sides broadcast. Cross-engine
+    * float parity: numerator and denominator are exact BIGINT products
+    * (bounded ≪ 2⁵³), so the single double division is correctly rounded
+    * and identical in both engines before the one ln call.
+    */
+  def q164CooccurrencePmi(spark: SparkSession, dir: String,
+                          win: Int = 3, minCount: Long = 5L,
+                          topN: Int = 30): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(split($"text", "\\s+").as("tk"))
+    val toks = docs.select(explode($"tk").as("tok"))
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val totTok = toks.agg(count(lit(1)).as("n_tok"))
+    // slice(start > size) yields an empty array, so the tail tokens simply
+    // contribute fewer forward pairs — no bounds bookkeeping needed.
+    val pairs = docs.select(explode(flatten(transform($"tk", (t, i) =>
+        transform(slice($"tk", i + lit(2), lit(win)), nb =>
+          struct(least(t, nb).as("a"), greatest(t, nb).as("b")))))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+    val pc = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    val totPair = pairs.agg(count(lit(1)).as("n_pair"))
+    pc.filter($"c_ab" >= minCount)
+      .join(broadcast(uni.select($"tok".as("a"), $"c".as("c_a"))), Seq("a"))
+      .join(broadcast(uni.select($"tok".as("b"), $"c".as("c_b"))), Seq("b"))
+      .crossJoin(broadcast(totTok))
+      .crossJoin(broadcast(totPair))
+      .select($"a", $"b", $"c_ab", $"c_a", $"c_b",
+        round(log(($"c_ab" * $"n_tok" * $"n_tok").cast("double")
+          / ($"n_pair" * $"c_a" * $"c_b").cast("double")), 6).as("pmi"))
+      .orderBy($"c_ab".desc, $"a", $"b")
+      .limit(topN)
+  }
 }

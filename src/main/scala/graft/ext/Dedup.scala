@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -1084,5 +1085,43 @@ object Dedup {
           "x -> cast(x AS string)), ',')").as("dropped_ids"))
       .select($"canonical_doc_id", $"n_members", $"kept_chars", $"dropped_ids")
       .orderBy($"canonical_doc_id")
+  }
+
+  /** q163: span-level exact dedup — the C4 recipe (Raffel et al. 2020
+    * "occurring more than once in the data set" spans; reference has no
+    * text path, cf. its row-level cleanup `etl_process.py:78-90`). Documents
+    * are cut into fixed 8-token spans; every span that already occurred
+    * anywhere in the corpus (earlier doc, or earlier in the SAME doc) is
+    * dropped, keeping only the first occurrence in (doc_id, span-index)
+    * order; surviving spans are reassembled into the cleaned text.
+    *
+    * Scale shape: one shuffle keyed by the span's md5 (32-hex — the span
+    * TEXT rides as the window payload here for the local reassembly; at
+    * 100 TB the decision pass ships only (md5, doc_id, blk) and winners
+    * join back on (doc_id, blk), co-partitioned with the source), then one
+    * doc_id shuffle for the rebuild. Window partitions are duplicate
+    * groups — a handful of rows each — so WindowExec state is bounded by
+    * the corpus' duplication factor, never by corpus size. Per-doc span
+    * counts are text-length bounded, so the collect_list rebuild is safe.
+    */
+  def q163SpanDedup(spark: SparkSession, dir: String, width: Int = 8): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
+          b => array_join(slice($"t", b * width + 1, lit(width)), " "))))
+      .toDF("doc_id", "blk", "btext")
+    val w = Window.partitionBy(md5($"btext")).orderBy($"doc_id", $"blk")
+    spans
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("n_removed"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(when($"keep", struct($"blk", $"btext")))),
+          s => s("btext")), " "), lit("")).as("kept_text"))
+      .orderBy($"doc_id")
   }
 }

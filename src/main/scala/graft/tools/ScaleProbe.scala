@@ -107,7 +107,13 @@ object ScaleProbe {
       "q159_schema_evolution", "q160_lateness_audit",
       // streaming MV maintenance: 2 micro-batches of dedup+agg state plus
       // per-batch versioned merges — fixed overhead, batch-bounded work
-      "q162_streaming_mv")
+      "q162_streaming_mv",
+      // span dedup (one md5-keyed shuffle, dup-group-bounded windows) and
+      // co-occurrence PMI (W× explode collapsed map-side into a
+      // vocab²-bounded aggregate; note the salted 8× replicas grow the
+      // vocab 8×, so the aggregate key space grows with the probe corpus
+      // in a way the real corpus' fixed vocab would not)
+      "q163_span_dedup", "q164_cooccurrence_pmi")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

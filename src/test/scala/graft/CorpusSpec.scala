@@ -139,4 +139,31 @@ class CorpusSpec extends SparkSpec {
       assert(nDocs >= nStripped)
     }
   }
+
+  test("q164: PMI recomputes from counts and corpus totals; pairs canonical and support-ranked") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(size(split($"text", "\\s+")).as("n"))
+    // T = total tokens; P = sum over docs of forward pairs within window 3.
+    val totT = docs.agg(sum($"n".cast("long"))).head.getLong(0)
+    val totP = docs.agg(sum(
+      greatest($"n" - 1, lit(0)).cast("long")
+        + greatest($"n" - 2, lit(0)).cast("long")
+        + greatest($"n" - 3, lit(0)).cast("long"))).head.getLong(0)
+    val rows = Corpus.q164CooccurrencePmi(spark, sf0001).collect()
+    assert(rows.length == 30)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (a, b, cab, ca, cb, pmi) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a <= b, s"pair ($a,$b) not canonical")
+      assert(cab >= 5 && cab <= prev, "support-ranked with min count")
+      prev = cab
+      val expected = BigDecimal(math.log(
+        (cab * totT * totT).toDouble / (totP * ca * cb).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pmi == expected, s"pmi($a,$b)=$pmi expected $expected")
+    }
+  }
 }

@@ -308,4 +308,34 @@ class ExtSpec extends SparkSpec {
     }
     assert(frames.nonEmpty)
   }
+
+  test("q163 span dedup: surviving spans are globally unique and the counts reconcile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Dedup.q163SpanDedup(spark, sf0001)
+    // Conservation: span totals re-derived from the raw corpus.
+    val expectedBlocks = graft.sources.Tables.documents(spark, sf0001)
+      .select(ceil(size(split($"text", "\\s+")) / 8.0).cast("long").as("nb"))
+      .agg(sum($"nb")).head.getLong(0)
+    val (nBlocks, nRemoved) = {
+      val r = out.agg(sum($"n_blocks"), sum($"n_removed")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(nBlocks === expectedBlocks)
+    assert(nRemoved > 0, "fixture corpus has duplicate spans; none removed")
+    // Global uniqueness: re-splitting every kept_text back into 8-token
+    // spans must yield pairwise-distinct texts whose count equals
+    // kept = n_blocks - n_removed (each doc's only partial span is last,
+    // so re-splitting reproduces the surviving span boundaries exactly).
+    val respanned = out
+      .filter(length($"kept_text") > 0)
+      .select(explode(transform(
+        sequence(lit(0),
+          floor((size(split($"kept_text", "\\s+")) - 1) / 8).cast("int")),
+        b => array_join(
+          slice(split($"kept_text", "\\s+"), b * 8 + 1, lit(8)), " ")))
+        .as("span"))
+    assert(respanned.count() === nBlocks - nRemoved)
+    assert(respanned.distinct().count() === nBlocks - nRemoved)
+  }
 }
