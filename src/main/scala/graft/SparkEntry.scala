@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Advanced, Analytics, EventAnalytics, Extra, Flagship, Parity}
-import graft.ext.{Corpus, Dedup, IvfPq, Multimodal, Pq, SemDedup, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, IvfPq, KMeans, Multimodal, Pq, SemDedup, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -163,6 +163,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.q163SpanDedup(s, d)),
     "q164_cooccurrence_pmi" ->
       ((s: SparkSession, d: String) => Corpus.q164CooccurrencePmi(s, d)),
+    "q165_source_overlap" ->
+      ((s: SparkSession, d: String) => Dedup.q165SourceOverlap(s, d)),
+    "q166_kmeans" ->
+      ((s: SparkSession, d: String) => KMeans.q166KMeans(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1209,6 +1213,106 @@ object SparkEntry {
         |JOIN uni ub ON ub.tok = pc.b
         |WHERE c_ab >= 5
         |ORDER BY c_ab DESC, a, b LIMIT 30""".stripMargin,
+    // q165: cross-source span-overlap matrix. Spans re-derived with the
+    // q163 lateral; intersection counted pairwise over distinct
+    // (span-md5, source) rows; jaccard is one correctly-rounded BIGINT
+    // division in both engines.
+    "q165_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(text, '\s+') AS tk
+        |  FROM documents
+        |), d AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(tk[g.i:g.i+7], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(1, len(tk), 8)) AS g(i)
+        |), per AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY source
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS inter_spans, pa.n AS n_a, pb.n AS n_b,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / (pa.n + pb.n - count(*)), 6) AS jaccard
+        |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |JOIN per pa ON pa.source = a.source
+        |JOIN per pb ON pb.source = b.source
+        |GROUP BY a.source, b.source, pa.n, pb.n
+        |ORDER BY inter_spans DESC, source_a, source_b LIMIT 20""".stripMargin,
+    // q166: k-means (k=4), 3 Lloyd iterations unrolled as CTE blocks.
+    // Every arithmetic step mirrors the Spark side exactly: 1e-6
+    // fixed-point quantization, integer squared distances, (dist, cl)
+    // lexicographic tie-break, floor(sum/n) centroid updates, empty
+    // clusters keeping their previous centroid via the LEFT JOIN coalesce.
+    "q166_kmeans" ->
+      """WITH p AS (
+        |  SELECT vec_id, g.i AS d,
+        |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), init AS (
+        |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4
+        |), c0 AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY p.vec_id) - 1 AS INTEGER)
+        |    AS cl, p.d, p.v
+        |  FROM p JOIN init USING (vec_id)
+        |), d1 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c0 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a1 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d1)
+        |  WHERE rk = 1
+        |), n1 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a1 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c1 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c0 c LEFT JOIN n1 n ON n.cl = c.cl AND n.d = c.d
+        |), d2 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c1 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a2 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d2)
+        |  WHERE rk = 1
+        |), n2 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a2 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c2 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c1 c LEFT JOIN n2 n ON n.cl = c.cl AND n.d = c.d
+        |), d3 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c2 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a3 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d3)
+        |  WHERE rk = 1
+        |), n3 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a3 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c3 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c2 c LEFT JOIN n3 n ON n.cl = c.cl AND n.d = c.d
+        |), d4 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a4 AS (
+        |  SELECT vec_id, cl, dist FROM (SELECT vec_id, cl, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d4)
+        |  WHERE rk = 1
+        |), cs AS (
+        |  SELECT cl, CAST(sum(v) AS BIGINT) AS centroid_checksum
+        |  FROM c3 GROUP BY cl
+        |)
+        |SELECT a4.cl AS cluster, count(*) AS n_points,
+        |  round(CAST(sum(a4.dist) AS DOUBLE) / 1e12, 6) AS inertia,
+        |  cs.centroid_checksum
+        |FROM a4 JOIN cs ON cs.cl = a4.cl
+        |GROUP BY a4.cl, cs.centroid_checksum
+        |ORDER BY cluster""".stripMargin,
     "q158_filter_funnel" ->
       """WITH s AS (
         |  SELECT lang,

@@ -1124,4 +1124,53 @@ object Dedup {
           s => s("btext")), " "), lit("")).as("kept_text"))
       .orderBy($"doc_id")
   }
+
+  /** q165: cross-source contamination matrix — for every pair of corpus
+    * sources, how much content they share at the 8-token-span level
+    * (distinct-span intersection + Jaccard). This is the dataset-audit
+    * question every multi-source pretraining mix has to answer before
+    * weighting sources: "are these two crawls/dumps actually the same
+    * content?" (cf. the cross-dump overlap tables in the CCNet and
+    * RefinedWeb reports). The reference's single-source ETL has no
+    * analogue (`etl_process.py:71-102`).
+    *
+    * Scale shape: documents collapse to distinct (span-md5, source) rows —
+    * one aggregate keyed by the hash, never shipping span text. The pair
+    * generation groups by hash and explodes source combinations, so its
+    * output is bounded by n_sources² PER SHARED HASH (hashes seen in one
+    * source — the vast majority — produce nothing), and per-hash groups
+    * are ≤ n_sources rows. Per-source distinct counts broadcast back onto
+    * the sources²-bounded pair table. The one double division
+    * (inter / union of exact BIGINTs) is correctly rounded, so both
+    * engines emit identical jaccard values.
+    */
+  def q165SourceOverlap(spark: SparkSession, dir: String, width: Int = 8,
+                        topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"source", split($"text", "\\s+").as("t"))
+      .select($"source", explode(
+        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
+          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
+        .as("h"))
+      .distinct()
+    val perSource = spans.groupBy($"source").agg(count(lit(1)).as("n"))
+    spans
+      .groupBy($"h").agg(array_sort(collect_set($"source")).as("ss"))
+      .filter(size($"ss") > 1)
+      .select(explode(flatten(transform($"ss", (a, i) =>
+        transform(slice($"ss", i + lit(2), size($"ss")), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy($"p.source_a".as("source_a"), $"p.source_b".as("source_b"))
+      .agg(count(lit(1)).as("inter_spans"))
+      .join(broadcast(perSource.select($"source".as("source_a"), $"n".as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(perSource.select($"source".as("source_b"), $"n".as("n_b"))),
+        Seq("source_b"))
+      .select($"source_a", $"source_b", $"inter_spans", $"n_a", $"n_b",
+        round($"inter_spans" / ($"n_a" + $"n_b" - $"inter_spans"), 6)
+          .as("jaccard"))
+      .orderBy($"inter_spans".desc, $"source_a", $"source_b")
+      .limit(topN)
+  }
 }

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VecSumAggregator
+import graft.sources.Tables
+
+/** q166: distributed Lloyd's k-means over the FULL embeddings table — the
+  * clustering primitive behind cluster-based curation (SemDeDup's cluster
+  * stage, DoReMi-style domain discovery, cluster-balanced sampling). The
+  * IVF trainer (`ext/Similarity.scala:147`) clusters a bounded SAMPLE on
+  * the driver to build an index; this is the complementary full-corpus
+  * operator: every vector participates in every iteration, and only the
+  * k×d model state ever reaches the driver. The reference has no ML path
+  * (`etl_process.py:71-102`).
+  *
+  * Determinism across engines (the house fixed-point discipline,
+  * `ext/Quality`): vectors are quantized once to 1e-6 fixed-point longs,
+  * so distances are exact integer sums (64 dims × (2e6)² ≪ 2⁶³),
+  * assignment ties break to the lowest cluster id via lexicographic
+  * struct-min, and centroid updates are floor(exact-long-sum / n) — every
+  * arithmetic step is either exact or a single correctly-rounded double
+  * op, so Spark and the DuckDB oracle (3 unrolled iterations) agree
+  * bit-for-bit. Empty clusters keep their previous centroid.
+  *
+  * Scale shape: per iteration ONE map-side-combined aggregation — the
+  * `VecSumAggregator` folds each partition's vectors into k length-d
+  * buffers, so the shuffle per iteration is k×d longs per partition and
+  * the driver holds k×d model state (the same contract as a parameter
+  * server round). Assignment is a scan-local expression against literal
+  * centroids (broadcast with the task binary); nothing corpus-sized is
+  * ever collected, joined, or exploded. The quantized input is cached
+  * across the iters+1 passes (n×d longs — at 100 TB you would persist to
+  * DISK_ONLY or re-scan; the passes are the algorithm, not an accident).
+  */
+object KMeans {
+
+  private val Fp = 1000000L
+
+  /** Squared L2 distance between the fixed-point vector column and a
+    * literal centroid, as an exact long fold. */
+  private def distSq(xfp: Column, cent: Array[Long]): Column =
+    aggregate(
+      zip_with(xfp, typedlit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (cluster, dist) assignment against literal centroids: struct-min is
+    * lexicographic, so ties go to the lowest cluster id. */
+  private def assign(xfp: Column, cents: Array[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(distSq(xfp, c).as("dist"), lit(i).as("cl"))
+    }: _*))
+
+  def q166KMeans(spark: SparkSession, dir: String, k: Int = 4,
+                 iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val vecsum = udaf(new VecSumAggregator.VecSum,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    val pts = Tables.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding",
+        x => round(x.cast("double") * Fp).cast("long")).as("xfp"))
+      .cache()
+    // Deterministic init: the k lowest vec_ids (k rows to the driver).
+    var cents: Array[Array[Long]] = pts.orderBy($"vec_id").limit(k)
+      .select($"xfp").as[Array[Long]].collect()
+    for (_ <- 1 to iters) {
+      // One aggregation: per-cluster exact component sums + counts
+      // (k rows × d longs back to the driver — model state, not data).
+      val upd = pts
+        .select(assign($"xfp", cents).getField("cl").as("cl"), $"xfp")
+        .groupBy($"cl")
+        .agg(count(lit(1)).as("n"), vecsum($"xfp").as("s"))
+        .as[(Int, Long, Array[Long])].collect()
+        .map { case (cl, n, s) =>
+          cl -> s.map(v => math.floor(v.toDouble / n).toLong)
+        }.toMap
+      cents = cents.zipWithIndex.map { case (old, cl) =>
+        upd.getOrElse(cl, old) // empty cluster keeps its centroid
+      }
+    }
+    val checksums = cents.zipWithIndex
+      .map { case (c, cl) => (cl, c.sum) }.toSeq
+      .toDF("cluster", "centroid_checksum")
+    pts
+      .select(assign($"xfp", cents).as("m"))
+      .groupBy($"m.cl".as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum($"m.dist") / lit(Fp.toDouble * Fp), 6).as("inertia"))
+      .join(broadcast(checksums), Seq("cluster"))
+      .select($"cluster", $"n_points", $"inertia", $"centroid_checksum")
+      .orderBy($"cluster")
+  }
+}

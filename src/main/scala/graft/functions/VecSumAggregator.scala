@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Element-wise vector-sum aggregator over `Array[Long]` columns — the
+  * partial-aggregate building block for distributed centroid updates
+  * (q166 k-means) and any other "sum a fixed-width feature vector per
+  * group" reduction.
+  *
+  * Versus posexploding the vector into (group, dim, value) rows and
+  * summing per (group, dim), this keeps the vector WHOLE through the
+  * aggregation: each map task folds its rows into one length-d buffer per
+  * group, so the shuffle moves one d-long array per (group × partition)
+  * instead of d rows per input row — at a 64-dim embedding table that is
+  * a 64× cut in shuffled row count, and the reduce side needs no re-zip.
+  *
+  * Inputs may be empty (the zero buffer) but otherwise must share one
+  * length; the first non-empty input fixes d. Long arithmetic is exact and
+  * order-independent, which the fixed-point cross-engine discipline
+  * (see `ext/Quality`) relies on.
+  */
+object VecSumAggregator {
+
+  class VecSum extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (b.isEmpty) a.clone()
+      else {
+        var i = 0
+        while (i < b.length) { b(i) += a(i); i += 1 }
+        b
+      }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      reduce(b1, b2)
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+}

@@ -113,7 +113,12 @@ object ScaleProbe {
       // vocab²-bounded aggregate; note the salted 8× replicas grow the
       // vocab 8×, so the aggregate key space grows with the probe corpus
       // in a way the real corpus' fixed vocab would not)
-      "q163_span_dedup", "q164_cooccurrence_pmi")
+      "q163_span_dedup", "q164_cooccurrence_pmi",
+      // source overlap (distinct (hash, source) aggregate, pair explode
+      // bounded by sources² per shared hash) and full-corpus k-means
+      // (per-iteration map-side vector-sum aggregation; fixed k×d model
+      // state — the probe's 8× corpus runs the same 4 aggregation rounds)
+      "q165_source_overlap", "q166_kmeans")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -338,4 +338,33 @@ class ExtSpec extends SparkSpec {
     assert(respanned.count() === nBlocks - nRemoved)
     assert(respanned.distinct().count() === nBlocks - nRemoved)
   }
+
+  test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.q165SourceOverlap(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture corpus has cross-source duplicate spans")
+    rows.foreach { r =>
+      val (a, b, inter, na, nb, jac) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(inter >= 1 && inter <= math.min(na, nb))
+      val expected = BigDecimal(inter.toDouble / (na + nb - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(jac == expected)
+    }
+    // Re-derive the top pair's intersection with an independent direct
+    // join over distinct span hashes.
+    val top = rows.head
+    val spans = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", split($"text", "\\s+").as("t"))
+      .select($"source", explode(transform(
+        sequence(lit(0), floor((size($"t") - 1) / 8).cast("int")),
+        blk => array_join(slice($"t", blk * 8 + 1, lit(8)), " "))).as("s"))
+      .distinct()
+    val direct = spans.filter($"source" === top.getString(0)).select($"s")
+      .intersect(spans.filter($"source" === top.getString(1)).select($"s"))
+      .count()
+    assert(direct === top.getLong(2))
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.KMeans
+
+/** q166: the distributed k-means result is checked against a from-scratch
+  * single-threaded reimplementation of the same fixed-point algorithm on
+  * the collected fixture — every column (sizes, inertia, centroid
+  * checksums) must agree exactly, so the distributed aggregation path
+  * (VecSumAggregator + literal-centroid assignment) is pinned end to end.
+  */
+class KMeansSpec extends SparkSpec {
+
+  test("q166: distributed result equals a driver-side reimplementation exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 4; val iters = 3; val fp = 1000000L
+
+    val raw = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val pts = raw.map { case (_, e) =>
+      // HALF_UP (away from zero), matching Spark's round() on doubles —
+      // math.round would floor(x+0.5), diverging on negative exact halves.
+      e.map(x => BigDecimal(x.toDouble * fp)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    var cents = pts.take(k).map(_.clone())
+    def assignOf(p: Array[Long]): (Int, Long) = {
+      var best = -1; var bd = Long.MaxValue
+      for (c <- 0 until k) {
+        var d = 0L; var i = 0
+        while (i < p.length) {
+          val t = p(i) - cents(c)(i); d += t * t; i += 1
+        }
+        if (d < bd) { bd = d; best = c } // strict: ties keep lowest cl
+      }
+      (best, bd)
+    }
+    for (_ <- 1 to iters) {
+      val asg = pts.map(assignOf(_)._1)
+      cents = (0 until k).map { c =>
+        val members = pts.indices.filter(asg(_) == c)
+        if (members.isEmpty) cents(c)
+        else {
+          val d = pts.head.length
+          Array.tabulate(d) { i =>
+            val s = members.map(m => pts(m)(i)).sum
+            math.floor(s.toDouble / members.size).toLong
+          }
+        }
+      }.toArray
+    }
+    val fin = pts.map(assignOf)
+    val expected = (0 until k).flatMap { c =>
+      val ms = fin.filter(_._1 == c)
+      if (ms.isEmpty) None
+      else Some((c, ms.length.toLong,
+        BigDecimal(ms.map(_._2).sum.toDouble / 1e12)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        cents(c).sum))
+    }
+
+    val got = KMeans.q166KMeans(spark, sf0001, k, iters)
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == pts.length.toLong)
+  }
+}
