@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Advanced, Analytics, EventAnalytics, Extra, Flagship, Parity}
-import graft.ext.{Corpus, Dedup, IvfPq, KMeans, Multimodal, Pq, SemDedup, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Corpus, Dedup, IvfPq, KMeans, Multimodal, Pq, SemDedup, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -167,6 +167,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.q165SourceOverlap(s, d)),
     "q166_kmeans" ->
       ((s: SparkSession, d: String) => KMeans.q166KMeans(s, d)),
+    "q167_bpe_train" ->
+      ((s: SparkSession, d: String) => Bpe.q167BpeTrain(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1313,6 +1315,106 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q167: BPE merge training, 6 rounds unrolled. Each block mirrors the
+    // Spark loop exactly: weighted adjacent-pair counts, (cnt DESC, a, b)
+    // argmax, and the same greedy string fold (list_reduce here,
+    // aggregate() there) applying the merge.
+    "q167_bpe_train" ->
+      """WITH w0 AS (
+        |  SELECT u.word, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS word FROM documents) u
+        |  GROUP BY u.word
+        |), v0 AS (
+        |  SELECT array_to_string(regexp_split_to_array(word, ''), ' ')
+        |    || ' </w>' AS w, c FROM w0
+        |), p1 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v0) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b1 AS (
+        |  SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v1 AS (
+        |  SELECT list_reduce(regexp_split_to_array(v.w, ' '), (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v0 v CROSS JOIN b1 b
+        |), p2 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v1) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b2 AS (
+        |  SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v2 AS (
+        |  SELECT list_reduce(regexp_split_to_array(v.w, ' '), (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v1 v CROSS JOIN b2 b
+        |), p3 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v2) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b3 AS (
+        |  SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v3 AS (
+        |  SELECT list_reduce(regexp_split_to_array(v.w, ' '), (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v2 v CROSS JOIN b3 b
+        |), p4 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v3) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b4 AS (
+        |  SELECT a, b, cnt FROM p4 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v4 AS (
+        |  SELECT list_reduce(regexp_split_to_array(v.w, ' '), (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v3 v CROSS JOIN b4 b
+        |), p5 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v4) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b5 AS (
+        |  SELECT a, b, cnt FROM p5 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v5 AS (
+        |  SELECT list_reduce(regexp_split_to_array(v.w, ' '), (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v4 v CROSS JOIN b5 b
+        |), p6 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v5) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b6 AS (
+        |  SELECT a, b, cnt FROM p6 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v6 AS (
+        |  SELECT list_reduce(regexp_split_to_array(v.w, ' '), (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v5 v CROSS JOIN b6 b
+        |)
+        |SELECT step, lhs, rhs, merged, pair_count FROM (
+        |SELECT 1 AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b1
+        |  UNION ALL SELECT 2 AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b2
+        |  UNION ALL SELECT 3 AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b3
+        |  UNION ALL SELECT 4 AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b4
+        |  UNION ALL SELECT 5 AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b5
+        |  UNION ALL SELECT 6 AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM b6)
+        |ORDER BY step""".stripMargin,
     "q158_filter_funnel" ->
       """WITH s AS (
         |  SELECT lang,

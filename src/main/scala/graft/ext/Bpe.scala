@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** q167: BPE merge training (Sennrich et al. 2016) — learn the first k
+  * byte-pair merges from the corpus, the tokenizer-training step upstream
+  * of every LLM data pipeline (q52 only ESTIMATES token counts with a
+  * fixed heuristic; this learns the actual merge table). The reference has
+  * no text path (`etl_process.py:71-102`).
+  *
+  * Algorithm (classic): words become space-joined symbol strings
+  * (chars + a `</w>` end marker); each round counts adjacent symbol pairs
+  * weighted by word frequency, picks the most frequent pair (ties: lowest
+  * (lhs, rhs)), and merges every greedy left-to-right occurrence. The
+  * merge is a pure string fold — `aggregate(symbols, '', merge-or-append)`
+  * — which DuckDB replicates verbatim with `list_reduce`, so the whole
+  * k-round loop is oracle-checkable.
+  *
+  * Scale shape: the ONLY corpus-scale work is the word-count aggregate
+  * (one shuffle keyed by word, map-side combined). The entire merge loop
+  * runs on the distinct-word table — vocabulary-bounded, cached once —
+  * and each round ships exactly one (pair, count) row to the driver (model
+  * state, as in q166). Re-deriving round r's symbols re-applies r narrow
+  * scan-local folds to the cached vocab; with k ≤ ~32 the O(k²) fold work
+  * on a bounded table is cheaper than materializing per-round state.
+  */
+object Bpe {
+
+  /** One merge application: greedy left-to-right rewrite of the
+    * space-joined symbol string, as a string-accumulator fold. Merging
+    * extends the accumulator's last token in place (`acc || rhs`), because
+    * the last token already IS lhs. */
+  private def applyMerge(w: Column, lhs: String, rhs: String): Column =
+    aggregate(split(w, " "), lit(""), (acc, x) =>
+      when(acc === "", x)
+        .when((acc === lhs || acc.endsWith(lit(" " + lhs))) && x === rhs,
+          concat(acc, lit(rhs)))
+        .otherwise(concat(acc, lit(" "), x)))
+
+  def q167BpeTrain(spark: SparkSession, dir: String,
+                   merges: Int = 6): DataFrame =
+    train(spark, Tables.documents(spark, dir), merges)
+
+  /** Training core over any frame with a `text` column (spec entry point:
+    * the classic four-word corpus pins the learned merge table). */
+  def train(spark: SparkSession, docs: DataFrame, merges: Int): DataFrame = {
+    import spark.implicits._
+    // Corpus-scale pass: word frequencies (the q115 tokenization, so the
+    // symbol alphabet is a–z + </w> and both engines split identically).
+    val vocab0 = docs
+      .select(explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("c"))
+      .select(
+        concat(array_join(split($"word", ""), " "), lit(" </w>")).as("w"),
+        $"c")
+      .cache()
+    var vocab = vocab0
+    val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      // One (pair, count) row to the driver per round — model state.
+      // Adjacent pairs as zip(symbols, symbols.tail) — slice handles the
+      // fully-merged single-symbol case with an empty array, where
+      // sequence(1, size-1) would DESCEND through [1, 0] and fabricate
+      // null pairs.
+      val tk = split($"w", " ")
+      val best = vocab
+        .select(explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), $"c")
+        .groupBy($"p.a", $"p.b").agg(sum($"c").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b").limit(1)
+        .collect()(0)
+      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((step, a, b, a + b, n))
+      vocab = vocab.select(applyMerge($"w", a, b).as("w"), $"c")
+    }
+    learned.result()
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"step")
+  }
+}

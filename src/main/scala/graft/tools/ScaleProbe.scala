@@ -118,7 +118,11 @@ object ScaleProbe {
       // bounded by sources² per shared hash) and full-corpus k-means
       // (per-iteration map-side vector-sum aggregation; fixed k×d model
       // state — the probe's 8× corpus runs the same 4 aggregation rounds)
-      "q165_source_overlap", "q166_kmeans")
+      "q165_source_overlap", "q166_kmeans",
+      // BPE training: corpus-scale work is ONE word-count aggregate; the
+      // merge loop is vocab-bounded (probe vocab grows 8× with the salted
+      // replicas — real corpora hold the word vocabulary nearly fixed)
+      "q167_bpe_train")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

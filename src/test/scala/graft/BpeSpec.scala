@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.Bpe
+
+/** q167: BPE merge training pinned against the classic worked example
+  * (the Sennrich et al. 2016 {low×5, lower×2, newest×6, widest×3} corpus,
+  * whose first merges are the textbook es → est → est</w> sequence),
+  * independently hand-derivable; plus structural invariants on the real
+  * fixture corpus.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("q167: classic corpus learns the textbook merge table") {
+    import spark.implicits._
+    val docs = Seq(
+      ("low " * 5).trim,
+      ("lower " * 2).trim,
+      ("newest " * 6).trim,
+      ("widest " * 3).trim).toDF("text")
+    val got = Bpe.train(spark, docs, 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val expected = Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L),
+      (6, "e", "w", "ew", 6L))
+    assert(got == expected)
+  }
+
+  test("q167: fixture-corpus merge table is monotone and well-formed") {
+    import spark.implicits._
+    val rows = Bpe.q167BpeTrain(spark, sf0001)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(rows.map(_._1) == (1 to 6))
+    rows.foreach { case (_, lhs, rhs, merged, n) =>
+      assert(merged == lhs + rhs)
+      assert(n > 0)
+    }
+    // Each merge's support cannot exceed the earlier round's pick (the
+    // earlier argmax saw this pair too, or a merge that subsumed it could
+    // only have had at least this weight).
+    rows.sliding(2).foreach { case Seq(a, b) => assert(b._5 <= a._5) }
+  }
+}
