@@ -169,6 +169,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => KMeans.q166KMeans(s, d)),
     "q167_bpe_train" ->
       ((s: SparkSession, d: String) => Bpe.q167BpeTrain(s, d)),
+    "q168_bpe_encode" ->
+      ((s: SparkSession, d: String) => Bpe.q168BpeEncode(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1315,6 +1317,114 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q168: corpus encoding with the q167-learned tokenizer — the same
+    // 6-round chain carrying the word key, then a word-keyed join back
+    // onto the corpus and a per-language aggregate.
+    "q168_bpe_encode" ->
+      """WITH w0 AS (
+        |  SELECT u.word, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS word FROM documents) u
+        |  GROUP BY u.word
+        |), v0 AS (
+        |  SELECT word, array_to_string(regexp_split_to_array(word, ''), ' ')
+        |    || ' </w>' AS w, c FROM w0
+        |), p1 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, sum(c) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v0) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b1 AS (
+        |  SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v1 AS (
+        |  SELECT v.word, list_reduce(regexp_split_to_array(v.w, ' '),
+        |    (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v0 v CROSS JOIN b1 b
+        |), p2 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, sum(c) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v1) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b2 AS (
+        |  SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v2 AS (
+        |  SELECT v.word, list_reduce(regexp_split_to_array(v.w, ' '),
+        |    (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v1 v CROSS JOIN b2 b
+        |), p3 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, sum(c) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v2) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b3 AS (
+        |  SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v3 AS (
+        |  SELECT v.word, list_reduce(regexp_split_to_array(v.w, ' '),
+        |    (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v2 v CROSS JOIN b3 b
+        |), p4 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, sum(c) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v3) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b4 AS (
+        |  SELECT a, b FROM p4 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v4 AS (
+        |  SELECT v.word, list_reduce(regexp_split_to_array(v.w, ' '),
+        |    (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v3 v CROSS JOIN b4 b
+        |), p5 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, sum(c) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v4) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b5 AS (
+        |  SELECT a, b FROM p5 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v5 AS (
+        |  SELECT v.word, list_reduce(regexp_split_to_array(v.w, ' '),
+        |    (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v4 v CROSS JOIN b5 b
+        |), p6 AS (
+        |  SELECT tk[g.i] AS a, tk[g.i + 1] AS b, sum(c) AS cnt
+        |  FROM (SELECT regexp_split_to_array(w, ' ') AS tk, c FROM v5) t,
+        |    UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  GROUP BY a, b
+        |), b6 AS (
+        |  SELECT a, b FROM p6 ORDER BY cnt DESC, a, b LIMIT 1
+        |), v6 AS (
+        |  SELECT v.word, list_reduce(regexp_split_to_array(v.w, ' '),
+        |    (acc, x) -> CASE
+        |    WHEN (acc = b.a OR right(acc, length(b.a) + 1) = ' ' || b.a)
+        |      AND x = b.b THEN acc || b.b
+        |    ELSE acc || ' ' || x END) AS w, v.c
+        |  FROM v5 v CROSS JOIN b6 b
+        |)
+        |, enc AS (
+        |  SELECT word, len(regexp_split_to_array(w, ' ')) AS n_tok FROM v6
+        |), dw AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '')) AS word FROM documents
+        |)
+        |SELECT lang, count(*) AS n_words, CAST(sum(e.n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(length(dw.word)) AS DOUBLE) / sum(e.n_tok), 6)
+        |    AS chars_per_token
+        |FROM dw JOIN enc e USING (word)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // q167: BPE merge training, 6 rounds unrolled. Each block mirrors the
     // Spark loop exactly: weighted adjacent-pair counts, (cnt DESC, a, b)
     // argmax, and the same greedy string fold (list_reduce here,

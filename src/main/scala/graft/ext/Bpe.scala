@@ -47,13 +47,25 @@ object Bpe {
     * the classic four-word corpus pins the learned merge table). */
   def train(spark: SparkSession, docs: DataFrame, merges: Int): DataFrame = {
     import spark.implicits._
+    learnMerges(spark, docs, merges)._2
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy($"step")
+  }
+
+  /** Runs the merge loop; returns the FINAL segmented vocabulary
+    * (`word`, space-joined symbols `w`, count `c`) and the learned merge
+    * list. The final vocabulary IS the trained tokenizer applied to every
+    * distinct word — q168 joins it back onto the corpus to encode. */
+  def learnMerges(spark: SparkSession, docs: DataFrame, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    import spark.implicits._
     // Corpus-scale pass: word frequencies (the q115 tokenization, so the
     // symbol alphabet is a–z + </w> and both engines split identically).
     val vocab0 = docs
       .select(explode(
         expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("c"))
-      .select(
+      .select($"word",
         concat(array_join(split($"word", ""), " "), lit(" </w>")).as("w"),
         $"c")
       .cache()
@@ -76,10 +88,45 @@ object Bpe {
         .collect()(0)
       val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
       learned += ((step, a, b, a + b, n))
-      vocab = vocab.select(applyMerge($"w", a, b).as("w"), $"c")
+      vocab = vocab.select($"word", applyMerge($"w", a, b).as("w"), $"c")
     }
-    learned.result()
-      .toDF("step", "lhs", "rhs", "merged", "pair_count")
-      .orderBy($"step")
+    (vocab, learned.result())
+  }
+
+  /** q168: encode the corpus with the tokenizer q167 just learned —
+    * per-language word mass, BPE token mass, and the chars-per-token
+    * compression ratio (the statistic tokenizer and data teams actually
+    * budget with; q52's heuristic estimate carries no learned vocab).
+    *
+    * Scale shape: the final segmented vocabulary from `learnMerges` maps
+    * every distinct word to its token count, so encoding is a join keyed
+    * by word — the same key as the training aggregate, vocabulary-bounded
+    * build side (broadcast here; at a 100M-word vocabulary flip to a
+    * shuffle join, the probe stays corpus-sized either way) — followed by
+    * one bounded-key (lang) aggregate. The one double division
+    * (exact char sum / exact token sum) is correctly rounded, so both
+    * engines emit identical ratios.
+    */
+  def q168BpeEncode(spark: SparkSession, dir: String,
+                    merges: Int = 6): DataFrame =
+    encode(spark, Tables.documents(spark, dir), merges)
+
+  /** Encoding core over any frame with (`lang`, `text`) columns (spec
+    * entry point: the classic corpus's segmentation is hand-checkable). */
+  def encode(spark: SparkSession, docs: DataFrame, merges: Int): DataFrame = {
+    import spark.implicits._
+    val (vocab, _) = learnMerges(spark, docs, merges)
+    val wordTok = vocab.select($"word",
+      size(split($"w", " ")).cast("long").as("n_tok"))
+    docs
+      .select($"lang", explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("word"))
+      .join(broadcast(wordTok), Seq("word"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"n_tok").as("n_tokens"),
+        round(sum(length($"word")).cast("double") / sum($"n_tok"), 6)
+          .as("chars_per_token"))
+      .orderBy($"lang")
   }
 }

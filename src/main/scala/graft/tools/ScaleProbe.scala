@@ -122,7 +122,7 @@ object ScaleProbe {
       // BPE training: corpus-scale work is ONE word-count aggregate; the
       // merge loop is vocab-bounded (probe vocab grows 8× with the salted
       // replicas — real corpora hold the word vocabulary nearly fixed)
-      "q167_bpe_train")
+      "q167_bpe_train", "q168_bpe_encode")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -43,4 +43,24 @@ class BpeSpec extends SparkSpec {
     // only have had at least this weight).
     rows.sliding(2).foreach { case Seq(a, b) => assert(b._5 <= a._5) }
   }
+
+  test("q168: classic-corpus encoding matches the hand-derived segmentation") {
+    import spark.implicits._
+    // After the 6 textbook merges: low → [low, </w>] (2 tokens),
+    // lower → [low, e, r, </w>] (4), newest → [n, ew, est</w>] (3),
+    // widest → [w, i, d, est</w>] (4).
+    val docs = Seq(
+      ("x1", ("low " * 5).trim), ("x1", ("lower " * 2).trim),
+      ("x2", ("newest " * 6).trim), ("x2", ("widest " * 3).trim))
+      .toDF("lang", "text")
+    val got = Bpe.encode(spark, docs, 6)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val expected = Seq(
+      // x1: 7 words, 5*2+2*4 = 18 tokens, 5*3+2*5 = 25 chars
+      ("x1", 7L, 18L, BigDecimal(25.0 / 18)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      // x2: 9 words, 6*3+3*4 = 30 tokens, 6*6+3*6 = 54 chars
+      ("x2", 9L, 30L, 1.8))
+    assert(got == expected)
+  }
 }
