@@ -171,6 +171,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Bpe.q167BpeTrain(s, d)),
     "q168_bpe_encode" ->
       ((s: SparkSession, d: String) => Bpe.q168BpeEncode(s, d)),
+    "q169_vocab_growth" ->
+      ((s: SparkSession, d: String) => Corpus.q169VocabGrowth(s, d)),
+    "q170_hard_negatives" ->
+      ((s: SparkSession, d: String) => Similarity.q170HardNegatives(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1317,6 +1321,60 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q169: Heaps-law vocabulary-growth curve over 50-doc buckets; LEFT
+    // join because saturated buckets add zero new words.
+    "q169_vocab_growth" ->
+      """WITH words AS (
+        |  SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket,
+        |    unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z]+'), x -> x <> '')) AS word
+        |  FROM documents
+        |), fs AS (
+        |  SELECT word, min(bucket) AS bucket FROM words GROUP BY word
+        |), nw AS (
+        |  SELECT bucket, count(*) AS n_new_words FROM fs GROUP BY bucket
+        |), mass AS (
+        |  SELECT bucket, count(*) AS bucket_tokens FROM words GROUP BY bucket
+        |), curve AS (
+        |  SELECT m.bucket,
+        |    CAST(coalesce(nw.n_new_words, 0) AS BIGINT) AS n_new_words,
+        |    m.bucket_tokens
+        |  FROM mass m LEFT JOIN nw USING (bucket)
+        |), c2 AS (
+        |  SELECT bucket, n_new_words,
+        |    CAST(sum(n_new_words) OVER (ORDER BY bucket) AS BIGINT)
+        |      AS cum_vocab,
+        |    CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+        |    CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM curve
+        |)
+        |SELECT bucket, n_new_words, cum_vocab, bucket_tokens, cum_tokens,
+        |  round(CAST(cum_vocab AS DOUBLE) / cum_tokens, 6) AS ttr
+        |FROM c2 ORDER BY bucket""".stripMargin,
+    // q170: hard-negative mining — q37's exact-cosine shape with the
+    // label-mismatch constraint in the pair predicate.
+    "q170_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne,
+        |    label
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT query_id, neighbor_id, label AS neighbor_label,
+        |    round(list_cosine_similarity(qe, ne), 6) AS cos
+        |  FROM q, c WHERE neighbor_id != query_id AND label != qlabel
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, rank, neighbor_id, neighbor_label, cos
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // q168: corpus encoding with the q167-learned tokenizer — the same
     // 6-round chain carrying the word key, then a word-keyed join back
     // onto the corpus and a per-language aggregate.

@@ -399,4 +399,44 @@ object Corpus {
       .orderBy($"c_ab".desc, $"a", $"b")
       .limit(topN)
   }
+
+  /** q169: vocabulary-growth (Heaps-law) curve — cumulative distinct
+    * vocabulary and type–token ratio over fixed 50-document ingestion
+    * buckets, in doc_id order. This is the corpus-saturation diagnostic a
+    * data team reads before buying more crawl: a flattening new-word curve
+    * means additional data is re-treading the same vocabulary.
+    *
+    * Scale shape: "which bucket saw this word first" is ONE min-aggregate
+    * keyed by word (map-side combined, vocabulary-bounded output); all
+    * later steps — per-bucket new-word counts, token mass, the cumulative
+    * window — run on the #buckets-bounded curve itself, so the running
+    * sums never touch corpus-sized data. The type–token ratio is one
+    * correctly-rounded BIGINT division, identical in both engines.
+    */
+  def q169VocabGrowth(spark: SparkSession, dir: String,
+                      bucketDocs: Int = 50): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(floor($"doc_id" / bucketDocs).cast("long").as("bucket"),
+        explode(
+          expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+          .as("word"))
+    val firstSeen = words.groupBy($"word")
+      .agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_new_words"))
+    val mass = words.groupBy($"bucket").agg(count(lit(1)).as("bucket_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // The unpartitioned window is over the #buckets-bounded curve, not
+    // data. Left join: a saturated bucket may contribute ZERO new words.
+    mass.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("n_new_words", coalesce($"n_new_words", lit(0L)))
+      .withColumn("cum_vocab", sum($"n_new_words").over(w))
+      .withColumn("cum_tokens", sum($"bucket_tokens").over(w))
+      .select($"bucket", $"n_new_words", $"cum_vocab",
+        $"bucket_tokens", $"cum_tokens",
+        round($"cum_vocab".cast("double") / $"cum_tokens", 6).as("ttr"))
+      .orderBy($"bucket")
+  }
 }

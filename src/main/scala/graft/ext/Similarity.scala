@@ -144,6 +144,44 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** q170: contrastive hard-negative mining — for each query vector, the
+    * k nearest neighbors whose LABEL DIFFERS from the query's (the
+    * DPR/contrastive-training data-prep step: negatives that look maximally
+    * like positives). Same bounded-heap shape as q47 — the label
+    * constraint rides the broadcast-join predicate, so mismatched-label
+    * pairs are dropped before scoring and the shuffle still moves only
+    * k rows per (query × partition). The neighbor's label is re-attached
+    * afterwards by joining the k×nQueries-bounded result back to the
+    * corpus (broadcast probe side), not by widening the scored stream.
+    */
+  def q170HardNegatives(spark: SparkSession, dir: String,
+                        nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{Scored, TopK}
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"label".as("qlabel"))
+    val scored = emb
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"label")
+      .join(broadcast(queries),
+        $"neighbor_id" =!= $"query_id" && $"label" =!= $"qlabel")
+      .select($"query_id",
+        struct($"neighbor_id".as("id"),
+          round(VectorOps.cosine($"qe", $"ne"), 6).as("score")).as("scored"))
+      .as[(Long, Scored)]
+    val top = scored.groupByKey(_._1).mapValues(_._2)
+      .agg(new TopK(k).toColumn)
+      .flatMap { case (q, items) =>
+        items.zipWithIndex.map { case (s, i) => (q, i + 1, s.id, s.score) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cos")
+    emb.select($"vec_id".as("neighbor_id"), $"label".as("neighbor_label"))
+      .join(broadcast(top), Seq("neighbor_id"))
+      .select($"query_id", $"rank", $"neighbor_id", $"neighbor_label", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus; a
     * query probes only its nProbe nearest cells. Vectors are L2-normalized
     * first so euclidean cells align with cosine neighborhoods. At 100 TB the

@@ -122,7 +122,10 @@ object ScaleProbe {
       // BPE training: corpus-scale work is ONE word-count aggregate; the
       // merge loop is vocab-bounded (probe vocab grows 8× with the salted
       // replicas — real corpora hold the word vocabulary nearly fixed)
-      "q167_bpe_train", "q168_bpe_encode")
+      "q167_bpe_train", "q168_bpe_encode",
+      // vocab-growth (word-keyed min aggregate + bucket-bounded curve) and
+      // hard negatives (bounded-heap top-k, query side broadcast)
+      "q169_vocab_growth", "q170_hard_negatives")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

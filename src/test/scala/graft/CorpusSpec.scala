@@ -166,4 +166,30 @@ class CorpusSpec extends SparkSpec {
       assert(pmi == expected, s"pmi($a,$b)=$pmi expected $expected")
     }
   }
+
+  test("q169: vocab-growth curve conserves totals and is cumulative-consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.q169VocabGrowth(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.size == 10)
+    // Cumulative columns are running sums of the per-bucket columns, and
+    // the TTR recomputes from them.
+    var cv = 0L; var ct = 0L
+    rows.foreach { case (_, nw, cumV, bt, cumT, ttr) =>
+      cv += nw; ct += bt
+      assert(cumV == cv && cumT == ct)
+      assert(ttr == BigDecimal(cv.toDouble / ct)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // Final cum_vocab = corpus distinct vocabulary; cum_tokens = token mass.
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("w"))
+    assert(rows.last._3 == toks.distinct().count())
+    assert(rows.last._5 == toks.count())
+    // New words can only decline or hold as the corpus saturates… not
+    // guaranteed in general, but the FIRST bucket must dominate all others.
+    assert(rows.head._2 == rows.map(_._2).max)
+  }
 }

@@ -339,6 +339,41 @@ class ExtSpec extends SparkSpec {
     assert(respanned.distinct().count() === nBlocks - nRemoved)
   }
 
+  test("q170 hard negatives: labels always differ and ranking matches a window-ranked recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Similarity.q170HardNegatives(spark, sf0001).collect()
+    assert(got.length == 40) // 8 queries × 5 negatives
+    val labels = graft.sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { r =>
+      val (qid, nid, nlabel) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      assert(labels(nid) == nlabel)
+      assert(nlabel != labels(qid), s"neighbor $nid shares query $qid's label")
+    }
+    // Independent recomputation: brute-force window ranking with the same
+    // label constraint must produce the identical table.
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+        $"label".as("qlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    val expected = emb
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("ne"),
+        $"label".as("neighbor_label"))
+      .join(broadcast(q),
+        $"neighbor_id" =!= $"query_id" && $"neighbor_label" =!= $"qlabel")
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosine($"qe", $"ne"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"neighbor_label", $"cos")
+      .orderBy($"query_id", $"rank")
+      .collect()
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
