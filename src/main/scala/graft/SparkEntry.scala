@@ -175,6 +175,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Corpus.q169VocabGrowth(s, d)),
     "q170_hard_negatives" ->
       ((s: SparkSession, d: String) => Similarity.q170HardNegatives(s, d)),
+    "q171_unimax_mixture" ->
+      ((s: SparkSession, d: String) => Corpus.q171UnimaxMixture(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1321,6 +1323,48 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q171: UniMax allocation — closed-form water-filling over the
+    // |langs|-row aggregate; integer half-token units everywhere except
+    // the shape-mirrored equal-share/epoch divisions.
+    "q171_unimax_mixture" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS n_tokens FROM (
+        |    SELECT lang, unnest(list_filter(regexp_split_to_array(
+        |      lower(text), '[^a-z]+'), x -> x <> '')) AS w FROM documents)
+        |  GROUP BY lang
+        |), f AS (
+        |  SELECT lang, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens, lang) AS idx,
+        |    count(*) OVER () AS k,
+        |    3 * sum(n_tokens) OVER () AS th,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM n
+        |), g AS (
+        |  SELECT *, CASE WHEN 4 * n_tokens * (k - idx + 1) <= th - 4 * p
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM f
+        |), h AS (
+        |  SELECT *, min(flag) OVER (ORDER BY n_tokens, lang) = 1 AS capped
+        |  FROM g
+        |), i AS (
+        |  SELECT *,
+        |    coalesce(sum(CASE WHEN capped THEN n_tokens END) OVER (), 0)
+        |      AS s_capped,
+        |    coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER (), 0)
+        |      AS n_capped
+        |  FROM h
+        |), j AS (
+        |  SELECT lang, n_tokens, capped,
+        |    CASE WHEN capped THEN CAST(4 * n_tokens AS DOUBLE)
+        |      ELSE CAST(th - 4 * s_capped AS DOUBLE) / (k - n_capped)
+        |    END AS alloc_half
+        |  FROM i
+        |)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, capped,
+        |  round(alloc_half / 2.0, 2) AS alloc_tokens,
+        |  round(alloc_half / (2.0 * n_tokens), 6) AS epochs
+        |FROM j ORDER BY n_tokens, lang""".stripMargin,
     // q169: Heaps-law vocabulary-growth curve over 50-doc buckets; LEFT
     // join because saturated buckets add zero new words.
     "q169_vocab_growth" ->

@@ -439,4 +439,59 @@ object Corpus {
         round($"cum_vocab".cast("double") / $"cum_tokens", 6).as("ttr"))
       .orderBy($"bucket")
   }
+
+  /** q171: UniMax mixture allocation (Chung et al. 2023) — the
+    * epoch-capped complement of q154's temperature sampler: split a token
+    * budget (1.5× the corpus) across languages so no language exceeds the
+    * epoch cap (2 epochs), and languages too big to cap share the
+    * remaining budget equally. The greedy ascending-size water-filling has
+    * a closed form: walking languages smallest-first, a language is CAPPED
+    * while cap·nᵢ·(remaining languages) still fits the remaining budget,
+    * and once one language is budget-limited all larger ones are too
+    * (equal share, constant thereafter) — so the whole allocation is two
+    * window passes over the |langs|-row aggregate.
+    *
+    * Cross-engine discipline: budget and cap are held in half-token
+    * integer units (budget = 3·total halves, cap = 4·nᵢ halves), so every
+    * comparison and prefix sum is exact integer math; the single equal-
+    * share division (and the final /2 and epoch divisions) are the only
+    * doubles, shape-mirrored in the oracle. Scale shape: one bounded-key
+    * corpus aggregate, then |langs|-row window math — same as q154.
+    */
+  def q171UnimaxMixture(spark: SparkSession, dir: String,
+                        capHalf: Int = 4, budgetHalfX: Int = 3): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, dir)
+      .select($"lang",
+        size(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+          .cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("n_tokens"))
+    // All windows below run over the |langs|-row aggregate, never data.
+    val asc = Window.orderBy($"n_tokens", $"lang")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prefix = asc.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = asc.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = perLang
+      .withColumn("idx", row_number().over(asc))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("th", lit(budgetHalfX) * sum($"n_tokens").over(all))
+      .withColumn("p", coalesce(sum($"n_tokens").over(prefix), lit(0L)))
+      .withColumn("flag",
+        (lit(capHalf) * $"n_tokens" * ($"k" - $"idx" + 1) <=
+          $"th" - lit(capHalf) * $"p").cast("int"))
+      .withColumn("capped", min($"flag").over(upto) === 1)
+    flagged
+      .withColumn("s_capped",
+        coalesce(sum(when($"capped", $"n_tokens")).over(all), lit(0L)))
+      .withColumn("n_capped",
+        coalesce(sum($"capped".cast("long")).over(all), lit(0L)))
+      .withColumn("alloc_half",
+        when($"capped", (lit(capHalf) * $"n_tokens").cast("double"))
+          .otherwise(($"th" - lit(capHalf) * $"s_capped").cast("double")
+            / ($"k" - $"n_capped")))
+      .select($"lang", $"n_tokens", $"capped",
+        round($"alloc_half" / 2.0, 2).as("alloc_tokens"),
+        round($"alloc_half" / (lit(2.0) * $"n_tokens"), 6).as("epochs"))
+      .orderBy($"n_tokens", $"lang")
+  }
 }

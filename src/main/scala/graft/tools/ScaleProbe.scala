@@ -125,7 +125,9 @@ object ScaleProbe {
       "q167_bpe_train", "q168_bpe_encode",
       // vocab-growth (word-keyed min aggregate + bucket-bounded curve) and
       // hard negatives (bounded-heap top-k, query side broadcast)
-      "q169_vocab_growth", "q170_hard_negatives")
+      "q169_vocab_growth", "q170_hard_negatives",
+      // UniMax: one bounded-key corpus aggregate + |langs|-row windows
+      "q171_unimax_mixture")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -192,4 +192,35 @@ class CorpusSpec extends SparkSpec {
     // guaranteed in general, but the FIRST bucket must dominate all others.
     assert(rows.head._2 == rows.map(_._2).max)
   }
+
+  test("q171: closed-form allocation equals the sequential greedy water-filling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Corpus.q171UnimaxMixture(spark, sf0001)
+      .as[(String, Long, Boolean, Double, Double)].collect().toSeq
+    // Independent greedy: ascending by size, quota = min(cap·n, B/m).
+    val n = graft.sources.Tables.documents(spark, sf0001)
+      .select($"lang",
+        size(expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+          .cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n")).as[(String, Long)].collect()
+      .sortBy { case (l, t) => (t, l) }
+    var bHalf = 3.0 * n.map(_._2).sum
+    var m = n.size
+    val expected = n.map { case (lang, tok) =>
+      val cap = 4.0 * tok
+      val quota = math.min(cap, bHalf / m)
+      bHalf -= quota; m -= 1
+      (lang, tok, quota == cap,
+        BigDecimal(quota / 2.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(quota / (2.0 * tok))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    assert(got == expected)
+    // Both regimes must actually occur on the fixture.
+    assert(got.exists(_._3) && got.exists(!_._3))
+    // Budget conservation: total allocation never exceeds 1.5× the corpus.
+    assert(got.map(_._4).sum <= 1.5 * n.map(_._2).sum + 0.01)
+  }
 }
