@@ -177,6 +177,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.q170HardNegatives(s, d)),
     "q171_unimax_mixture" ->
       ((s: SparkSession, d: String) => Corpus.q171UnimaxMixture(s, d)),
+    "q172_dsir_selection" ->
+      ((s: SparkSession, d: String) => ext.Quality.q172DsirSelection(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1323,6 +1325,31 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q172: DSIR selection — per-token single-ln of an exact BIGINT
+    // ratio, fixed-pointed before the per-doc sum (the q115 device).
+    "q172_dsir_selection" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |    unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z]+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT term,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+        |  FROM tok GROUP BY term
+        |), stats AS (
+        |  SELECT count(*) AS v, sum(ct) AS nt, sum(cr) AS nr FROM counts
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(CAST(round(ln(
+        |      CAST((c.ct + 1) * (s.nr + s.v) AS DOUBLE)
+        |      / CAST((c.cr + 1) * (s.nt + s.v) AS DOUBLE)) * 1000000)
+        |    AS BIGINT)) / (1000000.0 * count(*)), 6) AS dsir_score
+        |FROM tok JOIN counts c USING (term), stats s
+        |WHERE NOT is_target
+        |GROUP BY doc_id
+        |ORDER BY dsir_score DESC, doc_id LIMIT 15""".stripMargin,
     // q171: UniMax allocation — closed-form water-filling over the
     // |langs|-row aggregate; integer half-token units everywhere except
     // the shape-mirrored equal-share/epoch divisions.

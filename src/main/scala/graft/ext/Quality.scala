@@ -179,4 +179,54 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("lang"), col("verdict"))
   }
+
+  /** q172: DSIR-style importance-ratio data selection (Xie et al. 2023,
+    * "Data Selection via Importance Resampling") — score every
+    * out-of-domain document by the mean per-token log-likelihood ratio
+    * between a TARGET unigram LM (here the `src0` slice standing in for
+    * the in-domain corpus) and the RAW unigram LM (everything else), both
+    * add-one smoothed over the shared vocabulary; the top-scoring raw
+    * documents are the ones importance sampling pulls toward the target
+    * domain. This is the selection step upstream of fine-tune/pretrain
+    * mixing — the contrastive complement of q115's self-perplexity filter.
+    *
+    * Cross-engine discipline (the q115 device): each token's ratio is ONE
+    * ln of an exact-BIGINT ratio — ln(((c_t+1)·(N_r+V)) / ((c_r+1)·(N_t+V)))
+    * — rounded to 1e-6 fixed point BEFORE the per-document sum, so the
+    * reduction is exact integer math and both engines emit identical
+    * scores. Scale shape: both unigram tables are vocabulary-bounded and
+    * BROADCAST onto the token stream (one corpus scan feeds both counts
+    * and the scoring pass); the per-document aggregate is the only
+    * corpus-sized shuffle, and top-k bounds the output.
+    */
+  def q172DsirSelection(spark: SparkSession, dir: String,
+                        targetSource: String = "src0",
+                        topK: Int = 15): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", ($"source" === targetSource).as("is_target"),
+        explode(
+          expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+          .as("term"))
+    val counts = tok.groupBy($"term").agg(
+      sum(when($"is_target", 1L).otherwise(0L)).as("ct"),
+      sum(when(!$"is_target", 1L).otherwise(0L)).as("cr"))
+    // Vocabulary-bounded model state: |V| and the two token masses ride
+    // along as a broadcast one-row frame, never a driver collect.
+    val stats = counts.agg(count(lit(1)).as("v"),
+      sum($"ct").as("nt"), sum($"cr").as("nr"))
+    tok.filter(!$"is_target")
+      .join(broadcast(counts), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("fp", round(
+        log((($"ct" + 1) * ($"nr" + $"v")).cast("double")
+          / (($"cr" + 1) * ($"nt" + $"v")).cast("double")) * lit(1000000L))
+        .cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum($"fp") / (lit(1000000.0) * count(lit(1))), 6)
+          .as("dsir_score"))
+      .orderBy($"dsir_score".desc, $"doc_id")
+      .limit(topK)
+  }
 }

@@ -127,7 +127,10 @@ object ScaleProbe {
       // hard negatives (bounded-heap top-k, query side broadcast)
       "q169_vocab_growth", "q170_hard_negatives",
       // UniMax: one bounded-key corpus aggregate + |langs|-row windows
-      "q171_unimax_mixture")
+      "q171_unimax_mixture",
+      // DSIR: broadcast vocab-bounded LMs onto the token stream; the only
+      // corpus-sized shuffle is the per-doc fixed-point aggregate
+      "q172_dsir_selection")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -353,4 +353,40 @@ class QualitySpec extends SparkSpec {
     val allowed = Set("too_short", "too_long", "weird_tokens", "low_stopword", "pass")
     assert(funnel.map(_.getString(1)).forall(allowed))
   }
+
+  test("q172: DSIR scores recompute from scratch and target docs are excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = ext.Quality.q172DsirSelection(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 15)
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    // From-scratch reimplementation on the collected fixture.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", lower($"text"))
+      .as[(Long, String, String)].collect()
+    def toks(t: String) = t.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    val targetIds = docs.filter(_._2 == "src0").map(_._1).toSet
+    assert(got.forall(r => !targetIds.contains(r._1)))
+    val ct = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, src, txt) =>
+      val m = if (src == "src0") ct else cr
+      toks(txt).foreach(w => m(w) += 1)
+    }
+    val v = (ct.keySet ++ cr.keySet).size.toLong
+    val nt = ct.values.sum; val nr = cr.values.sum
+    got.foreach { case (id, nTok, score) =>
+      val ws = toks(docs.find(_._1 == id).get._3)
+      assert(nTok == ws.size)
+      val s = ws.map { w =>
+        BigDecimal(math.log(
+          ((ct(w) + 1) * (nr + v)).toDouble / ((cr(w) + 1) * (nt + v))) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val expected = BigDecimal(s / (1e6 * ws.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == expected, s"doc $id: $score vs $expected")
+    }
+  }
 }
