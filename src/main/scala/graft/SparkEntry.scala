@@ -179,6 +179,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Corpus.q171UnimaxMixture(s, d)),
     "q172_dsir_selection" ->
       ((s: SparkSession, d: String) => ext.Quality.q172DsirSelection(s, d)),
+    "q173_jl_projection" ->
+      ((s: SparkSession, d: String) => Similarity.q173JlProjection(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1325,6 +1327,40 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q173: JL projection — the 16×64 Rademacher matrix re-derives from
+    // md5("i_j") parity; all distances are exact fixed-point integers.
+    "q173_jl_projection" ->
+      """WITH p AS (
+        |  SELECT vec_id, g.i AS i,
+        |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |  WHERE vec_id < 80
+        |), s AS (
+        |  SELECT i.i AS i, j.j AS j,
+        |    CASE WHEN substr(md5((i.i - 1) || '_' || (j.j - 1)), 1, 1)
+        |      IN ('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END AS sg
+        |  FROM UNNEST(generate_series(1, 64)) AS i(i),
+        |    UNNEST(generate_series(1, 16)) AS j(j)
+        |), proj AS (
+        |  SELECT p.vec_id, s.j, sum(p.v * s.sg) AS pv
+        |  FROM p JOIN s USING (i) GROUP BY p.vec_id, s.j
+        |), od AS (
+        |  SELECT a.vec_id // 2 AS pair_id, a.vec_id AS vec_a,
+        |    a.vec_id + 1 AS vec_b, sum((a.v - b.v) * (a.v - b.v)) AS d2
+        |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1, 2, 3
+        |), pd AS (
+        |  SELECT a.vec_id // 2 AS pair_id, sum((a.pv - b.pv) * (a.pv - b.pv))
+        |    AS d2
+        |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1
+        |)
+        |SELECT od.pair_id, od.vec_a, od.vec_b,
+        |  round(CAST(od.d2 AS DOUBLE) / 1e12, 6) AS orig_dist_sq,
+        |  round(CAST(pd.d2 AS DOUBLE) / (16 * od.d2), 6) AS jl_ratio
+        |FROM od JOIN pd USING (pair_id)
+        |ORDER BY pair_id""".stripMargin,
     // q172: DSIR selection — per-token single-ln of an exact BIGINT
     // ratio, fixed-pointed before the per-doc sum (the q115 device).
     "q172_dsir_selection" ->

@@ -182,6 +182,63 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** q173: Johnson–Lindenstrauss random projection (64 → 16 dims) with a
+    * distance-preservation audit — the embedding-compression sketch that
+    * cuts ANN index memory 4× while approximately preserving pairwise
+    * distances (Achlioptas-style ±1 Rademacher matrix). The matrix entry
+    * sign(i,j) is derived from md5("i_j") first-hex-digit parity — a pure
+    * function both engines (and any future reader of the sketch) compute
+    * identically, so there is NO RNG state to ship. The audit reports, for
+    * 40 deterministic (2k, 2k+1) vector pairs, the original distance and
+    * the ratio of projected to d'-scaled original squared distance (JL
+    * says ≈1).
+    *
+    * Cross-engine exactness: vectors quantize to 1e-6 fixed point once;
+    * projections and both squared distances are exact integer sums (the
+    * q166 discipline), and each output is one correctly-rounded division.
+    * Scale shape: projection is scan-local arithmetic against the literal
+    * 16×64 matrix (inlined in the task binary — model state); the audit
+    * pairs are id-bounded, so both join sides broadcast.
+    */
+  def q173JlProjection(spark: SparkSession, dir: String,
+                       dOut: Int = 16, nPairs: Int = 40): DataFrame = {
+    import spark.implicits._
+    val Fp = 1000000L
+    def sign(i: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("13579bdf".contains(hex.head)) -1L else 1L
+    }
+    val signs: Array[Array[Long]] =
+      Array.tabulate(dOut, 64)((j, i) => sign(i, j))
+    val xfp = transform($"embedding", x => round(x.cast("double") * Fp).cast("long"))
+    def dotSigns(col: Column, j: Int): Column =
+      aggregate(zip_with(col, typedlit(signs(j).toSeq), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    val pts = Tables.embeddings(spark, dir)
+      .filter($"vec_id" < 2L * nPairs)
+      .select($"vec_id", xfp.as("xfp"))
+      .select($"vec_id", $"xfp",
+        array((0 until dOut).map(j => dotSigns($"xfp", j)): _*).as("proj"))
+    val a = pts.filter($"vec_id" % 2 === 0)
+      .select(expr("vec_id div 2").as("pair_id"), $"vec_id".as("vec_a"),
+        $"xfp".as("xa"), $"proj".as("pa"))
+    val b = pts.filter($"vec_id" % 2 === 1)
+      .select(expr("vec_id div 2").as("pair_id"), $"vec_id".as("vec_b"),
+        $"xfp".as("xb"), $"proj".as("pb"))
+    def sq(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, w) => acc + w)
+    a.join(broadcast(b), Seq("pair_id"))
+      .select($"pair_id", $"vec_a", $"vec_b",
+        round(sq($"xa", $"xb").cast("double") / lit(Fp.toDouble * Fp), 6)
+          .as("orig_dist_sq"),
+        round(sq($"pa", $"pb").cast("double") / (lit(dOut.toLong) * sq($"xa", $"xb")), 6)
+          .as("jl_ratio"))
+      .orderBy($"pair_id")
+  }
+
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus; a
     * query probes only its nProbe nearest cells. Vectors are L2-normalized
     * first so euclidean cells align with cosine neighborhoods. At 100 TB the

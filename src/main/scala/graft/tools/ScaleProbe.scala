@@ -130,7 +130,10 @@ object ScaleProbe {
       "q171_unimax_mixture",
       // DSIR: broadcast vocab-bounded LMs onto the token stream; the only
       // corpus-sized shuffle is the per-doc fixed-point aggregate
-      "q172_dsir_selection")
+      "q172_dsir_selection",
+      // JL projection: scan-local literal-matrix arithmetic; audit pairs
+      // id-bounded (the probe's 8x corpus adds scan rows only)
+      "q173_jl_projection")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

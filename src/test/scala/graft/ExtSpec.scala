@@ -374,6 +374,43 @@ class ExtSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("q173 JL projection: ratios concentrate near 1 and one pair recomputes from scratch") {
+    import spark.implicits._
+    val rows = Similarity.q173JlProjection(spark, sf0001).collect()
+    assert(rows.length == 40)
+    val ratios = rows.map(_.getDouble(4))
+    assert(ratios.forall(r => r > 0.1 && r < 3.0))
+    // JL guarantee: the MEAN distortion over 40 pairs concentrates near 1
+    // even though single pairs at d'=16 can swing widely.
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.25, s"mean JL ratio $mean")
+    // From-scratch recomputation of pair 0 (vectors 0 and 1), including
+    // re-deriving the md5-parity Rademacher matrix.
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .filter($"vec_id" < 2).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+    def q(e: Array[Float]): Array[Long] = e.map(x =>
+      BigDecimal(x.toDouble * 1000000L)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def sg(i: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if ("13579bdf".contains(hex.head)) -1L else 1L
+    }
+    val (xa, xb) = (q(emb(0)), q(emb(1)))
+    val od = xa.indices.map(i => { val d = xa(i) - xb(i); d * d }).sum
+    val pd = (0 until 16).map { j =>
+      val pa = xa.indices.map(i => xa(i) * sg(i, j)).sum
+      val pb = xb.indices.map(i => xb(i) * sg(i, j)).sum
+      val d = pa - pb; d * d
+    }.sum
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getDouble(3) == BigDecimal(od.toDouble / 1e12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r0.getDouble(4) == BigDecimal(pd.toDouble / (16.0 * od))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
