@@ -181,6 +181,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => ext.Quality.q172DsirSelection(s, d)),
     "q173_jl_projection" ->
       ((s: SparkSession, d: String) => Similarity.q173JlProjection(s, d)),
+    "q174_ann_jl" ->
+      ((s: SparkSession, d: String) => Similarity.q174AnnJl(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1327,6 +1329,54 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q174: sketch-then-refine ANN — projected-space shortlist (integer
+    // distances, (d2, id) order matching the bounded heap), then exact
+    // cosine re-rank of the shortlist.
+    "q174_ann_jl" ->
+      """WITH p AS (
+        |  SELECT vec_id, g.i AS i,
+        |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), s AS (
+        |  SELECT i.i AS i, j.j AS j,
+        |    CASE WHEN substr(md5((i.i - 1) || '_' || (j.j - 1)), 1, 1)
+        |      IN ('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END AS sg
+        |  FROM UNNEST(generate_series(1, 64)) AS i(i),
+        |    UNNEST(generate_series(1, 16)) AS j(j)
+        |), proj AS (
+        |  SELECT p.vec_id, s.j, sum(p.v * s.sg) AS pv
+        |  FROM p JOIN s USING (i) GROUP BY p.vec_id, s.j
+        |), q AS (
+        |  SELECT vec_id AS query_id, j, pv FROM proj WHERE vec_id < 8
+        |), pd AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    sum((c.pv - q.pv) * (c.pv - q.pv)) AS d2
+        |  FROM proj c JOIN q ON c.j = q.j AND c.vec_id != q.query_id
+        |  GROUP BY q.query_id, c.vec_id
+        |), sl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+        |    FROM pd)
+        |  WHERE rk <= 50
+        |), qe AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 8
+        |), ne AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT sl.query_id, sl.neighbor_id,
+        |    round(list_cosine_similarity(qe.qe, ne.ne), 6) AS cos
+        |  FROM sl JOIN qe USING (query_id) JOIN ne USING (neighbor_id)
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // q173: JL projection — the 16×64 Rademacher matrix re-derives from
     // md5("i_j") parity; all distances are exact fixed-point integers.
     "q173_jl_projection" ->

@@ -200,36 +200,53 @@ object Similarity {
     * 16×64 matrix (inlined in the task binary — model state); the audit
     * pairs are id-bounded, so both join sides broadcast.
     */
+  /** md5("i_j")-parity Rademacher sign — the pure-function JL matrix
+    * entry shared by q173/q174 and their oracles. */
+  private def jlSign(i: Int, j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${j}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if ("13579bdf".contains(hex.head)) -1L else 1L
+  }
+
+  private def jlSigns(dOut: Int, d: Int = 64): Array[Array[Long]] =
+    Array.tabulate(dOut, d)((j, i) => jlSign(i, j))
+
+  private val JlFp = 1000000L
+
+  /** 1e-6 fixed-point quantization of the embedding array. */
+  private def jlQuant(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * JlFp).cast("long"))
+
+  /** Projection of a quantized vector through the literal sign matrix —
+    * exact integer arithmetic, scan-local. */
+  private def jlProject(xfp: Column, signs: Array[Array[Long]]): Column =
+    array(signs.indices.map { j =>
+      aggregate(zip_with(xfp, typedlit(signs(j).toSeq), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+
+  /** Exact integer squared L2 distance between two long-array columns. */
+  private def jlSqDist(u: Column, v: Column): Column =
+    aggregate(zip_with(u, v, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, w) => acc + w)
+
   def q173JlProjection(spark: SparkSession, dir: String,
                        dOut: Int = 16, nPairs: Int = 40): DataFrame = {
     import spark.implicits._
-    val Fp = 1000000L
-    def sign(i: Int, j: Int): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${i}_${j}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      if ("13579bdf".contains(hex.head)) -1L else 1L
-    }
-    val signs: Array[Array[Long]] =
-      Array.tabulate(dOut, 64)((j, i) => sign(i, j))
-    val xfp = transform($"embedding", x => round(x.cast("double") * Fp).cast("long"))
-    def dotSigns(col: Column, j: Int): Column =
-      aggregate(zip_with(col, typedlit(signs(j).toSeq), (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
+    val Fp = JlFp
+    val signs = jlSigns(dOut)
     val pts = Tables.embeddings(spark, dir)
       .filter($"vec_id" < 2L * nPairs)
-      .select($"vec_id", xfp.as("xfp"))
-      .select($"vec_id", $"xfp",
-        array((0 until dOut).map(j => dotSigns($"xfp", j)): _*).as("proj"))
+      .select($"vec_id", jlQuant($"embedding").as("xfp"))
+      .select($"vec_id", $"xfp", jlProject($"xfp", signs).as("proj"))
     val a = pts.filter($"vec_id" % 2 === 0)
       .select(expr("vec_id div 2").as("pair_id"), $"vec_id".as("vec_a"),
         $"xfp".as("xa"), $"proj".as("pa"))
     val b = pts.filter($"vec_id" % 2 === 1)
       .select(expr("vec_id div 2").as("pair_id"), $"vec_id".as("vec_b"),
         $"xfp".as("xb"), $"proj".as("pb"))
-    def sq(u: Column, v: Column): Column =
-      aggregate(zip_with(u, v, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, w) => acc + w)
+    def sq(u: Column, v: Column): Column = jlSqDist(u, v)
     a.join(broadcast(b), Seq("pair_id"))
       .select($"pair_id", $"vec_a", $"vec_b",
         round(sq($"xa", $"xb").cast("double") / lit(Fp.toDouble * Fp), 6)
@@ -237,6 +254,55 @@ object Similarity {
         round(sq($"pa", $"pb").cast("double") / (lit(dOut.toLong) * sq($"xa", $"xb")), 6)
           .as("jl_ratio"))
       .orderBy($"pair_id")
+  }
+
+  /** q174: ANN through the JL sketch — the search path that makes q173's
+    * projection useful: score the corpus against each query in the
+    * 16-dim projected space (exact integer distances, scan-local literal
+    * matrix), keep a `shortlist`-sized candidate set per query via the
+    * bounded-heap aggregator, then re-rank ONLY the shortlist with exact
+    * full-dimension cosine. A 4× narrower scan side and a re-rank bounded
+    * by shortlist×nQueries — the standard sketch-then-refine ANN shape,
+    * here with every stage deterministic so the whole pipeline is
+    * oracle-checked (not just recall-floored like q38/q42).
+    */
+  def q174AnnJl(spark: SparkSession, dir: String, nQueries: Int = 8,
+                k: Int = 5, dOut: Int = 16, shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator.{Scored, TopK}
+    val signs = jlSigns(dOut)
+    val emb = Tables.embeddings(spark, dir)
+    val pts = emb.select($"vec_id", jlQuant($"embedding").as("xfp"))
+      .select($"vec_id", jlProject($"xfp", signs).as("proj"))
+    val qs = pts.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"proj".as("qproj"))
+    // Stage 1: projected-space shortlist. Scores are NEGATED integer
+    // distances (exact in double far below 2^53), so the descending
+    // bounded heap keeps the closest candidates; ties break on id.
+    val cand = pts
+      .join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id",
+        struct($"vec_id".as("id"),
+          (-jlSqDist($"proj", $"qproj")).cast("double").as("score"))
+          .as("scored"))
+      .as[(Long, Scored)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new TopK(shortlist).toColumn)
+      .flatMap { case (q, items) => items.map(s => (q, s.id)) }
+      .toDF("query_id", "neighbor_id")
+    // Stage 2: exact re-rank of the bounded shortlist.
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"neighbor_id".asc)
+    cand
+      .join(broadcast(emb.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"))), "query_id")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne")),
+        "neighbor_id")
+      .withColumn("cos", round(VectorOps.cosine($"qe", $"ne"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
   }
 
   /** IVF (inverted-file) ANN: k-means centroids partition the corpus; a

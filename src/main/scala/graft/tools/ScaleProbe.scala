@@ -133,7 +133,10 @@ object ScaleProbe {
       "q172_dsir_selection",
       // JL projection: scan-local literal-matrix arithmetic; audit pairs
       // id-bounded (the probe's 8x corpus adds scan rows only)
-      "q173_jl_projection")
+      "q173_jl_projection",
+      // sketch-then-refine ANN: projected scan + bounded heap; re-rank
+      // bounded by shortlist×queries
+      "q174_ann_jl")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

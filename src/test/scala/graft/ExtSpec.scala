@@ -411,6 +411,26 @@ class ExtSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("q174 ANN-over-JL: well-formed top-k with useful recall against the exact baseline") {
+    import spark.implicits._
+    val got = Similarity.q174AnnJl(spark, sf0001).collect()
+    assert(got.length == 40)
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      // cos non-increasing within a query
+      val cs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val ann = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.q37TopKBruteForce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    // Near-random fixture vectors at d'=16, probing 10% of the corpus:
+    // recall is structurally limited but must stay far above chance
+    // (50/500 random picks ⇒ E[recall] = 0.1). Measured ≈ 0.5.
+    assert(recall >= 0.3, s"recall@5 $recall")
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
