@@ -183,6 +183,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.q173JlProjection(s, d)),
     "q174_ann_jl" ->
       ((s: SparkSession, d: String) => Similarity.q174AnnJl(s, d)),
+    "q175_zipf_fit" ->
+      ((s: SparkSession, d: String) => TextAnalysis.q175ZipfFit(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1329,6 +1331,33 @@ object SparkEntry {
         |FROM a4 JOIN cs ON cs.cl = a4.cl
         |GROUP BY a4.cl, cs.centroid_checksum
         |ORDER BY cluster""".stripMargin,
+    // q175: Zipf fit — regression sums over 1e-4 fixed-point ln values
+    // are exact integers; slope/intercept/R² are shape-mirrored doubles.
+    "q175_zipf_fit" ->
+      """WITH top AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z]+'), x -> x <> '')) AS term FROM documents)
+        |  GROUP BY term ORDER BY c DESC, term LIMIT 1000
+        |), fx AS (
+        |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC,
+        |      term) AS DOUBLE)) * 10000) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT) AS y
+        |  FROM top
+        |), s AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM fx
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (n * sxx - sx * sx), 6) AS slope,
+        |  round(((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (n * sxx - sx * sx)) * sx) / n) / 10000, 6) AS intercept,
+        |  round((CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy))
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+        |    AS r2
+        |FROM s""".stripMargin,
     // q174: sketch-then-refine ANN — projected-space shortlist (integer
     // distances, (d2, id) order matching the bounded heap), then exact
     // cosine re-rank of the shortlist.

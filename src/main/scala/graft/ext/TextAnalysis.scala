@@ -134,4 +134,51 @@ object TextAnalysis {
       .select($"orig_id", $"copy_id", ($"fp_orig" <=> $"fp_copy").as("fp_equal"))
       .orderBy($"orig_id")
   }
+
+  /** q175: Zipf rank–frequency fit — least-squares slope/intercept/R² of
+    * ln(frequency) against ln(rank) over the top-1000 terms, the corpus-
+    * health statistic that flags template/boilerplate-heavy or synthetic
+    * corpora (natural text fits slope ≈ −1; a flat or cliff-shaped curve
+    * means the token distribution is wrong before any model sees it).
+    *
+    * Cross-engine discipline: ln(rank) and ln(count) are pinned to 1e-4
+    * fixed point per term, so every regression sum (Σx, Σy, Σxy, Σx², Σy²)
+    * is exact integer arithmetic within int64 at n = 1000 — order-
+    * independent — and the slope/intercept/R² formulas are shape-mirrored
+    * double expressions over those exact sums. Scale shape: the top-1000
+    * cut is a TakeOrdered (bounded output, no global sort materialized);
+    * the ranking window and the regression run on the 1000-row table.
+    */
+  def q175ZipfFit(spark: SparkSession, dir: String,
+                  topN: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val Fp = 10000L
+    val top = Tables.documents(spark, dir)
+      .select(explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"term").limit(topN)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"term")
+    // The unpartitioned window runs over the topN-row table, never data.
+    val fx = top
+      .withColumn("rk", row_number().over(w))
+      .select(
+        round(log($"rk".cast("double")) * Fp).cast("long").as("x"),
+        round(log($"c".cast("double")) * Fp).cast("long").as("y"))
+    val sums = fx.agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    sums.select(
+      $"n".as("n_terms"),
+      round(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+        / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("slope"),
+      round((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          / ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n") / Fp, 6)
+        .as("intercept"),
+      round((($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          * ($"n" * $"sxy" - $"sx" * $"sy"))
+        / (($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+          * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+  }
 }

@@ -136,7 +136,9 @@ object ScaleProbe {
       "q173_jl_projection",
       // sketch-then-refine ANN: projected scan + bounded heap; re-rank
       // bounded by shortlist×queries
-      "q174_ann_jl")
+      "q174_ann_jl",
+      // Zipf fit: word-count aggregate + TakeOrdered(1000) + 1000-row math
+      "q175_zipf_fit")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

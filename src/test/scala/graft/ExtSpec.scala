@@ -431,6 +431,39 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 $recall")
   }
 
+  test("q175 Zipf fit: regression recomputes from scratch on the collected frequency table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = TextAnalysis.q175ZipfFit(spark, sf0001).collect()(0)
+    val (n, slope, intercept, r2) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(slope < 0 && r2 >= 0 && r2 <= 1)
+    // From-scratch: collect term frequencies, rank, fixed-point, regress.
+    val freqs = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    assert(n == freqs.size)
+    def fp(v: Double) = BigDecimal(v * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val xy = freqs.zipWithIndex.map { case ((_, c), i) =>
+      (fp(math.log(i + 1.0)), fp(math.log(c.toDouble)))
+    }
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    def rd(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slopeE = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(slope == rd(slopeE))
+    assert(intercept == rd(((sy - slopeE * sx) / n) / 10000))
+    assert(r2 == rd((n * sxy - sx * sy).toDouble * (n * sxy - sx * sy)
+      / ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy))))
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
