@@ -185,6 +185,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.q174AnnJl(s, d)),
     "q175_zipf_fit" ->
       ((s: SparkSession, d: String) => TextAnalysis.q175ZipfFit(s, d)),
+    "q176_streaming_kmeans" ->
+      (streaming.KmeansMonitor.q176StreamingKmeans(_, _)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -285,7 +287,82 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** q166's oracle, shared verbatim by q176 — the streaming monitor's
+    * summed micro-batch deltas equal the batch report exactly. */
+  private val KmeansOracleSql: String =
+    """WITH p AS (
+        |  SELECT vec_id, g.i AS d,
+        |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), init AS (
+        |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4
+        |), c0 AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY p.vec_id) - 1 AS INTEGER)
+        |    AS cl, p.d, p.v
+        |  FROM p JOIN init USING (vec_id)
+        |), d1 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c0 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a1 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d1)
+        |  WHERE rk = 1
+        |), n1 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a1 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c1 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c0 c LEFT JOIN n1 n ON n.cl = c.cl AND n.d = c.d
+        |), d2 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c1 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a2 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d2)
+        |  WHERE rk = 1
+        |), n2 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a2 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c2 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c1 c LEFT JOIN n2 n ON n.cl = c.cl AND n.d = c.d
+        |), d3 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c2 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a3 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d3)
+        |  WHERE rk = 1
+        |), n3 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a3 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c3 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c2 c LEFT JOIN n3 n ON n.cl = c.cl AND n.d = c.d
+        |), d4 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a4 AS (
+        |  SELECT vec_id, cl, dist FROM (SELECT vec_id, cl, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+        |    FROM d4)
+        |  WHERE rk = 1
+        |), cs AS (
+        |  SELECT cl, CAST(sum(v) AS BIGINT) AS centroid_checksum
+        |  FROM c3 GROUP BY cl
+        |)
+        |SELECT a4.cl AS cluster, count(*) AS n_points,
+        |  round(CAST(sum(a4.dist) AS DOUBLE) / 1e12, 6) AS inertia,
+        |  cs.centroid_checksum
+        |FROM a4 JOIN cs ON cs.cl = a4.cl
+        |GROUP BY a4.cl, cs.centroid_checksum
+        |ORDER BY cluster""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q176_streaming_kmeans" -> KmeansOracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -1261,76 +1338,7 @@ object SparkEntry {
     // lexicographic tie-break, floor(sum/n) centroid updates, empty
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
-      """WITH p AS (
-        |  SELECT vec_id, g.i AS d,
-        |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
-        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
-        |), init AS (
-        |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4
-        |), c0 AS (
-        |  SELECT CAST(dense_rank() OVER (ORDER BY p.vec_id) - 1 AS INTEGER)
-        |    AS cl, p.d, p.v
-        |  FROM p JOIN init USING (vec_id)
-        |), d1 AS (
-        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
-        |  FROM p JOIN c0 c USING (d) GROUP BY p.vec_id, c.cl
-        |), a1 AS (
-        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
-        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d1)
-        |  WHERE rk = 1
-        |), n1 AS (
-        |  SELECT a.cl, p.d,
-        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
-        |  FROM p JOIN a1 a USING (vec_id) GROUP BY a.cl, p.d
-        |), c1 AS (
-        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
-        |  FROM c0 c LEFT JOIN n1 n ON n.cl = c.cl AND n.d = c.d
-        |), d2 AS (
-        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
-        |  FROM p JOIN c1 c USING (d) GROUP BY p.vec_id, c.cl
-        |), a2 AS (
-        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
-        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d2)
-        |  WHERE rk = 1
-        |), n2 AS (
-        |  SELECT a.cl, p.d,
-        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
-        |  FROM p JOIN a2 a USING (vec_id) GROUP BY a.cl, p.d
-        |), c2 AS (
-        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
-        |  FROM c1 c LEFT JOIN n2 n ON n.cl = c.cl AND n.d = c.d
-        |), d3 AS (
-        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
-        |  FROM p JOIN c2 c USING (d) GROUP BY p.vec_id, c.cl
-        |), a3 AS (
-        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
-        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d3)
-        |  WHERE rk = 1
-        |), n3 AS (
-        |  SELECT a.cl, p.d,
-        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
-        |  FROM p JOIN a3 a USING (vec_id) GROUP BY a.cl, p.d
-        |), c3 AS (
-        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
-        |  FROM c2 c LEFT JOIN n3 n ON n.cl = c.cl AND n.d = c.d
-        |), d4 AS (
-        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
-        |  FROM p JOIN c3 c USING (d) GROUP BY p.vec_id, c.cl
-        |), a4 AS (
-        |  SELECT vec_id, cl, dist FROM (SELECT vec_id, cl, dist,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-        |    FROM d4)
-        |  WHERE rk = 1
-        |), cs AS (
-        |  SELECT cl, CAST(sum(v) AS BIGINT) AS centroid_checksum
-        |  FROM c3 GROUP BY cl
-        |)
-        |SELECT a4.cl AS cluster, count(*) AS n_points,
-        |  round(CAST(sum(a4.dist) AS DOUBLE) / 1e12, 6) AS inertia,
-        |  cs.centroid_checksum
-        |FROM a4 JOIN cs ON cs.cl = a4.cl
-        |GROUP BY a4.cl, cs.centroid_checksum
-        |ORDER BY cluster""".stripMargin,
+      KmeansOracleSql,
     // q175: Zipf fit — regression sums over 1e-4 fixed-point ln values
     // are exact integers; slope/intercept/R² are shape-mirrored doubles.
     "q175_zipf_fit" ->

@@ -37,6 +37,10 @@ object KMeans {
 
   private val Fp = 1000000L
 
+  /** 1e-6 fixed-point quantization (shared with the streaming monitor). */
+  private[graft] def quant(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * Fp).cast("long"))
+
   /** Squared L2 distance between the fixed-point vector column and a
     * literal centroid, as an exact long fold. */
   private def distSq(xfp: Column, cent: Array[Long]): Column =
@@ -46,19 +50,21 @@ object KMeans {
 
   /** (cluster, dist) assignment against literal centroids: struct-min is
     * lexicographic, so ties go to the lowest cluster id. */
-  private def assign(xfp: Column, cents: Array[Array[Long]]): Column =
+  private[graft] def assign(xfp: Column, cents: Array[Array[Long]]): Column =
     array_min(array(cents.zipWithIndex.map { case (c, i) =>
       struct(distSq(xfp, c).as("dist"), lit(i).as("cl"))
     }: _*))
 
-  def q166KMeans(spark: SparkSession, dir: String, k: Int = 4,
-                 iters: Int = 3): DataFrame = {
+  /** The q166 training loop alone: returns the final k×d fixed-point
+    * centroids (model state). Shared by the batch query and the streaming
+    * monitor (q176), which scores micro-batches against this model. */
+  private[graft] def trainCentroids(spark: SparkSession, dir: String,
+                                    k: Int, iters: Int): Array[Array[Long]] = {
     import spark.implicits._
     val vecsum = udaf(new VecSumAggregator.VecSum,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
     val pts = Tables.embeddings(spark, dir)
-      .select($"vec_id", transform($"embedding",
-        x => round(x.cast("double") * Fp).cast("long")).as("xfp"))
+      .select($"vec_id", quant($"embedding").as("xfp"))
       .cache()
     // Deterministic init: the k lowest vec_ids (k rows to the driver).
     var cents: Array[Array[Long]] = pts.orderBy($"vec_id").limit(k)
@@ -78,9 +84,26 @@ object KMeans {
         upd.getOrElse(cl, old) // empty cluster keeps its centroid
       }
     }
-    val checksums = cents.zipWithIndex
-      .map { case (c, cl) => (cl, c.sum) }.toSeq
+    cents
+  }
+
+  /** Per-cluster (n, inertia, checksum) report for literal centroids over
+    * a frame of quantized vectors — the final q166 pass, also the shape
+    * each q176 micro-batch reduces to. */
+  private[graft] def checksumFrame(spark: SparkSession,
+                                   cents: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, cl) => (cl, c.sum) }.toSeq
       .toDF("cluster", "centroid_checksum")
+  }
+
+  def q166KMeans(spark: SparkSession, dir: String, k: Int = 4,
+                 iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cents = trainCentroids(spark, dir, k, iters)
+    val pts = Tables.embeddings(spark, dir)
+      .select($"vec_id", quant($"embedding").as("xfp"))
+    val checksums = checksumFrame(spark, cents)
     pts
       .select(assign($"xfp", cents).as("m"))
       .groupBy($"m.cl".as("cluster"))

@@ -399,6 +399,46 @@ object Staged {
       watch.toString
     }
 
+  /** Two-slice single-file-per-delivery staging of the embeddings table
+    * (slice = vec_id mod 2), for the streaming k-means monitor (q176):
+    * each delivery becomes one micro-batch under `maxFilesPerTrigger=1`,
+    * and because per-vector work is independent the union of micro-batch
+    * reports equals the one-shot batch result however the table is
+    * sliced. mtimes order the deliveries deterministically. */
+  def embeddingsWatchDir(spark: SparkSession, dir: String): String =
+    getOrStage(s"embeddings_watch:$dir") {
+      import spark.implicits._
+      val watch = TempDirs.create("graft_emb_watch_")
+      val staging = TempDirs.create("graft_emb_stage_")
+      Tables.embeddings(spark, dir)
+        .withColumn("slice", pmod($"vec_id", lit(2L)).cast("int"))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
+      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
+      for (s <- 0 to 1) {
+        val sliceDir = staging.resolve(s"slice=$s")
+        val listing = java.nio.file.Files.list(sliceDir)
+        val moved =
+          try {
+            val part = listing.iterator()
+            var done = false
+            while (part.hasNext && !done) {
+              val p = part.next()
+              if (p.getFileName.toString.endsWith(".parquet")) {
+                val dest = watch.resolve(s"delivery_$s.parquet")
+                java.nio.file.Files.move(p, dest)
+                java.nio.file.Files.setLastModifiedTime(dest,
+                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
+                done = true
+              }
+            }
+            done
+          } finally listing.close()
+        require(moved, s"no part file for embeddings slice $s")
+      }
+      watch.toString
+    }
+
   /** Build every staged layout for `dir`. Bench calls this once, untimed,
     * before the timed loop — the production analog of "the indexes already
     * exist when the queries run". Queries never require it: each staging is
@@ -439,7 +479,8 @@ object Staged {
         timed("dedupWatch")(dedupWatchDir(spark, dir)),
         timed("evolvedOrders")(evolvedOrdersDir(spark, dir)),
         timed("ppmFiles")(ppmFilesDir(spark, dir)),
-        timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)))), Duration.Inf)
+        timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)),
+        timed("embWatch")(embeddingsWatchDir(spark, dir)))), Duration.Inf)
     } finally pool.shutdown()
   }
 }

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType,
+  StructField, StructType}
+import graft.ext.KMeans
+import graft.sources.{Staged, TempDirs}
+
+/** q176: the q166 k-means model deployed as a LIVE scoring monitor — the
+  * cluster-drift deployment shape: a trained model (k×d fixed-point
+  * centroids) scores embedding micro-batches as they land, and each batch
+  * appends its per-cluster (count, exact integer inertia) delta; reading
+  * the deltas back and summing reproduces the batch assignment report
+  * EXACTLY, because per-vector distances are independent of batching and
+  * the per-cluster sums are exact longs (associative). That is why q176
+  * shares q166's DuckDB oracle verbatim — the streaming path is
+  * hash-checked against the same ground truth as the batch path.
+  *
+  * Composition, all pre-existing engine pieces: file stream over the
+  * staged two-delivery embeddings dir (`maxFilesPerTrigger=1` forces one
+  * micro-batch per delivery), `foreachBatch` running the scan-local
+  * literal-centroid assignment, append sink of k-row deltas, and a final
+  * bounded aggregate over deliveries×k rows.
+  */
+object KmeansMonitor {
+
+  private val batchSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def q176StreamingKmeans(spark: SparkSession, dir: String,
+                          k: Int = 4, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cents = KMeans.trainCentroids(spark, dir, k, iters)
+    val watch = Staged.embeddingsWatchDir(spark, dir)
+    val outDir = TempDirs.create("graft_kmmon_out_").toString
+    val q = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+      .writeStream
+      .option("checkpointLocation", TempDirs.create("graft_kmmon_ck_").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(KMeans.assign(KMeans.quant(b.col("embedding")), cents).as("m"))
+          .groupBy(col("m.cl").as("cluster"))
+          .agg(count(lit(1)).as("n"), sum(col("m.dist")).as("dist"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .groupBy($"cluster")
+      .agg(sum($"n").as("n_points"),
+        round(sum($"dist") / lit(1e12), 6).as("inertia"))
+      .join(broadcast(KMeans.checksumFrame(spark, cents)), Seq("cluster"))
+      .select($"cluster", $"n_points", $"inertia", $"centroid_checksum")
+      .orderBy($"cluster")
+  }
+}

@@ -138,7 +138,10 @@ object ScaleProbe {
       // bounded by shortlist×queries
       "q174_ann_jl",
       // Zipf fit: word-count aggregate + TakeOrdered(1000) + 1000-row math
-      "q175_zipf_fit")
+      "q175_zipf_fit",
+      // streaming k-means monitor: fixed micro-batch overhead, batch-
+      // bounded scoring work per delivery
+      "q176_streaming_kmeans")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

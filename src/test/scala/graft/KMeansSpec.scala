@@ -65,4 +65,18 @@ class KMeansSpec extends SparkSpec {
     assert(got == expected)
     assert(got.map(_._2).sum == pts.length.toLong)
   }
+
+  test("q176: streaming monitor replays as 2 micro-batches and equals the batch report exactly") {
+    import spark.implicits._
+    val watch = graft.sources.Staged.embeddingsWatchDir(spark, sf0001)
+    val deliveries = new java.io.File(watch)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(deliveries == 2, s"expected 2 staged deliveries, got $deliveries")
+    val stream = graft.streaming.KmeansMonitor
+      .q176StreamingKmeans(spark, sf0001)
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    val batch = KMeans.q166KMeans(spark, sf0001)
+      .as[(Int, Long, Double, Long)].collect().toSeq
+    assert(stream == batch)
+  }
 }
