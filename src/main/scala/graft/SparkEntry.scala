@@ -187,6 +187,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.q175ZipfFit(s, d)),
     "q176_streaming_kmeans" ->
       (streaming.KmeansMonitor.q176StreamingKmeans(_, _)),
+    "q177_feature_hashing" ->
+      ((s: SparkSession, d: String) => TextAnalysis.q177FeatureHashing(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1339,6 +1341,27 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q177: feature hashing — the md5-u32 bucket device (q116's) mod the
+    // dimension; rank ties break on bucket id.
+    "q177_feature_hashing" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(u.term), 1, 8)) AS UBIGINT) % 1024
+        |      AS bucket
+        |  FROM (
+        |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |      lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |    FROM documents WHERE doc_id < 10) u
+        |), c AS (
+        |  SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt
+        |  FROM b GROUP BY doc_id, bucket
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY cnt DESC, bucket) AS INTEGER) AS rank
+        |  FROM c
+        |)
+        |SELECT doc_id, rank, bucket, cnt FROM r WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
     // q175: Zipf fit — regression sums over 1e-4 fixed-point ln values
     // are exact integers; slope/intercept/R² are shape-mirrored doubles.
     "q175_zipf_fit" ->

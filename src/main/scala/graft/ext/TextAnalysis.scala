@@ -149,6 +149,39 @@ object TextAnalysis {
     * cut is a TakeOrdered (bounded output, no global sort materialized);
     * the ranking window and the regression run on the 1000-row table.
     */
+  /** q177: feature hashing (the Weinberger "hashing trick") — project each
+    * document's bag-of-words into a fixed 1024-bucket count vector via a
+    * hash of the term, the dimensionality-fixing featurizer for linear
+    * probes/classifiers over unbounded vocabularies (colliding terms
+    * intentionally share a bucket). Reported as the 5 heaviest buckets for
+    * the first 10 documents.
+    *
+    * The bucket hash is the engine-neutral md5-u32 device (q93/q116):
+    * first 8 md5 hex chars as an unsigned int, mod the dimension — a pure
+    * function both engines compute identically, so the featurization
+    * itself is oracle-checked. Scale shape: hashing is scan-local; the
+    * (doc, bucket) aggregate is one shuffle bounded by docs×1024; the
+    * top-5 window is per-document, WindowGroupLimit-bounded.
+    */
+  def q177FeatureHashing(spark: SparkSession, dir: String, dim: Int = 1024,
+                         nDocs: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"cnt".desc, $"bucket")
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < nDocs)
+      .select($"doc_id", explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("term"))
+      .select($"doc_id",
+        pmod(conv(substring(md5($"term"), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"rank", $"bucket", $"cnt")
+      .orderBy($"doc_id", $"rank")
+  }
+
   def q175ZipfFit(spark: SparkSession, dir: String,
                   topN: Int = 1000): DataFrame = {
     import spark.implicits._

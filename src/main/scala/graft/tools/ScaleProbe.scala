@@ -141,7 +141,9 @@ object ScaleProbe {
       "q175_zipf_fit",
       // streaming k-means monitor: fixed micro-batch overhead, batch-
       // bounded scoring work per delivery
-      "q176_streaming_kmeans")
+      "q176_streaming_kmeans",
+      // feature hashing: scan-local md5 buckets + per-doc bounded window
+      "q177_feature_hashing")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

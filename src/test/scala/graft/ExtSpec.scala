@@ -464,6 +464,28 @@ class ExtSpec extends SparkSpec {
       / ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy))))
   }
 
+  test("q177 feature hashing: doc 0's buckets recompute from scratch via md5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.q177FeatureHashing(spark, sf0001).collect()
+    assert(got.length == 50) // 10 docs × top-5 buckets
+    assert(got.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 1024))
+    val text = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" === 0).select(lower($"text")).as[String].head()
+    def bucket(term: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024
+    }
+    val expected = text.split("[^a-z]+").filter(_.nonEmpty)
+      .groupBy(bucket).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (b, c) => (-c, b) }.take(5)
+      .zipWithIndex.map { case ((b, c), i) => (0L, i + 1, b, c) }
+    val doc0 = got.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(doc0 == expected)
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
