@@ -189,6 +189,8 @@ object SparkEntry {
       (streaming.KmeansMonitor.q176StreamingKmeans(_, _)),
     "q177_feature_hashing" ->
       ((s: SparkSession, d: String) => TextAnalysis.q177FeatureHashing(s, d)),
+    "q178_truncation_loss" ->
+      ((s: SparkSession, d: String) => Corpus.q178TruncationLoss(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1341,6 +1343,24 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q178: truncation-loss curve — bounded-key aggregate over exact
+    // integer token sums; loss is one shape-mirrored double expression.
+    "q178_truncation_loss" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |), x AS (
+        |  SELECT source, n, CAST(l.l AS BIGINT) AS "limit"
+        |  FROM d, UNNEST([128, 512, 2048, 4096]) AS l(l)
+        |)
+        |SELECT source, "limit", count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS tok_mass,
+        |  CAST(sum(least(n, "limit")) AS BIGINT) AS kept,
+        |  round(1.0 - CAST(sum(least(n, "limit")) AS DOUBLE) / sum(n), 6)
+        |    AS loss
+        |FROM x GROUP BY source, "limit"
+        |ORDER BY source, "limit" """.stripMargin,
     // q177: feature hashing — the md5-u32 bucket device (q116's) mod the
     // dimension; rank ties break on bucket id.
     "q177_feature_hashing" ->

@@ -440,6 +440,34 @@ object Corpus {
       .orderBy($"bucket")
   }
 
+  /** q178: truncation-loss curve — for each source and each candidate
+    * context length L ∈ {128, 512, 2048, 4096}, the fraction of token
+    * mass lost if documents truncate at L tokens. This is the decision
+    * input for the q80 packing policy: pick the context budget where the
+    * marginal loss flattens, per source (web snippets vs books differ by
+    * orders of magnitude).
+    *
+    * Scale shape: per-doc token counts are scan-local; the 4× explode over
+    * candidate limits multiplies narrow (source, n) rows only; the one
+    * shuffle is the bounded-key (source × limit) aggregate with exact
+    * integer sums, and the loss is one shape-mirrored double expression.
+    */
+  def q178TruncationLoss(spark: SparkSession, dir: String,
+                         limits: Seq[Int] = Seq(128, 512, 2048, 4096)): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", size(split($"text", "\\s+")).cast("long").as("n"))
+      .select($"source", $"n",
+        explode(typedlit(limits.map(_.toLong))).as("limit"))
+      .groupBy($"source", $"limit")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("tok_mass"),
+        sum(least($"n", $"limit")).as("kept"))
+      .select($"source", $"limit", $"n_docs", $"tok_mass", $"kept",
+        round(lit(1.0) - $"kept".cast("double") / $"tok_mass", 6).as("loss"))
+      .orderBy($"source", $"limit")
+  }
+
   /** q171: UniMax mixture allocation (Chung et al. 2023) — the
     * epoch-capped complement of q154's temperature sampler: split a token
     * budget (1.5× the corpus) across languages so no language exceeds the

@@ -143,7 +143,10 @@ object ScaleProbe {
       // bounded scoring work per delivery
       "q176_streaming_kmeans",
       // feature hashing: scan-local md5 buckets + per-doc bounded window
-      "q177_feature_hashing")
+      "q177_feature_hashing",
+      // truncation loss: scan-local counts, 4x narrow-row explode,
+      // bounded-key aggregate
+      "q178_truncation_loss")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

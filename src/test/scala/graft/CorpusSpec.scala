@@ -223,4 +223,33 @@ class CorpusSpec extends SparkSpec {
     // Budget conservation: total allocation never exceeds 1.5× the corpus.
     assert(got.map(_._4).sum <= 1.5 * n.map(_._2).sum + 0.01)
   }
+
+  test("q178: truncation loss is monotone in the limit and totals reconcile") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.q178TruncationLoss(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val limits = Seq(128L, 512L, 2048L, 4096L)
+    assert(rows.size == 20 * limits.size)
+    rows.groupBy(_._1).values.foreach { g =>
+      val byLimit = g.sortBy(_._2)
+      assert(byLimit.map(_._2) == limits)
+      // Loss and kept mass are monotone in L; tok_mass constant per source.
+      assert(byLimit.map(_._6).zip(byLimit.map(_._6).tail)
+        .forall { case (a, b) => a >= b })
+      assert(byLimit.map(_._5).zip(byLimit.map(_._5).tail)
+        .forall { case (a, b) => a <= b })
+      assert(byLimit.map(_._4).distinct.size == 1)
+      g.foreach { case (_, lim, _, mass, kept, loss) =>
+        assert(kept <= mass)
+        assert(loss == BigDecimal(1.0 - kept.toDouble / mass)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // Corpus-wide token mass reconciles with a direct recount.
+    val mass = graft.sources.Tables.documents(spark, sf0001)
+      .select(size(split($"text", "\\s+")).cast("long").as("n"))
+      .agg(sum($"n")).head.getLong(0)
+    assert(rows.filter(_._2 == 128L).map(_._4).sum == mass)
+  }
 }
