@@ -191,6 +191,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.q177FeatureHashing(s, d)),
     "q178_truncation_loss" ->
       ((s: SparkSession, d: String) => Corpus.q178TruncationLoss(s, d)),
+    "q179_silhouette" ->
+      ((s: SparkSession, d: String) => KMeans.q179Silhouette(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1343,6 +1345,82 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q179: simplified silhouette — the shared k-means chain through
+    // c3, then per-point (nearest, second-nearest) distances and the
+    // fixed-pointed silhouette mean.
+    "q179_silhouette" ->
+      """WITH p AS (
+        |  SELECT vec_id, g.i AS d,
+        |    CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), init AS (
+        |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4
+        |), c0 AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY p.vec_id) - 1 AS INTEGER)
+        |    AS cl, p.d, p.v
+        |  FROM p JOIN init USING (vec_id)
+        |), d1 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c0 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a1 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d1)
+        |  WHERE rk = 1
+        |), n1 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a1 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c1 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c0 c LEFT JOIN n1 n ON n.cl = c.cl AND n.d = c.d
+        |), d2 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c1 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a2 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d2)
+        |  WHERE rk = 1
+        |), n2 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a2 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c2 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c1 c LEFT JOIN n2 n ON n.cl = c.cl AND n.d = c.d
+        |), d3 AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c2 c USING (d) GROUP BY p.vec_id, c.cl
+        |), a3 AS (
+        |  SELECT vec_id, cl FROM (SELECT vec_id, cl, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk FROM d3)
+        |  WHERE rk = 1
+        |), n3 AS (
+        |  SELECT a.cl, p.d,
+        |    CAST(floor(CAST(sum(p.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+        |  FROM p JOIN a3 a USING (vec_id) GROUP BY a.cl, p.d
+        |), c3 AS (
+        |  SELECT c.cl, c.d, coalesce(n.v, c.v) AS v
+        |  FROM c2 c LEFT JOIN n3 n ON n.cl = c.cl AND n.d = c.d
+        |), dd AS (
+        |  SELECT p.vec_id, c.cl, sum((p.v - c.v) * (p.v - c.v)) AS dist
+        |  FROM p JOIN c3 c USING (d) GROUP BY p.vec_id, c.cl
+        |), rk AS (
+        |  SELECT vec_id, cl, dist, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist, cl) AS r
+        |  FROM dd
+        |), ab AS (
+        |  SELECT a.vec_id, a.cl, a.dist AS da, b.dist AS db
+        |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND b.r = 2
+        |  WHERE a.r = 1
+        |), sfp AS (
+        |  SELECT vec_id, cl, CAST(round(CASE WHEN greatest(da, db) = 0
+        |    THEN 0 ELSE CAST(db - da AS DOUBLE) / greatest(da, db) * 1000000
+        |    END) AS BIGINT) AS s
+        |  FROM ab
+        |)
+        |SELECT cl AS cluster, count(*) AS n_points,
+        |  round(sum(s) / (1000000.0 * count(*)), 6) AS mean_silhouette
+        |FROM sfp GROUP BY cl ORDER BY cluster""".stripMargin,
     // q178: truncation-loss curve — bounded-key aggregate over exact
     // integer token sums; loss is one shape-mirrored double expression.
     "q178_truncation_loss" ->

@@ -97,6 +97,42 @@ object KMeans {
       .toDF("cluster", "centroid_checksum")
   }
 
+  /** q179: simplified-silhouette audit of the q166 clustering — per
+    * cluster, the mean of s = (b − a)/max(a, b) where a is the squared
+    * distance to the assigned (nearest) centroid and b to the second-
+    * nearest (the centroid-based silhouette of Hruschka et al.; s near 0
+    * flags points sitting on a cluster boundary, i.e. an unstable
+    * clustering that cluster-based curation shouldn't trust).
+    *
+    * Scale shape: one scan — the FULL sorted (dist, cl) array against the
+    * k literal centroids is scan-local (k=4 structs per row), and the only
+    * shuffle is the k-bounded-key aggregate. Cross-engine: a and b are
+    * exact integer distances, each point's s is ONE division chain
+    * ((b−a)/max·1e6) rounded to fixed point BEFORE the mean, so the
+    * reduction is exact integer math (the house discipline).
+    */
+  def q179Silhouette(spark: SparkSession, dir: String, k: Int = 4,
+                     iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cents = trainCentroids(spark, dir, k, iters)
+    val sorted = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(distSq(col("xfp"), c).as("dist"), lit(i).as("cl"))
+    }: _*))
+    Tables.embeddings(spark, dir)
+      .select(quant($"embedding").as("xfp"))
+      .select(element_at(sorted, 1).as("m1"), element_at(sorted, 2).as("m2"))
+      .select($"m1.cl".as("cluster"),
+        when(greatest($"m1.dist", $"m2.dist") === 0, 0L)
+          .otherwise(round(($"m2.dist" - $"m1.dist").cast("double")
+            / greatest($"m1.dist", $"m2.dist") * lit(1000000L)).cast("long"))
+          .as("sfp"))
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_points"),
+        round(sum($"sfp") / (lit(1000000.0) * count(lit(1))), 6)
+          .as("mean_silhouette"))
+      .orderBy($"cluster")
+  }
+
   def q166KMeans(spark: SparkSession, dir: String, k: Int = 4,
                  iters: Int = 3): DataFrame = {
     import spark.implicits._

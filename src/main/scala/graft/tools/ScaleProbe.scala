@@ -146,7 +146,9 @@ object ScaleProbe {
       "q177_feature_hashing",
       // truncation loss: scan-local counts, 4x narrow-row explode,
       // bounded-key aggregate
-      "q178_truncation_loss")
+      "q178_truncation_loss",
+      // silhouette: train + one scan-local sorted-distance pass
+      "q179_silhouette")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 
