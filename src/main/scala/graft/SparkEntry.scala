@@ -193,6 +193,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Corpus.q178TruncationLoss(s, d)),
     "q179_silhouette" ->
       ((s: SparkSession, d: String) => KMeans.q179Silhouette(s, d)),
+    "q180_lexical_diversity" ->
+      ((s: SparkSession, d: String) => TextAnalysis.q180LexicalDiversity(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1345,6 +1347,34 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q180: distinct-1/distinct-2 per source — exact type/token counts,
+    // two correctly-rounded divisions.
+    "q180_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM documents
+        |), u AS (
+        |  SELECT source, unnest(tk) AS g FROM t
+        |), b AS (
+        |  SELECT source, tk[g.i] || ' ' || tk[g.i + 1] AS g
+        |  FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |), s1 AS (
+        |  SELECT source, count(*) AS types_1,
+        |    CAST(sum(c) AS BIGINT) AS tokens_1
+        |  FROM (SELECT source, g, count(*) AS c FROM u GROUP BY source, g)
+        |  GROUP BY source
+        |), s2 AS (
+        |  SELECT source, count(*) AS types_2,
+        |    CAST(sum(c) AS BIGINT) AS tokens_2
+        |  FROM (SELECT source, g, count(*) AS c FROM b GROUP BY source, g)
+        |  GROUP BY source
+        |)
+        |SELECT source, types_1, tokens_1,
+        |  round(CAST(types_1 AS DOUBLE) / tokens_1, 6) AS distinct_1,
+        |  types_2, tokens_2,
+        |  round(CAST(types_2 AS DOUBLE) / tokens_2, 6) AS distinct_2
+        |FROM s1 JOIN s2 USING (source) ORDER BY source""".stripMargin,
     // q179: simplified silhouette — the shared k-means chain through
     // c3, then per-point (nearest, second-nearest) distances and the
     // fixed-pointed silhouette mean.

@@ -135,6 +135,40 @@ object TextAnalysis {
       .orderBy($"orig_id")
   }
 
+  /** q180: lexical diversity per source — distinct-1 and distinct-2 (the
+    * Li et al. 2016 generation-diversity metrics): the fraction of
+    * unigram/bigram occurrences that are distinct types. The degenerate-
+    * output detector for synthetic/model-generated corpora: mode collapse
+    * shows up as distinct-n cratering while perplexity still looks fine.
+    *
+    * Scale shape: one tokenize pass feeds both n-gram streams; the
+    * distinct counts are per-(source, gram) aggregates keyed by bounded
+    * source × gram (map-side combined), collapsing to a source-keyed
+    * bounded aggregate; the two ratios are correctly-rounded divisions of
+    * exact counts.
+    */
+  def q180LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("tk"))
+    val uni = tok.select($"source", explode($"tk").as("g"))
+    val bi = tok.select($"source", explode(expr(
+      "CASE WHEN size(tk) > 1 THEN transform(sequence(1, size(tk) - 1), " +
+        "i -> concat(tk[i-1], ' ', tk[i])) ELSE array() END")).as("g"))
+    def stats(grams: DataFrame, n: String): DataFrame =
+      grams.groupBy($"source", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as(s"types_$n"), sum($"c").as(s"tokens_$n"))
+    stats(uni, "1")
+      .join(stats(bi, "2"), Seq("source"))
+      .select($"source", $"types_1", $"tokens_1",
+        round($"types_1".cast("double") / $"tokens_1", 6).as("distinct_1"),
+        $"types_2", $"tokens_2",
+        round($"types_2".cast("double") / $"tokens_2", 6).as("distinct_2"))
+      .orderBy($"source")
+  }
+
   /** q175: Zipf rank–frequency fit — least-squares slope/intercept/R² of
     * ln(frequency) against ln(rank) over the top-1000 terms, the corpus-
     * health statistic that flags template/boilerplate-heavy or synthetic

@@ -148,7 +148,9 @@ object ScaleProbe {
       // bounded-key aggregate
       "q178_truncation_loss",
       // silhouette: train + one scan-local sorted-distance pass
-      "q179_silhouette")
+      "q179_silhouette",
+      // distinct-n: per-(source, gram) aggregates, bounded-key collapse
+      "q180_lexical_diversity")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

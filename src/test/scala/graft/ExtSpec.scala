@@ -486,6 +486,34 @@ class ExtSpec extends SparkSpec {
     assert(doc0 == expected)
   }
 
+  test("q180 lexical diversity: one source recomputes from scratch; ratios bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.q180LexicalDiversity(spark, sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2)) // types ≤ tokens
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0)
+      // bigrams are rarer types than unigrams are, but MORE diverse
+      assert(r.getDouble(6) >= r.getDouble(3))
+    }
+    // From-scratch recomputation of src0.
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"source" === "src0").select(lower($"text"))
+      .as[String].collect()
+    val unis = texts.flatMap(_.split("[^a-z]+").filter(_.nonEmpty))
+    val bis = texts.flatMap { t =>
+      val w = t.split("[^a-z]+").filter(_.nonEmpty)
+      w.zip(w.tail).map { case (a, b) => s"$a $b" }
+    }
+    val r0 = rows.find(_.getString(0) == "src0").get
+    assert(r0.getLong(1) == unis.distinct.length.toLong)
+    assert(r0.getLong(2) == unis.length.toLong)
+    assert(r0.getLong(4) == bis.distinct.length.toLong)
+    assert(r0.getLong(5) == bis.length.toLong)
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
