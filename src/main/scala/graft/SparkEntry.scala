@@ -195,6 +195,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => KMeans.q179Silhouette(s, d)),
     "q180_lexical_diversity" ->
       ((s: SparkSession, d: String) => TextAnalysis.q180LexicalDiversity(s, d)),
+    "q181_source_kl" ->
+      ((s: SparkSession, d: String) => ext.Quality.q181SourceKl(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1347,6 +1349,30 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q181: plug-in KL per source — single-ln exact-BIGINT ratios,
+    // fixed-pointed before the per-source sum (the q172 device).
+    "q181_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(regexp_split_to_array(
+        |    lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |  FROM documents
+        |), pt AS (
+        |  SELECT source, term, count(*) AS cs FROM tok GROUP BY source, term
+        |), corpus AS (
+        |  SELECT term, count(*) AS cc FROM tok GROUP BY term
+        |), totals AS (
+        |  SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpus
+        |), ps AS (
+        |  SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM pt GROUP BY source
+        |)
+        |SELECT pt.source, max(ps.ns) AS n_tokens, count(*) AS n_terms,
+        |  round(sum(CAST(round(pt.cs * ln(
+        |      CAST(pt.cs * t.nc AS DOUBLE) / CAST(c.cc * ps.ns AS DOUBLE))
+        |      * 1000000) AS BIGINT)) / (1000000.0 * max(ps.ns)), 6)
+        |    AS kl_nats
+        |FROM pt JOIN corpus c USING (term) JOIN ps ON ps.source = pt.source,
+        |  totals t
+        |GROUP BY pt.source ORDER BY pt.source""".stripMargin,
     // q180: distinct-1/distinct-2 per source — exact type/token counts,
     // two correctly-rounded divisions.
     "q180_lexical_diversity" ->

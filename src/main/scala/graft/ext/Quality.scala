@@ -180,6 +180,46 @@ object Quality {
       .orderBy(col("lang"), col("verdict"))
   }
 
+  /** q181: per-source KL divergence from the corpus token distribution —
+    * the plug-in estimate of KL(P_src ‖ P_corpus), the domain-skew audit
+    * that quantifies how far each source's language drifts from the mix
+    * (the per-source complement of q172's two-corpus contrast). High-KL
+    * sources are candidates for separate mixture treatment (q154/q171).
+    * No smoothing is needed: every source term occurs in the corpus by
+    * construction, so the plug-in KL is finite and exact.
+    *
+    * Cross-engine discipline (the q172 device): KL·ns = Σ cs·ln((cs·nc)/
+    * (cc·ns)) — the ln argument is an exact-BIGINT ratio, the integer
+    * weight cs stays inside, and the 1/ns factor moves OUTSIDE the sum,
+    * so each summand rounds to 1e-6 fixed point and the reduction is
+    * exact integer math; one final division per source. Scale shape:
+    * term-level counts aggregate map-side; the corpus unigram table
+    * broadcasts; the per-source sum's key space is bounded by sources.
+    */
+  def q181SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"source",
+        explode(
+          expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
+          .as("term"))
+    val perTerm = tok.groupBy($"source", $"term").agg(count(lit(1)).as("cs"))
+    val corpus = tok.groupBy($"term").agg(count(lit(1)).as("cc"))
+    val totals = corpus.agg(sum($"cc").as("nc"))
+    val perSource = perTerm.groupBy($"source").agg(sum($"cs").as("ns"))
+    perTerm
+      .join(broadcast(corpus), Seq("term"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("fp", round($"cs" * log(
+        ($"cs" * $"nc").cast("double") / ($"cc" * $"ns").cast("double"))
+        * lit(1000000L)).cast("long"))
+      .groupBy($"source")
+      .agg(max($"ns").as("n_tokens"), count(lit(1)).as("n_terms"),
+        round(sum($"fp") / (lit(1000000.0) * max($"ns")), 6).as("kl_nats"))
+      .orderBy($"source")
+  }
+
   /** q172: DSIR-style importance-ratio data selection (Xie et al. 2023,
     * "Data Selection via Importance Resampling") — score every
     * out-of-domain document by the mean per-token log-likelihood ratio

@@ -150,7 +150,10 @@ object ScaleProbe {
       // silhouette: train + one scan-local sorted-distance pass
       "q179_silhouette",
       // distinct-n: per-(source, gram) aggregates, bounded-key collapse
-      "q180_lexical_diversity")
+      "q180_lexical_diversity",
+      // per-source KL: map-side term counts, broadcast corpus table,
+      // source-bounded final aggregate
+      "q181_source_kl")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

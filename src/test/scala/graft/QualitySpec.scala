@@ -354,6 +354,35 @@ class QualitySpec extends SparkSpec {
     assert(funnel.map(_.getString(1)).forall(allowed))
   }
 
+  test("q181: per-source KL is non-negative and src0 recomputes from scratch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = ext.Quality.q181SourceKl(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.size == 20)
+    // Gibbs: KL ≥ 0 up to the 1e-6 fixed-point rounding slack.
+    rows.foreach { case (_, _, _, kl) => assert(kl >= -0.000002) }
+    // From-scratch recomputation of src0's plug-in KL.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", lower($"text")).as[(String, String)].collect()
+    def toks(t: String) = t.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap(d => toks(d._2))
+    val cc = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nc = all.length.toLong
+    val srcToks = docs.filter(_._1 == "src0").flatMap(d => toks(d._2))
+    val cs = srcToks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ns = srcToks.length.toLong
+    val s = cs.map { case (t, c) =>
+      BigDecimal(c * math.log((c * nc).toDouble / (cc(t) * ns)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val expected = BigDecimal(s / (1e6 * ns))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r0 = rows.find(_._1 == "src0").get
+    assert(r0._2 == ns && r0._3 == cs.size.toLong)
+    assert(r0._4 == expected)
+  }
+
   test("q172: DSIR scores recompute from scratch and target docs are excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
