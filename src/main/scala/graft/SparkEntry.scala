@@ -197,6 +197,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.q180LexicalDiversity(s, d)),
     "q181_source_kl" ->
       ((s: SparkSession, d: String) => ext.Quality.q181SourceKl(s, d)),
+    "q182_edit_verify" ->
+      ((s: SparkSession, d: String) => Dedup.q182EditVerify(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1349,6 +1351,40 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q182: levenshtein re-verify of the q121 pairs — the q121 oracle
+    // wrapped as a CTE, plus text-fetch joins on the same planted corpus.
+    "q182_edit_verify" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM corpus
+        |), s AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tk WHERE len(toks) > 0
+        |), sz AS (
+        |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
+        |), p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
+        |  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |), pr AS (
+        |  SELECT a_id, b_id,
+        |    round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        |  FROM p
+        |  WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.5
+        |)
+        |SELECT pr.a_id, pr.b_id, pr.jaccard,
+        |  CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS lev,
+        |  round(1.0 - CAST(levenshtein(ca.text, cb.text) AS DOUBLE)
+        |    / greatest(length(ca.text), length(cb.text)), 6) AS edit_sim
+        |FROM pr JOIN corpus ca ON ca.doc_id = pr.a_id
+        |JOIN corpus cb ON cb.doc_id = pr.b_id
+        |ORDER BY pr.a_id, pr.b_id""".stripMargin,
     // q181: plug-in KL per source — single-ln exact-BIGINT ratios,
     // fixed-pointed before the per-source sum (the q172 device).
     "q181_source_kl" ->

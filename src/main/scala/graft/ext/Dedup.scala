@@ -1125,6 +1125,37 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** q182: character-level edit-distance re-verification of the q121
+    * set-similarity pairs — the second-stage verify a production dedup
+    * pipeline runs before destructive removal: shingle Jaccard is
+    * token-order-blind (two docs with the same word set score 1.0), so
+    * the accepted pairs are re-scored with normalized Levenshtein
+    * similarity 1 − lev/max(len), which is order-sensitive. Pairs whose
+    * edit_sim is far below their jaccard are reorderings, not copies.
+    *
+    * Scale shape: the O(len²) edit-distance DP runs ONLY on the
+    * result-bounded pair set (never corpus-wide all-pairs); the pair
+    * table broadcasts into both text-fetch joins, so the corpus is
+    * scanned twice with no shuffle. Both engines implement classic
+    * unit-cost Levenshtein, and the similarity is one correctly-rounded
+    * division of exact ints.
+    */
+  def q182EditVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = withPlantedNear(
+      Tables.documents(spark, dir).select($"doc_id", $"text"), 20)
+    val pairs = q121SetSimJoin(spark, dir)
+    val withA = corpus.select($"doc_id".as("a_id"), $"text".as("ta"))
+      .join(broadcast(pairs), Seq("a_id"))
+    corpus.select($"doc_id".as("b_id"), $"text".as("tb"))
+      .join(broadcast(withA), Seq("b_id"))
+      .select($"a_id", $"b_id", $"jaccard",
+        levenshtein($"ta", $"tb").cast("long").as("lev"),
+        round(lit(1.0) - levenshtein($"ta", $"tb").cast("double")
+          / greatest(length($"ta"), length($"tb")), 6).as("edit_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** q165: cross-source contamination matrix — for every pair of corpus
     * sources, how much content they share at the 8-token-span level
     * (distinct-span intersection + Jaccard). This is the dataset-audit

@@ -153,7 +153,9 @@ object ScaleProbe {
       "q180_lexical_diversity",
       // per-source KL: map-side term counts, broadcast corpus table,
       // source-bounded final aggregate
-      "q181_source_kl")
+      "q181_source_kl",
+      // edit verify: O(len²) DP bounded by RESULT pairs, broadcast joins
+      "q182_edit_verify")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -514,6 +514,31 @@ class ExtSpec extends SparkSpec {
     assert(r0.getLong(5) == bis.length.toLong)
   }
 
+  test("q182 edit verify: planted pairs measure exactly the 5-char suffix; similarity recomputes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.q182EditVerify(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // Every planted (i, i+1000000) pair differs by exactly " xtra" (5 chars).
+    val planted = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted.length == 20)
+    planted.foreach { r =>
+      assert(r.getLong(3) == 5L, s"pair ${r.getLong(0)}: lev ${r.getLong(3)}")
+    }
+    // edit_sim recomputes from lev and the longer text's length.
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", length($"text")).as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      val (a, b, lev, sim) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))
+      def len(id: Long) =
+        if (id >= 1000000L) texts(id - 1000000L) + 5 else texts(id)
+      val expected = BigDecimal(1.0 - lev.toDouble / math.max(len(a), len(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sim == expected)
+    }
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
