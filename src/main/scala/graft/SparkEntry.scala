@@ -199,6 +199,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => ext.Quality.q181SourceKl(s, d)),
     "q182_edit_verify" ->
       ((s: SparkSession, d: String) => Dedup.q182EditVerify(s, d)),
+    "q183_burstiness" ->
+      ((s: SparkSession, d: String) => TextAnalysis.q183Burstiness(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1351,6 +1353,28 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q183: burstiness VMR — exact BIGINT numerator/denominator, one
+    // correctly-rounded division.
+    "q183_burstiness" ->
+      """WITH nd AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), dt AS (
+        |  SELECT doc_id, u.term, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |      lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |    FROM documents) u
+        |  GROUP BY doc_id, u.term
+        |), t AS (
+        |  SELECT term, count(*) AS n_docs_with,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM dt GROUP BY term
+        |)
+        |SELECT term, n_docs_with, total,
+        |  round(CAST(nd.n_docs * sum_sq - total * total AS DOUBLE)
+        |    / (nd.n_docs * total), 6) AS vmr
+        |FROM t, nd
+        |ORDER BY total DESC, term LIMIT 20""".stripMargin,
     // q182: levenshtein re-verify of the q121 pairs — the q121 oracle
     // wrapped as a CTE, plus text-fetch joins on the same planted corpus.
     "q182_edit_verify" ->

@@ -169,6 +169,40 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** q183: term burstiness — the Church–Gale dispersion statistic: for
+    * the 20 highest-mass terms, the variance-to-mean ratio of per-document
+    * counts (zeros included). VMR ≈ 1 is Poisson (topic-neutral function
+    * words); VMR ≫ 1 is bursty (topical terms clumping in few docs); a
+    * whole corpus of VMR ≈ 1 content terms flags template/synthetic text.
+    *
+    * Exactness: VMR = (N·Σc² − (Σc)²) / (N·Σc) — numerator and
+    * denominator are exact BIGINT sums over (doc, term) counts (absent
+    * docs contribute zeros to both sums for free), so the one division is
+    * correctly rounded and cross-engine identical. Scale shape: one
+    * (doc, term) aggregate (map-side combined), one term-keyed rollup,
+    * TakeOrdered(20); the doc total N rides as a broadcast scalar frame.
+    */
+  def q183Burstiness(spark: SparkSession, dir: String,
+                     topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select($"doc_id", explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"term").agg(
+        count(lit(1)).as("n_docs_with"),
+        sum($"c").as("total"),
+        sum($"c" * $"c").as("sum_sq"))
+      .crossJoin(broadcast(nDocs))
+      .select($"term", $"n_docs_with", $"total",
+        round(($"n_docs" * $"sum_sq" - $"total" * $"total").cast("double")
+          / ($"n_docs" * $"total"), 6).as("vmr"))
+      .orderBy($"total".desc, $"term")
+      .limit(topN)
+  }
+
   /** q175: Zipf rank–frequency fit — least-squares slope/intercept/R² of
     * ln(frequency) against ln(rank) over the top-1000 terms, the corpus-
     * health statistic that flags template/boilerplate-heavy or synthetic

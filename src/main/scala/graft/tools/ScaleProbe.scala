@@ -155,7 +155,9 @@ object ScaleProbe {
       // source-bounded final aggregate
       "q181_source_kl",
       // edit verify: O(len²) DP bounded by RESULT pairs, broadcast joins
-      "q182_edit_verify")
+      "q182_edit_verify",
+      // burstiness: (doc, term) map-side aggregate + term rollup
+      "q183_burstiness")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -539,6 +539,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q183 burstiness: every row's VMR recomputes from collected per-doc counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.q183Burstiness(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val nDocs = docs.length.toLong
+    val counts = docs.flatMap { case (id, t) =>
+      t.split("[^a-z]+").filter(_.nonEmpty).map(w => (w, id))
+    }.groupBy(_._1).view.mapValues(_.groupBy(_._2).values.map(_.length.toLong))
+    rows.foreach { r =>
+      val (term, nw, total, vmr) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val cs = counts(term).toSeq
+      assert(nw == cs.size.toLong)
+      assert(total == cs.sum)
+      val sumSq = cs.map(c => c * c).sum
+      val expected = BigDecimal(
+        (nDocs * sumSq - total * total).toDouble / (nDocs * total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(vmr == expected, s"$term: $vmr vs $expected")
+      assert(vmr >= 0)
+    }
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
