@@ -201,6 +201,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.q182EditVerify(s, d)),
     "q183_burstiness" ->
       ((s: SparkSession, d: String) => TextAnalysis.q183Burstiness(s, d)),
+    "q184_span_novelty" ->
+      ((s: SparkSession, d: String) => Dedup.q184SpanNovelty(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1353,6 +1355,27 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q184: per-doc span novelty — q163's span lateral, distinct
+    // (hash, doc) rows, per-hash doc counts, per-doc novelty ratio.
+    "q184_span_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk
+        |  FROM documents
+        |), d AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(tk[g.i:g.i+7], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(1, len(tk), 8)) AS g(i)
+        |), s AS (
+        |  SELECT h, count(*) AS n_docs_with FROM d GROUP BY h
+        |)
+        |SELECT d.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN s.n_docs_with = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN s.n_docs_with = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty
+        |FROM d JOIN s USING (h)
+        |GROUP BY d.doc_id
+        |ORDER BY novelty, d.doc_id LIMIT 15""".stripMargin,
     // q183: burstiness VMR — exact BIGINT numerator/denominator, one
     // correctly-rounded division.
     "q183_burstiness" ->

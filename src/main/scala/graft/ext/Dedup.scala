@@ -1156,6 +1156,42 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q184: per-document span novelty — the document-level breakout of
+    * q163's corpus statistic: for each document, the fraction of its
+    * 8-token spans that appear NOWHERE else in the corpus (self-repeats
+    * don't count against novelty; only cross-document sharing does). The
+    * 15 least-novel documents are returned — the memorization-risk /
+    * near-template ranking used to prune documents that are mostly
+    * recombinations of other documents.
+    *
+    * Scale shape: identical to q163's decision pass — distinct
+    * (span-md5, doc) rows shuffle once on the hash, the per-hash
+    * doc-count is the only wide aggregate, and the per-doc rollup keys on
+    * doc_id; span text never ships, only 32-hex digests.
+    */
+  def q184SpanNovelty(spark: SparkSession, dir: String, width: Int = 8,
+                      topK: Int = 15): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .select($"doc_id", explode(
+        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
+          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
+        .as("h"))
+      .distinct()
+    val shared = spans.groupBy($"h")
+      .agg(count(lit(1)).as("n_docs_with"))
+    spans
+      .join(shared, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"n_docs_with" === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select($"doc_id", $"n_spans", $"n_unique",
+        round($"n_unique".cast("double") / $"n_spans", 6).as("novelty"))
+      .orderBy($"novelty".asc, $"doc_id")
+      .limit(topK)
+  }
+
   /** q165: cross-source contamination matrix — for every pair of corpus
     * sources, how much content they share at the 8-token-span level
     * (distinct-span intersection + Jaccard). This is the dataset-audit

@@ -157,7 +157,9 @@ object ScaleProbe {
       // edit verify: O(len²) DP bounded by RESULT pairs, broadcast joins
       "q182_edit_verify",
       // burstiness: (doc, term) map-side aggregate + term rollup
-      "q183_burstiness")
+      "q183_burstiness",
+      // span novelty: hash-keyed distinct + per-doc rollup, digests only
+      "q184_span_novelty")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

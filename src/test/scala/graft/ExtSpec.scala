@@ -565,6 +565,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("q184 span novelty: least-novel doc recomputes from a direct cross-doc span count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.q184SpanNovelty(spark, sf0001).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // novelty ascending with doc_id tiebreak
+    val keys = rows.map(r => (r.getDouble(3), r.getLong(0))).toSeq
+    assert(keys == keys.sorted)
+    // Recompute the top row directly: distinct spans of that doc vs the
+    // distinct spans of every other doc.
+    val top = rows.head
+    def spansOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", split($"text", "\\s+").as("t"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), floor((size($"t") - 1) / 8).cast("int")),
+        b => array_join(slice($"t", b * 8 + 1, lit(8)), " "))).as("s"))
+      .distinct()
+    val all = spansOf(graft.sources.Tables.documents(spark, sf0001))
+    val mine = all.filter($"doc_id" === top.getLong(0)).select($"s")
+    val others = all.filter($"doc_id" =!= top.getLong(0)).select($"s").distinct()
+    val sharedCnt = mine.intersect(others).count()
+    assert(top.getLong(1) == mine.count())
+    assert(top.getLong(2) == mine.count() - sharedCnt)
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
