@@ -203,6 +203,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.q183Burstiness(s, d)),
     "q184_span_novelty" ->
       ((s: SparkSession, d: String) => Dedup.q184SpanNovelty(s, d)),
+    "q185_source_sketch" ->
+      ((s: SparkSession, d: String) => Dedup.q185SourceSketch(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1355,6 +1357,47 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q185: sketched source overlap — q165's oracle as CTE for the
+    // exact side; the sketch re-derives md5-u32 minima per (source, j).
+    "q185_source_sketch" ->
+      """WITH t AS (
+        |  SELECT source, regexp_split_to_array(text, '\s+') AS tk
+        |  FROM documents
+        |), d AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(tk[g.i:g.i+7], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(1, len(tk), 8)) AS g(i)
+        |), per AS (
+        |  SELECT source, count(*) AS n FROM d GROUP BY source
+        |), ex AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS inter_spans, pa.n AS n_a, pb.n AS n_b,
+        |    round(CAST(count(*) AS DOUBLE)
+        |      / (pa.n + pb.n - count(*)), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+        |  JOIN per pa ON pa.source = a.source
+        |  JOIN per pb ON pb.source = b.source
+        |  GROUP BY a.source, b.source, pa.n, pb.n
+        |  ORDER BY inter_spans DESC, source_a, source_b LIMIT 20
+        |), c AS (
+        |  SELECT source, j.j AS j,
+        |    min(CAST(concat('0x', substr(md5(j.j || '_' || h), 1, 8))
+        |      AS UBIGINT)) AS mv
+        |  FROM d, UNNEST(generate_series(0, 63)) AS j(j)
+        |  GROUP BY source, j.j
+        |), m AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matches
+        |  FROM c a JOIN c b ON a.j = b.j AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT ex.source_a, ex.source_b, ex.inter_spans, ex.jaccard,
+        |  m.matches, round(CAST(m.matches AS DOUBLE) / 64, 6) AS est_jaccard,
+        |  round(abs(round(CAST(m.matches AS DOUBLE) / 64, 6) - ex.jaccard), 6)
+        |    AS abs_err
+        |FROM ex JOIN m USING (source_a, source_b)
+        |ORDER BY ex.source_a, ex.source_b""".stripMargin,
     // q184: per-doc span novelty — q163's span lateral, distinct
     // (hash, doc) rows, per-hash doc counts, per-doc novelty ratio.
     "q184_span_novelty" ->

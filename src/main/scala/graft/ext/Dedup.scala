@@ -1156,6 +1156,51 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q185: sketched source-overlap — the k=64 MinHash estimate of q165's
+    * exact pairwise span Jaccard, with its accuracy audited row-by-row
+    * against the exact values. At 100 TB the exact intersection (q165)
+    * shuffles every shared hash; the sketch collapses each source to 64
+    * integers in ONE map-side-combined min-aggregate, after which the
+    * pairwise comparison is sources²·k-bounded — this query carries both
+    * paths so the sketch's error is measured, not assumed.
+    *
+    * The hash family is engine-neutral: component j of a span is the
+    * md5-u32 (q116 device) of "j_" + the span's md5 — a pure function
+    * both engines compute identically, so even the SKETCH is
+    * hash-oracle-checked (the ANN family's sketches are hash-seeded and
+    * spec-tested instead; this shows the deterministic alternative).
+    */
+  def q185SourceSketch(spark: SparkSession, dir: String, k: Int = 64,
+                       width: Int = 8): DataFrame = {
+    import spark.implicits._
+    val spans = Tables.documents(spark, dir)
+      .select($"source", split($"text", "\\s+").as("t"))
+      .select($"source", explode(
+        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
+          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
+        .as("h"))
+      .distinct()
+    val comps = spans
+      .select($"source", explode(sequence(lit(0), lit(k - 1))).as("j"), $"h")
+      .select($"source", $"j",
+        conv(substring(md5(concat($"j", lit("_"), $"h")), 1, 8), 16, 10)
+          .cast("long").as("v"))
+      .groupBy($"source", $"j").agg(min($"v").as("mv"))
+    val est = comps.as("a")
+      .join(comps.as("b"),
+        $"a.j" === $"b.j" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(sum(when($"a.mv" === $"b.mv", 1L).otherwise(0L)).as("matches"))
+      .select($"source_a", $"source_b", $"matches",
+        round($"matches".cast("double") / k, 6).as("est_jaccard"))
+    q165SourceOverlap(spark, dir, width)
+      .join(broadcast(est), Seq("source_a", "source_b"))
+      .select($"source_a", $"source_b", $"inter_spans", $"jaccard",
+        $"matches", $"est_jaccard",
+        round(abs($"est_jaccard" - $"jaccard"), 6).as("abs_err"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** q184: per-document span novelty — the document-level breakout of
     * q163's corpus statistic: for each document, the fraction of its
     * 8-token spans that appear NOWHERE else in the corpus (self-repeats

@@ -159,7 +159,9 @@ object ScaleProbe {
       // burstiness: (doc, term) map-side aggregate + term rollup
       "q183_burstiness",
       // span novelty: hash-keyed distinct + per-doc rollup, digests only
-      "q184_span_novelty")
+      "q184_span_novelty",
+      // source sketch: 64-int per-source min-aggregate + sources²·k pairs
+      "q185_source_sketch")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 
