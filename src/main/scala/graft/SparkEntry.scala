@@ -205,6 +205,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.q184SpanNovelty(s, d)),
     "q185_source_sketch" ->
       ((s: SparkSession, d: String) => Dedup.q185SourceSketch(s, d)),
+    "q186_split_leakage" ->
+      ((s: SparkSession, d: String) => Dedup.q186SplitLeakage(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1357,6 +1359,52 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q186: split-leakage audit — the q121 oracle chain, the q93 split
+    // rule applied to both pair ids, and a 3x3-key rollup.
+    "q186_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM corpus
+        |), s AS (
+        |  SELECT doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tk WHERE len(toks) > 0
+        |), sz AS (
+        |  SELECT doc_id, sh, len(sh) AS n FROM s WHERE len(sh) > 0
+        |), p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS i, a.n AS na, b.n AS nb
+        |  FROM sz a JOIN sz b ON a.doc_id < b.doc_id
+        |), pr AS (
+        |  SELECT a_id, b_id
+        |  FROM p
+        |  WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.5
+        |), sp AS (
+        |  SELECT
+        |    CASE WHEN (ascii(substr(md5(CAST(a_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(a_id AS VARCHAR)), 2, 1))) % 100 < 80
+        |      THEN 'train'
+        |      WHEN (ascii(substr(md5(CAST(a_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(a_id AS VARCHAR)), 2, 1))) % 100 < 90
+        |      THEN 'val' ELSE 'test' END AS sa,
+        |    CASE WHEN (ascii(substr(md5(CAST(b_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(b_id AS VARCHAR)), 2, 1))) % 100 < 80
+        |      THEN 'train'
+        |      WHEN (ascii(substr(md5(CAST(b_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(b_id AS VARCHAR)), 2, 1))) % 100 < 90
+        |      THEN 'val' ELSE 'test' END AS sb
+        |  FROM pr
+        |)
+        |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+        |  count(*) AS n_pairs,
+        |  least(sa, sb) != greatest(sa, sb) AS leaked
+        |FROM sp GROUP BY least(sa, sb), greatest(sa, sb)
+        |ORDER BY split_a, split_b""".stripMargin,
     // q185: sketched source overlap — q165's oracle as CTE for the
     // exact side; the sketch re-derives md5-u32 minima per (source, j).
     "q185_source_sketch" ->

@@ -1156,6 +1156,40 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** q186: train/test split-leakage audit — how many of the corpus's
+    * accepted near-duplicate pairs (q121's set-similarity join) STRADDLE
+    * the deterministic q93 train/val/test split: a near-copy of a training
+    * document landing in test is evaluation contamination that random
+    * document-level splitting cannot prevent (the reason dedup-aware or
+    * cluster-aware splitting exists). Reports pair counts per (split_a,
+    * split_b) cell plus the leaked flag; a healthy dedup-aware split has
+    * zero leaked mass.
+    *
+    * Scale shape: the pair set is result-bounded (q121's output) and the
+    * split is a scan-local pure function of doc_id (q93's md5-bucket
+    * rule), so the audit adds two broadcast-joined projections and one
+    * bounded 3×3-key aggregate on top of the join it audits.
+    */
+  def q186SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def splitOf(id: Column): Column = {
+      val h = md5(id.cast("string"))
+      val bucket =
+        (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    q121SetSimJoin(spark, dir)
+      .select($"a_id", $"b_id",
+        splitOf($"a_id").as("sa"), splitOf($"b_id").as("sb"))
+      .select(
+        least($"sa", $"sb").as("split_a"),
+        greatest($"sa", $"sb").as("split_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", $"split_a" =!= $"split_b")
+      .orderBy($"split_a", $"split_b")
+  }
+
   /** q185: sketched source-overlap — the k=64 MinHash estimate of q165's
     * exact pairwise span Jaccard, with its accuracy audited row-by-row
     * against the exact values. At 100 TB the exact intersection (q165)

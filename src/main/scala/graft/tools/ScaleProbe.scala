@@ -161,7 +161,9 @@ object ScaleProbe {
       // span novelty: hash-keyed distinct + per-doc rollup, digests only
       "q184_span_novelty",
       // source sketch: 64-int per-source min-aggregate + sources²·k pairs
-      "q185_source_sketch")
+      "q185_source_sketch",
+      // split leakage: q121's join + scan-local split fn + 3x3 rollup
+      "q186_split_leakage")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

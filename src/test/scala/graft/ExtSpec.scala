@@ -614,6 +614,36 @@ class ExtSpec extends SparkSpec {
     assert(meanErr < 0.05, s"mean sketch error $meanErr")
   }
 
+  test("q186 split leakage: cells reconcile with q121's pairs under the q93 split rule") {
+    import spark.implicits._
+    val rows = Dedup.q186SplitLeakage(spark, sf0001).collect()
+    val pairs = Dedup.q121SetSimJoin(spark, sf0001)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+      assert(r.getString(0) <= r.getString(1))
+    }
+    // Driver-side recount with the q93 rule.
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val bucket = (hex(0).toInt * 31 + hex(1).toInt) % 100
+      if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+    }
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        (Seq(sa, sb).min, Seq(sa, sb).max)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(expected((r.getString(0), r.getString(1))) == r.getLong(2))
+    }
+    // The planted fixture MUST show leakage (that is the audit's point).
+    assert(rows.exists(r => r.getBoolean(3) && r.getLong(2) > 0))
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
