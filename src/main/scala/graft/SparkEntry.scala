@@ -207,6 +207,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.q185SourceSketch(s, d)),
     "q186_split_leakage" ->
       ((s: SparkSession, d: String) => Dedup.q186SplitLeakage(s, d)),
+    "q187_raking_weights" ->
+      ((s: SparkSession, d: String) => Corpus.q187RakingWeights(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1359,6 +1361,53 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q187: raking/IPF — 3 unrolled row/column scaling rounds, weights
+    // re-rounded to 1e-9 fixed point after every step.
+    "q187_raking_weights" ->
+      """WITH b AS (
+        |  SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY source, lang
+        |), t0 AS (
+        |  SELECT source, lang, n,
+        |    CAST(sum(n) OVER (PARTITION BY source) * 1000000000 AS BIGINT)
+        |      AS rfp,
+        |    CAST(sum(n) OVER () * 200000000 AS BIGINT) AS cfp,
+        |    CAST(n * 1000000000 AS BIGINT) AS w
+        |  FROM b
+        |), r1 AS (
+        |  SELECT source, lang, n, rfp, cfp,
+        |    CAST(round(w * (CAST(rfp AS DOUBLE)
+        |      / sum(w) OVER (PARTITION BY source))) AS BIGINT) AS w
+        |  FROM t0
+        |), c1 AS (
+        |  SELECT source, lang, n, rfp, cfp,
+        |    CAST(round(w * (CAST(cfp AS DOUBLE)
+        |      / sum(w) OVER (PARTITION BY lang))) AS BIGINT) AS w
+        |  FROM r1
+        |), r2 AS (
+        |  SELECT source, lang, n, rfp, cfp,
+        |    CAST(round(w * (CAST(rfp AS DOUBLE)
+        |      / sum(w) OVER (PARTITION BY source))) AS BIGINT) AS w
+        |  FROM c1
+        |), c2 AS (
+        |  SELECT source, lang, n, rfp, cfp,
+        |    CAST(round(w * (CAST(cfp AS DOUBLE)
+        |      / sum(w) OVER (PARTITION BY lang))) AS BIGINT) AS w
+        |  FROM r2
+        |), r3 AS (
+        |  SELECT source, lang, n, rfp, cfp,
+        |    CAST(round(w * (CAST(rfp AS DOUBLE)
+        |      / sum(w) OVER (PARTITION BY source))) AS BIGINT) AS w
+        |  FROM c2
+        |), c3 AS (
+        |  SELECT source, lang, n, rfp, cfp,
+        |    CAST(round(w * (CAST(cfp AS DOUBLE)
+        |      / sum(w) OVER (PARTITION BY lang))) AS BIGINT) AS w
+        |  FROM r3
+        |)
+        |SELECT source, lang, n AS n_docs,
+        |  round(CAST(w AS DOUBLE) / 1000000000 / n, 6) AS weight
+        |FROM c3 ORDER BY source, lang""".stripMargin,
     // q186: split-leakage audit — the q121 oracle chain, the q93 split
     // rule applied to both pair ids, and a 3x3-key rollup.
     "q186_split_leakage" ->

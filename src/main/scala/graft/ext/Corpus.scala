@@ -468,6 +468,47 @@ object Corpus {
       .orderBy($"source", $"limit")
   }
 
+  /** q187: raking / iterative proportional fitting (Deming–Stephan) —
+    * post-stratification weights over the (source × lang) contingency
+    * table: keep each source's total mass while forcing the LANGUAGE
+    * marginal to equal shares, alternating row- and column-scaling for 3
+    * rounds. This is the classic survey-statistics reweighting applied to
+    * corpus balancing: per-(source, lang) sampling weights that fix the
+    * language mix without collapsing any source.
+    *
+    * Cross-engine discipline: weights live as 1e-9 fixed-point longs and
+    * are RE-ROUNDED after every scaling step, so each round's marginal
+    * sums are exact integer math and each scale factor is one double
+    * ratio of exact longs — the whole 6-step chain is shape-mirrored in
+    * the oracle. The language target T·2e8 is exact (1e9 divisible by 5).
+    * Scale shape: ONE corpus aggregate builds the sources×langs-bounded
+    * table; the IPF rounds are window math over those ~100 rows.
+    */
+  def q187RakingWeights(spark: SparkSession, dir: String,
+                        rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val Fp = 1000000000L
+    val base = Tables.documents(spark, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+    val bySource = Window.partitionBy($"source")
+    val byLang = Window.partitionBy($"lang")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var cur = base
+      .withColumn("rfp", sum($"n").over(bySource) * Fp)
+      .withColumn("cfp", sum($"n").over(all) * (Fp / 5))
+      .withColumn("w", $"n" * Fp)
+    for (_ <- 1 to rounds) {
+      cur = cur
+        .withColumn("w", round($"w" *
+          ($"rfp".cast("double") / sum($"w").over(bySource))).cast("long"))
+        .withColumn("w", round($"w" *
+          ($"cfp".cast("double") / sum($"w").over(byLang))).cast("long"))
+    }
+    cur.select($"source", $"lang", $"n".as("n_docs"),
+      round($"w" / lit(Fp.toDouble) / $"n", 6).as("weight"))
+      .orderBy($"source", $"lang")
+  }
+
   /** q171: UniMax mixture allocation (Chung et al. 2023) — the
     * epoch-capped complement of q154's temperature sampler: split a token
     * budget (1.5× the corpus) across languages so no language exceeds the

@@ -163,7 +163,9 @@ object ScaleProbe {
       // source sketch: 64-int per-source min-aggregate + sources²·k pairs
       "q185_source_sketch",
       // split leakage: q121's join + scan-local split fn + 3x3 rollup
-      "q186_split_leakage")
+      "q186_split_leakage",
+      // raking: one corpus aggregate + IPF windows over ~100 rows
+      "q187_raking_weights")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -224,6 +224,44 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_._4).sum <= 1.5 * n.map(_._2).sum + 0.01)
   }
 
+  test("q187: raking hits the language target and recomputes from scratch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.q187RakingWeights(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val counts = graft.sources.Tables.documents(spark, sf0001)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(rows.size == counts.size)
+    // Driver-side IPF with the identical fixed-point discipline.
+    val fp = 1000000000L
+    val total = counts.map(_._3).sum
+    val rowT = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum * fp).toMap
+    val colT = total * (fp / 5)
+    var w = counts.map { case (s, l, n) => ((s, l), n * fp) }.toMap
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for (_ <- 1 to 3) {
+      val rs = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      w = w.map { case ((s, l), v) =>
+        ((s, l), rnd(v * (rowT(s).toDouble / rs(s)))) }
+      val cs = w.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      w = w.map { case ((s, l), v) =>
+        ((s, l), rnd(v * (colT.toDouble / cs(l)))) }
+    }
+    rows.foreach { case (s, l, n, weight) =>
+      val expected = BigDecimal(w((s, l)).toDouble / fp / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(weight == expected, s"($s,$l): $weight vs $expected")
+    }
+    // Column marginal is exactly on target after the final column step
+    // (up to per-cell rounding); rows drift only slightly.
+    val colMass = rows.groupBy(_._2).view.mapValues(
+      _.map { case (s, l, n, wt) => wt * n }.sum).toMap
+    colMass.values.foreach(m =>
+      assert(math.abs(m - total / 5.0) < 0.001, s"col mass $m"))
+  }
+
   test("q178: truncation loss is monotone in the limit and totals reconcile") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
