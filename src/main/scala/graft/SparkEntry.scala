@@ -209,6 +209,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.q186SplitLeakage(s, d)),
     "q187_raking_weights" ->
       ((s: SparkSession, d: String) => Corpus.q187RakingWeights(s, d)),
+    "q188_daily_anomaly" -> (EventAnalytics.q188DailyAnomaly _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1361,6 +1362,32 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q188: daily anomaly z-scores — exact trailing integer sums, one
+    // shape-mirrored double chain; NULL z on zero variance.
+    "q188_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY event_type, day
+        |), t AS (
+        |  SELECT event_type, day, n_events,
+        |    count(*) OVER w AS hist,
+        |    sum(n_events) OVER w AS sx,
+        |    sum(n_events * n_events) OVER w AS sxx
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, day, n_events,
+        |  CASE WHEN 7 * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(7 * n_events - sx AS DOUBLE) / 7
+        |      / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE) / 42), 6) END AS z,
+        |  coalesce(abs(CASE WHEN 7 * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(7 * n_events - sx AS DOUBLE) / 7
+        |      / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE) / 42), 6) END) >= 2,
+        |    FALSE) AS flagged
+        |FROM t WHERE hist = 7
+        |ORDER BY event_type, day""".stripMargin,
     // q187: raking/IPF — 3 unrolled row/column scaling rounds, weights
     // re-rounded to 1e-9 fixed point after every step.
     "q187_raking_weights" ->

@@ -329,4 +329,39 @@ object EventAnalytics {
         expr("max(late_us) div 1000000").as("max_late_s"))
       .orderBy($"event_type")
   }
+
+  /** q188: daily-volume anomaly detection — per event type, the z-score
+    * of each day's event count against its trailing 7 OBSERVED days (the
+    * ops monitor that flags traffic spikes/outages; gaps in the day grid
+    * simply shorten history, and days without a full 7-day trail emit no
+    * score). Flagged = |z| ≥ 2.
+    *
+    * Cross-engine exactness: counts are exact longs, the trailing Σx and
+    * Σx² are exact ROWS-window integer sums, and
+    * z = ((7x − Σx)/7) / √((7Σx² − (Σx)²)/42) is one shape-mirrored
+    * double chain over those exact ints (√ is correctly rounded IEEE);
+    * zero-variance windows yield NULL in both engines. Scale shape: one
+    * (type, day) aggregate (map-side combined), then windows over the
+    * types×days-bounded daily table.
+    */
+  def q188DailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w7 = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("hist", count(lit(1)).over(w7))
+      .withColumn("sx", sum($"n_events").over(w7))
+      .withColumn("sxx", sum($"n_events" * $"n_events").over(w7))
+      .filter($"hist" === 7)
+      .withColumn("z", when(lit(7) * $"sxx" - $"sx" * $"sx" === 0, lit(null))
+        .otherwise(round((lit(7) * $"n_events" - $"sx").cast("double") / 7
+          / sqrt((lit(7) * $"sxx" - $"sx" * $"sx").cast("double") / 42), 6)))
+      .select($"event_type", $"day", $"n_events", $"z",
+        coalesce(abs($"z") >= 2.0, lit(false)).as("flagged"))
+      .orderBy($"event_type", $"day")
+  }
 }

@@ -165,7 +165,9 @@ object ScaleProbe {
       // split leakage: q121's join + scan-local split fn + 3x3 rollup
       "q186_split_leakage",
       // raking: one corpus aggregate + IPF windows over ~100 rows
-      "q187_raking_weights")
+      "q187_raking_weights",
+      // daily anomaly: (type, day) aggregate + bounded-grid windows
+      "q188_daily_anomaly")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -235,4 +235,34 @@ class EventOpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("q188: z-scores recompute from trailing-7 daily counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventAnalytics.q188DailyAnomaly(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sf0001)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.toString)).toMap
+    rows.foreach { r =>
+      val (et, day, n) = (r.getString(0), r.getDate(1), r.getLong(2))
+      val series = daily(et)
+      val idx = series.indexWhere(_._2.toString == day.toString)
+      assert(idx >= 7, "needs a full 7-day trail")
+      assert(n == series(idx)._3)
+      val hist = series.slice(idx - 7, idx).map(_._3)
+      val (sx, sxx) = (hist.sum, hist.map(x => x * x).sum)
+      if (7 * sxx - sx * sx == 0) assert(r.isNullAt(3))
+      else {
+        val z = BigDecimal((7 * n - sx).toDouble / 7
+          / math.sqrt((7 * sxx - sx * sx).toDouble / 42))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(3) == z, s"$et $day")
+        assert(r.getBoolean(4) == (math.abs(z) >= 2))
+      }
+    }
+  }
 }
