@@ -210,6 +210,8 @@ object SparkEntry {
     "q187_raking_weights" ->
       ((s: SparkSession, d: String) => Corpus.q187RakingWeights(s, d)),
     "q188_daily_anomaly" -> (EventAnalytics.q188DailyAnomaly _),
+    "q189_dataset_card" ->
+      ((s: SparkSession, d: String) => Corpus.q189DatasetCard(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1362,6 +1364,48 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q189: dataset card — three per-source aggregates (mass, q120-style
+    // fixed-point lang entropy, q165-style span sharing) joined on source.
+    "q189_dataset_card" ->
+      """WITH mass AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source
+        |), lc AS (
+        |  SELECT source, lang, count(*) AS c FROM documents
+        |  GROUP BY source, lang
+        |), ent AS (
+        |  SELECT source,
+        |    round((CAST(round(ln(CAST(sum(c) AS DOUBLE)) * 1000000)
+        |        AS BIGINT) * sum(c)
+        |      - sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000)
+        |        AS BIGINT)))
+        |      / (1000000.0 * sum(c)), 6) AS lang_entropy
+        |  FROM lc GROUP BY source
+        |), d AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(tk[g.i:g.i+7], ' ')) AS h
+        |  FROM (SELECT source, regexp_split_to_array(text, '\s+') AS tk
+        |        FROM documents) t,
+        |    UNNEST(generate_series(1, len(tk), 8)) AS g(i)
+        |), ns AS (
+        |  SELECT h, count(*) AS nsrc FROM d GROUP BY h
+        |), sharing AS (
+        |  SELECT d.source, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN ns.nsrc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared
+        |  FROM d JOIN ns USING (h) GROUP BY d.source
+        |)
+        |SELECT m.source, m.n_docs, m.n_tokens,
+        |  round(CAST(m.n_tokens AS DOUBLE) / m.n_docs, 2)
+        |    AS mean_doc_tokens,
+        |  e.lang_entropy, s.n_spans,
+        |  round(CAST(s.n_shared AS DOUBLE) / s.n_spans, 6)
+        |    AS shared_span_frac
+        |FROM mass m JOIN ent e ON e.source = m.source
+        |JOIN sharing s ON s.source = m.source
+        |ORDER BY m.source""".stripMargin,
     // q188: daily anomaly z-scores — exact trailing integer sums, one
     // shape-mirrored double chain; NULL z on zero variance.
     "q188_daily_anomaly" ->

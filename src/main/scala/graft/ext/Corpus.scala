@@ -468,6 +468,64 @@ object Corpus {
       .orderBy($"source", $"limit")
   }
 
+  /** q189: dataset-card generator — the one-row-per-source summary a data
+    * team publishes with a corpus release: document and token mass, mean
+    * document length, language-mix entropy, and the fraction of the
+    * source's distinct 8-token spans that also appear in another source
+    * (the q165 cross-source sharing signal, folded to a per-source
+    * number). Composes the house devices: exact integer masses, the q120
+    * fixed-point entropy algebra (H = ln N − Σc·ln c / N with per-lang
+    * ln factors pinned to 1e-6 BEFORE the weighted sum), and the q165
+    * distinct-(span, source) hash sets.
+    *
+    * Scale shape: three independent per-source aggregates (doc/token
+    * mass; lang counts; span sharing) joined on the sources-bounded key —
+    * each is map-side combined, and only 32-hex digests ever ship on the
+    * span path.
+    */
+  def q189DatasetCard(spark: SparkSession, dir: String,
+                      width: Int = 8): DataFrame = {
+    import spark.implicits._
+    val Fp = 1000000L
+    val docs = Tables.documents(spark, dir)
+    val mass = docs
+      .select($"source", size(split($"text", "\\s+")).cast("long").as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .withColumn("mean_doc_tokens",
+        round($"n_tokens".cast("double") / $"n_docs", 2))
+    val langEnt = docs
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .withColumn("cfp", $"c" * round(log($"c") * Fp).cast("long"))
+      .groupBy($"source")
+      .agg(sum($"c").as("nd"), sum($"cfp").as("s"))
+      .select($"source", round(
+        (round(log($"nd") * Fp).cast("long") * $"nd" - $"s")
+          / (lit(Fp.toDouble) * $"nd"), 6).as("lang_entropy"))
+    val spans = docs
+      .select($"source", split($"text", "\\s+").as("t"))
+      .select($"source", explode(
+        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
+          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
+        .as("h"))
+      .distinct()
+    val nSources = spans.groupBy($"h")
+      .agg(count(lit(1)).as("ns"))
+    val sharing = spans.join(nSources, Seq("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"ns" > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select($"source", $"n_spans",
+        round($"n_shared".cast("double") / $"n_spans", 6)
+          .as("shared_span_frac"))
+    mass
+      .join(langEnt, Seq("source"))
+      .join(sharing, Seq("source"))
+      .select($"source", $"n_docs", $"n_tokens", $"mean_doc_tokens",
+        $"lang_entropy", $"n_spans", $"shared_span_frac")
+      .orderBy($"source")
+  }
+
   /** q187: raking / iterative proportional fitting (Deming–Stephan) —
     * post-stratification weights over the (source × lang) contingency
     * table: keep each source's total mass while forcing the LANGUAGE

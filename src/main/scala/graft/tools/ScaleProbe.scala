@@ -167,7 +167,9 @@ object ScaleProbe {
       // raking: one corpus aggregate + IPF windows over ~100 rows
       "q187_raking_weights",
       // daily anomaly: (type, day) aggregate + bounded-grid windows
-      "q188_daily_anomaly")
+      "q188_daily_anomaly",
+      // dataset card: three map-side per-source aggregates, digest-only
+      "q189_dataset_card")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

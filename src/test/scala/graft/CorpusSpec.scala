@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.Corpus
+import graft.ext.{Corpus, Dedup}
 
 /** Properties of the corpus-preparation ops that the DuckDB oracle can't
   * express: chunk coverage/shape, split determinism, quota exactness, and
@@ -289,5 +289,40 @@ class CorpusSpec extends SparkSpec {
       .select(size(split($"text", "\\s+")).cast("long").as("n"))
       .agg(sum($"n")).head.getLong(0)
     assert(rows.filter(_._2 == 128L).map(_._4).sum == mass)
+  }
+
+  test("q189: dataset card recomputes for one source and stats are internally consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.q189DatasetCard(spark, sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == BigDecimal(
+        r.getLong(2).toDouble / r.getLong(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getDouble(4) >= 0) // entropy non-negative
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1)
+    }
+    // src0 from scratch: masses and language entropy.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"source" === "src0")
+      .select($"lang", $"text").as[(String, String)].collect()
+    val r0 = rows.find(_.getString(0) == "src0").get
+    assert(r0.getLong(1) == docs.length.toLong)
+    assert(r0.getLong(2) ==
+      docs.map(_._2.split("\\s+").length.toLong).sum)
+    val fp = 1000000L
+    def lnFp(x: Long) = BigDecimal(math.log(x.toDouble) * fp)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val lc = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nd = lc.values.sum
+    val ent = BigDecimal(
+      (lnFp(nd) * nd - lc.values.map(c => c * lnFp(c)).sum) / (1e6 * nd))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getDouble(4) == ent)
+    // Span sharing reconciles with q165's per-source distinct counts.
+    val nA = Dedup.q165SourceOverlap(spark, sf0001).collect()
+      .collectFirst { case r if r.getString(0) == "src0" => r.getLong(3) }
+    nA.foreach(n => assert(r0.getLong(5) == n))
   }
 }
