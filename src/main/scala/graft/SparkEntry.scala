@@ -212,6 +212,8 @@ object SparkEntry {
     "q188_daily_anomaly" -> (EventAnalytics.q188DailyAnomaly _),
     "q189_dataset_card" ->
       ((s: SparkSession, d: String) => Corpus.q189DatasetCard(s, d)),
+    "q190_lexical_cosine" ->
+      ((s: SparkSession, d: String) => TextAnalysis.q190LexicalCosine(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1364,6 +1366,45 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q190: lexical cosine over hashed BOW — q177's bucket device, an
+    // inverted bucket join for the dots, shape-mirrored cosine.
+    "q190_lexical_cosine" ->
+      """WITH vec AS (
+        |  SELECT doc_id, bucket, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      CAST(concat('0x', substr(md5(u.term), 1, 8)) AS UBIGINT)
+        |        % 1024 AS bucket
+        |    FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |      lower(text), '[^a-z]+'), x -> x <> '')) AS term
+        |      FROM documents) u) b
+        |  GROUP BY doc_id, bucket
+        |), n2 AS (
+        |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+        |  FROM vec GROUP BY doc_id
+        |), q AS (
+        |  SELECT doc_id AS query_id, bucket, c AS cq FROM vec
+        |  WHERE doc_id < 5
+        |), dots AS (
+        |  SELECT q.query_id, v.doc_id AS neighbor_id,
+        |    CAST(sum(q.cq * v.c) AS BIGINT) AS dot
+        |  FROM vec v JOIN q ON v.bucket = q.bucket
+        |    AND v.doc_id != q.query_id
+        |  GROUP BY q.query_id, v.doc_id
+        |), sc AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |    round(CAST(d.dot AS DOUBLE)
+        |      / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))),
+        |      6) AS cos
+        |  FROM dots d
+        |  JOIN n2 nq ON nq.doc_id = d.query_id
+        |  JOIN n2 nc ON nc.doc_id = d.neighbor_id
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // q189: dataset card — three per-source aggregates (mass, q120-style
     // fixed-point lang entropy, q165-style span sharing) joined on source.
     "q189_dataset_card" ->

@@ -203,6 +203,53 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** q190: lexical cosine retrieval — document-to-document similarity
+    * WITHOUT embeddings: cosine over the q177 hashed bag-of-words vectors,
+    * computed as an inverted-index join (candidates meet only on shared
+    * hash buckets, partial dot products aggregate per pair). This is the
+    * sparse complement of the dense q37/q174 paths — the retrieval shape
+    * when no encoder has run yet.
+    *
+    * Exactness: bucket counts and Σc² norms are exact ints; cosine is
+    * dot / (√q2 · √c2) — one shape-mirrored double chain (√ correctly
+    * rounded IEEE) rounded before ranking, ties on neighbor id. Scale
+    * shape: the query vectors broadcast into the bucket-keyed join, so
+    * the corpus-side vector table shuffles ONCE on bucket; per-pair dots
+    * aggregate map-side; top-k is a WindowGroupLimit per query.
+    */
+  def q190LexicalCosine(spark: SparkSession, dir: String, nQueries: Int = 5,
+                        k: Int = 5, dim: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val vec = Tables.documents(spark, dir)
+      .select($"doc_id", explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("term"))
+      .select($"doc_id",
+        pmod(conv(substring(md5($"term"), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+    val norm2 = vec.groupBy($"doc_id").agg(sum($"c" * $"c").as("n2"))
+    val q = vec.filter($"doc_id" < nQueries)
+      .select($"doc_id".as("query_id"), $"bucket", $"c".as("cq"))
+    val dot = vec
+      .join(broadcast(q), vec("bucket") === q("bucket")
+        && $"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id".as("neighbor_id"))
+      .agg(sum($"cq" * $"c").as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    dot
+      .join(broadcast(norm2.filter($"doc_id" < nQueries)
+        .select($"doc_id".as("query_id"), $"n2".as("q2"))), Seq("query_id"))
+      .join(norm2.select($"doc_id".as("neighbor_id"), $"n2".as("c2")),
+        Seq("neighbor_id"))
+      .withColumn("cos", round($"dot".cast("double")
+        / (sqrt($"q2".cast("double")) * sqrt($"c2".cast("double"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** q175: Zipf rank–frequency fit — least-squares slope/intercept/R² of
     * ln(frequency) against ln(rank) over the top-1000 terms, the corpus-
     * health statistic that flags template/boilerplate-heavy or synthetic

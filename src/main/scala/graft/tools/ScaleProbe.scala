@@ -169,7 +169,9 @@ object ScaleProbe {
       // daily anomaly: (type, day) aggregate + bounded-grid windows
       "q188_daily_anomaly",
       // dataset card: three map-side per-source aggregates, digest-only
-      "q189_dataset_card")
+      "q189_dataset_card",
+      // lexical cosine: bucket-keyed inverted join, broadcast queries
+      "q190_lexical_cosine")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -644,6 +644,41 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(r => r.getBoolean(3) && r.getLong(2) > 0))
   }
 
+  test("q190 lexical cosine: query 0's ranking recomputes from hashed BOW vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = TextAnalysis.q190LexicalCosine(spark, sf0001).collect()
+    assert(got.length == 25) // 5 queries × top-5
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      val cs = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c > 0 && c <= 1.0))
+    }
+    // From-scratch: hashed BOW vectors and full cosine ranking for query 0.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    def bucket(term: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1024
+    }
+    def vecOf(t: String): Map[Long, Long] = t.split("[^a-z]+")
+      .filter(_.nonEmpty).groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val vecs = docs.map { case (id, t) => (id, vecOf(t)) }.toMap
+    val vq = vecs(0L)
+    val q2 = vq.values.map(c => c * c).sum
+    val scored = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val dot = vq.keysIterator.map(b => vq(b) * v.getOrElse(b, 0L)).sum
+      val c2 = v.values.map(c => c * c).sum
+      (id, BigDecimal(dot.toDouble / (math.sqrt(q2.toDouble)
+        * math.sqrt(c2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
+    val got0 = got.filter(_.getLong(0) == 0L).sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(got0 == scored)
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
