@@ -214,6 +214,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Corpus.q189DatasetCard(s, d)),
     "q190_lexical_cosine" ->
       ((s: SparkSession, d: String) => TextAnalysis.q190LexicalCosine(s, d)),
+    "q191_decayed_activity" -> (EventAnalytics.q191DecayedActivity _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1366,6 +1367,30 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q191: weekly-halving decay — dyadic 2^-w weights are exact doubles,
+    // so the sums are order-independent without fixed point.
+    "q191_decayed_activity" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        |), md AS (
+        |  SELECT max(day) AS max_day FROM ev
+        |), b AS (
+        |  SELECT event_type,
+        |    CAST(floor(date_diff('day', day, max_day) / 7) AS INTEGER) AS w,
+        |    count(*) AS c
+        |  FROM ev, md GROUP BY event_type, w
+        |), a AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |    sum(c * pow(0.5, w)) AS decayed
+        |  FROM b GROUP BY event_type
+        |), t AS (
+        |  SELECT CAST(sum(n_events) AS BIGINT) AS tn, sum(decayed) AS td
+        |  FROM a
+        |)
+        |SELECT event_type, n_events, round(decayed, 6) AS decayed_mass,
+        |  round(CAST(n_events AS DOUBLE) / tn, 6) AS raw_share,
+        |  round(decayed / td, 6) AS decayed_share
+        |FROM a, t ORDER BY event_type""".stripMargin,
     // q190: lexical cosine over hashed BOW — q177's bucket device, an
     // inverted bucket join for the dots, shape-mirrored cosine.
     "q190_lexical_cosine" ->

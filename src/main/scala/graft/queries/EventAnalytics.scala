@@ -344,6 +344,42 @@ object EventAnalytics {
     * (type, day) aggregate (map-side combined), then windows over the
     * types×days-bounded daily table.
     */
+  /** q191: time-decayed activity mass — each event weighted by
+    * 2^(−⌊age_days/7⌋) relative to the corpus's newest day (weekly
+    * halving), the recency scoring behind freshness-weighted dashboards
+    * and decayed feature stores. The decayed share vs the raw share shows
+    * which event types are growing or fading.
+    *
+    * Exactness WITHOUT fixed point: weekly halving makes every weight a
+    * dyadic rational 2^−w (exactly representable), so count·2^−w and
+    * their sums are EXACT doubles in any summation order — no rounding
+    * discipline needed until the final share divisions. Scale shape: the
+    * corpus-wide max day is a broadcast scalar; events collapse to
+    * (type, week-bucket) counts map-side (≤ types × weeks rows) before
+    * any weighting.
+    */
+  def q191DecayedActivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val maxDay = ev.agg(max($"day").as("max_day"))
+    val bucketed = ev.crossJoin(broadcast(maxDay))
+      .select($"event_type",
+        floor(datediff($"max_day", $"day") / 7).cast("int").as("w"))
+      .groupBy($"event_type", $"w").agg(count(lit(1)).as("c"))
+    val agg = bucketed
+      .groupBy($"event_type")
+      .agg(sum($"c").as("n_events"),
+        sum($"c" * pow(lit(0.5), $"w")).as("decayed"))
+    val tot = agg.agg(sum($"n_events").as("tn"), sum($"decayed").as("td"))
+    agg.crossJoin(broadcast(tot))
+      .select($"event_type", $"n_events",
+        round($"decayed", 6).as("decayed_mass"),
+        round($"n_events".cast("double") / $"tn", 6).as("raw_share"),
+        round($"decayed" / $"td", 6).as("decayed_share"))
+      .orderBy($"event_type")
+  }
+
   def q188DailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

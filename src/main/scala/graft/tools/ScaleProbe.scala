@@ -171,7 +171,9 @@ object ScaleProbe {
       // dataset card: three map-side per-source aggregates, digest-only
       "q189_dataset_card",
       // lexical cosine: bucket-keyed inverted join, broadcast queries
-      "q190_lexical_cosine")
+      "q190_lexical_cosine",
+      // decayed activity: map-side (type, week) collapse, scalar max day
+      "q191_decayed_activity")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

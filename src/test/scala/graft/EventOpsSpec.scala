@@ -265,4 +265,31 @@ class EventOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q191: decayed mass recomputes exactly from weekly buckets; shares sum to 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventAnalytics.q191DecayedActivity(spark, sf0001)
+      .collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    // From-scratch: weekly-halving decay is exact dyadic arithmetic.
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type", to_date($"ts").cast("string"))
+      .as[(String, String)].collect()
+    val maxDay = java.time.LocalDate.parse(ev.map(_._2).max)
+    val decayed = ev.groupBy(_._1).view.mapValues { g =>
+      g.map { case (_, d) =>
+        val age = java.time.temporal.ChronoUnit.DAYS
+          .between(java.time.LocalDate.parse(d), maxDay)
+        math.pow(0.5, (age / 7).toDouble)
+      }.sum
+    }.toMap
+    rows.foreach { r =>
+      val expected = BigDecimal(decayed(r.getString(0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == expected, s"${r.getString(0)}")
+    }
+  }
 }
