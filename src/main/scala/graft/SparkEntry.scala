@@ -215,6 +215,7 @@ object SparkEntry {
     "q190_lexical_cosine" ->
       ((s: SparkSession, d: String) => TextAnalysis.q190LexicalCosine(s, d)),
     "q191_decayed_activity" -> (EventAnalytics.q191DecayedActivity _),
+    "q192_attribution" -> (EventAnalytics.q192Attribution _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1367,6 +1368,32 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q192: first/last-touch attribution — user-keyed lookback join,
+    // per-purchase windows with event_id tiebreaks.
+    "q192_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), e AS (
+        |  SELECT user_id, event_id AS e_id, event_type AS touch,
+        |    ts AS e_ts
+        |  FROM events WHERE event_type != 'purchase'
+        |), j AS (
+        |  SELECT p.p_id, e.touch, e.e_ts, e.e_id
+        |  FROM e JOIN p USING (user_id)
+        |  WHERE e.e_ts < p.p_ts AND e.e_ts >= p.p_ts - INTERVAL 7 DAY
+        |), l AS (
+        |  SELECT 'last_touch' AS model, touch FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY e_ts DESC, e_id DESC) AS rk FROM j) WHERE rk = 1
+        |), f AS (
+        |  SELECT 'first_touch' AS model, touch FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY e_ts ASC, e_id ASC) AS rk FROM j) WHERE rk = 1
+        |)
+        |SELECT model, touch, count(*) AS n_purchases
+        |FROM (SELECT * FROM l UNION ALL SELECT * FROM f)
+        |GROUP BY model, touch ORDER BY model, touch""".stripMargin,
     // q191: weekly-halving decay — dyadic 2^-w weights are exact doubles,
     // so the sums are order-independent without fixed point.
     "q191_decayed_activity" ->

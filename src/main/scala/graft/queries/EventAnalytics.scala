@@ -380,6 +380,44 @@ object EventAnalytics {
       .orderBy($"event_type")
   }
 
+  /** q192: purchase attribution — first-touch and last-touch models over
+    * a 7-day lookback: for every purchase, which non-purchase event type
+    * opened (first) and closed (last) the path to it. The classic
+    * marketing-attribution pair, here as exact counts per (model, touch
+    * type); ties at identical timestamps break on event_id so both
+    * engines pick the same touch.
+    *
+    * Scale shape: the prior-event join is keyed by user_id (co-partition
+    * both sides on the user, per-user event lists are short), the
+    * interval predicate is exact µs timestamp arithmetic, and the two
+    * argmin/argmax windows key on the purchase id — per-purchase state is
+    * its own lookback events. Output is the types×2 bounded aggregate.
+    */
+  def q192Attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val prior = ev.filter($"event_type" =!= "purchase")
+      .select($"user_id", $"event_id".as("e_id"),
+        $"event_type".as("touch"), $"ts".as("e_ts"))
+    val joined = prior.join(purchases, Seq("user_id"))
+      .filter($"e_ts" < $"p_ts"
+        && $"e_ts" >= $"p_ts" - expr("INTERVAL 7 DAYS"))
+    val wLast = Window.partitionBy($"p_id").orderBy($"e_ts".desc, $"e_id".desc)
+    val wFirst = Window.partitionBy($"p_id").orderBy($"e_ts".asc, $"e_id".asc)
+    val last = joined.withColumn("rk", row_number().over(wLast))
+      .filter($"rk" === 1).select(lit("last_touch").as("model"), $"touch")
+    val first = joined.withColumn("rk", row_number().over(wFirst))
+      .filter($"rk" === 1).select(lit("first_touch").as("model"), $"touch")
+    last.unionByName(first)
+      .groupBy($"model", $"touch")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy($"model", $"touch")
+  }
+
   def q188DailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

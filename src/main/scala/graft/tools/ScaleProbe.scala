@@ -173,7 +173,9 @@ object ScaleProbe {
       // lexical cosine: bucket-keyed inverted join, broadcast queries
       "q190_lexical_cosine",
       // decayed activity: map-side (type, week) collapse, scalar max day
-      "q191_decayed_activity")
+      "q191_decayed_activity",
+      // attribution: user-keyed lookback join + per-purchase windows
+      "q192_attribution")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 
