@@ -216,6 +216,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.q190LexicalCosine(s, d)),
     "q191_decayed_activity" -> (EventAnalytics.q191DecayedActivity _),
     "q192_attribution" -> (EventAnalytics.q192Attribution _),
+    "q193_benford_audit" -> (EventAnalytics.q193BenfordAudit _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1368,6 +1369,52 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q193: Benford audit — exact integer-cents digit ladder (no log10),
+    // literal Benford shares, shape-mirrored chi-squared terms.
+    "q193_benford_audit" ->
+      """WITH benford_raw(digit, share_lit) AS (
+        |  VALUES (1, 0.3010299956639812),
+        |    (2, 0.17609125905568124),
+        |    (3, 0.12493873660829992),
+        |    (4, 0.09691001300805642),
+        |    (5, 0.07918124604762482),
+        |    (6, 0.06694678963061322),
+        |    (7, 0.05799194697768673),
+        |    (8, 0.05115252244738129),
+        |    (9, 0.04575749056067514)
+        |), benford AS (
+        |  SELECT digit, CAST(share_lit AS DOUBLE) AS benford_share
+        |  FROM benford_raw
+        |), cents AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS n FROM events
+        |  WHERE value > 0
+        |), dg AS (
+        |  SELECT CASE
+        |    WHEN n >= 100000000 THEN n // 100000000
+        |    WHEN n >= 10000000 THEN n // 10000000
+        |    WHEN n >= 1000000 THEN n // 1000000
+        |    WHEN n >= 100000 THEN n // 100000
+        |    WHEN n >= 10000 THEN n // 10000
+        |    WHEN n >= 1000 THEN n // 1000
+        |    WHEN n >= 100 THEN n // 100
+        |    WHEN n >= 10 THEN n // 10
+        |    ELSE n END AS digit
+        |  FROM cents WHERE n > 0
+        |), obs AS (
+        |  SELECT CAST(digit AS INTEGER) AS digit, count(*) AS observed
+        |  FROM dg GROUP BY digit
+        |), tot AS (
+        |  SELECT CAST(sum(observed) AS BIGINT) AS n_values FROM obs
+        |)
+        |SELECT b.digit, coalesce(o.observed, 0) AS observed,
+        |  b.benford_share,
+        |  round(CAST(coalesce(o.observed, 0) AS DOUBLE) / t.n_values, 6)
+        |    AS observed_share,
+        |  round((coalesce(o.observed, 0) - t.n_values * b.benford_share)
+        |    * (coalesce(o.observed, 0) - t.n_values * b.benford_share)
+        |    / (t.n_values * b.benford_share), 6) AS chi2_term
+        |FROM benford b LEFT JOIN obs o ON o.digit = b.digit, tot t
+        |ORDER BY b.digit""".stripMargin,
     // q192: first/last-touch attribution — user-keyed lookback join,
     // per-purchase windows with event_id tiebreaks.
     "q192_attribution" ->

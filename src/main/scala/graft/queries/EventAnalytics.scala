@@ -418,6 +418,58 @@ object EventAnalytics {
       .orderBy($"model", $"touch")
   }
 
+  /** q193: Benford first-digit audit of the event values — the classic
+    * numeric-data forensic: natural multiplicative quantities follow
+    * P(d) = log10(1+1/d); fabricated or synthetic values usually don't.
+    * Reports, per leading digit, the observed count/share against the
+    * Benford expectation and the χ² contribution.
+    *
+    * Cross-engine exactness: values convert ONCE to exact integer cents
+    * (round(value·100) — the first significant digit is invariant under
+    * ×100), and the leading digit comes from an exact integer-division
+    * CASE ladder — no log10 in the extraction path, whose last-ulp
+    * behavior differs across math libraries. The Benford probabilities
+    * are embedded as identical decimal literals in both engines, so each
+    * χ² term is one shape-mirrored double chain over exact counts.
+    * Scale shape: scan-local digit extraction, one 9-key aggregate.
+    */
+  def q193BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514).toDF("digit", "benford_share")
+    val cents = Tables.events(spark, dir)
+      .filter($"value" > 0)
+      .select(round($"value" * 100).cast("long").as("n"))
+      .filter($"n" > 0)
+    val digit = when($"n" >= 100000000L, expr("n div 100000000"))
+      .when($"n" >= 10000000L, expr("n div 10000000"))
+      .when($"n" >= 1000000L, expr("n div 1000000"))
+      .when($"n" >= 100000L, expr("n div 100000"))
+      .when($"n" >= 10000L, expr("n div 10000"))
+      .when($"n" >= 1000L, expr("n div 1000"))
+      .when($"n" >= 100L, expr("n div 100"))
+      .when($"n" >= 10L, expr("n div 10"))
+      .otherwise($"n")
+    val obs = cents.select(digit.cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("observed"))
+    val tot = obs.agg(sum($"observed").as("n_values"))
+    broadcast(benford)
+      .join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("observed", coalesce($"observed", lit(0L)))
+      .select($"digit", $"observed", $"benford_share",
+        round($"observed".cast("double") / $"n_values", 6)
+          .as("observed_share"),
+        round(($"observed" - $"n_values" * $"benford_share")
+          * ($"observed" - $"n_values" * $"benford_share")
+          / ($"n_values" * $"benford_share"), 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
   def q188DailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

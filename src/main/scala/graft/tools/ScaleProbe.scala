@@ -175,7 +175,9 @@ object ScaleProbe {
       // decayed activity: map-side (type, week) collapse, scalar max day
       "q191_decayed_activity",
       // attribution: user-keyed lookback join + per-purchase windows
-      "q192_attribution")
+      "q192_attribution",
+      // Benford: scan-local digit ladder + 9-key aggregate
+      "q193_benford_audit")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -320,4 +320,33 @@ class EventOpsSpec extends SparkSpec {
         rows.exists(r => r.getString(1) == t && r.getLong(2) > 0)))
     }
   }
+
+  test("q193: Benford digits recompute from integer cents; shares and chi2 consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventAnalytics.q193BenfordAudit(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val n = rows.map(_.getLong(1)).sum
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    // From-scratch digit histogram over exact cents.
+    val values = graft.sources.Tables.events(spark, sf0001)
+      .filter($"value" > 0).select($"value").as[Double].collect()
+    def digitOf(v: Double): Int = {
+      var c = BigDecimal(v * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      while (c >= 10) c /= 10
+      c.toInt
+    }
+    val hist = values.map(digitOf).filter(_ > 0)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(n == hist.values.sum)
+    rows.foreach { r =>
+      assert(r.getLong(1) == hist.getOrElse(r.getInt(0), 0L))
+      val p = r.getDouble(2)
+      val chi = BigDecimal({ val d = r.getLong(1) - n * p; d * d / (n * p) })
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == chi)
+    }
+  }
 }
