@@ -217,6 +217,8 @@ object SparkEntry {
     "q191_decayed_activity" -> (EventAnalytics.q191DecayedActivity _),
     "q192_attribution" -> (EventAnalytics.q192Attribution _),
     "q193_benford_audit" -> (EventAnalytics.q193BenfordAudit _),
+    "q194_ks_drift" ->
+      ((s: SparkSession, d: String) => ext.Quality.q194KsDrift(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1369,6 +1371,36 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q194: KS drift — integer cross-product argmax, one final division.
+    "q194_ks_drift" ->
+      """WITH lens AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS len
+        |  FROM documents
+        |), bsl AS (
+        |  SELECT source, len, count(*) AS c1 FROM lens GROUP BY source, len
+        |), bl AS (
+        |  SELECT len, count(*) AS cg FROM lens GROUP BY len
+        |), tot AS (
+        |  SELECT s.source, s.n1, t.nt - s.n1 AS n2
+        |  FROM (SELECT source, count(*) AS n1 FROM lens GROUP BY source) s,
+        |    (SELECT count(*) AS nt FROM lens) t
+        |), grid AS (
+        |  SELECT tot.source, tot.n1, tot.n2, bl.len,
+        |    coalesce(bsl.c1, 0) AS c1, bl.cg - coalesce(bsl.c1, 0) AS c2
+        |  FROM tot CROSS JOIN bl
+        |  LEFT JOIN bsl ON bsl.source = tot.source AND bsl.len = bl.len
+        |), cum AS (
+        |  SELECT source, n1, n2,
+        |    abs(sum(c1) OVER w * n2 - sum(c2) OVER w * n1) AS dnum
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY source ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT source, CAST(max(n1) AS BIGINT) AS n_docs,
+        |  CAST(max(dnum) AS BIGINT) AS d_num,
+        |  round(CAST(max(dnum) AS DOUBLE) / (max(n1) * max(n2)), 6) AS ks_d
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     // q193: Benford audit — exact integer-cents digit ladder (no log10),
     // literal Benford shares, shape-mirrored chi-squared terms.
     "q193_benford_audit" ->

@@ -220,6 +220,47 @@ object Quality {
       .orderBy($"source")
   }
 
+  /** q194: per-source distribution drift via the two-sample
+    * Kolmogorov–Smirnov statistic — D = max |F_src − F_rest| over the
+    * document-length distribution, the nonparametric drift test that
+    * catches a source whose SHAPE changed even when its mean didn't
+    * (the monitoring complement of q181's KL on token content).
+    *
+    * Exactness by construction: D = max |c1·n2 − c2·n1| / (n1·n2) — the
+    * argmax runs entirely on exact integer cross-products (cumulative
+    * counts × opposite sample sizes), so there is no float in the
+    * comparison path at all, and the single final division is correctly
+    * rounded. Scale shape: one (source, len) aggregate; the CDF grid is
+    * sources × distinct-lens bounded (built by a broadcast cross join),
+    * and the cumulative windows partition by source over that grid.
+    */
+  def q194KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lens = Tables.documents(spark, dir)
+      .select($"source", size(split($"text", "\\s+")).as("len"))
+    val bySrcLen = lens.groupBy($"source", $"len").agg(count(lit(1)).as("c1"))
+    val byLen = lens.groupBy($"len").agg(count(lit(1)).as("cg"))
+    val totals = lens.groupBy($"source").agg(count(lit(1)).as("n1"))
+      .crossJoin(broadcast(lens.agg(count(lit(1)).as("nt"))))
+      .select($"source", $"n1", ($"nt" - $"n1").as("n2"))
+    val grid = totals.select($"source", $"n1", $"n2")
+      .crossJoin(broadcast(byLen))
+      .join(bySrcLen, Seq("source", "len"), "left")
+      .withColumn("c1", coalesce($"c1", lit(0L)))
+      .withColumn("c2", $"cg" - $"c1")
+    val w = Window.partitionBy($"source").orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum1", sum($"c1").over(w))
+      .withColumn("cum2", sum($"c2").over(w))
+      .withColumn("dnum", abs($"cum1" * $"n2" - $"cum2" * $"n1"))
+      .groupBy($"source")
+      .agg(max($"n1").as("n_docs"), max($"dnum").as("d_num"),
+        round(max($"dnum").cast("double") / (max($"n1") * max($"n2")), 6)
+          .as("ks_d"))
+      .orderBy($"source")
+  }
+
   /** q172: DSIR-style importance-ratio data selection (Xie et al. 2023,
     * "Data Selection via Importance Resampling") — score every
     * out-of-domain document by the mean per-token log-likelihood ratio

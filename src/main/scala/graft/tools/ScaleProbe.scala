@@ -177,7 +177,9 @@ object ScaleProbe {
       // attribution: user-keyed lookback join + per-purchase windows
       "q192_attribution",
       // Benford: scan-local digit ladder + 9-key aggregate
-      "q193_benford_audit")
+      "q193_benford_audit",
+      // KS drift: (source, len) aggregate + bounded CDF grid windows
+      "q194_ks_drift")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -418,4 +418,30 @@ class QualitySpec extends SparkSpec {
       assert(score == expected, s"doc $id: $score vs $expected")
     }
   }
+
+  test("q194: KS statistic recomputes from scratch for one source; bounds hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = ext.Quality.q194KsDrift(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.size == 20)
+    rows.foreach { case (_, _, _, d) => assert(d >= 0 && d <= 1) }
+    // From-scratch two-sample KS for src0 over doc lengths.
+    val lens = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", size(split($"text", "\\s+")))
+      .as[(String, Int)].collect()
+    val a = lens.filter(_._1 == "src0").map(_._2).sorted
+    val b = lens.filter(_._1 != "src0").map(_._2).sorted
+    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val values = (a ++ b).distinct.sorted
+    val dnum = values.map { v =>
+      val c1 = a.count(_ <= v).toLong
+      val c2 = b.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    val r0 = rows.find(_._1 == "src0").get
+    assert(r0._2 == n1 && r0._3 == dnum)
+    assert(r0._4 == BigDecimal(dnum.toDouble / (n1 * n2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
