@@ -219,6 +219,7 @@ object SparkEntry {
     "q193_benford_audit" -> (EventAnalytics.q193BenfordAudit _),
     "q194_ks_drift" ->
       ((s: SparkSession, d: String) => ext.Quality.q194KsDrift(s, d)),
+    "q195_cuped_readout" -> (EventAnalytics.q195CupedReadout _),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1371,6 +1372,43 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q195: CUPED readout — exact integer-cents sums; theta via the q175
+    // regression device; shape-mirrored adjusted means.
+    "q195_cuped_readout" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), cut AS (
+        |  SELECT max(day) AS max_day FROM ev
+        |), pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', day, max_day) < 15
+        |      THEN cents ELSE 0 END) AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN date_diff('day', day, max_day) >= 15
+        |      THEN cents ELSE 0 END) AS BIGINT) AS x
+        |  FROM ev, cut GROUP BY user_id
+        |), st AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pu
+        |), v AS (
+        |  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+        |    count(*) AS n_users, CAST(sum(y) AS BIGINT) AS vy,
+        |    CAST(sum(x) AS BIGINT) AS vx
+        |  FROM pu GROUP BY variant
+        |)
+        |SELECT variant, n_users,
+        |  round(CAST(vy AS DOUBLE) / n_users / 100, 6) AS mean_post,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (n * sxx - sx * sx), 6) AS theta,
+        |  round((CAST(vy AS DOUBLE) / n_users
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+        |      * (CAST(vx AS DOUBLE) / n_users
+        |        - CAST(sx AS DOUBLE) / n)) / 100, 6) AS mean_adjusted
+        |FROM v, st ORDER BY variant""".stripMargin,
     // q194: KS drift — integer cross-product argmax, one final division.
     "q194_ks_drift" ->
       """WITH lens AS (

@@ -470,6 +470,57 @@ object EventAnalytics {
       .orderBy($"digit")
   }
 
+  /** q195: CUPED-adjusted experiment readout — the variance-reduction
+    * technique production A/B systems run on top of the plain q133
+    * comparison: each user's post-period metric is adjusted by their
+    * PRE-period covariate (θ = Cov(post, pre)/Var(pre)), removing
+    * between-user variance that randomization already balanced. Variant
+    * assignment is the deterministic user_id parity; the post period is
+    * the last 15 days, pre is everything before.
+    *
+    * Exactness: metrics are exact integer CENTS (value·100), so every
+    * covariance/variance sum (Σx, Σy, Σx², Σxy) is exact int64 math; θ is
+    * one double ratio of exact longs (the q175 regression device) and
+    * each adjusted mean is a shape-mirrored chain of exact-sum divisions.
+    * Scale shape: events collapse to per-user (pre, post) cents map-side;
+    * θ's sums and the per-variant aggregates are user-keyed one-pass
+    * reductions; output is 2 rows.
+    */
+  def q195CupedReadout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", round($"value" * 100).cast("long").as("cents"))
+    val cut = ev.agg(max(to_date($"ts")).as("max_day"))
+    val perUser = ev.crossJoin(broadcast(cut))
+      .select($"user_id",
+        when(datediff($"max_day", to_date($"ts")) < 15, $"cents")
+          .otherwise(lit(0L)).as("post"),
+        when(datediff($"max_day", to_date($"ts")) >= 15, $"cents")
+          .otherwise(lit(0L)).as("pre"))
+      .groupBy($"user_id")
+      .agg(sum($"post").as("y"), sum($"pre").as("x"))
+    val stats = perUser.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+    perUser
+      .withColumn("variant", pmod($"user_id", lit(2L)).cast("int"))
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"y").as("vy"), sum($"x").as("vx"))
+      .crossJoin(broadcast(stats))
+      .select($"variant", $"n_users",
+        round($"vy".cast("double") / $"n_users" / 100, 6).as("mean_post"),
+        round(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("theta"),
+        round(($"vy".cast("double") / $"n_users"
+          - (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+            / ($"n" * $"sxx" - $"sx" * $"sx"))
+            * ($"vx".cast("double") / $"n_users"
+              - $"sx".cast("double") / $"n")) / 100, 6)
+          .as("mean_adjusted"))
+      .orderBy($"variant")
+  }
+
   def q188DailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

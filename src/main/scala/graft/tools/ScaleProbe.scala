@@ -179,7 +179,9 @@ object ScaleProbe {
       // Benford: scan-local digit ladder + 9-key aggregate
       "q193_benford_audit",
       // KS drift: (source, len) aggregate + bounded CDF grid windows
-      "q194_ks_drift")
+      "q194_ks_drift",
+      // CUPED: per-user map-side collapse + scalar stats
+      "q195_cuped_readout")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

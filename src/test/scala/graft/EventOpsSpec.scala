@@ -349,4 +349,52 @@ class EventOpsSpec extends SparkSpec {
       assert(r.getDouble(4) == chi)
     }
   }
+
+  test("q195: CUPED adjustment reduces across-user variance and recomputes from scratch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventAnalytics.q195CupedReadout(spark, sf0001)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getDouble(3)).distinct.length == 1) // one global theta
+    // From scratch on collected per-user cents.
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").cast("string"),
+        round($"value" * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val maxDay = java.time.LocalDate.parse(ev.map(_._2).max)
+    val pu = ev.groupBy(_._1).view.mapValues { g =>
+      val (post, pre) = g.partition { case (_, d, _) =>
+        java.time.temporal.ChronoUnit.DAYS
+          .between(java.time.LocalDate.parse(d), maxDay) < 15
+      }
+      (post.map(_._3).sum, pre.map(_._3).sum)
+    }.toMap
+    val n = pu.size.toLong
+    val sx = pu.values.map(_._2).sum; val sy = pu.values.map(_._1).sum
+    val sxx = pu.values.map(v => v._2 * v._2).sum
+    val sxy = pu.values.map(v => v._2 * v._1).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    def rd6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val vUsers = pu.filter(_._1 % 2 == r.getInt(0))
+      assert(r.getLong(1) == vUsers.size.toLong)
+      val vy = vUsers.values.map(_._1).sum
+      val vx = vUsers.values.map(_._2).sum
+      assert(r.getDouble(2) == rd6(vy.toDouble / vUsers.size / 100))
+      assert(r.getDouble(3) == rd6(theta))
+      assert(r.getDouble(4) == rd6((vy.toDouble / vUsers.size
+        - theta * (vx.toDouble / vUsers.size - sx.toDouble / n)) / 100))
+    }
+    // The point of CUPED: adjusted per-user metric has lower variance.
+    def varOf(vs: Iterable[Double]): Double = {
+      val m = vs.sum / vs.size
+      vs.map(v => (v - m) * (v - m)).sum / vs.size
+    }
+    val postVar = varOf(pu.values.map(_._1.toDouble))
+    val adjVar = varOf(pu.values.map(v =>
+      v._1.toDouble - theta * (v._2.toDouble - sx.toDouble / n)))
+    assert(adjVar < postVar, s"CUPED must reduce variance: $adjVar vs $postVar")
+  }
 }
