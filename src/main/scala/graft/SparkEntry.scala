@@ -220,6 +220,8 @@ object SparkEntry {
     "q194_ks_drift" ->
       ((s: SparkSession, d: String) => ext.Quality.q194KsDrift(s, d)),
     "q195_cuped_readout" -> (EventAnalytics.q195CupedReadout _),
+    "q196_score_calibration" ->
+      ((s: SparkSession, d: String) => ext.Quality.q196ScoreCalibration(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1372,6 +1374,26 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q196: calibration — global rank of the fixed-point score, exact
+    // integer rank sums per source, one final division chain.
+    "q196_score_calibration" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |    CAST(round(CAST(len(array_to_string(tk, '')) AS DOUBLE)
+        |      / len(tk) * 1000000) AS BIGINT) AS score
+        |  FROM (SELECT source, doc_id, list_filter(regexp_split_to_array(
+        |    lower(text), '[^a-z]+'), x -> x <> '') AS tk FROM documents)
+        |  WHERE len(tk) > 0
+        |), ranked AS (
+        |  SELECT source,
+        |    row_number() OVER (ORDER BY score, doc_id) AS rk,
+        |    count(*) OVER () AS nt
+        |  FROM scored
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  round((CAST(sum(rk) AS DOUBLE) / count(*) - 1) / (max(nt) - 1), 6)
+        |    AS mean_pctile
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     // q195: CUPED readout — exact integer-cents sums; theta via the q175
     // regression device; shape-mirrored adjusted means.
     "q195_cuped_readout" ->

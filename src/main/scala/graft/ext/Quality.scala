@@ -261,6 +261,43 @@ object Quality {
       .orderBy($"source")
   }
 
+  /** q196: cross-source score calibration — each document's quality proxy
+    * (1e-6 fixed-point mean token length, the scan-local q158 signal) is
+    * mapped to its GLOBAL percentile, then summarized per source: a mean
+    * percentile far from 0.5 flags a source the raw score systematically
+    * favors or punishes — exactly the bias a single threshold applied
+    * across heterogeneous sources inflicts, and the reason calibrated
+    * (per-source quantile) cutoffs exist.
+    *
+    * Scale shape: the global ranking uses [[graft.ops.DistributedRank]] —
+    * a range shuffle + per-partition windows + a ≤32-row offsets frame,
+    * never a single-partition total sort. Exactness: the score is a
+    * fixed-point long (ties broken by doc_id), and the per-source mean
+    * percentile sums the exact INTEGER ranks — never per-doc float
+    * percentiles, whose summation order would differ across engines —
+    * dividing once at the end: mean_pctile = (Σrank/n − 1)/(N−1).
+    */
+  def q196ScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("tk"))
+      .filter(size($"tk") > 0)
+      .select($"source", $"doc_id",
+        round(aggregate($"tk", lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / size($"tk") * 1000000).cast("long").as("score"))
+    val ranked = graft.ops.DistributedRank.withRowNumber(
+      scored, Seq($"score", $"doc_id"), "rk", "n_total")
+    ranked
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"rk").as("sum_rank"), max($"n_total").as("nt"))
+      .select($"source", $"n_docs",
+        round(($"sum_rank".cast("double") / $"n_docs" - 1)
+          / ($"nt" - 1), 6).as("mean_pctile"))
+      .orderBy($"source")
+  }
+
   /** q172: DSIR-style importance-ratio data selection (Xie et al. 2023,
     * "Data Selection via Importance Resampling") — score every
     * out-of-domain document by the mean per-token log-likelihood ratio

@@ -181,7 +181,9 @@ object ScaleProbe {
       // KS drift: (source, len) aggregate + bounded CDF grid windows
       "q194_ks_drift",
       // CUPED: per-user map-side collapse + scalar stats
-      "q195_cuped_readout")
+      "q195_cuped_readout",
+      // calibration: DistributedRank (range shuffle, no global sort task)
+      "q196_score_calibration")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

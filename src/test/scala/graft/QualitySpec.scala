@@ -444,4 +444,41 @@ class QualitySpec extends SparkSpec {
     assert(r0._4 == BigDecimal(dnum.toDouble / (n1 * n2))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q196: mean percentiles recompute from a driver-side global ranking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = ext.Quality.q196ScoreCalibration(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows.size == 20)
+    rows.foreach { case (_, _, p) => assert(p > 0 && p < 1) }
+    // Weighted overall mean percentile must be exactly 0.5 by symmetry of
+    // ranks 1..N: Σrank = N(N+1)/2 ⇒ mean = ((N+1)/2 − 1)/(N−1) = 0.5.
+    val n = rows.map(_._2).sum
+    val weighted = rows.map { case (_, nd, p) => nd * p }.sum / n
+    assert(math.abs(weighted - 0.5) < 1e-4)
+    // From scratch: global fixed-point score ranking.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", $"doc_id", lower($"text"))
+      .as[(String, Long, String)].collect()
+    val scored = docs.flatMap { case (s, id, t) =>
+      val tk = t.split("[^a-z]+").filter(_.nonEmpty)
+      if (tk.isEmpty) None
+      else Some((s, id, BigDecimal(
+        tk.map(_.length.toLong).sum.toDouble / tk.length * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    }
+    val ranked = scored.sortBy { case (_, id, sc) => (sc, id) }.zipWithIndex
+    val nt = ranked.length.toLong
+    val bySrc = ranked.groupBy(_._1._1)
+    rows.foreach { case (src, nd, p) =>
+      val g = bySrc(src)
+      assert(nd == g.length.toLong)
+      val sumRank = g.map(_._2.toLong + 1).sum
+      val expected = BigDecimal(
+        (sumRank.toDouble / g.length - 1) / (nt - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p == expected, s"$src: $p vs $expected")
+    }
+  }
 }
