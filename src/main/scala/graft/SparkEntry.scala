@@ -222,6 +222,8 @@ object SparkEntry {
     "q195_cuped_readout" -> (EventAnalytics.q195CupedReadout _),
     "q196_score_calibration" ->
       ((s: SparkSession, d: String) => ext.Quality.q196ScoreCalibration(s, d)),
+    "q197_good_turing" ->
+      ((s: SparkSession, d: String) => TextAnalysis.q197GoodTuring(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1374,6 +1376,38 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q197: Good-Turing — exact frequency-of-frequencies over trigrams,
+    // single-division r* and unseen mass.
+    "q197_good_turing" ->
+      """WITH t AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM documents
+        |), tri AS (
+        |  SELECT tk[g.i] || ' ' || tk[g.i + 1] || ' ' || tk[g.i + 2] AS g
+        |  FROM t, UNNEST(generate_series(1, len(tk) - 2)) AS g(i)
+        |), counts AS (
+        |  SELECT g, count(*) AS c FROM tri GROUP BY g
+        |), fof AS (
+        |  SELECT c, count(*) AS n_r FROM counts GROUP BY c
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM counts
+        |), grid AS (
+        |  SELECT CAST(g.r AS BIGINT) AS r
+        |  FROM UNNEST(generate_series(1, 8)) AS g(r)
+        |)
+        |SELECT grid.r, coalesce(f1.n_r, 0) AS n_r,
+        |  coalesce(f2.n_r, 0) AS n_next,
+        |  CASE WHEN coalesce(f1.n_r, 0) = 0 THEN NULL
+        |    ELSE round(CAST((grid.r + 1) * coalesce(f2.n_r, 0) AS DOUBLE)
+        |      / f1.n_r, 6) END AS r_star,
+        |  round(CAST(t2.n1 AS DOUBLE) / t2.n_total, 6) AS p_unseen
+        |FROM grid
+        |LEFT JOIN fof f1 ON f1.c = grid.r
+        |LEFT JOIN fof f2 ON f2.c = grid.r + 1, tot t2
+        |ORDER BY grid.r""".stripMargin,
     // q196: calibration — global rank of the fixed-point score, exact
     // integer rank sums per source, one final division chain.
     "q196_score_calibration" ->

@@ -250,6 +250,49 @@ object TextAnalysis {
       .orderBy($"query_id", $"rank")
   }
 
+  /** q197: Good–Turing frequency-of-frequencies — the classic missing-mass
+    * estimator over corpus trigrams: N_r (how many distinct trigrams occur
+    * exactly r times), the smoothed count r* = (r+1)·N_{r+1}/N_r, and the
+    * unseen-mass estimate P₀ = N₁/N. This is the statistic that says how
+    * much probability a model should reserve for n-grams it has never
+    * seen — the quantitative form of "is this corpus big enough".
+    *
+    * Exactness: every N_r and N are exact integer aggregates; r* and P₀
+    * are single correctly-rounded divisions. Scale shape: one trigram
+    * aggregate (map-side combined, the q86-style shingle stream), one
+    * count-keyed frequency-of-frequencies aggregate (output bounded by
+    * max count), and an 8-row literal grid join.
+    */
+  def q197GoodTuring(spark: SparkSession, dir: String,
+                     maxR: Int = 8): DataFrame = {
+    import spark.implicits._
+    val tri = Tables.documents(spark, dir)
+      .select(expr(
+        "filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("tk"))
+      .select(explode(expr(
+        "CASE WHEN size(tk) > 2 THEN transform(sequence(1, size(tk) - 2), " +
+          "i -> concat(tk[i-1], ' ', tk[i], ' ', tk[i+1])) " +
+          "ELSE array() END")).as("g"))
+    val counts = tri.groupBy($"g").agg(count(lit(1)).as("c"))
+    val fof = counts.groupBy($"c").agg(count(lit(1)).as("n_r"))
+    val totals = counts.agg(sum($"c").as("n_total"),
+      sum(when($"c" === 1, 1L).otherwise(0L)).as("n1"))
+    val grid = spark.range(1, maxR + 1).select($"id".cast("long").as("r"))
+    grid
+      .join(broadcast(fof.select($"c".as("r"), $"n_r")), Seq("r"), "left")
+      .join(broadcast(fof.select(($"c" - 1).as("r"), $"n_r".as("n_next"))),
+        Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"r",
+        coalesce($"n_r", lit(0L)).as("n_r"),
+        coalesce($"n_next", lit(0L)).as("n_next"),
+        when(coalesce($"n_r", lit(0L)) === 0, lit(null))
+          .otherwise(round((($"r" + 1) * coalesce($"n_next", lit(0L)))
+            .cast("double") / $"n_r", 6)).as("r_star"),
+        round($"n1".cast("double") / $"n_total", 6).as("p_unseen"))
+      .orderBy($"r")
+  }
+
   /** q175: Zipf rank–frequency fit — least-squares slope/intercept/R² of
     * ln(frequency) against ln(rank) over the top-1000 terms, the corpus-
     * health statistic that flags template/boilerplate-heavy or synthetic

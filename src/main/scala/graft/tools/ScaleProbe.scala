@@ -183,7 +183,9 @@ object ScaleProbe {
       // CUPED: per-user map-side collapse + scalar stats
       "q195_cuped_readout",
       // calibration: DistributedRank (range shuffle, no global sort task)
-      "q196_score_calibration")
+      "q196_score_calibration",
+      // Good-Turing: trigram aggregate + count-keyed fof
+      "q197_good_turing")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

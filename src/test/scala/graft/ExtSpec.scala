@@ -679,6 +679,39 @@ class ExtSpec extends SparkSpec {
     assert(got0 == scored)
   }
 
+  test("q197 Good-Turing: frequency-of-frequencies recompute from scratch; GT identity holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.q197GoodTuring(spark, sf0001).collect()
+    assert(rows.length == 8)
+    // From-scratch trigram counting.
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select(lower($"text")).as[String].collect()
+    val tris = texts.flatMap { t =>
+      val w = t.split("[^a-z]+").filter(_.nonEmpty)
+      if (w.length < 3) Array.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toArray
+    }
+    val counts = tris.groupBy(identity).view.mapValues(_.length.toLong)
+    val fof = counts.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTotal = tris.length.toLong
+    rows.foreach { r =>
+      val (rr, nr, nn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nr == fof.getOrElse(rr, 0L))
+      assert(nn == fof.getOrElse(rr + 1, 0L))
+      if (nr == 0) assert(r.isNullAt(3))
+      else assert(r.getDouble(3) == BigDecimal(
+        ((rr + 1) * nn).toDouble / nr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getDouble(4) == BigDecimal(
+        fof.getOrElse(1L, 0L).toDouble / nTotal)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // Zipf-tail sanity: singletons dominate and N_r decreases in r.
+    val nrs = rows.map(_.getLong(1))
+    assert(nrs.head == nrs.max && nrs.head > 0)
+  }
+
   test("q165 source overlap: canonical pairs, intersection bounds, and one pair re-derived directly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
