@@ -224,6 +224,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => ext.Quality.q196ScoreCalibration(s, d)),
     "q197_good_turing" ->
       ((s: SparkSession, d: String) => TextAnalysis.q197GoodTuring(s, d)),
+    "q198_holdout_perplexity" ->
+      ((s: SparkSession, d: String) => ext.Quality.q198HoldoutPerplexity(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1376,6 +1378,44 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q198: holdout LM eval — q93's split rule, train-only counts, one
+    // ln of an exact ratio per held-out bigram (q115 device).
+    "q198_holdout_perplexity" ->
+      """WITH d AS (
+        |  SELECT CASE
+        |    WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+        |      < 80 THEN 'train'
+        |    WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+        |      < 90 THEN 'val' ELSE 'test' END AS split,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents
+        |), b AS (
+        |  SELECT split, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |  FROM d, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+        |  WHERE len(tk) >= 2
+        |), cuni AS (
+        |  SELECT w1, count(*) AS c1 FROM b WHERE split = 'train' GROUP BY w1
+        |), cbi AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM b WHERE split = 'train'
+        |  GROUP BY w1, w2
+        |), vocab AS (
+        |  SELECT count(*) AS v FROM (
+        |    SELECT w1 AS w FROM b WHERE split = 'train'
+        |    UNION SELECT w2 FROM b WHERE split = 'train')
+        |)
+        |SELECT b.split, count(*) AS n_bigrams,
+        |  round(sum(CAST(round(ln(
+        |      CAST(coalesce(cuni.c1, 0) + vocab.v + 1 AS DOUBLE)
+        |      / CAST(coalesce(cbi.c12, 0) + 1 AS DOUBLE)) * 1000000)
+        |    AS BIGINT)) / (1000000.0 * count(*)), 6) AS avg_nll
+        |FROM b
+        |LEFT JOIN cuni ON cuni.w1 = b.w1
+        |LEFT JOIN cbi ON cbi.w1 = b.w1 AND cbi.w2 = b.w2, vocab
+        |WHERE b.split != 'train'
+        |GROUP BY b.split ORDER BY b.split""".stripMargin,
     // q197: Good-Turing — exact frequency-of-frequencies over trigrams,
     // single-division r* and unseen mass.
     "q197_good_turing" ->

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -296,6 +296,57 @@ object Quality {
         round(($"sum_rank".cast("double") / $"n_docs" - 1)
           / ($"nt" - 1), 6).as("mean_pctile"))
       .orderBy($"source")
+  }
+
+  /** q198: holdout language-model evaluation — train the add-one-smoothed
+    * bigram LM on the q93 TRAIN split only and score the held-out val and
+    * test splits' bigrams: the honest train/eval loop (q115 scores the
+    * corpus with a model trained on itself — fine for filtering, not for
+    * measuring). Out-of-vocabulary mass is handled by the +1-extended
+    * vocabulary: an unseen history or bigram falls back to the smoothing
+    * floor instead of blowing up.
+    *
+    * Cross-engine discipline (q115/q172 device): each test bigram's NLL
+    * is ONE ln of the exact-BIGINT ratio (c1 + V + 1)/(c12 + 1), rounded
+    * to 1e-6 fixed point before the per-split integer sum; one division
+    * per split at the end. Scale shape: train tables are vocab-bounded
+    * and broadcast onto the held-out bigram stream; the per-split
+    * aggregate has 2 keys.
+    */
+  def q198HoldoutPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def splitOf(id: Column): Column = {
+      val h = md5(id.cast("string"))
+      val bucket =
+        (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(splitOf($"doc_id").as("split"),
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("tk"))
+      .filter(size($"tk") >= 2)
+    val bigrams = docs.select($"split", explode(expr(
+      "transform(sequence(1, size(tk) - 1), " +
+        "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+      .select($"split", $"b.w1", $"b.w2")
+    val train = bigrams.filter($"split" === "train")
+    val cuni = train.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val cbi = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val vocab = train.select($"w1".as("w")).union(train.select($"w2"))
+      .distinct().agg(count(lit(1)).as("v"))
+    bigrams.filter($"split" =!= "train")
+      .join(broadcast(cuni), Seq("w1"), "left")
+      .join(broadcast(cbi), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("fp", round(log(
+        (coalesce($"c1", lit(0L)) + $"v" + 1).cast("double")
+          / (coalesce($"c12", lit(0L)) + 1).cast("double")) * lit(1000000L))
+        .cast("long"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum($"fp") / (lit(1000000.0) * count(lit(1))), 6)
+          .as("avg_nll"))
+      .orderBy($"split")
   }
 
   /** q172: DSIR-style importance-ratio data selection (Xie et al. 2023,

@@ -185,7 +185,9 @@ object ScaleProbe {
       // calibration: DistributedRank (range shuffle, no global sort task)
       "q196_score_calibration",
       // Good-Turing: trigram aggregate + count-keyed fof
-      "q197_good_turing")
+      "q197_good_turing",
+      // holdout LM eval: broadcast train tables onto held-out bigrams
+      "q198_holdout_perplexity")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -481,4 +481,42 @@ class QualitySpec extends SparkSpec {
       assert(p == expected, s"$src: $p vs $expected")
     }
   }
+
+  test("q198: holdout NLL recomputes from a train-only model; holdout is harder than self-scoring") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = ext.Quality.q198HoldoutPerplexity(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq("test", "val"))
+    // From scratch: split, train counts, holdout scoring.
+    def splitOf(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = (hex(0).toInt * 31 + hex(1).toInt) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (splitOf(id), t.split("[^a-z]+").filter(_.nonEmpty).toSeq)
+      }.filter(_._2.size >= 2)
+    val trainBi = docs.filter(_._1 == "train")
+      .flatMap { case (_, tk) => tk.zip(tk.tail) }
+    val c1 = trainBi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c12 = trainBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = (trainBi.map(_._1) ++ trainBi.map(_._2)).distinct.size.toLong
+    rows.foreach { case (split, nBi, nll) =>
+      val bs = docs.filter(_._1 == split)
+        .flatMap { case (_, tk) => tk.zip(tk.tail) }
+      assert(nBi == bs.size.toLong)
+      val s = bs.map { b =>
+        BigDecimal(math.log(
+          (c1.getOrElse(b._1, 0L) + v + 1).toDouble
+            / (c12.getOrElse(b, 0L) + 1)) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      assert(nll == BigDecimal(s / (1e6 * bs.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
 }
