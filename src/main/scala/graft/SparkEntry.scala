@@ -226,6 +226,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextAnalysis.q197GoodTuring(s, d)),
     "q198_holdout_perplexity" ->
       ((s: SparkSession, d: String) => ext.Quality.q198HoldoutPerplexity(s, d)),
+    "q199_release_manifest" ->
+      ((s: SparkSession, d: String) => Corpus.q199ReleaseManifest(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1378,6 +1380,23 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q199: release manifest — order-independent XOR fingerprints in two
+    // 32-bit lanes (engine-neutral md5-u32 device, no 64-bit overflow).
+    "q199_release_manifest" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT)
+        |      AS BIGINT) AS hi,
+        |    CAST(CAST(concat('0x', substr(md5(text), 9, 8)) AS UBIGINT)
+        |      AS BIGINT) AS lo,
+        |    CAST(length(text) AS BIGINT) AS nb
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(bit_xor(hi) AS BIGINT) AS xor_hi,
+        |  CAST(bit_xor(lo) AS BIGINT) AS xor_lo,
+        |  CAST(sum(nb) AS BIGINT) AS n_chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // q198: holdout LM eval — q93's split rule, train-only counts, one
     // ln of an exact ratio per held-out bigram (q115 device).
     "q198_holdout_perplexity" ->

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -466,6 +466,37 @@ object Corpus {
       .select($"source", $"limit", $"n_docs", $"tok_mass", $"kept",
         round(lit(1.0) - $"kept".cast("double") / $"tok_mass", 6).as("loss"))
       .orderBy($"source", $"limit")
+  }
+
+  /** q199: release manifest — a deterministic, order-independent content
+    * fingerprint per source (and the ingredients to recompute it): the
+    * bitwise XOR of every document's 64-bit text digest, plus doc count
+    * and byte mass. Two corpus copies with ANY differing, missing, or
+    * duplicated document produce different manifests with overwhelming
+    * probability, and because XOR is commutative the fingerprint is
+    * independent of partitioning, ordering, and cluster size — the
+    * integrity artifact a dataset release ships so a consumer can verify
+    * their copy without re-downloading.
+    *
+    * Scale shape: one scan computes the digest per row; the XOR/count/sum
+    * aggregate is map-side combined on the bounded source key. The digest
+    * is carried as TWO independent 32-bit lanes (md5 hex chars 1–8 and
+    * 9–16 through the q116 u32 device) so no value ever approaches the
+    * signed-64 boundary, where overflow semantics differ between engines.
+    */
+  def q199ReleaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def u32(from: Int): Column =
+      conv(substring(md5($"text"), from, 8), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select($"source", u32(1).as("hi"), u32(9).as("lo"),
+        length($"text").cast("long").as("nb"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(hi)").as("xor_hi"),
+        expr("bit_xor(lo)").as("xor_lo"),
+        sum($"nb").as("n_chars"))
+      .orderBy($"source")
   }
 
   /** q189: dataset-card generator — the one-row-per-source summary a data

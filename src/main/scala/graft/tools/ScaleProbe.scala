@@ -187,7 +187,9 @@ object ScaleProbe {
       // Good-Turing: trigram aggregate + count-keyed fof
       "q197_good_turing",
       // holdout LM eval: broadcast train tables onto held-out bigrams
-      "q198_holdout_perplexity")
+      "q198_holdout_perplexity",
+      // manifest: scan-local digests + source-keyed XOR aggregate
+      "q199_release_manifest")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -325,4 +325,46 @@ class CorpusSpec extends SparkSpec {
       .collectFirst { case r if r.getString(0) == "src0" => r.getLong(3) }
     nA.foreach(n => assert(r0.getLong(5) == n))
   }
+
+  test("q199: manifest fingerprints recompute, are order-independent, and detect a mutation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.q199ReleaseManifest(spark, sf0001).collect()
+    assert(rows.length == 20)
+    // From-scratch XOR lanes for every source.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"source", $"text").as[(String, String)].collect()
+    def lanes(t: String): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+        java.lang.Long.parseLong(hex.substring(8, 16), 16))
+    }
+    val expected = docs.groupBy(_._1).view.mapValues { g =>
+      val ls = g.map(d => lanes(d._2))
+      (g.length.toLong, ls.map(_._1).reduce(_ ^ _), ls.map(_._2).reduce(_ ^ _),
+        g.map(_._2.length.toLong).sum)
+    }.toMap
+    rows.foreach { r =>
+      val e = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e)
+    }
+    // Mutation detection: a corpus copy with ONE changed character in one
+    // document must produce a different fingerprint for that source only.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q199_").toString
+    graft.sources.Tables.documents(spark, sf0001)
+      .withColumn("text", when($"doc_id" === 0,
+        concat($"text", lit("!"))).otherwise($"text"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val mutated = Corpus.q199ReleaseManifest(spark, dir2).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val origSrc = docs.find(_._2 == docs.head._2).get._1
+    val doc0src = graft.sources.Tables.documents(spark, sf0001)
+      .filter($"doc_id" === 0).select($"source").as[String].head()
+    rows.foreach { r =>
+      val same = mutated(r.getString(0)) == (r.getLong(2), r.getLong(3))
+      if (r.getString(0) == doc0src) assert(!same, "mutation must change the fingerprint")
+      else assert(same, s"untouched source ${r.getString(0)} fingerprint moved")
+    }
+  }
 }
