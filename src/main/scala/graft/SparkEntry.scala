@@ -228,6 +228,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => ext.Quality.q198HoldoutPerplexity(s, d)),
     "q199_release_manifest" ->
       ((s: SparkSession, d: String) => Corpus.q199ReleaseManifest(s, d)),
+    "q200_curation_pipeline" ->
+      ((s: SparkSession, d: String) => Corpus.q200CurationPipeline(s, d)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
     "q113_skyline" -> (Extra.q113Skyline _),
@@ -1380,6 +1382,60 @@ object SparkEntry {
     // clusters keeping their previous centroid via the LEFT JOIN coalesce.
     "q166_kmeans" ->
       KmeansOracleSql,
+    // q200: the composed curation funnel — each stage's CTE mirrors the
+    // corresponding Spark stage expression for expression.
+    "q200_curation_pipeline" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nsp
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, text, t, CAST(len(t) AS BIGINT) AS n_tok,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop_n,
+        |    nsp * 1000 // len(t) AS mfp
+        |  FROM raw
+        |), qual AS (
+        |  SELECT * FROM g
+        |  WHERE n_tok >= 15 AND n_tok <= 5000
+        |    AND mfp >= 4000 AND mfp <= 9000 AND stop_n * 100 >= n_tok * 2
+        |), ex AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM qual)
+        |  WHERE rn = 1
+        |), sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(t[gg.i:gg.i+7], ' ')) AS h
+        |  FROM ex, UNNEST(generate_series(1, len(t), 8)) AS gg(i)
+        |), sh AS (
+        |  SELECT h, count(*) AS nd FROM sp GROUP BY h
+        |), keepd AS (
+        |  SELECT sp.doc_id FROM sp JOIN sh USING (h)
+        |  GROUP BY sp.doc_id
+        |  HAVING sum(CASE WHEN sh.nd = 1 THEN 1 ELSE 0 END) * 2 >= count(*)
+        |), pr AS (
+        |  SELECT ex.* FROM ex JOIN keepd USING (doc_id)
+        |), spl AS (
+        |  SELECT n_tok, '5_' || CASE
+        |    WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+        |      < 80 THEN 'train'
+        |    WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+        |      + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100
+        |      < 90 THEN 'val' ELSE 'test' END AS stage
+        |  FROM pr
+        |)
+        |SELECT '1_raw' AS stage, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM g
+        |UNION ALL SELECT '2_quality', count(*),
+        |  CAST(sum(n_tok) AS BIGINT) FROM qual
+        |UNION ALL SELECT '3_exact_dedup', count(*),
+        |  CAST(sum(n_tok) AS BIGINT) FROM ex
+        |UNION ALL SELECT '4_span_prune', count(*),
+        |  CAST(sum(n_tok) AS BIGINT) FROM pr
+        |UNION ALL SELECT stage, count(*),
+        |  CAST(sum(n_tok) AS BIGINT) FROM spl GROUP BY stage
+        |ORDER BY stage""".stripMargin,
     // q199: release manifest — order-independent XOR fingerprints in two
     // 32-bit lanes (engine-neutral md5-u32 device, no 64-bit overflow).
     "q199_release_manifest" ->

@@ -499,6 +499,68 @@ object Corpus {
       .orderBy($"source")
   }
 
+  /** q200: the end-to-end curation funnel as ONE composed plan — the
+    * canonical pretraining pipeline chained stage-on-survivors: q158's
+    * quality thresholds (with case-folded stopword matching) → exact dedup (min-doc_id canonical per text digest) →
+    * span-novelty pruning (q184's criterion: drop docs with < 50% unique
+    * 8-token spans among survivors) → the q93 split assignment. Reported
+    * as a funnel of (stage, docs, token mass) so the cost of every stage
+    * is visible in one result — the report a curation run publishes.
+    *
+    * Scale shape: each stage adds exactly the shuffles its standalone
+    * operator needs (one digest-keyed window, one span-hash aggregate,
+    * scan-local split) and the stage summaries are bounded-key unions;
+    * nothing is recomputed corpus-wide more than its own stage requires.
+    */
+  def q200CurationPipeline(spark: SparkSession, dir: String,
+                           width: Int = 8): DataFrame = {
+    import spark.implicits._
+    val stopwords = Seq("the", "a", "of", "and", "to", "in")
+    val raw = Tables.documents(spark, dir)
+      .select($"doc_id", $"text", split($"text", "\\s+").as("t"),
+        length(regexp_replace($"text", "\\s+", "")).as("nsp"))
+      .withColumn("n_tok", size($"t").cast("long"))
+      .withColumn("stop_n",
+        size(filter(split(lower($"text"), "\\s+"),
+          x => x.isInCollection(stopwords))))
+      .withColumn("mfp", expr("nsp * 1000L div n_tok"))
+    val quality = raw.filter($"n_tok" >= 15 && $"n_tok" <= 5000
+      && $"mfp" >= 4000L && $"mfp" <= 9000L
+      && $"stop_n" * 100 >= $"n_tok" * 2)
+    val wDup = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    val exact = quality.withColumn("rn", row_number().over(wDup))
+      .filter($"rn" === 1).drop("rn")
+    val spans = exact
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
+        b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
+        .as("h"))
+      .distinct()
+    val shared = spans.groupBy($"h").agg(count(lit(1)).as("nd"))
+    val novelty = spans.join(shared, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("ns"),
+        sum(when($"nd" === 1, 1L).otherwise(0L)).as("nu"))
+      .filter($"nu" * 2 >= $"ns")
+      .select($"doc_id")
+    val pruned = exact.join(novelty, Seq("doc_id"))
+    val h = md5($"doc_id".cast("string"))
+    val bucket =
+      (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
+    val assigned = pruned.withColumn("stage", concat(lit("5_"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")))
+    def stageOf(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .select(lit(name).as("stage"), $"n_docs", $"n_tokens")
+    stageOf(raw, "1_raw")
+      .unionByName(stageOf(quality, "2_quality"))
+      .unionByName(stageOf(exact, "3_exact_dedup"))
+      .unionByName(stageOf(pruned, "4_span_prune"))
+      .unionByName(assigned.groupBy($"stage")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens")))
+      .orderBy($"stage")
+  }
+
   /** q189: dataset-card generator — the one-row-per-source summary a data
     * team publishes with a corpus release: document and token mass, mean
     * document length, language-mix entropy, and the fraction of the

@@ -189,7 +189,9 @@ object ScaleProbe {
       // holdout LM eval: broadcast train tables onto held-out bigrams
       "q198_holdout_perplexity",
       // manifest: scan-local digests + source-keyed XOR aggregate
-      "q199_release_manifest")
+      "q199_release_manifest",
+      // curation funnel: each stage's own shuffles, bounded summaries
+      "q200_curation_pipeline")
     // Focused re-probe: pass query names as args to probe only those.
     val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
 

@@ -367,4 +367,34 @@ class CorpusSpec extends SparkSpec {
       else assert(same, s"untouched source ${r.getString(0)} fingerprint moved")
     }
   }
+
+  test("q200: the funnel is monotone, splits partition the survivors, and stage 2 recomputes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Corpus.q200CurationPipeline(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val byStage = rows.map { case (s, n, _) => s -> n }.toMap
+    assert(byStage("1_raw") >= byStage("2_quality"))
+    assert(byStage("2_quality") >= byStage("3_exact_dedup"))
+    assert(byStage("3_exact_dedup") >= byStage("4_span_prune"))
+    val splitDocs = rows.filter(_._1.startsWith("5_")).map(_._2).sum
+    val splitToks = rows.filter(_._1.startsWith("5_")).map(_._3).sum
+    assert(splitDocs == byStage("4_span_prune"))
+    assert(splitToks == rows.find(_._1 == "4_span_prune").get._3)
+    // Stage 2 from scratch.
+    val stopset = Set("the", "a", "of", "and", "to", "in")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"text").as[String].collect()
+    val pass = docs.count { t =>
+      val tk = t.split("\\s+")
+      val nTok = tk.length.toLong
+      val nsp = t.replaceAll("\\s+", "").length.toLong
+      val stopN = t.toLowerCase.split("\\s+").count(stopset.contains)
+      val mfp = nsp * 1000 / nTok
+      nTok >= 15 && nTok <= 5000 && mfp >= 4000 && mfp <= 9000 &&
+        stopN * 100 >= nTok * 2
+    }
+    assert(byStage("2_quality") == pass.toLong)
+    assert(byStage("1_raw") == docs.length.toLong)
+  }
 }
