@@ -1823,7 +1823,8 @@ object SparkEntry {
         |  SELECT source, lang, n,
         |    CAST(sum(n) OVER (PARTITION BY source) * 1000000000 AS BIGINT)
         |      AS rfp,
-        |    CAST(sum(n) OVER () * 200000000 AS BIGINT) AS cfp,
+        |    CAST(sum(n) OVER () * 1000000000 AS BIGINT)
+        |      // (SELECT count(DISTINCT lang) FROM documents) AS cfp,
         |    CAST(n * 1000000000 AS BIGINT) AS w
         |  FROM b
         |), r1 AS (

@@ -631,7 +631,11 @@ object Corpus {
     * are RE-ROUNDED after every scaling step, so each round's marginal
     * sums are exact integer math and each scale factor is one double
     * ratio of exact longs — the whole 6-step chain is shape-mirrored in
-    * the oracle. The language target T·2e8 is exact (1e9 divisible by 5).
+    * the oracle. The per-language target is derived from the corpus's own
+    * distinct-language count (a hardcoded count would silently stop
+    * preserving source totals on any other corpus): exact integer DIV,
+    * so when n_langs ∤ total·1e9 the column targets undershoot the total
+    * by < n_langs units of 1e-9 — zero for the 5-language fixture.
     * Scale shape: ONE corpus aggregate builds the sources×langs-bounded
     * table; the IPF rounds are window math over those ~100 rows.
     */
@@ -646,7 +650,9 @@ object Corpus {
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     var cur = base
       .withColumn("rfp", sum($"n").over(bySource) * Fp)
-      .withColumn("cfp", sum($"n").over(all) * (Fp / 5))
+      .withColumn("tot_fp", sum($"n").over(all) * Fp)
+      .withColumn("nlang", size(collect_set($"lang").over(all)).cast("long"))
+      .withColumn("cfp", expr("tot_fp DIV nlang"))
       .withColumn("w", $"n" * Fp)
     for (_ <- 1 to rounds) {
       cur = cur

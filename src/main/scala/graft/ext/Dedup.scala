@@ -454,24 +454,50 @@ object Dedup {
     * exchange (plan-guarded), and only these result-bounded pairs shuffle
     * (the distinct). Split out (uncheckpointed) so PlanSpec can walk it. */
   def incrementalNearDupCandidates(spark: SparkSession, table: String,
+                                   batch: DataFrame): DataFrame =
+    nearDupCandidatesAgainstSigs(spark.table(table).select(
+      col("doc_id"), col("sig")), batch)
+
+  /** The candidate core with the history side generalized to ANY
+    * (doc_id, sig) frame — the bucketed base table alone (q150/q153), or
+    * base ∪ accepted-batch signature deltas (the LEARNING ingest, where
+    * batch N+1 must be able to match batch N). The plan shape is
+    * unchanged: history flows scan→project→posexplode→broadcast-join with
+    * no exchange; only result-bounded candidate pairs shuffle. */
+  def nearDupCandidatesAgainstSigs(histSigs: DataFrame,
                                    batch: DataFrame): DataFrame = {
-    import spark.implicits._
     val bSigs = batch
-      .select($"doc_id",
-        graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
-      .select($"doc_id", minhashSignature($"hs").as("sig"))
+      .select(col("doc_id"),
+        graft.functions.NativeKernels.shingleHashes(col("text"), 3).as("hs"))
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
     val bBands = lshBands(bSigs)
-      .select($"band", $"band_sig", $"doc_id".as("batch_id"))
-    val tBands = lshBands(spark.table(table).select($"doc_id", $"sig"))
+      .select(col("band"), col("band_sig"), col("doc_id").as("batch_id"))
+    val tBands = lshBands(histSigs.select(col("doc_id"), col("sig")))
     tBands.join(broadcast(bBands), Seq("band", "band_sig"))
-      .select($"batch_id", $"doc_id".as("history_id")).distinct()
+      .select(col("batch_id"), col("doc_id").as("history_id")).distinct()
   }
 
   def newNearDupsAgainstSignatureTable(spark: SparkSession, table: String,
                                        batch: DataFrame, corpus: DataFrame,
                                        historyWindow: Long = 400L): DataFrame = {
     import spark.implicits._
-    val cand = incrementalNearDupCandidates(spark, table, batch)
+    verifyNearDupCandidates(
+      incrementalNearDupCandidates(spark, table, batch), corpus, batch)
+      .filter($"history_id" < historyWindow ||
+        ($"history_id" >= NearDupIdOffset && $"history_id" < NearDupIdOffset + 20))
+      .select($"batch_id", $"history_id", $"jaccard")
+      .orderBy($"batch_id", $"history_id")
+  }
+
+  /** Exact string-set verify of candidate (batch_id, history_id) pairs:
+    * TRUE shingle sets are re-derived for candidate history ids only
+    * (id-bounded fetch from `histText`) and the broadcast-sized batch.
+    * Returns every pair with J ≥ 0.5, unwindowed — callers apply their own
+    * report slice. */
+  def verifyNearDupCandidates(candidates: DataFrame, histText: DataFrame,
+                              batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    val cand = candidates
       .localCheckpoint() // feeds the id fetch AND the verify join once
     def strSets(df: DataFrame): DataFrame = df
       .filter(regexp_replace($"text", "[\\x00-\\x20]", "") =!= "")
@@ -480,7 +506,7 @@ object Dedup {
           "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
       .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("sh"))
     val histSets = strSets(
-      corpus.join(cand.select($"history_id".as("doc_id")).distinct(), "doc_id"))
+      histText.join(cand.select($"history_id".as("doc_id")).distinct(), "doc_id"))
     cand
       .join(broadcast(strSets(batch)
         .select($"doc_id".as("batch_id"), $"sh".as("bs"))), "batch_id")
@@ -489,11 +515,17 @@ object Dedup {
       .withColumn("jaccard", round($"inter".cast("double")
         / (size($"bs") + size($"hs2") - $"inter"), 6))
       .filter($"jaccard" >= 0.5)
-      .filter($"history_id" < historyWindow ||
-        ($"history_id" >= NearDupIdOffset && $"history_id" < NearDupIdOffset + 20))
       .select($"batch_id", $"history_id", $"jaccard")
-      .orderBy($"batch_id", $"history_id")
   }
+
+  /** One accepted batch's signature rows in the [[writeSignatureTable]]
+    * schema — (doc_id, hs, sig) — the delta a LEARNING ingest appends so
+    * later batches can match this one. */
+  def batchSignatureRows(batch: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id"),
+        graft.functions.NativeKernels.shingleHashes(col("text"), 3).as("hs"))
+      .withColumn("sig", minhashSignature(col("hs")))
 
   /** q150: [[newNearDupsAgainstSignatureTable]] on the deterministic batch
     * against the staged per-corpus signature table (history = documents +
@@ -882,6 +914,17 @@ object Dedup {
     * verified candidates (near-dups + bounded collision mass), never N². */
   def q121SetSimJoin(spark: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
     import spark.implicits._
+    setSimPairs(spark, dir, t).orderBy($"a_id", $"b_id")
+  }
+
+  /** The verified pair set of [[q121SetSimJoin]], unordered — the build
+    * body behind [[graft.sources.Staged.setsimPairs]]: a production dedup
+    * pipeline materializes the accepted-pair table ONCE and every
+    * downstream consumer (destructive removal, edit-distance re-verify
+    * q182, split-leakage audit q186) reads it, rather than re-running the
+    * PPJoin per consumer. */
+  def setSimPairs(spark: SparkSession, dir: String, t: Double = 0.5): DataFrame = {
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val corpus = withPlantedNear(Tables.documents(spark, dir), 20)
     // Corpus-wide work is hash-only: the native shingle kernel emits the
@@ -1016,7 +1059,7 @@ object Dedup {
       // candidate-verify join a second time.
       .localCheckpoint()
     cand.unpersist(blocking = false)
-    verified.orderBy($"a_id", $"b_id")
+    verified
   }
 
   /** Representative selection over ANY cluster assignment: keep each
@@ -1139,12 +1182,17 @@ object Dedup {
     * scanned twice with no shuffle. Both engines implement classic
     * unit-cost Levenshtein, and the similarity is one correctly-rounded
     * division of exact ints.
+    *
+    * The pair set is read from the write-once staged table
+    * ([[graft.sources.Staged.setsimPairs]]) — the deployment shape: the
+    * PPJoin runs once per corpus, and every downstream verify/audit pass
+    * reads its accepted pairs instead of recomputing the join it audits.
     */
   def q182EditVerify(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = withPlantedNear(
       Tables.documents(spark, dir).select($"doc_id", $"text"), 20)
-    val pairs = q121SetSimJoin(spark, dir)
+    val pairs = spark.read.parquet(graft.sources.Staged.setsimPairs(spark, dir))
     val withA = corpus.select($"doc_id".as("a_id"), $"text".as("ta"))
       .join(broadcast(pairs), Seq("a_id"))
     corpus.select($"doc_id".as("b_id"), $"text".as("tb"))
@@ -1165,10 +1213,11 @@ object Dedup {
     * split_b) cell plus the leaked flag; a healthy dedup-aware split has
     * zero leaked mass.
     *
-    * Scale shape: the pair set is result-bounded (q121's output) and the
-    * split is a scan-local pure function of doc_id (q93's md5-bucket
-    * rule), so the audit adds two broadcast-joined projections and one
-    * bounded 3×3-key aggregate on top of the join it audits.
+    * Scale shape: the pair set is result-bounded (q121's output, read
+    * from the write-once staged table like q182) and the split is a
+    * scan-local pure function of doc_id (q93's md5-bucket rule), so the
+    * audit adds two projections and one bounded 3×3-key aggregate on top
+    * of the pair table it audits.
     */
   def q186SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1178,7 +1227,7 @@ object Dedup {
         (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     }
-    q121SetSimJoin(spark, dir)
+    spark.read.parquet(graft.sources.Staged.setsimPairs(spark, dir))
       .select($"a_id", $"b_id",
         splitOf($"a_id").as("sa"), splitOf($"b_id").as("sb"))
       .select(

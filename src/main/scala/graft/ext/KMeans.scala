@@ -67,8 +67,12 @@ object KMeans {
       .select($"vec_id", quant($"embedding").as("xfp"))
       .cache()
     // Deterministic init: the k lowest vec_ids (k rows to the driver).
+    // Precondition: the corpus has at least k vectors — checked on the
+    // already-collected init rows, no extra count job.
     var cents: Array[Array[Long]] = pts.orderBy($"vec_id").limit(k)
       .select($"xfp").as[Array[Long]].collect()
+    require(cents.length == k,
+      s"k-means init needs >= $k vectors, corpus has ${cents.length}")
     for (_ <- 1 to iters) {
       // One aggregation: per-cluster exact component sums + counts
       // (k rows × d longs back to the driver — model state, not data).
@@ -114,6 +118,9 @@ object KMeans {
   def q179Silhouette(spark: SparkSession, dir: String, k: Int = 4,
                      iters: Int = 3): DataFrame = {
     import spark.implicits._
+    // A second-nearest centroid must exist: k = 1 would make m2 null and
+    // silently yield null silhouettes instead of a clear error.
+    require(k >= 2, s"silhouette needs k >= 2 clusters, got $k")
     val cents = trainCentroids(spark, dir, k, iters)
     val sorted = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
       struct(distSq(col("xfp"), c).as("dist"), lit(i).as("cl"))
@@ -143,8 +150,14 @@ object KMeans {
     pts
       .select(assign($"xfp", cents).as("m"))
       .groupBy($"m.cl".as("cluster"))
+      // Per-point squared distance can reach ~2.6e14 (64 dims × (2e6)²), so
+      // a LONG sum would wrap silently past ~3.6e4 extreme points while
+      // DuckDB's sum(BIGINT) promotes to HUGEINT. Sum as decimal(38,0):
+      // exact to 10³⁸ (headroom for ~10²³ points), matching the oracle's
+      // exact wide sum before the one rounded division.
       .agg(count(lit(1)).as("n_points"),
-        round(sum($"m.dist") / lit(Fp.toDouble * Fp), 6).as("inertia"))
+        round(sum($"m.dist".cast("decimal(38,0)")) / lit(Fp.toDouble * Fp), 6)
+          .as("inertia"))
       .join(broadcast(checksums), Seq("cluster"))
       .select($"cluster", $"n_points", $"inertia", $"centroid_checksum")
       .orderBy($"cluster")

@@ -25,7 +25,11 @@ object VecSumAggregator {
   class VecSum extends Aggregator[Array[Long], Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array.emptyLongArray
     override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+      // Symmetric empty-guard: Spark currently only ever passes the zero
+      // buffer as the FIRST argument, but a general-purpose aggregator
+      // must not index past an empty second argument either.
       if (b.isEmpty) a.clone()
+      else if (a.isEmpty) b
       else {
         var i = 0
         while (i < b.length) { b(i) += a(i); i += 1 }

@@ -149,6 +149,21 @@ object Staged {
       name
     }
 
+  /** q121's accepted-pair table: the verified set-similarity pairs
+    * (a_id, b_id, jaccard) materialized once per corpus
+    * ([[graft.ext.Dedup.setSimPairs]]). The production dedup shape: the
+    * PPJoin runs once, and every downstream consumer — destructive
+    * removal, the q182 edit-distance re-verify, the q186 split-leakage
+    * audit — reads the result-bounded pair table instead of recomputing
+    * the join. Returns the parquet dir. */
+  def setsimPairs(spark: SparkSession, dir: String): String =
+    getOrStage(s"setsim_pairs:$dir") {
+      val out = TempDirs.create("graft_setsim_").toString + "/pairs"
+      graft.ext.Dedup.setSimPairs(spark, dir)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
   /** q151's write-once corpus index: exploded long-code LSH signature rows
     * of the plain embeddings table. */
   def embeddingSigTable(spark: SparkSession, dir: String): String =
@@ -480,6 +495,7 @@ object Staged {
         timed("evolvedOrders")(evolvedOrdersDir(spark, dir)),
         timed("ppmFiles")(ppmFilesDir(spark, dir)),
         timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)),
+        timed("setsimPairs")(setsimPairs(spark, dir)),
         timed("embWatch")(embeddingsWatchDir(spark, dir)))), Duration.Inf)
     } finally pool.shutdown()
   }

@@ -44,11 +44,18 @@ object KmeansMonitor {
       .writeStream
       .option("checkpointLocation", TempDirs.create("graft_kmmon_ck_").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a retried micro-batch must not
+        // double-count its (n, dist) deltas. Each batch OVERWRITES its own
+        // batchId-keyed directory, so a replay is idempotent and the final
+        // aggregate still exactly equals the q166 batch report.
         b.select(KMeans.assign(KMeans.quant(b.col("embedding")), cents).as("m"))
           .groupBy(col("m.cl").as("cluster"))
-          .agg(count(lit(1)).as("n"), sum(col("m.dist")).as("dist"))
-          .write.mode("append").parquet(outDir)
+          // decimal(38,0): same overflow-proof exact-sum discipline as q166
+          // (a LONG delta would wrap past ~3.6e4 extreme points per batch).
+          .agg(count(lit(1)).as("n"),
+            sum(col("m.dist").cast("decimal(38,0)")).as("dist"))
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
     q.awaitTermination()

@@ -237,7 +237,10 @@ class CorpusSpec extends SparkSpec {
     val fp = 1000000000L
     val total = counts.map(_._3).sum
     val rowT = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum * fp).toMap
-    val colT = total * (fp / 5)
+    // Derived from the fixture's own language count, mirroring the query
+    // (which no longer hardcodes a 5-language assumption).
+    val nLangs = counts.map(_._2).distinct.size
+    val colT = total * fp / nLangs
     var w = counts.map { case (s, l, n) => ((s, l), n * fp) }.toMap
     def rnd(x: Double) = BigDecimal(x)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
@@ -259,7 +262,7 @@ class CorpusSpec extends SparkSpec {
     val colMass = rows.groupBy(_._2).view.mapValues(
       _.map { case (s, l, n, wt) => wt * n }.sum).toMap
     colMass.values.foreach(m =>
-      assert(math.abs(m - total / 5.0) < 0.001, s"col mass $m"))
+      assert(math.abs(m - total.toDouble / nLangs) < 0.001, s"col mass $m"))
   }
 
   test("q178: truncation loss is monotone in the limit and totals reconcile") {
