@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.ext.Dedup
@@ -27,10 +28,18 @@ import graft.sources.{Staged, Tables, TempDirs}
   * Because every batch row is compared against HISTORY only, the union of
   * per-micro-batch results equals the one-shot batch result regardless of
   * how the ingest is sliced into files — which is why q153 shares q150's
-  * DuckDB oracle verbatim. (A full deployment would also append each
-  * accepted batch's signatures via the [[graft.ext.Dedup.writeSignatureTable]]
-  * write path; the demo keeps the shared staged table immutable so
+  * DuckDB oracle verbatim. (The shared staged table stays immutable so
   * repeated runs — and q143/q150 beside it — stay independent.)
+  *
+  * [[learningIngest]] is the FULL deployment shape: each accepted
+  * micro-batch also lands its signature rows as a batchId-keyed delta, and
+  * every later batch probes base ∪ deltas — so batch N+1 matches batch N,
+  * not just the pre-existing corpus. Delta writes are batchId-keyed
+  * OVERWRITES (foreachBatch is at-least-once), so a checkpoint replay is
+  * append-once, and a retried batch reads only deltas with batch_id
+  * strictly below its own — its own half-written delta can never feed its
+  * own probe. Spec-verified in NearDupIngestSpec (q153's oracle is
+  * deliberately left on the history-only pipeline).
   */
 object NearDupIngest {
 
@@ -61,5 +70,95 @@ object NearDupIngest {
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir).orderBy("batch_id", "history_id")
+  }
+
+  /** State layout of one learning-ingest run: per-batch signature and
+    * document deltas plus the per-batch near-dup reports, every write
+    * batchId-keyed so replays overwrite rather than double-append. */
+  final case class IngestState(root: String) {
+    val sigsDir = s"$root/sigs"
+    val docsDir = s"$root/docs"
+    val reportDir = s"$root/report"
+    def sigDelta(batchId: Long): String = s"$sigsDir/batch_id=$batchId"
+    def docDelta(batchId: Long): String = s"$docsDir/batch_id=$batchId"
+    // `micro_batch`, not `batch_id`: the report rows already carry a
+    // batch_id DATA column (the probing document's id) — a same-named
+    // partition key would collide at read time.
+    def report(batchId: Long): String = s"$reportDir/micro_batch=$batchId"
+  }
+
+  private def readDeltas(spark: SparkSession, dir: String,
+                         below: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val df = spark.read.parquet(dir)
+      // Strictly-earlier deltas only: a RETRIED batch must not probe the
+      // half-written delta of its own first attempt.
+      Some(df.filter(col("batch_id") < below))
+    }
+  }
+
+  /** One micro-batch of the learning ingest, exposed for direct
+    * idempotency testing: probe `b` against base-table ∪ earlier deltas,
+    * write the report, then land this batch's signature + document
+    * deltas. All three writes are batchId-keyed overwrites. */
+  def ingestBatch(spark: SparkSession, baseTable: String, corpus: DataFrame,
+                  state: IngestState, b: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    val baseSigs = spark.table(baseTable).select($"doc_id", $"sig")
+    val histSigs = readDeltas(spark, state.sigsDir, batchId) match {
+      case Some(d) => baseSigs.unionByName(d.select($"doc_id", $"sig"))
+      case None => baseSigs
+    }
+    val histText = readDeltas(spark, state.docsDir, batchId) match {
+      case Some(d) => corpus.unionByName(d.select($"doc_id", $"text"))
+      case None => corpus
+    }
+    val cand = Dedup.nearDupCandidatesAgainstSigs(histSigs, b)
+    Dedup.verifyNearDupCandidates(cand, histText, b)
+      .write.mode("overwrite").parquet(state.report(batchId))
+    Dedup.batchSignatureRows(b)
+      .write.mode("overwrite").parquet(state.sigDelta(batchId))
+    b.select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(state.docDelta(batchId))
+  }
+
+  /** The learning pipeline over a watched landing dir: like
+    * [[q153StreamingNearDupIngest]] but each accepted batch's signatures
+    * are appended, so batch N+1 can match batch N. Returns the union of
+    * per-batch reports. `stateRoot` defaults to a fresh temp dir. */
+  def learningIngest(spark: SparkSession, dir: String, watch: String,
+                     stateRoot: Option[String] = None,
+                     checkpoint: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = Dedup.withPlantedNear(docs, 20)
+    val table = Staged.minhashSignatureTable(spark, dir)
+    val state = IngestState(
+      stateRoot.getOrElse(TempDirs.create("graft_ndlearn_state_").toString))
+    val q = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+      .writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(
+        TempDirs.create("graft_ndlearn_ck_").toString))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        ingestBatch(spark, table, corpus, state, b, batchId)
+      }
+      .start()
+    q.awaitTermination()
+    // Explicit schema: no inference, so an all-empty run (no near-dups in
+    // any batch) still reads back as an empty frame instead of failing.
+    val reportSchema = StructType(Seq(
+      StructField("batch_id", LongType), StructField("history_id", LongType),
+      StructField("jaccard", org.apache.spark.sql.types.DoubleType),
+      StructField("micro_batch", LongType)))
+    spark.read.schema(reportSchema).parquet(state.reportDir)
+      .select($"micro_batch", $"batch_id", $"history_id", $"jaccard")
+      .orderBy("micro_batch", "batch_id", "history_id")
   }
 }

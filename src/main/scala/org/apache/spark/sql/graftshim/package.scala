@@ -48,7 +48,7 @@ package object graftshim {
   /** Append a planner strategy to the live session (idempotent). */
   def addStrategy(spark: SparkSession,
                   strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental // verified Spark 4.1.2
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+import graft.sources.{Staged, Tables, TempDirs}
+import graft.streaming.NearDupIngest
+
+/** The LEARNING near-dup ingest: unlike q153's history-only probe, each
+  * accepted micro-batch appends its signature delta, so batch N+1 can match
+  * a document that arrived in batch N — and a checkpoint replay of a batch
+  * is append-once (batchId-keyed overwrites). */
+class NearDupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write `rows` as ONE parquet file in `watch`, stamped with `mtime` so
+    * maxFilesPerTrigger=1 replays files chronologically. */
+  private def landFile(watch: java.nio.file.Path, name: String,
+                       rows: Seq[(Long, String)], mtime: Long): Unit = {
+    val staging = TempDirs.create("graft_ndlearn_stage_")
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val listing = java.nio.file.Files.list(staging)
+    val moved =
+      try {
+        val it = listing.iterator()
+        var done = false
+        while (it.hasNext && !done) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            val dest = watch.resolve(name)
+            java.nio.file.Files.move(p, dest)
+            java.nio.file.Files.setLastModifiedTime(dest,
+              java.nio.file.attribute.FileTime.fromMillis(mtime))
+            done = true
+          }
+        }
+        done
+      } finally listing.close()
+    assert(moved, s"no part file staged for $name")
+  }
+
+  /** A document that shares no word 3-shingles with the natural corpus
+    * (token-reversed text — the q150 fixture's own "genuinely new" trick). */
+  private def freshText(): String = {
+    val t = Tables.documents(spark, sf0001)
+      .filter($"doc_id" === 30L).select($"text").as[String].head()
+    t.split("\\s+").reverse.mkString(" ")
+  }
+
+  test("cross-batch duplicate: a near-copy planted in batch 1 is caught against batch 0") {
+    val watch = TempDirs.create("graft_ndlearn_watch_")
+    val x = freshText()
+    val t0 = System.currentTimeMillis()
+    landFile(watch, "b0.parquet", Seq((5000000L, x)), t0)
+    landFile(watch, "b1.parquet", Seq((5000001L, x + " fresh")), t0 + 1000)
+    val report = NearDupIngest.learningIngest(spark, sf0001, watch.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Batch 0's doc is genuinely new (nothing in base history matches it);
+    // batch 1's near-copy must match it — proof the ingest learned batch 0.
+    assert(report == Seq((1L, 5000001L, 5000000L)),
+      s"expected exactly the cross-batch pair from micro-batch 1, got $report")
+  }
+
+  test("history-only pipeline (q153's probe) cannot see the cross-batch pair") {
+    val x = freshText()
+    val batch = Seq((5000001L, x + " fresh")).toDF("doc_id", "text")
+    val table = Staged.minhashSignatureTable(spark, sf0001)
+    val corpus = Dedup.withPlantedNear(
+      Tables.documents(spark, sf0001).select($"doc_id", $"text"), 20)
+    val cand = Dedup.incrementalNearDupCandidates(spark, table, batch)
+    val hits = Dedup.verifyNearDupCandidates(cand, corpus, batch).collect()
+    assert(hits.isEmpty,
+      "the near-copy's original never entered the base table; only the learning path can match it")
+  }
+
+  test("learning run is a superset of the history-only result on the q150 fixture") {
+    val watch = TempDirs.create("graft_ndlearn_watch2_")
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val batch = Dedup.incrementalNearDupBatch(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (even, odd) = batch.partition(_._1 % 2 == 0)
+    val t0 = System.currentTimeMillis()
+    landFile(watch, "b0.parquet", even, t0)
+    landFile(watch, "b1.parquet", odd, t0 + 1000)
+    val learned = NearDupIngest.learningIngest(spark, sf0001, watch.toString)
+      .select($"batch_id", $"history_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // q150's one-shot history-only pairs, unwindowed for comparability.
+    val table = Staged.minhashSignatureTable(spark, sf0001)
+    val corpus = Dedup.withPlantedNear(docs, 20)
+    val b = Dedup.incrementalNearDupBatch(docs)
+    val historyOnly = Dedup.verifyNearDupCandidates(
+      Dedup.incrementalNearDupCandidates(spark, table, b), corpus, b)
+      .select($"batch_id", $"history_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(historyOnly.subsetOf(learned),
+      s"learning run lost history pairs: ${historyOnly.diff(learned)}")
+    // The fixture's near-copies of docs 0..14 all derive from the same
+    // originals, so consecutive-id batch docs (e.g. 3000000 vs 3000001)
+    // are NOT near-dups of each other — the learning surplus here is the
+    // within-run signature availability, which may legitimately be empty.
+    // The cross-batch mechanism itself is pinned by the planted-pair test.
+  }
+
+  test("checkpoint replay of a micro-batch is append-once (idempotent deltas and report)") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val corpus = Dedup.withPlantedNear(docs, 20)
+    val table = Staged.minhashSignatureTable(spark, sf0001)
+    val state = NearDupIngest.IngestState(
+      TempDirs.create("graft_ndlearn_replay_").toString)
+    val x = freshText()
+    val b0 = Seq((5000000L, x)).toDF("doc_id", "text")
+    val b1 = Seq((5000001L, x + " fresh")).toDF("doc_id", "text")
+    NearDupIngest.ingestBatch(spark, table, corpus, state, b0, 0L)
+    NearDupIngest.ingestBatch(spark, table, corpus, state, b1, 1L)
+    def snapshot(): (Long, Long, Seq[(Long, Long)]) = (
+      spark.read.parquet(state.sigsDir).count(),
+      spark.read.parquet(state.docsDir).count(),
+      spark.read.parquet(state.reportDir)
+        .select($"batch_id", $"history_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    val before = snapshot()
+    // A foreachBatch retry re-runs the SAME batchId: state must not grow.
+    NearDupIngest.ingestBatch(spark, table, corpus, state, b1, 1L)
+    assert(snapshot() == before, "replaying batch 1 must be a no-op on state")
+    NearDupIngest.ingestBatch(spark, table, corpus, state, b0, 0L)
+    assert(snapshot() == before, "replaying batch 0 must be a no-op on state")
+    assert(before._3 == Seq((5000001L, 5000000L)))
+  }
+}
