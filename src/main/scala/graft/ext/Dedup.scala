@@ -1256,19 +1256,19 @@ object Dedup {
   def q185SourceSketch(spark: SparkSession, dir: String, k: Int = 64,
                        width: Int = 8): DataFrame = {
     import spark.implicits._
-    val spans = Tables.documents(spark, dir)
-      .select($"source", split($"text", "\\s+").as("t"))
-      .select($"source", explode(
-        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
-          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
-        .as("h"))
-      .distinct()
+    // One span derivation feeds BOTH paths (the sketch and the exact audit
+    // baseline): without the shared leaf the tokenize + per-span md5 pass —
+    // the query's dominant kernel — ran twice.
+    val spans = sourceSpans(spark, dir, width).localCheckpoint()
+    // sources×k rows; pinned so the self-join below provably evaluates the
+    // k·|spans| md5 component pass once, not once per side.
     val comps = spans
       .select($"source", explode(sequence(lit(0), lit(k - 1))).as("j"), $"h")
       .select($"source", $"j",
         conv(substring(md5(concat($"j", lit("_"), $"h")), 1, 8), 16, 10)
           .cast("long").as("v"))
       .groupBy($"source", $"j").agg(min($"v").as("mv"))
+      .localCheckpoint()
     val est = comps.as("a")
       .join(comps.as("b"),
         $"a.j" === $"b.j" && $"a.source" < $"b.source")
@@ -1276,7 +1276,7 @@ object Dedup {
       .agg(sum(when($"a.mv" === $"b.mv", 1L).otherwise(0L)).as("matches"))
       .select($"source_a", $"source_b", $"matches",
         round($"matches".cast("double") / k, 6).as("est_jaccard"))
-    q165SourceOverlap(spark, dir, width)
+    overlapFromSpans(spans)
       .join(broadcast(est), Seq("source_a", "source_b"))
       .select($"source_a", $"source_b", $"inter_spans", $"jaccard",
         $"matches", $"est_jaccard",
@@ -1339,16 +1339,27 @@ object Dedup {
     * (inter / union of exact BIGINTs) is correctly rounded, so both
     * engines emit identical jaccard values.
     */
-  def q165SourceOverlap(spark: SparkSession, dir: String, width: Int = 8,
-                        topN: Int = 20): DataFrame = {
+  /** Distinct (source, span-md5) rows at `width` — the span frame shared
+    * by the exact overlap (q165) and the sketch audit (q185, which needs
+    * BOTH paths and computes this once). */
+  def sourceSpans(spark: SparkSession, dir: String, width: Int): DataFrame = {
     import spark.implicits._
-    val spans = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select($"source", split($"text", "\\s+").as("t"))
       .select($"source", explode(
         transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
           b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
         .as("h"))
       .distinct()
+  }
+
+  def q165SourceOverlap(spark: SparkSession, dir: String, width: Int = 8,
+                        topN: Int = 20): DataFrame =
+    overlapFromSpans(sourceSpans(spark, dir, width), topN)
+
+  /** The q165 exact pairwise overlap matrix over a prebuilt span frame. */
+  def overlapFromSpans(spans: DataFrame, topN: Int = 20): DataFrame = {
+    import spans.sparkSession.implicits._
     val perSource = spans.groupBy($"source").agg(count(lit(1)).as("n"))
     spans
       .groupBy($"h").agg(array_sort(collect_set($"source")).as("ss"))

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer for local perf iteration: runs the named
+  * SparkEntry queries at the given SF dir with the bench session config,
+  * one warmup + 3 timed reps each, printing per-rep walls. Not part of the
+  * driver contract. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Bench.muteBenignWarns()
+    def run(name: String): Unit =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    for (name <- args) {
+      try run(name) catch { case e: Throwable => println(s"$name warmup: ${e.getMessage}") }
+      val walls = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        run(name)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${walls.map(w => f"$w%6.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
