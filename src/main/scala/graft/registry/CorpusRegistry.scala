@@ -342,8 +342,10 @@ object CorpusRegistry {
         |  SELECT source, lang, n,
         |    CAST(sum(n) OVER (PARTITION BY source) * 1000000000 AS BIGINT)
         |      AS rfp,
-        |    CAST(sum(n) OVER () * 1000000000 AS BIGINT)
-        |      // (SELECT count(DISTINCT lang) FROM documents) AS cfp,
+        |    CAST(sum(n) OVER () * 1000000000 AS BIGINT) //
+        |      (SELECT count(DISTINCT lang) FROM documents) AS cfp,
+        |      -- ^ DuckDB's `//` is INTEGER DIVISION (mirrors Spark DIV),
+        |      --   not a comment marker (DuckDB comments are `--`)
         |    CAST(n * 1000000000 AS BIGINT) AS w
         |  FROM b
         |), r1 AS (

@@ -20,6 +20,8 @@ object StreamingRegistry {
       (streaming.KmeansMonitor.q176StreamingKmeans(_, _)),
     "q153_streaming_neardup_ingest" ->
       (streaming.NearDupIngest.q153StreamingNearDupIngest _),
+    "q201_learning_ingest" ->
+      (streaming.NearDupIngest.q201LearningIngest _),
     "q134_streaming_left_join" -> (EventsStream.q134StreamingLeftJoin _),
   )
 
@@ -89,6 +91,72 @@ object StreamingRegistry {
         |FROM p
         |WHERE round(CAST(i AS DOUBLE) / (nb + nc - i), 6) >= 0.5
         |ORDER BY batch_id, history_id""".stripMargin,
+    // q201: the LEARNING ingest — micro-batch 0 probes the corpus only;
+    // micro-batch 1 probes corpus ∪ batch 0 (the accepted signature
+    // delta). The fixture's planted pair (5000001 vs 5000000, both
+    // reversed-doc-30 derivatives that share no shingles with anything
+    // natural) exists ONLY across the two batches, so its report row is
+    // the oracle's proof that the ingest learned batch 0. Same shingle /
+    // jaccard ≥ 0.5 machinery as q153's oracle, with history widened per
+    // micro-batch.
+    "q201_learning_ingest" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xtra' FROM documents WHERE doc_id < 20
+        |), b0 AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+        |  FROM documents WHERE doc_id < 15 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, reverse(text)
+        |  FROM documents WHERE doc_id >= 15 AND doc_id < 25 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 5000000, reverse(text) FROM documents WHERE doc_id = 30
+        |), b1 AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+        |  FROM documents WHERE doc_id < 15 AND doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, reverse(text)
+        |  FROM documents WHERE doc_id >= 15 AND doc_id < 25 AND doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 5000001, reverse(text) || ' fresh' FROM documents WHERE doc_id = 30
+        |), probes AS (
+        |  SELECT 0 AS micro_batch, doc_id, text FROM b0
+        |  UNION ALL
+        |  SELECT 1, doc_id, text FROM b1
+        |), hist AS (
+        |  SELECT 0 AS micro_batch, doc_id, text FROM corpus
+        |  UNION ALL
+        |  SELECT 1, doc_id, text FROM corpus
+        |  UNION ALL
+        |  SELECT 1, doc_id, text FROM b0
+        |), tkp AS (
+        |  SELECT micro_batch, doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM probes
+        |), tkh AS (
+        |  SELECT micro_batch, doc_id,
+        |    list_filter(string_split_regex(text, '[\x00-\x20]+'), x -> x <> '') AS toks
+        |  FROM hist
+        |), sp AS (
+        |  SELECT micro_batch, doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tkp WHERE len(toks) > 0
+        |), sv AS (
+        |  SELECT micro_batch, doc_id, list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+        |    for i in generate_series(1, greatest(len(toks) - 2, 1))]) AS sh
+        |  FROM tkh WHERE len(toks) > 0
+        |), p AS (
+        |  SELECT b.micro_batch, b.doc_id AS batch_id, h.doc_id AS history_id,
+        |    len(list_intersect(b.sh, h.sh)) AS i, len(b.sh) AS nb, len(h.sh) AS nc
+        |  FROM sp b JOIN sv h ON b.micro_batch = h.micro_batch
+        |  WHERE len(h.sh) > 0 AND len(b.sh) > 0
+        |)
+        |SELECT micro_batch, batch_id, history_id,
+        |  round(CAST(i AS DOUBLE) / (nb + nc - i), 6) AS jaccard
+        |FROM p
+        |WHERE round(CAST(i AS DOUBLE) / (nb + nc - i), 6) >= 0.5
+        |ORDER BY micro_batch, batch_id, history_id""".stripMargin,
     "q82_streaming_sessions" -> SharedOracleSql.sessionsOracleSql,
     // The batch LEFT JOIN the streaming query must reproduce exactly once
     // the watermark closes each click's 30-minute conversion window.

@@ -323,6 +323,56 @@ object Staged {
       watch.toString
     }
 
+  /** q201's landing dir: the q153 ingest batch parity-split into two slice
+    * files PLUS a planted cross-batch near-dup pair — (5000000, reverse of
+    * doc 30's text) lands in slice 0 and its near-copy (5000001, same +
+    * " fresh") in slice 1. The character-reversed text shares essentially
+    * no word 3-shingles with any natural document (and is restatable in
+    * DuckDB as `reverse(text)`), so 5000001's ONLY match is 5000000 —
+    * which exists nowhere in the base signature table and is catchable
+    * only by a learning ingest that probes base ∪ accepted-batch deltas.
+    * Same mtime-ordering device as [[neardupIngestWatchDir]]. */
+  def learningIngestWatchDir(spark: SparkSession, dir: String): String =
+    getOrStage(s"ndlearn_watch:$dir") {
+      val watch = TempDirs.create("graft_ndlearn_")
+      val staging = TempDirs.create("graft_ndlearn_stage_")
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val rev30 = docs.filter(col("doc_id") === 30L)
+        .select(col("doc_id"), reverse(col("text")).as("text"))
+      val planted = rev30
+        .select(lit(5000000L).as("doc_id"), col("text"), lit(0).as("slice"))
+        .unionByName(rev30.select(lit(5000001L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"), lit(1).as("slice")))
+      graft.ext.Dedup.incrementalNearDupBatch(docs)
+        .withColumn("slice", pmod(col("doc_id"), lit(2L)).cast("int"))
+        .unionByName(planted)
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
+      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
+      for (s <- 0 to 1) {
+        val sliceDir = staging.resolve(s"slice=$s")
+        val listing = java.nio.file.Files.list(sliceDir)
+        val moved =
+          try {
+            val part = listing.iterator()
+            var done = false
+            while (part.hasNext && !done) {
+              val p = part.next()
+              if (p.getFileName.toString.endsWith(".parquet")) {
+                val dest = watch.resolve(s"batch_$s.parquet")
+                java.nio.file.Files.move(p, dest)
+                java.nio.file.Files.setLastModifiedTime(dest,
+                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
+                done = true
+              }
+            }
+            done
+          } finally listing.close()
+        require(moved, s"no part file for learning-ingest slice $s")
+      }
+      watch.toString
+    }
+
   /** q161's corpus: one REAL `.ppm` file per media id (the file-per-object
     * layout image crawls land in), plus one deliberately non-media file the
     * ingest's glob filter must skip. Sizes follow q140's (w, h) formula, so

@@ -103,7 +103,15 @@ object NearDupIngest {
   /** One micro-batch of the learning ingest, exposed for direct
     * idempotency testing: probe `b` against base-table ∪ earlier deltas,
     * write the report, then land this batch's signature + document
-    * deltas. All three writes are batchId-keyed overwrites. */
+    * deltas. All three writes are batchId-keyed overwrites.
+    *
+    * PRECONDITION: doc_ids are globally unique across the base table and
+    * every landed batch (the crawl-ingest contract — ids are
+    * monotonically assigned at crawl time). A re-delivered id under a
+    * DIFFERENT batchId would appear in both the base union and a delta,
+    * and the verify join on doc_id would fan out duplicate report rows;
+    * same-batchId re-delivery (the foreachBatch retry case) is the case
+    * the batchId-keyed overwrites make safe. */
   def ingestBatch(spark: SparkSession, baseTable: String, corpus: DataFrame,
                   state: IngestState, b: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
@@ -157,8 +165,41 @@ object NearDupIngest {
       StructField("batch_id", LongType), StructField("history_id", LongType),
       StructField("jaccard", org.apache.spark.sql.types.DoubleType),
       StructField("micro_batch", LongType)))
+    // Zero micro-batches (empty watch dir) means foreachBatch never ran and
+    // reportDir was never created — same existence guard as readDeltas.
+    val rp = new org.apache.hadoop.fs.Path(state.reportDir)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], reportSchema)
+        .select($"micro_batch", $"batch_id", $"history_id", $"jaccard")
     spark.read.schema(reportSchema).parquet(state.reportDir)
       .select($"micro_batch", $"batch_id", $"history_id", $"jaccard")
+      .orderBy("micro_batch", "batch_id", "history_id")
+  }
+
+  /** q201: the LEARNING ingest as an oracle-checked driver query — replay
+    * the deterministic two-slice fixture ([[graft.sources.Staged
+    * .learningIngestWatchDir]]: the q153 batch parity-split, plus a
+    * cross-batch planted pair that only base ∪ delta probing can catch)
+    * and report every accepted near-dup pair. Micro-batch 0's planted doc
+    * 5000000 matches nothing (its reversed text shares no shingles with
+    * the corpus, and the base signature table has never seen it);
+    * micro-batch 1's near-copy 5000001 MUST match it — the oracle row
+    * that separates this pipeline from q153's history-only probe.
+    *
+    * The report is windowed exactly like q150/q153 (history_id < 400, the
+    * planted ' xtra' ids, plus everything above [[graft.ext.Dedup
+    * .BatchIdOffset]] — i.e. all learned-delta matches) so the quadratic
+    * DuckDB oracle stays feasible while every cross-batch pair is kept. */
+  def q201LearningIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val watch = Staged.learningIngestWatchDir(spark, dir)
+    learningIngest(spark, dir, watch)
+      .filter($"history_id" < 400L ||
+        ($"history_id" >= Dedup.NearDupIdOffset &&
+          $"history_id" < Dedup.NearDupIdOffset + 20) ||
+        $"history_id" >= Dedup.BatchIdOffset)
       .orderBy("micro_batch", "batch_id", "history_id")
   }
 }

@@ -102,6 +102,19 @@ class NearDupIngestSpec extends SparkSpec {
     // The cross-batch mechanism itself is pinned by the planted-pair test.
   }
 
+  test("q201 driver query reports the planted cross-batch pair") {
+    val rows = NearDupIngest.q201LearningIngest(spark, sf0001)
+      .select($"micro_batch", $"batch_id", $"history_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // The pair exists ONLY across the two micro-batches: 5000000 lands in
+    // batch 0 (matches nothing), its near-copy 5000001 in batch 1.
+    assert(rows.contains((1L, 5000001L, 5000000L)),
+      s"missing the learned cross-batch pair; got ${rows.mkString(", ")}")
+    // And batch 0's planted doc matches nothing (genuinely new).
+    assert(!rows.exists(_._2 == 5000000L),
+      "batch 0's planted doc must not match anything")
+  }
+
   test("checkpoint replay of a micro-batch is append-once (idempotent deltas and report)") {
     val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
     val corpus = Dedup.withPlantedNear(docs, 20)
