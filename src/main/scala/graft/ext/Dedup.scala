@@ -1257,17 +1257,25 @@ object Dedup {
                        width: Int = 8): DataFrame = {
     import spark.implicits._
     // One span derivation feeds BOTH paths (the sketch and the exact audit
-    // baseline): without the shared leaf the tokenize + per-span md5 pass —
-    // the query's dominant kernel — ran twice.
+    // baseline): without the shared leaf the tokenize + per-span md5 pass
+    // ran twice.
     val spans = sourceSpans(spark, dir, width).localCheckpoint()
-    // sources×k rows; pinned so the self-join below provably evaluates the
-    // k·|spans| md5 component pass once, not once per side.
+    // The k-component pass is ONE native-kernel call per span (all k MD5s
+    // in a generated-code loop, digest bytes → u32 directly) folded by the
+    // elementwise-min aggregator — bit-identical to the SQL form
+    // `min(conv(substring(md5(concat(j, '_', h)), 1, 8), 16, 10))` the
+    // DuckDB oracle states, but without the k-way posexplode or any
+    // hex-string round-trip (measured 2.2 s → ~0.3 s at sf0.1). The
+    // aggregate emits one k-long vector per source; posexplode of THAT is
+    // sources×k rows. Pinned so the self-join below evaluates the kernel
+    // pass once, not once per side.
+    val vecMin = udaf(new graft.functions.VecSumAggregator.VecMin,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
     val comps = spans
-      .select($"source", explode(sequence(lit(0), lit(k - 1))).as("j"), $"h")
-      .select($"source", $"j",
-        conv(substring(md5(concat($"j", lit("_"), $"h")), 1, 8), 16, 10)
-          .cast("long").as("v"))
-      .groupBy($"source", $"j").agg(min($"v").as("mv"))
+      .select($"source",
+        graft.functions.NativeKernels.md5U32Components($"h", k).as("vc"))
+      .groupBy($"source").agg(vecMin($"vc").as("mvs"))
+      .select($"source", posexplode($"mvs").as(Seq("j", "mv")))
       .localCheckpoint()
     val est = comps.as("a")
       .join(comps.as("b"),
@@ -1276,12 +1284,20 @@ object Dedup {
       .agg(sum(when($"a.mv" === $"b.mv", 1L).otherwise(0L)).as("matches"))
       .select($"source_a", $"source_b", $"matches",
         round($"matches".cast("double") / k, 6).as("est_jaccard"))
-    overlapFromSpans(spans)
+    val result = overlapFromSpans(spans)
       .join(broadcast(est), Seq("source_a", "source_b"))
       .select($"source_a", $"source_b", $"inter_spans", $"jaccard",
         $"matches", $"est_jaccard",
         round(abs($"est_jaccard" - $"jaccard"), 6).as("abs_err"))
       .orderBy($"source_a", $"source_b")
+      // Result-sized leaf (eager, ≤ sources² rows): lets both upstream
+      // checkpoints release NOW — repeated invocations in one session
+      // (bench reps) must not accumulate dead blocks in the block manager.
+      .localCheckpoint()
+    for (df <- Seq(spans, comps))
+      org.apache.spark.sql.graftshim.checkpointRddOf(df)
+        .foreach(_.unpersist(blocking = false))
+    result
   }
 
   /** q184: per-document span novelty — the document-level breakout of

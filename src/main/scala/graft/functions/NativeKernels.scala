@@ -191,6 +191,39 @@ object Kernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** All k md5-u32 MinHash components of a span digest in ONE call:
+    * component j is bit-identical to q185's engine-neutral SQL form
+    * `conv(substring(md5(concat(j, '_', h)), 1, 8), 16, 10)` — the first
+    * four MD5 bytes of "j_&lt;h&gt;" as an unsigned 32-bit value — but computed
+    * without the k-way row explode, the 32-hex digest string, the
+    * substring, or the base-16 string parse that form spends ~80% of its
+    * time on. One row per span flows into the elementwise-min aggregate
+    * ([[VecSumAggregator.VecMin]]) instead of k. */
+  def md5U32Components(h: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val md = md5Local.get()
+    val hb = h.getBytes
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      md.reset()
+      md.update(java.lang.Integer.toString(j)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      md.update('_'.toByte)
+      md.update(hb)
+      val d = md.digest()
+      out(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 31-bit hashes of word k-shingles, computed straight off the
     * UTF-8 bytes: tokenize on whitespace, FNV-1a per token, combine k token
     * hashes per window. No shingle strings are ever materialized — the
@@ -485,6 +518,16 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class Md5U32Components(child: Expression, k: Int) extends UnaryExpression {
+  override def foldable: Boolean = child.foldable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.md5U32Components(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5U32Components($c, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class LshSigsCfg(child: Expression, numTables: Int, planesPerTable: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
@@ -602,6 +645,8 @@ object NativeKernels {
     columnOf(LshSigsCfg(expressionOf(emb), numTables, planesPerTable))
   def shingleHashes(text: Column, k: Int): Column =
     columnOf(ShingleHashes(expressionOf(text), k))
+  def md5U32Components(h: Column, k: Int): Column =
+    columnOf(Md5U32Components(expressionOf(h), k))
   def pqEncode(emb: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
     columnOf(PqEncode(expressionOf(emb), codebook, m, k, subDim))
   def pqAdcScore(code: Column, tbl: Column, k: Int): Column =

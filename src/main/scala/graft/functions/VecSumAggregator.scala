@@ -43,4 +43,32 @@ object VecSumAggregator {
     override def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** Element-wise vector-MIN twin of [[VecSum]] — the partial-aggregate
+    * form of a per-group MinHash sketch: each map task folds its rows'
+    * k-long component vectors into one running-minimum buffer per group,
+    * so the shuffle moves one k-long array per (group × partition) instead
+    * of k posexploded rows per input row (q185's 64-component source
+    * sketch: 64× fewer aggregate input rows). Same empty-buffer and
+    * shared-length contract as VecSum; min is exact and order-independent,
+    * so the result is bit-identical to the posexplode + min-per-(group, j)
+    * form. */
+  class VecMin extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (b.isEmpty) a.clone()
+      else if (a.isEmpty) b
+      else {
+        var i = 0
+        while (i < b.length) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
+        b
+      }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      reduce(b1, b2)
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

@@ -27,6 +27,25 @@ class FunctionsSpec extends SparkSpec {
     assert(doc.getLong(0) != 0L)
   }
 
+  test("md5U32Components is bit-identical to the SQL conv/substring/md5 form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val digests = graft.ext.Dedup.sourceSpans(spark, sf0001, 8).limit(50)
+    val k = 64
+    val viaSql = digests
+      .select($"h", explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select($"h", $"j",
+        conv(substring(md5(concat($"j", lit("_"), $"h")), 1, 8), 16, 10)
+          .cast("long").as("v"))
+    val viaKernel = digests
+      .select($"h", posexplode(
+        graft.functions.NativeKernels.md5U32Components($"h", k))
+        .as(Seq("j", "v")))
+    assert(viaSql.exceptAll(viaKernel).isEmpty &&
+      viaKernel.exceptAll(viaSql).isEmpty,
+      "kernel components must equal the engine-neutral SQL hash family")
+  }
+
   test("custom expressions constant-fold: literal inputs collapse in the optimized plan") {
     GraftFunctions.registerAll(spark)
     val df = spark.sql("SELECT rolling_hash_min('hello world hello', 8) AS fp")
