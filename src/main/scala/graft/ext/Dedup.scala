@@ -718,7 +718,11 @@ object Dedup {
     *  - the convergence flag is computed in the SAME pass that builds the new
     *    labels (a per-row `changed` bit max-aggregated over the materialized
     *    checkpoint), not as a separate join job. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  /** `roundProbe` (default no-op) observes each round's just-materialized
+    * label generation — the scale-probe hook for measuring per-round
+    * checkpoint footprint; production callers never pass it. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          roundProbe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
@@ -752,6 +756,7 @@ object Dedup {
           (newLabel =!= $"label").as("changed")))
       val maxChanged = next.agg(max($"changed")).collect().head // cached scan
       converged = maxChanged.isNullAt(0) || !maxChanged.getBoolean(0)
+      roundProbe(i, next)
       // `next` is materialized and lineage-truncated: the PREVIOUS
       // generation's checkpoint blocks are now dead weight. Freeing them
       // here bounds the loop's block-manager footprint to two generations;

@@ -20,8 +20,11 @@ object ScaleProbe {
     spark.conf.set("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
     import spark.implicits._
     val base = "/root/testdata/sf0.1"
-    val big = graft.sources.TempDirs.create("graft_sf08_").toString
-    val replicas = 8
+    // ≥2 octaves of evidence: default 8×; SPARK_GRAFT_REPLICAS=32 (or any
+    // N) re-runs the identical harness at the next octave so ratio
+    // flattening vs compounding is measured, not argued.
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "8").toInt
+    val big = graft.sources.TempDirs.create(s"graft_sf${replicas}x_").toString
 
     // Replicate lineitem+orders with orderkey offsets; copy dims as-is.
     val OffsetStep = 100000000L
@@ -54,13 +57,25 @@ object ScaleProbe {
     // dimension shift — raw copies would make every vector an 8-way exact
     // dup, turning the near-dup probes into a different (all-dups) workload;
     // shifted replicas are mutually near-orthogonal, so true-pair structure
-    // stays constant while corpus bulk grows 8×.
+    // stays constant while corpus bulk grows. The 64-dim space only has 8
+    // distinct 8-step shifts, so replica octaves beyond the first compose
+    // the shift with a Walsh-pattern sign flip (octave bit g flips dims
+    // whose index bit g is set — any two distinct patterns disagree on
+    // exactly half the dims, so same-shift different-octave replicas are
+    // as near-orthogonal as the shifts themselves).
     val emb = Tables.embeddings(spark, base)
+    require(replicas <= 32, "embedding scheme defines 8 shifts x 4 Walsh octaves")
     (0 until replicas).map { r =>
-      val k = r * 8
+      val k = (r % 8) * 8
+      val g = r / 8
       val shifted = if (k == 0) emb else emb.withColumn("embedding",
         concat(slice($"embedding", k + 1, 64 - k), slice($"embedding", 1, k)))
-      shifted.withColumn("vec_id", $"vec_id" + r * OffsetStep)
+      val signed = if (g == 0) shifted else shifted.withColumn("embedding",
+        zip_with($"embedding",
+          transform(sequence(lit(0), lit(63)), i =>
+            pmod((i % 2) * (g % 2) + ((i / 2) % 2) * (g / 2), lit(2))),
+          (x, flip) => when(flip === 1, -x).otherwise(x)))
+      signed.withColumn("vec_id", $"vec_id" + r * OffsetStep)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     // events: replicate with user_id + event_id offsets — "8× the users over
@@ -210,7 +225,7 @@ object ScaleProbe {
       try graft.sources.Staged.prepare(spark, d)
       catch { case e: Throwable => System.err.println(s"[probe-prepare] $d: ${e.getMessage}") }
     headline.foreach(q => time(q, base)) // warmup
-    println(f"${"query"}%-30s ${"sf0.1"}%8s ${"8x"}%8s  ratio (data 8x)")
+    println(f"${"query"}%-30s ${"sf0.1"}%8s ${s"${replicas}x"}%8s  ratio (data ${replicas}x)")
     headline.foreach { q =>
       val t1 = time(q, base)
       val t8 = time(q, big)
@@ -237,7 +252,64 @@ object ScaleProbe {
       time("q109_pagerank", base) // warmup
       val t1 = time("q109_pagerank", base)
       val t8 = time("q109_pagerank", bigGraph)
-      println(f"${"q109_pagerank (graph 8x)"}%-30s $t1%8.2f $t8%8.2f  ${t8 / t1}%.1fx")
+      println(f"${s"q109_pagerank (graph ${replicas}x)"}%-30s $t1%8.2f $t8%8.2f  ${t8 / t1}%.1fx")
+    }
+
+    // q62's octave-growth question is BYTES PER ROUND, not just wall time:
+    // the iterative CC holds two checkpoint generations live; if their
+    // size compounded with rounds (or rounds grew with corpus bulk), the
+    // loop would be the 100 TB bottleneck. Runs the q62 composition with
+    // the roundProbe hook and prints each round's just-materialized label
+    // generation's block footprint on both dirs.
+    if (args.contains("q62_checkpoint_bytes")) {
+      def ccBytes(tag: String, dir: String): Unit = {
+        val corpus = graft.ext.Dedup.withPlantedNear(
+          Tables.documents(spark, dir), 20)
+        val pairs = graft.ext.Dedup.minhashNearDupPairs(corpus)
+          .select($"left_id", $"right_id")
+        val t0 = System.nanoTime()
+        graft.ext.Dedup.connectedComponents(pairs, roundProbe = (i, next) => {
+          val bytes = org.apache.spark.sql.graftshim.checkpointRddOf(next)
+            .flatMap(r => spark.sparkContext.getRDDStorageInfo.find(_.id == r.id))
+            .map(si => si.memSize + si.diskSize).getOrElse(-1L)
+          val rows = next.count() // cached scan, probe-only
+          println(f"[q62-cc] $tag round $i: $rows%7d labels, ${bytes / 1024.0}%9.1f KiB checkpoint")
+        }).write.mode("overwrite").format("noop").save()
+        println(f"[q62-cc] $tag total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      ccBytes("base", base)
+      ccBytes(s"${replicas}x", big)
+    }
+
+    // q164's salted-replica probe grows the vocab with the corpus (every
+    // replica salts every token), so its aggregate key space scales in a
+    // way a real corpus' nearly-fixed vocabulary would not. The separating
+    // measurement: replicate documents RAW (vocab fixed, counts xN — the
+    // real-corpus shape; exact text dups are irrelevant to a (word, word)
+    // count aggregate) and re-probe.
+    if (args.contains("q164_fixed_vocab")) {
+      val fv = graft.sources.TempDirs.create(s"graft_fv${replicas}x_").toString
+      val docs = Tables.documents(spark, base)
+      (0 until replicas).map(r => docs.withColumn("doc_id", $"doc_id" + r * OffsetStep))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$fv/documents.parquet")
+      def timeQ164(dir: String, mc: Long): Double = {
+        val t0 = System.nanoTime()
+        graft.ext.Corpus.q164CooccurrencePmi(spark, dir, minCount = mc)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeQ164(base, 5L) // warmup
+      val t1 = timeQ164(base, 5L)
+      // Raw replication multiplies EVERY pair count by exactly N, so the
+      // absolute support filter (>= 5) passes the whole tail — a fixture
+      // artifact, not engine scaling. Relative support (5N on an N-times
+      // corpus, the standard formulation) keeps the filter's selectivity
+      // fixed and isolates the aggregation path.
+      val tAbs = timeQ164(fv, 5L)
+      val tRel = timeQ164(fv, 5L * replicas)
+      println(f"${s"q164 fixed-vocab ${replicas}x abs-support"}%-38s $t1%8.2f $tAbs%8.2f  ${tAbs / t1}%.1fx")
+      println(f"${s"q164 fixed-vocab ${replicas}x rel-support"}%-38s $t1%8.2f $tRel%8.2f  ${tRel / t1}%.1fx")
     }
     spark.stop()
   }
