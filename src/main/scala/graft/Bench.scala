@@ -69,10 +69,19 @@ object Bench {
     * audited in VERDICT r09), so `WindowExec`'s "No Partition Defined"
     * warning carries no signal here; real anomalies still surface at ERROR. */
   def muteBenignWarns(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () } // logging impl absent: keep the noise
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window",
+        org.apache.logging.log4j.Level.ERROR)
+      // "RDD N was locally checkpointed … cannot be recomputed after
+      // unpersisting": by design — iterative kernels and q185 free a
+      // checkpoint generation only AFTER its result-sized successor is
+      // materialized. The warn repeats per freed generation and crowds
+      // the driver's bounded bench-tail capture.
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case _: Throwable => () } // logging impl absent: keep the noise
 
   def main(args: Array[String]): Unit = {
     val tMain = System.nanoTime()

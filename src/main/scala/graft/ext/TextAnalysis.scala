@@ -194,11 +194,15 @@ object TextAnalysis {
       .groupBy($"term").agg(
         count(lit(1)).as("n_docs_with"),
         sum($"c").as("total"),
-        sum($"c" * $"c").as("sum_sq"))
+        // exact decimal(38,0) (q166/q195 device): a 100 TB corpus' common
+        // terms push Σc² and N·Σc² past 2⁶³; in-range values bit-identical
+        // to the int64 form (oracle unchanged)
+        sum($"c".cast("decimal(38,0)") * $"c").as("sum_sq"))
       .crossJoin(broadcast(nDocs))
       .select($"term", $"n_docs_with", $"total",
-        round(($"n_docs" * $"sum_sq" - $"total" * $"total").cast("double")
-          / ($"n_docs" * $"total"), 6).as("vmr"))
+        round(($"n_docs" * $"sum_sq"
+            - $"total".cast("decimal(38,0)") * $"total").cast("double")
+          / ($"n_docs".cast("decimal(38,0)") * $"total").cast("double"), 6).as("vmr"))
       .orderBy($"total".desc, $"term")
       .limit(topN)
   }

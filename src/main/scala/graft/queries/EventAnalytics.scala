@@ -478,16 +478,22 @@ object EventAnalytics {
     * assignment is the deterministic user_id parity; the post period is
     * the last 15 days, pre is everything before.
     *
-    * Exactness: metrics are exact integer CENTS (value·100), so every
-    * covariance/variance sum (Σx, Σy, Σx², Σxy) is exact int64 math; θ is
-    * one double ratio of exact longs (the q175 regression device) and
-    * each adjusted mean is a shape-mirrored chain of exact-sum divisions.
+    * Exactness: metrics are exact integer CENTS (value·100); every
+    * covariance/variance sum (Σx, Σy, Σx², Σxy) and the θ cross-products
+    * run in exact decimal(38,0) (the q166 inertia device — int64 wrapped
+    * at the 32× scale probe: n·Σxy crossed 2⁶³; 10³⁸ covers 10⁹ users of
+    * 10⁸-cent totals with room); θ is one double ratio of exact integers
+    * (the q175 regression device) and each adjusted mean is a
+    * shape-mirrored chain of exact-sum divisions. In-range values are
+    * bit-identical to the int64 form, so the DuckDB oracle (BIGINT at
+    * gate SF) is unchanged.
     * Scale shape: events collapse to per-user (pre, post) cents map-side;
     * θ's sums and the per-variant aggregates are user-keyed one-pass
     * reductions; output is 2 rows.
     */
   def q195CupedReadout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val dec = "decimal(38,0)"
     val ev = Tables.events(spark, dir)
       .select($"user_id", $"ts", round($"value" * 100).cast("long").as("cents"))
     val cut = ev.agg(max(to_date($"ts")).as("max_day"))
@@ -499,9 +505,10 @@ object EventAnalytics {
           .otherwise(lit(0L)).as("pre"))
       .groupBy($"user_id")
       .agg(sum($"post").as("y"), sum($"pre").as("x"))
-    val stats = perUser.agg(count(lit(1)).as("n"),
-      sum($"x").as("sx"), sum($"y").as("sy"),
-      sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+    val stats = perUser.agg(count(lit(1)).cast(dec).as("n"),
+      sum($"x").cast(dec).as("sx"), sum($"y").cast(dec).as("sy"),
+      sum($"x".cast(dec) * $"x").as("sxx"),
+      sum($"x".cast(dec) * $"y").as("sxy"))
     perUser
       .withColumn("variant", pmod($"user_id", lit(2L)).cast("int"))
       .groupBy($"variant")
@@ -511,12 +518,12 @@ object EventAnalytics {
       .select($"variant", $"n_users",
         round($"vy".cast("double") / $"n_users" / 100, 6).as("mean_post"),
         round(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
-          / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("theta"),
+          / ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6).as("theta"),
         round(($"vy".cast("double") / $"n_users"
           - (($"n" * $"sxy" - $"sx" * $"sy").cast("double")
-            / ($"n" * $"sxx" - $"sx" * $"sx"))
+            / ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
             * ($"vx".cast("double") / $"n_users"
-              - $"sx".cast("double") / $"n")) / 100, 6)
+              - $"sx".cast("double") / $"n".cast("double"))) / 100, 6)
           .as("mean_adjusted"))
       .orderBy($"variant")
   }
@@ -529,14 +536,20 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"))
     val w7 = Window.partitionBy($"event_type").orderBy($"day")
       .rowsBetween(-7, -1)
+    // Squares and their cross-products in exact decimal(38,0) (q166/q195
+    // device): a 100 TB feed's 10¹²-events day squares past 2⁶³; in-range
+    // values are bit-identical to the int64 form (oracle unchanged).
+    val dec = "decimal(38,0)"
     daily
       .withColumn("hist", count(lit(1)).over(w7))
       .withColumn("sx", sum($"n_events").over(w7))
-      .withColumn("sxx", sum($"n_events" * $"n_events").over(w7))
+      .withColumn("sxx", sum($"n_events".cast(dec) * $"n_events").over(w7))
       .filter($"hist" === 7)
-      .withColumn("z", when(lit(7) * $"sxx" - $"sx" * $"sx" === 0, lit(null))
+      .withColumn("var7",
+        lit(7) * $"sxx" - $"sx".cast(dec) * $"sx")
+      .withColumn("z", when($"var7" === 0, lit(null))
         .otherwise(round((lit(7) * $"n_events" - $"sx").cast("double") / 7
-          / sqrt((lit(7) * $"sxx" - $"sx" * $"sx").cast("double") / 42), 6)))
+          / sqrt($"var7".cast("double") / 42), 6)))
       .select($"event_type", $"day", $"n_events", $"z",
         coalesce(abs($"z") >= 2.0, lit(false)).as("flagged"))
       .orderBy($"event_type", $"day")
