@@ -643,23 +643,33 @@ object Corpus {
                         rounds: Int = 3): DataFrame = {
     import spark.implicits._
     val Fp = 1000000000L
+    // The 1e-9 fixed-point carrier is exact decimal(38,0), not int64
+    // (q166/q195 device): corpus_total·10⁹ crosses 2⁶³ at ~10¹⁰ docs.
+    // In-range values are bit-identical (each rescaling step multiplies
+    // the same exact integer by the same double ratio), so the DuckDB
+    // oracle — BIGINT at gate SF — is unchanged. The language target is
+    // an EXACT integral divide stated as (t − t mod n)/n: the subtraction
+    // makes the decimal division exact (no result-scale rounding), which
+    // `DIV` itself cannot give here because IntegralDivide returns LONG.
+    val dec = "decimal(38,0)"
     val base = Tables.documents(spark, dir)
       .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
     val bySource = Window.partitionBy($"source")
     val byLang = Window.partitionBy($"lang")
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     var cur = base
-      .withColumn("rfp", sum($"n").over(bySource) * Fp)
-      .withColumn("tot_fp", sum($"n").over(all) * Fp)
+      .withColumn("rfp", sum($"n").over(bySource).cast(dec) * Fp)
+      .withColumn("tot_fp", sum($"n").over(all).cast(dec) * Fp)
       .withColumn("nlang", size(collect_set($"lang").over(all)).cast("long"))
-      .withColumn("cfp", expr("tot_fp DIV nlang"))
-      .withColumn("w", $"n" * Fp)
+      .withColumn("cfp",
+        (($"tot_fp" - $"tot_fp" % $"nlang") / $"nlang").cast(dec))
+      .withColumn("w", $"n".cast(dec) * Fp)
     for (_ <- 1 to rounds) {
       cur = cur
         .withColumn("w", round($"w" *
-          ($"rfp".cast("double") / sum($"w").over(bySource))).cast("long"))
+          ($"rfp".cast("double") / sum($"w").over(bySource))).cast(dec))
         .withColumn("w", round($"w" *
-          ($"cfp".cast("double") / sum($"w").over(byLang))).cast("long"))
+          ($"cfp".cast("double") / sum($"w").over(byLang))).cast(dec))
     }
     cur.select($"source", $"lang", $"n".as("n_docs"),
       round($"w" / lit(Fp.toDouble) / $"n", 6).as("weight"))

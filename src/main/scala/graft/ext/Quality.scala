@@ -211,12 +211,19 @@ object Quality {
       .join(broadcast(corpus), Seq("term"))
       .join(broadcast(perSource), Seq("source"))
       .crossJoin(broadcast(totals))
+      // Products and the corpus-mass fp sum in exact decimal(38,0)
+      // (q166/q195 device): cs·nc and the per-source Σfp grow with token
+      // mass squared-ish and cross 2⁶³ at 100 TB; in-range values are
+      // bit-identical (one double rounding either way), oracle unchanged
+      // (DuckDB BIGINT sums are HUGEINT-backed and never overflowed).
       .withColumn("fp", round($"cs" * log(
-        ($"cs" * $"nc").cast("double") / ($"cc" * $"ns").cast("double"))
-        * lit(1000000L)).cast("long"))
+        ($"cs".cast("decimal(38,0)") * $"nc").cast("double")
+          / ($"cc".cast("decimal(38,0)") * $"ns").cast("double"))
+        * lit(1000000L)).cast("decimal(38,0)"))
       .groupBy($"source")
       .agg(max($"ns").as("n_tokens"), count(lit(1)).as("n_terms"),
-        round(sum($"fp") / (lit(1000000.0) * max($"ns")), 6).as("kl_nats"))
+        round(sum($"fp").cast("double")
+          / (lit(1000000.0) * max($"ns")), 6).as("kl_nats"))
       .orderBy($"source")
   }
 
@@ -290,8 +297,11 @@ object Quality {
       scored, Seq($"score", $"doc_id"), "rk", "n_total")
     ranked
       .groupBy($"source")
+      // rank sums grow ~n²/2 with corpus size — exact decimal(38,0)
+      // (q166/q195 device; in-range identical, oracle unchanged)
       .agg(count(lit(1)).as("n_docs"),
-        sum($"rk").as("sum_rank"), max($"n_total").as("nt"))
+        sum($"rk".cast("decimal(38,0)")).as("sum_rank"),
+        max($"n_total").as("nt"))
       .select($"source", $"n_docs",
         round(($"sum_rank".cast("double") / $"n_docs" - 1)
           / ($"nt" - 1), 6).as("mean_pctile"))
@@ -343,8 +353,11 @@ object Quality {
           / (coalesce($"c12", lit(0L)) + 1).cast("double")) * lit(1000000L))
         .cast("long"))
       .groupBy($"split")
+      // per-split Σfp scales with holdout bigram mass — exact
+      // decimal(38,0) sum (q166/q195 device; in-range identical)
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum($"fp") / (lit(1000000.0) * count(lit(1))), 6)
+        round(sum($"fp".cast("decimal(38,0)")).cast("double")
+          / (lit(1000000.0) * count(lit(1))), 6)
           .as("avg_nll"))
       .orderBy($"split")
   }
@@ -387,9 +400,13 @@ object Quality {
     tok.filter(!$"is_target")
       .join(broadcast(counts), Seq("term"))
       .crossJoin(broadcast(stats))
+      // exact decimal(38,0) products: (c+1)·(N+V) crosses 2⁶³ once both
+      // factors carry 100 TB token mass (q166/q195 device; in-range the
+      // double cast sees the same exact integer, oracle unchanged)
       .withColumn("fp", round(
-        log((($"ct" + 1) * ($"nr" + $"v")).cast("double")
-          / (($"cr" + 1) * ($"nt" + $"v")).cast("double")) * lit(1000000L))
+        log((($"ct" + 1).cast("decimal(38,0)") * ($"nr" + $"v")).cast("double")
+          / (($"cr" + 1).cast("decimal(38,0)") * ($"nt" + $"v")).cast("double"))
+          * lit(1000000L))
         .cast("long"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
