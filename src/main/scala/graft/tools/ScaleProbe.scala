@@ -112,6 +112,9 @@ object ScaleProbe {
       // work constant), the streaming ingest twin of q150, and the two
       // corpus-export ops (bounded-key agg; shard-window shuffle)
       "q152_semdedup", "q153_streaming_neardup_ingest",
+      // learning ingest: q153's shape plus per-batch delta reads — batch
+      // work constant, corpus side scan-bound through the sig table
+      "q201_learning_ingest",
       "q154_temperature_mixing", "q155_corpus_shuffle",
       // round-10 additions: header strip (scan + broadcast flag-back),
       // streaming dedup (state ∝ in-horizon ids, micro-batch overhead
