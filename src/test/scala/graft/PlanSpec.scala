@@ -449,6 +449,35 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("q185: sketch components aggregate partially before the exchange — one 64-long vector per (source, partition) shuffles") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.udaf
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      val vecMin = udaf(new graft.functions.VecSumAggregator.VecMin,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+      val plan = graft.ext.Dedup.sourceSpans(spark, sf0001, 8)
+        .select($"source",
+          graft.functions.NativeKernels.md5U32Components($"h", 64).as("vc"))
+        .groupBy($"source").agg(vecMin($"vc").as("mvs"))
+        .queryExecution.executedPlan
+      // The typed VecMin buffer must fold map-side (partial
+      // ObjectHashAggregate BELOW the final exchange): the shuffle then
+      // carries one 64-long vector per (source × partition) instead of a
+      // row per span — the whole point of replacing the 64-way posexplode.
+      val aggs = plan.collect { case a: ObjectHashAggregateExec => a }
+      assert(aggs.size >= 2, s"expected partial+final vector aggregate, got ${aggs.size}")
+      val partialBelowExchange = plan.collect {
+        case e: ShuffleExchangeLike
+          if e.collectFirst { case a: ObjectHashAggregateExec => a }.nonEmpty => e
+      }
+      assert(partialBelowExchange.nonEmpty,
+        "the vector-min partial aggregate must sit below the exchange (map-side combine)")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("q143: materialized signature table — zero shingle kernels in the query, bucketed hs probe with no table-side exchange, result parity with q34") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
