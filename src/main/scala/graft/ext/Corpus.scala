@@ -393,9 +393,16 @@ object Corpus {
       .join(broadcast(uni.select($"tok".as("b"), $"c".as("c_b"))), Seq("b"))
       .crossJoin(broadcast(totTok))
       .crossJoin(broadcast(totPair))
+      // PMI products in exact decimal(38,0) (q166/q195 device — int64
+      // wrapped at the 64× fixed-vocab probe: c_ab·T² crosses 2⁶³ once
+      // T ~ 2·10⁸). 10³⁸ carries exact products to ~10¹⁴-token corpora
+      // (c_ab·T² ≤ 10¹⁰·10²⁸); past that the formula's documented
+      // fallback is the log-sum form, which trades hash-exact parity for
+      // unbounded range. In-range values are bit-identical (one double
+      // rounding either way), oracle unchanged.
       .select($"a", $"b", $"c_ab", $"c_a", $"c_b",
-        round(log(($"c_ab" * $"n_tok" * $"n_tok").cast("double")
-          / ($"n_pair" * $"c_a" * $"c_b").cast("double")), 6).as("pmi"))
+        round(log(($"c_ab".cast("decimal(38,0)") * $"n_tok" * $"n_tok").cast("double")
+          / ($"n_pair".cast("decimal(38,0)") * $"c_a" * $"c_b").cast("double")), 6).as("pmi"))
       .orderBy($"c_ab".desc, $"a", $"b")
       .limit(topN)
   }

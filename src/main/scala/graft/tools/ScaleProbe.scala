@@ -59,12 +59,14 @@ object ScaleProbe {
     // shifted replicas are mutually near-orthogonal, so true-pair structure
     // stays constant while corpus bulk grows. The 64-dim space only has 8
     // distinct 8-step shifts, so replica octaves beyond the first compose
-    // the shift with a Walsh-pattern sign flip (octave bit g flips dims
-    // whose index bit g is set — any two distinct patterns disagree on
-    // exactly half the dims, so same-shift different-octave replicas are
-    // as near-orthogonal as the shifts themselves).
+    // the shift with a Walsh-pattern sign flip over the dim index's low 3
+    // bits (flip where popcount(g AND i) is odd — any two distinct
+    // patterns disagree on exactly half the dims, so same-shift
+    // different-octave replicas are as near-orthogonal as the shifts
+    // themselves; 8 shifts × 8 Walsh octaves = 64 mutually
+    // near-orthogonal transforms).
     val emb = Tables.embeddings(spark, base)
-    require(replicas <= 32, "embedding scheme defines 8 shifts x 4 Walsh octaves")
+    require(replicas <= 64, "embedding scheme defines 8 shifts x 8 Walsh octaves")
     (0 until replicas).map { r =>
       val k = (r % 8) * 8
       val g = r / 8
@@ -73,7 +75,8 @@ object ScaleProbe {
       val signed = if (g == 0) shifted else shifted.withColumn("embedding",
         zip_with($"embedding",
           transform(sequence(lit(0), lit(63)), i =>
-            pmod((i % 2) * (g % 2) + ((i / 2) % 2) * (g / 2), lit(2))),
+            pmod((i % 2) * (g % 2) + ((i / 2) % 2) * ((g / 2) % 2)
+              + ((i / 4) % 2) * ((g / 4) % 2), lit(2))),
           (x, flip) => when(flip === 1, -x).otherwise(x)))
       signed.withColumn("vec_id", $"vec_id" + r * OffsetStep)
     }.reduce(_ unionByName _)
