@@ -12,6 +12,13 @@ import graft.sources.Tables
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("scale-probe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Optional override for the partition-scaling experiment: the session
+    // default pins shuffle partitions to the core count, which is the
+    // right LOCAL setting but understates a cluster, where partitions
+    // scale with data volume (design rule #6). SPARK_GRAFT_SHUFFLE_PARTITIONS
+    // lets a probe measure that rule instead of asserting it.
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     // Same split sizing as Bench: the staged bench-scale files are ~0.1-3 MB
     // each, and the 128 MB default (with its 4 MB open-cost floor) packs a
     // whole table into 1-2 splits — the probe would then measure split
