@@ -37,22 +37,34 @@ object IvfPq {
   val NCells = 16
   val NProbe = 4
 
-  /** IVFPQ ANN over a (`vec_id`, `embedding`) corpus. */
-  def annIvfPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 5,
-               nProbe: Int = NProbe, rerank: Int = Pq.RerankDepth): DataFrame = {
+  /** Train both IVFPQ quantizers — (coarse centroids, residual PQ codebook)
+    * — from ONE bounded sample: coarse on the raw sample (trainCodebooks
+    * degenerates to full-dim k-means at m=1), then the PQ codebook on the
+    * sample's residuals. Split out so the pair can be staged as write-once
+    * index state ([[graft.sources.Staged.ivfpqQuantizers]]; q99 keeps
+    * training inline so the suite still times the full build). */
+  def trainQuantizers(corpus: DataFrame): (Array[Double], Array[Double]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
-    // ONE bounded sample trains both quantizers: coarse centroids on the raw
-    // sample (trainCodebooks degenerates to full-dim k-means at m=1), then
-    // the PQ codebook on the sample's residuals.
     val train = Pq.collectBoundedSample(corpus, emb)
     val coarse = Pq.trainCodebooks(train, m = 1, k = NCells, subDim = Pq.Dims)
     val residuals = train.map { v =>
       val cell = assignDriver(v, coarse)
       Array.tabulate(Pq.Dims)(d => v(d) - coarse(cell * Pq.Dims + d))
     }
-    val codebook = Pq.trainCodebooks(residuals)
+    (coarse, Pq.trainCodebooks(residuals))
+  }
+
+  /** IVFPQ ANN over a (`vec_id`, `embedding`) corpus. `trained` = staged
+    * quantizers (None trains inline; identical results — deterministic). */
+  def annIvfPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 5,
+               nProbe: Int = NProbe, rerank: Int = Pq.RerankDepth,
+               trained: Option[(Array[Double], Array[Double])] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
+    val (coarse, codebook) = trained.getOrElse(trainQuantizers(corpus))
     // The index: (cell, residual code) — 9 bytes of index state per vector.
     val codes = emb
       .withColumn("cell", NativeKernels.argminCentroid($"norm_e", coarse, NCells, Pq.Dims))
@@ -132,7 +144,9 @@ object IvfPq {
     best
   }
 
-  /** q99: IVFPQ ANN over the embeddings table. */
-  def q99AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
-    annIvfPq(Tables.embeddings(spark, dir))
+  /** q99: IVFPQ ANN over the embeddings table. `trained` = staged
+    * quantizers (None trains inline; identical results — deterministic). */
+  def q99AnnIvfPq(spark: SparkSession, dir: String,
+                  trained: Option[(Array[Double], Array[Double])] = None): DataFrame =
+    annIvfPq(Tables.embeddings(spark, dir), trained = trained)
 }

@@ -169,13 +169,25 @@ object Pq {
       .orderBy($"query_id", $"rank")
   }
 
-  def annPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 5,
-            rerank: Int = RerankDepth): DataFrame = {
+  /** Train the PQ codebook from the corpus's bounded deterministic sample —
+    * split out so the trained artifact can be staged as write-once index
+    * state ([[graft.sources.Staged.pqCodebook]]; q98 keeps training inline
+    * so the suite still times the full build). */
+  def trainedCodebook(corpus: DataFrame): Array[Double] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
-    val train = collectBoundedSample(corpus, emb)
-    val codebook = trainCodebooks(train)
+    trainCodebooks(collectBoundedSample(corpus, emb))
+  }
+
+  def annPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 5,
+            rerank: Int = RerankDepth,
+            trained: Option[Array[Double]] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
+    val codebook = trained.getOrElse(
+      trainCodebooks(collectBoundedSample(corpus, emb)))
     val codes = emb.select($"vec_id",
       NativeKernels.pqEncode($"norm_e", codebook, M, K, SubDim).as("code"))
     val queryTables = emb.filter($"vec_id" < nQueries)
@@ -193,7 +205,9 @@ object Pq {
     exactRerank(corpus, candidates, nQueries, k)
   }
 
-  /** q98: PQ ANN over the embeddings table. */
-  def q98AnnPq(spark: SparkSession, dir: String): DataFrame =
-    annPq(Tables.embeddings(spark, dir))
+  /** q98: PQ ANN over the embeddings table. `trained` = a staged codebook
+    * (None trains inline; identical results — deterministic trainer). */
+  def q98AnnPq(spark: SparkSession, dir: String,
+               trained: Option[Array[Double]] = None): DataFrame =
+    annPq(Tables.embeddings(spark, dir), trained = trained)
 }

@@ -305,20 +305,20 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** IVF (inverted-file) ANN: k-means centroids partition the corpus; a
-    * query probes only its nProbe nearest cells. Vectors are L2-normalized
-    * first so euclidean cells align with cosine neighborhoods. At 100 TB the
-    * assignment table is the index (bucketed by cell); training samples a
-    * fraction — centroid count, not corpus size, bounds the driver state. */
-  def q42AnnIvf(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
-                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** IVF centroid training, split out so the trained model can be staged as
+    * a write-once index artifact ([[graft.sources.Staged.ivfModel]] — the
+    * composite recall audit q149 reads it; q42 itself keeps training inline
+    * so the suite still times the full build). Deterministic (seeded sample,
+    * seeded random init), so the staged and inline models are identical. */
+  def trainIvfModel(corpus: DataFrame, nCells: Int = 16)
+      : org.apache.spark.ml.clustering.KMeansModel = {
+    val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val base = Tables.embeddings(spark, dir)
-    val emb = base.withColumn("norm_e", normalizeArr($"embedding"))
-    val featurized = emb.withColumn("features", array_to_vector($"norm_e"))
+    val featurized = corpus.withColumn("norm_e", normalizeArr($"embedding"))
+      .withColumn("features", array_to_vector($"norm_e"))
     // Train on a BOUNDED sample: centroid quality needs only ~1000 points per
     // cell, so the trainer's input is capped regardless of corpus size. The
     // sample fraction comes from the optimizer's size estimate of the scan —
@@ -331,7 +331,7 @@ object Similarity {
     val estRowBytes = 200L // vec_id + 64 packed floats; deliberately low so
                            // the row-count estimate errs high (fraction low)
     val estRows = math.max(1L,
-      (base.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
+      (corpus.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
     def draw(fraction: Double) = {
       val sampled =
         if (fraction >= 1.0) featurized
@@ -364,10 +364,31 @@ object Similarity {
       .setInitMode("random")
       .fit(trainSet)
     trainSet.unpersist(blocking = false) // fit is eager; the sample is done
+    model
+  }
+
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus; a
+    * query probes only its nProbe nearest cells. Vectors are L2-normalized
+    * first so euclidean cells align with cosine neighborhoods. At 100 TB the
+    * assignment table is the index (bucketed by cell); training samples a
+    * fraction — centroid count, not corpus size, bounds the driver state.
+    * `model` supplies pre-trained centroids (the staged index artifact);
+    * None trains inline — identical results either way (seeded training). */
+  def q42AnnIvf(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5,
+                nCells: Int = 16, nProbe: Int = 4,
+                model: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = Tables.embeddings(spark, dir)
+    val emb = base.withColumn("norm_e", normalizeArr($"embedding"))
+    val featurized = emb.withColumn("features", array_to_vector($"norm_e"))
+    val m = model.getOrElse(trainIvfModel(base, nCells))
     // Assignment = one narrow pass over the corpus (model broadcast by ML).
-    val assigned = model.transform(featurized)
+    val assigned = m.transform(featurized)
       .select($"vec_id", $"embedding", $"prediction".as("cell"))
-    val centers = model.clusterCenters.zipWithIndex.toSeq
+    val centers = m.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
       .toDF("cell", "center")
     // query → nProbe nearest cells (tiny cross join: nQueries × nCells)
@@ -549,10 +570,19 @@ object Similarity {
         .select(lit(method).as("method"), $"n_queries",
           ($"hits" >= $"total" * floor).as("recall_ge_floor"))
     }
-    row("ivf", q42AnnIvf(spark, dir), 0.25)
-      .unionByName(row("ivfpq", IvfPq.q99AnnIvfPq(spark, dir), 0.3))
+    // Staged index artifacts (graft.sources.Staged — the q182/q186
+    // staged-artifact convention): the audit is about RECALL, not about
+    // re-timing four trainers; the builder queries q42/q98/q99 still train
+    // inline, and the deterministic trainers make staged ≡ inline
+    // (pinned by AnnStagedModelSpec), so this row set is unchanged.
+    val staged = graft.sources.Staged
+    row("ivf", q42AnnIvf(spark, dir,
+        model = Some(staged.ivfModel(spark, dir))), 0.25)
+      .unionByName(row("ivfpq", IvfPq.q99AnnIvfPq(spark, dir,
+        trained = Some(staged.ivfpqQuantizers(spark, dir))), 0.3))
       .unionByName(row("lsh", q38AnnLsh(spark, dir), 0.3))
-      .unionByName(row("pq", Pq.q98AnnPq(spark, dir), 0.5))
+      .unionByName(row("pq", Pq.q98AnnPq(spark, dir,
+        trained = Some(staged.pqCodebook(spark, dir))), 0.5))
       .orderBy($"method")
   }
 }

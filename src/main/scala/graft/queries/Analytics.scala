@@ -170,13 +170,26 @@ object Analytics {
 
   /** Approximate distinct (HyperLogLog++): the sketch path for 100 TB
     * cardinality estimation. No DuckDB oracle (different sketch) — driver
-    * records a rows-only check; the exact/approx agreement is unit-tested. */
+    * records a rows-only check; the exact/approx agreement is unit-tested.
+    *
+    * rsd 0.02, not 0.01, and deliberately: the built-in
+    * `approx_count_distinct` carries its 2^p-register sketch as ~2^p/6
+    * individual LONG COLUMNS in the aggregation buffer, so analyzer/
+    * optimizer/codegen walks scale with register count — a FIXED per-
+    * execution cost, not a per-row one (measured ~1.0 s at rsd 0.01 even
+    * on a 25-row input vs ~0.2 s at rsd 0.02 and ~0.05 s at the default;
+    * row count 25 vs 150k moved none of them). At rsd 0.02 the realized
+    * error here is ≤ 2% at the oracle SF (≤ 3.7% at sf0.1), comfortably
+    * inside q146's 5% audit. When 1%-class precision is actually required,
+    * the DataSketches kernel is the right tool — same estimate class at
+    * 0.81% standard error with ONE binary buffer column (q118/q138, and
+    * q146 audits both paths side by side at rsd 0.01 / lgK 14). */
   def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
-      .agg(approx_count_distinct($"o_custkey", 0.01).as("approx_buyers"))
+      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_buyers"))
       .orderBy($"c_mktsegment")
   }
 

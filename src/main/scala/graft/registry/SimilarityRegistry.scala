@@ -23,8 +23,8 @@ object SimilarityRegistry {
     "q41_frame_sample" -> (Multimodal.q41FrameSample _),
     // Approximate (PQ/ADC) candidates — no SQL oracle, like q38/q42; PqSpec
     // asserts planted-copy recall, recall@5 vs exact, pruning, determinism.
-    "q98_ann_pq" -> (Pq.q98AnnPq _),
-    "q99_ann_ivfpq" -> (IvfPq.q99AnnIvfPq _),
+    "q98_ann_pq" -> ((s: SparkSession, d: String) => Pq.q98AnnPq(s, d)),
+    "q99_ann_ivfpq" -> ((s: SparkSession, d: String) => IvfPq.q99AnnIvfPq(s, d)),
     "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
     "q141_wav_decode" -> (Multimodal.q141WavDecode _),
     "q142_video_frames" -> (Multimodal.q142VideoFrames _),

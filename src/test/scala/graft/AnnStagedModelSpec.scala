@@ -1,0 +1,47 @@
+package graft
+
+import graft.ext.{IvfPq, Pq, Similarity}
+import graft.sources.Staged
+
+/** Staged ANN index artifacts ([[graft.sources.Staged.ivfModel]] /
+  * [[graft.sources.Staged.pqCodebook]] /
+  * [[graft.sources.Staged.ivfpqQuantizers]]) are what q149 reads instead of
+  * retraining all three quantizers inline. These tests pin the contract
+  * that makes that substitution sound: every trainer is deterministic, so
+  * the staged-artifact path returns EXACTLY the rows the inline-training
+  * path returns. */
+class AnnStagedModelSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("q42 IVF: staged model path ≡ inline training path") {
+    val staged = Similarity.q42AnnIvf(spark, sf0001,
+      model = Some(Staged.ivfModel(spark, sf0001)))
+    val inline = Similarity.q42AnnIvf(spark, sf0001)
+    assert(rows(staged) == rows(inline))
+  }
+
+  test("q98 PQ: staged codebook path ≡ inline training path") {
+    val staged = Pq.q98AnnPq(spark, sf0001,
+      trained = Some(Staged.pqCodebook(spark, sf0001)))
+    val inline = Pq.q98AnnPq(spark, sf0001)
+    assert(rows(staged) == rows(inline))
+  }
+
+  test("q99 IVFPQ: staged quantizer path ≡ inline training path") {
+    val staged = IvfPq.q99AnnIvfPq(spark, sf0001,
+      trained = Some(Staged.ivfpqQuantizers(spark, sf0001)))
+    val inline = IvfPq.q99AnnIvfPq(spark, sf0001)
+    assert(rows(staged) == rows(inline))
+  }
+
+  test("staged artifacts are memoized: second fetch is the same instance") {
+    val a = Staged.pqCodebook(spark, sf0001)
+    val b = Staged.pqCodebook(spark, sf0001)
+    assert(a eq b)
+    val m1 = Staged.ivfModel(spark, sf0001)
+    val m2 = Staged.ivfModel(spark, sf0001)
+    assert(m1 eq m2)
+  }
+}

@@ -254,7 +254,7 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct stays within its 1% error bound vs exact") {
+  test("approx_count_distinct stays within the 5% audit bound vs exact") {
     val exact = graft.queries.Analytics.q20DistinctAgg(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = graft.queries.Analytics.q21ApproxDistinct(spark, sf001).collect()
