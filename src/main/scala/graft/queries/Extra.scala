@@ -665,8 +665,17 @@ object Extra {
   def q122MarketBasket(spark: SparkSession, dir: String, topK: Int = 20,
                        minSupport: Long = 2L): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
+    // The deduped basket table feeds FOUR sinks (n_orders, item supports,
+    // both sides of the pair self-join) and the pruned pipeline
+    // materializes inside this call (localCheckpoint + guard count below),
+    // so caching it trades one in-memory copy of two long columns for
+    // three recomputed scan+distinct stages — and the cache is dropped
+    // before returning. The minSupport<=1 path stays UNcached: it returns
+    // a lazy plan (nothing in this call materializes it), so a cache would
+    // linger unpersisted on the session.
+    val basket = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_partkey").distinct()
+    val li = if (minSupport <= 1L) basket else basket.cache()
     val nOrders = li.select($"l_orderkey").distinct()
       .agg(count(lit(1)).as("n_orders"))
     // Item supports always come from the FULL basket table: the pushdown
@@ -704,8 +713,10 @@ object Extra {
     // row has n_ab >= minSupport, so a FULL top-K means no pruned-away
     // (necessarily sub-threshold) pair could have placed — only a short
     // result can hide one, and that falls back to the unpruned expansion.
-    if (pruned.count() >= topK) pruned
-    else report(li, 1L)
+    val out = if (pruned.count() >= topK) pruned
+              else report(li, 1L).localCheckpoint()
+    li.unpersist(blocking = false)
+    out
   }
 
   /** q124: key-skew profile — the distribution report a shuffle planner (or
