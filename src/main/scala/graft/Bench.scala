@@ -141,22 +141,26 @@ object Bench {
     // PARALLEL (8 threads, like Staged.prepare): each sf0.001 query is
     // narrow, so a serial pass leaves the box idle while burning ~a minute
     // of the run's deadline budget — budget the timed loop needs to keep
-    // its 3 reps per query when the host is slow. Warmup results are
-    // discarded, so cross-query conf races (startPinned's pin/restore of
-    // shuffle partitions) can at worst warm a plan variant; the session
-    // partitioning is re-asserted below before anything timed.
+    // its 3 reps per query when the host is slow. The whole pass runs on a
+    // CLONED session (same SparkContext, so the JIT/codegen/parquet-footer
+    // caches warmup exists to heat are shared — but its OWN SQLConf and
+    // temp-view catalog), so the conf races parallel warmup can produce
+    // (startPinned's pin/restore of shuffle partitions under 8 threads)
+    // are confined to the throwaway session and can at worst warm a plan
+    // variant; nothing leaks into the session the timed loop measures.
     locally {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val t0 = System.nanoTime()
+      val warm = spark.newSession()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try Await.result(Future.sequence(names.map(n => Future {
-        try run(n, "/root/testdata/sf0.001")
+        try SparkEntry.queries(n)(warm, "/root/testdata/sf0.001")
+          .write.mode("overwrite").format("noop").save()
         catch { case e: Throwable => System.err.println(s"[bench-warmup] $n: ${e.getMessage}") }
       })), Duration.Inf)
       finally pool.shutdown()
-      spark.conf.set("spark.sql.shuffle.partitions", cpus)
       System.err.println(f"[bench-warmup] ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // Untimed prepare: build the memoized one-time layouts/indexes (z-order

@@ -336,9 +336,17 @@ object Similarity {
       val sampled =
         if (fraction >= 1.0) featurized
         else featurized.sample(withReplacement = false, fraction, seed = 7L)
-      // limit() funnels through one partition; repartition restores trainer
-      // parallelism (≤ maxTrainRows rows — a trivial shuffle).
-      sampled.limit(maxTrainRows).select($"features").repartition(8).cache()
+      // orderBy before the limit (the Pq.collectBoundedSample discipline):
+      // a bare limit takes whichever sampled rows arrive first, which
+      // depends on scan partitioning — i.e. on session conf — so the
+      // "trained model is a pure value of the corpus" contract behind
+      // Staged.ivfModel would silently break across sessions with
+      // different maxPartitionBytes. Sorted limit plans as
+      // TakeOrderedAndProject (per-partition top-k, never a global sort);
+      // repartition restores trainer parallelism (≤ maxTrainRows rows —
+      // a trivial shuffle).
+      sampled.orderBy($"vec_id").limit(maxTrainRows)
+        .select($"features").repartition(8).cache()
     }
     val fraction = math.min(1.0, 2.0 * maxTrainRows / estRows)
     // Clamp AFTER the draw: the size-based row estimate can undershoot when
@@ -556,8 +564,14 @@ object Similarity {
     * count, and the required TRUEs. */
   def q149AnnRecallFloors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Eager localCheckpoint, not cache(): `exact` feeds eight sub-plans
+    // (each method row uses it twice), but this function returns a lazy
+    // frame, so a cache() would linger registered on the session forever
+    // (the ADVICE-r11 anti-pattern). The checkpoint materializes 40 rows
+    // eagerly and its blocks are reference-tracked — freed once the
+    // returned frame is garbage.
     val exact = q37TopKBruteForce(spark, dir)
-      .select($"query_id", $"neighbor_id").cache()
+      .select($"query_id", $"neighbor_id").localCheckpoint()
     def row(method: String, ann: DataFrame, floor: Double): DataFrame = {
       // Both sides are k·nQueries rows, but the estimator can't see that
       // through the ranking pipelines — hint the ANN side so the hit count

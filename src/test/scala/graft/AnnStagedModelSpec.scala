@@ -43,5 +43,8 @@ class AnnStagedModelSpec extends SparkSpec {
     val m1 = Staged.ivfModel(spark, sf0001)
     val m2 = Staged.ivfModel(spark, sf0001)
     assert(m1 eq m2)
+    val q1 = Staged.ivfpqQuantizers(spark, sf0001)
+    val q2 = Staged.ivfpqQuantizers(spark, sf0001)
+    assert(q1 eq q2)
   }
 }
