@@ -36,6 +36,29 @@ class AnnStagedModelSpec extends SparkSpec {
     assert(rows(staged) == rows(inline))
   }
 
+  test("IVF training is partition-independent: different partitioning " +
+    "of a corpus LARGER than the training cap trains the identical model") {
+    // The staged-model contract: the trained model is a pure value of the
+    // corpus. A bare sample().limit() draw broke this — WHICH rows
+    // survived depended on scan partitioning — but only bites once the
+    // corpus exceeds maxTrainRows (16384; every parquet fixture is
+    // smaller, so a fixture-backed test would pass even with the bug).
+    // Synthesize 34 replicas (17k rows) with per-replica-scaled vectors
+    // so replica identity is visible in the centroids, and train under
+    // 2-partition and 64-partition layouts of the same rows.
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.embeddings(spark, sf0001)
+    val big = (0 until 34).map { r =>
+      base.select((col("vec_id") + r * 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x * lit(1.0f + r / 100.0f)).as("embedding"))
+    }.reduce(_ unionByName _)
+    def centers(parts: Int) =
+      Similarity.trainIvfModel(big.repartition(parts)).clusterCenters
+        .map(_.toArray.toSeq).toSeq
+    assert(centers(2) == centers(64))
+  }
+
   test("staged artifacts are memoized: second fetch is the same instance") {
     val a = Staged.pqCodebook(spark, sf0001)
     val b = Staged.pqCodebook(spark, sf0001)
