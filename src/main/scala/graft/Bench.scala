@@ -94,7 +94,13 @@ object Bench {
     // never the first — are skipped once the whole run crosses the deadline.
     // A query's median is then over however many reps it completed
     // (`wall_reps` in bench_out.json shows exactly which).
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "540").toDouble
+    // 600, up from 540: the round-12 suite runs ~456 s quiet end-to-end
+    // (3×119 s timed + 64 s warmup + prepare + JVM), so 540 left only ~18%
+    // weather headroom before the failsafe started degrading tail queries
+    // to single-rep medians. 600 keeps full 3-rep integrity through a
+    // ~1.3× slow-host run while staying under the longest delivered round
+    // artifact (r11: 637 s wall).
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "600").toDouble
     def elapsedSec(): Double = (System.nanoTime() - tMain) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -153,6 +159,9 @@ object Bench {
       import scala.concurrent.duration.Duration
       val t0 = System.nanoTime()
       val warm = spark.newSession()
+      // Pool width swept: 16 threads measured no faster than 8 (67.5 vs
+      // 64.2 s — the pass saturates the shared core pool, it is not
+      // latency-bound on the streaming queries), so prepare's 8 stands.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try Await.result(Future.sequence(names.map(n => Future {
