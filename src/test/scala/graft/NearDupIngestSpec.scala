@@ -47,6 +47,18 @@ class NearDupIngestSpec extends SparkSpec {
     t.split("\\s+").reverse.mkString(" ")
   }
 
+  test("zero micro-batches: an empty watch dir yields an empty report " +
+    "frame, not a path error") {
+    // foreachBatch never runs on an empty dir, so reportDir is never
+    // created; the existence guard must return an empty frame with the
+    // report schema instead of throwing path-does-not-exist.
+    val watch = TempDirs.create("graft_ndlearn_empty_")
+    val out = NearDupIngest.learningIngest(spark, sf0001, watch.toString)
+    assert(out.columns.toSeq ==
+      Seq("micro_batch", "batch_id", "history_id", "jaccard"))
+    assert(out.count() == 0L)
+  }
+
   test("cross-batch duplicate: a near-copy planted in batch 1 is caught against batch 0") {
     val watch = TempDirs.create("graft_ndlearn_watch_")
     val x = freshText()

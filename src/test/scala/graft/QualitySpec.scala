@@ -238,6 +238,18 @@ class QualitySpec extends SparkSpec {
     assert(nab === direct)
   }
 
+  test("q122: the exactness-guard fallback returns the unpruned result when " +
+    "pruning starves the top-k") {
+    // minSupport far above any item's support empties the pruned path, so
+    // the guard (pruned top-k shorter than topK) must fall back to the
+    // full expansion — bit-equal to the never-pruned minSupport=1 run.
+    val fallback = Extra.q122MarketBasket(spark, sf0001, topK = 20,
+      minSupport = 1000000L).collect().map(_.toString).toSeq
+    val unpruned = Extra.q122MarketBasket(spark, sf0001, topK = 20,
+      minSupport = 1L).collect().map(_.toString).toSeq
+    assert(fallback == unpruned)
+  }
+
   test("q123: attribution conserves purchase mass; 'none' appears on both touches or neither") {
     import spark.implicits._
     val out = queries.EventAnalytics.q123Attribution(spark, sf0001).collect()
