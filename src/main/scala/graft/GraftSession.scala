@@ -29,6 +29,14 @@ object GraftSession {
       // at sf0.1, worse with data. No other scans are bucketed, so forcing
       // bucketed reads session-wide costs nothing.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // The iterative kernels (connectedComponents) rely on the context
+      // cleaner to delete RELIABLE checkpoint files once a generation's
+      // RDD is unreferenced — that cleanup is OFF by default, and without
+      // it a checkpoint-dir deployment leaks one full label-generation
+      // file per CC round for the app's lifetime. No-op under local
+      // checkpoints (this process), load-bearing wherever a production
+      // session copies these defaults and sets a checkpoint dir.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -25,13 +25,23 @@ object Corpus {
     * between splits — the property that matters for decontaminated evals.
     * 80/10/10 by bucket; reported per split with the char mass so payload
     * skew is visible. */
+  /** THE canonical train/val/test assignment — a scan-local pure function
+    * of the stable document id (two md5 hex chars mixed, 80/10/10 by
+    * bucket). ONE definition on purpose: q93 reports it, the q200 funnel
+    * stages by it, q198 holds out by it, and q186 audits leakage ACROSS
+    * it — a private copy drifting in any one of them would silently audit
+    * or evaluate a split that no longer exists. */
+  def splitOf(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    val bucket =
+      (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   def q93TrainSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val h = md5($"doc_id".cast("string"))
-    val bucket = (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
     Tables.documents(spark, dir)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("split", splitOf($"doc_id"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
       .orderBy($"split")
@@ -551,11 +561,8 @@ object Corpus {
       .filter($"nu" * 2 >= $"ns")
       .select($"doc_id")
     val pruned = exact.join(novelty, Seq("doc_id"))
-    val h = md5($"doc_id".cast("string"))
-    val bucket =
-      (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
-    val assigned = pruned.withColumn("stage", concat(lit("5_"),
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")))
+    val assigned = pruned.withColumn("stage",
+      concat(lit("5_"), splitOf($"doc_id")))
     def stageOf(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
         .select(lit(name).as("stage"), $"n_docs", $"n_tokens")

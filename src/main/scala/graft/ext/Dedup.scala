@@ -182,7 +182,19 @@ object Dedup {
                                  expectedHistory: Long,
                                  fpp: Double): DataFrame = {
     import org.apache.spark.sql.functions._
-    val bloom = h.stat.bloomFilter("content_hash", expectedHistory, fpp)
+    // Size the filter for the LARGER of the caller's expectation and the
+    // optimizer's size estimate of the history scan (the q42 sampler's
+    // no-extra-job discipline; 64 B/row errs the row count HIGH, which
+    // only oversizes the filter). A fixed expectation under a growing
+    // corpus silently saturates the filter — past ~10 bits/item of
+    // overload the realized fpp climbs toward 1 and the prefilter
+    // becomes a full history scan + treeAggregate that rules nothing
+    // out; the exact anti-join keeps results correct, so nothing ever
+    // FAILS, the bloom pass just quietly stops paying for itself.
+    val estRows =
+      (h.queryExecution.optimizedPlan.stats.sizeInBytes / 64L).toLong
+    val nItems = math.max(expectedHistory, estRows)
+    val bloom = h.stat.bloomFilter("content_hash", nItems, fpp)
     val spark = batch.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightBeOld = udf((hash: String) =>
@@ -285,19 +297,28 @@ object Dedup {
     }
   }
 
-  val NumHashes = 64
-  val NumBands = 16
+  // 128/32 (4 rows per band): the operating point every completeness
+  // premise in this file states. The code ran 64/16 through round 11 —
+  // at J = 0.8 a qualifying pair then missed all bands with probability
+  // (1 − 0.8⁴)¹⁶ ≈ 2.2e-4, i.e. a silently flaky oracle row roughly once
+  // per 150 full runs; at 32 bands the bound is (1 − 0.8⁴)³² ≈ 4.8e-8.
+  // Must equal NativeKernels.MinHashCount (same seed LCG, equivalence-
+  // tested); doubling the signature doubles kernel minima updates and the
+  // signature-table width — measured in the s-curve, not the wallet.
+  val NumHashes = 128
+  val NumBands = 32
   val RowsPerBand: Int = NumHashes / NumBands
 
   /** Base 31-bit hash per shingle — computed ONCE and reused by all
     * NumHashes permutations (re-hashing strings per permutation is the
-    * classic MinHash perf bug: 64× the string-hash cost). */
+    * classic MinHash perf bug: NumHashes× the string-hash cost). */
   def hashedShingles(shingles: Column): Column =
     transform(shingles, s => xxhash64(s).bitwiseAND(lit(0x7fffffffL)))
 
   /** MinHash signature (array of NumHashes longs) over pre-hashed shingles —
-    * native kernel expression: one pass over the shingles updating all 64
-    * permutation minima. (The equivalent 64×`array_min(transform(...))` HOF
+    * native kernel expression: one pass over the shingles updating all
+    * NumHashes permutation minima. (The equivalent per-slot
+    * `array_min(transform(...))` HOF
     * tree exceeds codegen limits and falls back to interpreted eval —
     * [[minhashSignatureHof]] kept for the equivalence test.) */
   def minhashSignature(hashed: Column): Column =
@@ -306,7 +327,7 @@ object Dedup {
   /** Reference HOF formulation of [[minhashSignature]]: per-slot seeded
     * xxhash64 minima. A full-avalanche mix per slot is what makes the
     * family min-wise — see the kernel's scaladoc for why the old linear
-    * (h·a + b) mod p form silently correlated all 64 slots. */
+    * (h·a + b) mod p form silently correlated all the slots. */
   def minhashSignatureHof(hashed: Column): Column = {
     import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
     val seeds = coeffs(NumHashes, 42L)
@@ -340,8 +361,18 @@ object Dedup {
   }
 
   /** Exact Jaccard over distinct shingle sets (set semantics on both sides). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Set Jaccard over two hash/token arrays, 0/0-guarded: two zero-token
+    * docs have EMPTY hash sets yet all-zero minhash signatures, so they DO
+    * band together as candidates (see the verify-path note at the
+    * `hashJac` guard below) — unguarded, their 0/0 raises DIVIDE_BY_ZERO
+    * under Spark 4's default ANSI mode and aborts the whole query. Scoring
+    * them 0.0 drops them at any sane threshold, matching every oracle's
+    * `len(toks) > 0` exclusion. */
+  def jaccard(a: Column, b: Column): Column = {
+    val uni = size(array_union(a, b))
+    when(uni === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / uni)
+  }
 
   /** MinHash→LSH→exact-verify near-dup pipeline on a corpus with planted
     * near-copies. Output: verified pairs with exact 3-shingle Jaccard,
@@ -638,10 +669,22 @@ object Dedup {
     graft.functions.NativeKernels.simhash64(hashes)
 
   /** SimHash banding core over a `(doc_id, text)` corpus: band the 64-bit
-    * hash into 4×16-bit chunks (pigeonhole guarantee for hamming ≤ 3; wider
-    * distances need multi-probe), bucket-join candidates, verify exact
+    * hash into 4×16-bit chunks, bucket-join candidates, verify exact
     * hamming distance ≤ `maxHamming` via bit_count. Emits canonical
-    * `left_id < right_id` pairs. */
+    * `left_id < right_id` pairs.
+    *
+    * RECALL CONTRACT: the pigeonhole guarantee is EXACT only for
+    * hamming ≤ 3 (4 chunks, ≤3 errors ⇒ one chunk clean — the standard
+    * 64-bit SimHash regime). Pairs at distance 4..maxHamming surface only
+    * when their bit errors leave some 16-bit chunk clean — high
+    * probability for clustered errors, ~91% for 4 uniformly-spread errors,
+    * falling with distance. No single-probe banding can make 4..8 exact
+    * without quadratic candidate mass (an 8-bit-block scheme guarantees ≤7
+    * but admits N²/32 background collisions); callers needing exact wider
+    * recall should run the MinHash path (q34), whose banding thresholds on
+    * similarity, not bit distance. The planted-recall floor in ExtSpec
+    * (18/20 at hammings measured 0–7) and the q145 oracle (hamming-0 ⇒
+    * all four chunks collide, recall provably 1) pin both regimes. */
   def simhashPairs(corpus: DataFrame, maxHamming: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -658,8 +701,14 @@ object Dedup {
       .filter($"left_id" < $"right_id")
       .select($"left_id", $"right_id",
         bit_count($"lsh".bitwiseXOR($"rsh")).as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the dedup: random 16-bit chunk collisions
+      // contribute ~4·N²/2¹⁷ far-pair candidate rows (hamming ~32), and
+      // bit_count is already evaluated per joined row — filtering first
+      // shrinks the distinct's shuffle to the near-dup mass instead of
+      // moving every background collision. Same rows out (the filter is
+      // row-local and duplicate-invariant).
       .filter($"hamming" <= maxHamming)
+      .distinct()
   }
 
   /** SimHash near-dup over the documents corpus + 20 planted near-copies. */
@@ -763,7 +812,11 @@ object Dedup {
       // leaking one per iteration is an executor-memory leak on a 100 TB
       // graph (and the measured GC-churn source at bench scale). Local
       // checkpoints only — reliable checkpoint FILES are owned by the
-      // cleaner (spark.cleaner.referenceTracking.cleanCheckpoints).
+      // cleaner, and ONLY if the session enables
+      // spark.cleaner.referenceTracking.cleanCheckpoints (false by
+      // default; GraftSession sets it — a deployment with a checkpoint
+      // dir that drops that conf leaks one label-generation file per
+      // round for the app's lifetime).
       if (!reliable)
         org.apache.spark.sql.graftshim.checkpointRddOf(labels)
           .foreach(_.unpersist(blocking = false))
@@ -1063,7 +1116,12 @@ object Dedup {
       // orderBy's range-partitioner sampling pass doesn't execute the
       // candidate-verify join a second time.
       .localCheckpoint()
-    cand.unpersist(blocking = false)
+    // Dataset.unpersist is a NO-OP on a localCheckpointed frame (its blocks
+    // live outside the CacheManager) — free the checkpoint RDD itself, the
+    // same idiom as connectedComponents and q185. `cand` is the 125k-pair
+    // candidate set at sf0.1, the largest intermediate this pipeline pins.
+    org.apache.spark.sql.graftshim.checkpointRddOf(cand)
+      .foreach(_.unpersist(blocking = false))
     verified
   }
 
@@ -1152,13 +1210,22 @@ object Dedup {
     * the corpus' duplication factor, never by corpus size. Per-doc span
     * counts are text-length bounded, so the collect_list rebuild is safe.
     */
+  /** Cut a token ARRAY into fixed-width span texts (the C4-style span
+    * rule): span b = tokens [b·width, b·width+width), the last span
+    * partial. ONE definition on purpose — q163 dedups on these spans,
+    * q184 scores per-doc novelty over them, and q165/q185 audit
+    * cross-source overlap of them; the three statistics are documented
+    * as mutually consistent, which only holds while they cut spans
+    * identically. */
+  private def spanTexts(tokens: Column, width: Int): Column =
+    transform(sequence(lit(0), floor((size(tokens) - 1) / width).cast("int")),
+      b => array_join(slice(tokens, b * width + 1, lit(width)), " "))
+
   def q163SpanDedup(spark: SparkSession, dir: String, width: Int = 8): DataFrame = {
     import spark.implicits._
     val spans = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", "\\s+").as("t"))
-      .select($"doc_id", posexplode(
-        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
-          b => array_join(slice($"t", b * width + 1, lit(width)), " "))))
+      .select($"doc_id", posexplode(spanTexts($"t", width)))
       .toDF("doc_id", "blk", "btext")
     val w = Window.partitionBy(md5($"btext")).orderBy($"doc_id", $"blk")
     spans
@@ -1226,15 +1293,9 @@ object Dedup {
     */
   def q186SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def splitOf(id: Column): Column = {
-      val h = md5(id.cast("string"))
-      val bucket =
-        (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    }
     spark.read.parquet(graft.sources.Staged.setsimPairs(spark, dir))
       .select($"a_id", $"b_id",
-        splitOf($"a_id").as("sa"), splitOf($"b_id").as("sb"))
+        Corpus.splitOf($"a_id").as("sa"), Corpus.splitOf($"b_id").as("sb"))
       .select(
         least($"sa", $"sb").as("split_a"),
         greatest($"sa", $"sb").as("split_b"))
@@ -1323,10 +1384,8 @@ object Dedup {
     import spark.implicits._
     val spans = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", "\\s+").as("t"))
-      .select($"doc_id", explode(
-        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
-          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
-        .as("h"))
+      .select($"doc_id",
+        explode(transform(spanTexts($"t", width), t => md5(t))).as("h"))
       .distinct()
     val shared = spans.groupBy($"h")
       .agg(count(lit(1)).as("n_docs_with"))
@@ -1367,10 +1426,8 @@ object Dedup {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"source", split($"text", "\\s+").as("t"))
-      .select($"source", explode(
-        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
-          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
-        .as("h"))
+      .select($"source",
+        explode(transform(spanTexts($"t", width), t => md5(t))).as("h"))
       .distinct()
   }
 

@@ -325,14 +325,8 @@ object Quality {
     */
   def q198HoldoutPerplexity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def splitOf(id: Column): Column = {
-      val h = md5(id.cast("string"))
-      val bucket =
-        (ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % 100
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    }
     val docs = Tables.documents(spark, dir)
-      .select(splitOf($"doc_id").as("split"),
+      .select(Corpus.splitOf($"doc_id").as("split"),
         expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("tk"))
       .filter(size($"tk") >= 2)
     val bigrams = docs.select($"split", explode(expr(

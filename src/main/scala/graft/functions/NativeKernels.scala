@@ -98,11 +98,16 @@ object Kernels {
     }
   }
 
-  val MinHashCount = 64
+  // 128, not 64: with 4-row bands this yields 32 bands, the operating
+  // point the near-dup completeness premises state (miss < 1e-8 for a
+  // J >= 0.8 qualifying pair; 16 bands measured 2.2e-4 — a once-per-~150
+  // -runs flaky oracle mismatch). Seeds are an LCG prefix, so the first 64
+  // slots are bit-identical to the old signature.
+  val MinHashCount = 128
   private val MinHashSeeds = coeffs(MinHashCount, 42L)
 
   /** MinHash signature over pre-hashed (31-bit) shingles: one pass over the
-    * shingles, updating all 64 permutation minima.
+    * shingles, updating all permutation minima.
     *
     * Each "permutation" is xxhash64 of the shingle hash under a distinct
     * seed — a full-avalanche mix, NOT a linear (h·a + b) mod p map. The

@@ -23,7 +23,7 @@ class FunctionsSpec extends SparkSpec {
         |       size(minhash_sig(shingle_hashes(text, 3))) AS n_mh,
         |       rolling_hash_min(text, 16) AS fp
         |FROM documents WHERE doc_id = 0""".stripMargin).collect().head
-    assert(doc.getInt(1) == 64)
+    assert(doc.getInt(1) == graft.functions.Kernels.MinHashCount)
     assert(doc.getLong(0) != 0L)
   }
 
