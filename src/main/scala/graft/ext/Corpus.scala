@@ -18,19 +18,15 @@ import graft.sources.Tables
   */
 object Corpus {
 
-  /** q93: deterministic train/val/test assignment. The bucket is a pure
-    * function of the stable document id (two md5 hex chars mixed), so the
-    * split is reproducible across engines, runs, and cluster sizes, and a
-    * re-run after appending documents never moves an existing document
-    * between splits — the property that matters for decontaminated evals.
-    * 80/10/10 by bucket; reported per split with the char mass so payload
-    * skew is visible. */
   /** THE canonical train/val/test assignment — a scan-local pure function
     * of the stable document id (two md5 hex chars mixed, 80/10/10 by
-    * bucket). ONE definition on purpose: q93 reports it, the q200 funnel
-    * stages by it, q198 holds out by it, and q186 audits leakage ACROSS
-    * it — a private copy drifting in any one of them would silently audit
-    * or evaluate a split that no longer exists. */
+    * bucket), so the split is reproducible across engines, runs, and
+    * cluster sizes, and a re-run after appending documents never moves an
+    * existing document between splits — the property that matters for
+    * decontaminated evals. ONE definition on purpose: q93 reports it, the
+    * q200 funnel stages by it, q198 holds out by it, and q186 audits
+    * leakage ACROSS it — a private copy drifting in any one of them would
+    * silently audit or evaluate a split that no longer exists. */
   def splitOf(id: Column): Column = {
     val h = md5(id.cast("string"))
     val bucket =
@@ -349,10 +345,19 @@ object Corpus {
       Tables.documents(spark, dir).select($"doc_id", $"source", $"text"))
     val pref = docs
       .select($"doc_id", $"source", split($"text", "\\s+").as("t"))
-      .withColumn("p", md5(array_join(slice($"t", 1, width), " ")))
+      // Prefix fingerprint only when the doc EXCEEDS the header width:
+      // slice() on a shorter doc returns the whole doc, so width-or-less
+      // exact duplicates (normal pre-dedup) would register their entire
+      // text as a "header" and the strip accounting below would subtract
+      // a full width from docs that don't have one (negative tok_after).
+      // A sub-width doc's whole-text fingerprint can never equal a longer
+      // doc's width-token prefix (different token counts ⇒ different
+      // joined strings), so gating the fingerprint IS the pair rule.
+      .withColumn("p", when(size($"t") > width,
+        md5(array_join(slice($"t", 1, width), " "))))
     val headers = pref.groupBy($"source", $"p")
       .agg(count(lit(1)).as("df"))
-      .filter($"df" >= minDf)
+      .filter($"df" >= minDf && $"p".isNotNull)
       .select($"source", $"p", lit(1).as("is_hdr"))
     pref
       .join(broadcast(headers), Seq("source", "p"), "left")
@@ -487,31 +492,37 @@ object Corpus {
 
   /** q199: release manifest — a deterministic, order-independent content
     * fingerprint per source (and the ingredients to recompute it): the
-    * bitwise XOR of every document's 64-bit text digest, plus doc count
-    * and byte mass. Two corpus copies with ANY differing, missing, or
-    * duplicated document produce different manifests with overwhelming
-    * probability, and because XOR is commutative the fingerprint is
-    * independent of partitioning, ordering, and cluster size — the
-    * integrity artifact a dataset release ships so a consumer can verify
-    * their copy without re-downloading.
+    * mod-2³² SUM of every document's digest lanes, plus doc count and
+    * byte mass. Sum, NOT xor: xor cancels even multiplicities, so a
+    * corpus whose exact duplicates (normal pre-dedup) were pairwise
+    * corrupted the same way could fingerprint identically — a modular
+    * multiset sum changes under any doc-multiset change unless a lane
+    * contribution collides mod 2³² (2⁻⁶⁴ across the two independent
+    * lanes). Commutative, so still independent of partitioning,
+    * ordering, and cluster size — the integrity artifact a dataset
+    * release ships so a consumer can verify their copy without
+    * re-downloading.
     *
-    * Scale shape: one scan computes the digest per row; the XOR/count/sum
-    * aggregate is map-side combined on the bounded source key. The digest
-    * is carried as TWO independent 32-bit lanes (md5 hex chars 1–8 and
-    * 9–16 through the q116 u32 device) so no value ever approaches the
-    * signed-64 boundary, where overflow semantics differ between engines.
-    */
+    * Scale shape: one scan computes the digest per row; the sum/count
+    * aggregate is map-side combined on the bounded source key. Lanes are
+    * 32-bit (md5 hex chars 1–8 and 9–16 through the q116 u32 device) and
+    * the running sums ride in exact decimal(38,0) (q166/q195 device —
+    * 2³²·n_docs crosses 2⁶³ at ~4e9 docs) before the final mod folds
+    * them back into BIGINT range for the report. */
   def q199ReleaseManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def u32(from: Int): Column =
       conv(substring(md5($"text"), from, 8), 16, 10).cast("long")
+    val dec = "decimal(38,0)"
+    def lane(c: Column): Column =
+      (sum(c.cast(dec)) % lit(4294967296L)).cast("long")
     Tables.documents(spark, dir)
       .select($"source", u32(1).as("hi"), u32(9).as("lo"),
         length($"text").cast("long").as("nb"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        expr("bit_xor(hi)").as("xor_hi"),
-        expr("bit_xor(lo)").as("xor_lo"),
+        lane($"hi").as("fp_hi"),
+        lane($"lo").as("fp_lo"),
         sum($"nb").as("n_chars"))
       .orderBy($"source")
   }
@@ -545,13 +556,20 @@ object Corpus {
       && $"mfp" >= 4000L && $"mfp" <= 9000L
       && $"stop_n" * 100 >= $"n_tok" * 2)
     val wDup = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    // The dedup survivors feed FOUR branches (their stage row, the span
+    // table, the prune join, the split assignment); as a lazy frame each
+    // branch re-ran the scan+tokenize+window chain. Materialize the
+    // survivors ONCE, narrowed to the columns downstream needs — exactly
+    // what a real curation run does between stages (each stage WRITES its
+    // survivor set). q185's shared-leaf discipline; blocks are
+    // reference-tracked and freed once the result frame is garbage.
     val exact = quality.withColumn("rn", row_number().over(wDup))
-      .filter($"rn" === 1).drop("rn")
+      .filter($"rn" === 1)
+      .select($"doc_id", $"t", $"n_tok")
+      .localCheckpoint()
     val spans = exact
-      .select($"doc_id", explode(transform(
-        sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
-        b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
-        .as("h"))
+      .select($"doc_id",
+        explode(transform(Dedup.spanTexts($"t", width), t => md5(t))).as("h"))
       .distinct()
     val shared = spans.groupBy($"h").agg(count(lit(1)).as("nd"))
     val novelty = spans.join(shared, Seq("h"))
@@ -611,10 +629,8 @@ object Corpus {
           / (lit(Fp.toDouble) * $"nd"), 6).as("lang_entropy"))
     val spans = docs
       .select($"source", split($"text", "\\s+").as("t"))
-      .select($"source", explode(
-        transform(sequence(lit(0), floor((size($"t") - 1) / width).cast("int")),
-          b => md5(array_join(slice($"t", b * width + 1, lit(width)), " "))))
-        .as("h"))
+      .select($"source",
+        explode(transform(Dedup.spanTexts($"t", width), t => md5(t))).as("h"))
       .distinct()
     val nSources = spans.groupBy($"h")
       .agg(count(lit(1)).as("ns"))

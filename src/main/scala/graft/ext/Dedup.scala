@@ -1216,8 +1216,9 @@ object Dedup {
     * q184 scores per-doc novelty over them, and q165/q185 audit
     * cross-source overlap of them; the three statistics are documented
     * as mutually consistent, which only holds while they cut spans
-    * identically. */
-  private def spanTexts(tokens: Column, width: Int): Column =
+    * identically (q189's sharing column and q200's prune stage read it
+    * too — the Corpus funnel family). */
+  private[graft] def spanTexts(tokens: Column, width: Int): Column =
     transform(sequence(lit(0), floor((size(tokens) - 1) / width).cast("int")),
       b => array_join(slice(tokens, b * width + 1, lit(width)), " "))
 

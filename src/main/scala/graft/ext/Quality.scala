@@ -19,6 +19,14 @@ object Quality {
 
   private val Fp = 1000000L // 1e6 fixed-point scale for log contributions
 
+  /** Adjacent-bigram structs over a token-array column — ONE definition:
+    * q198's holdout perplexity is documented as evaluating exactly the
+    * bigram stream q115's LM filter scores, which only holds while both
+    * derive bigrams identically. */
+  private def bigramStructs(tokCol: String): String =
+    s"transform(sequence(1, size($tokCol)-1), " +
+      s"i -> struct($tokCol[i-1] AS w1, $tokCol[i] AS w2))"
+
   /** q115: bigram language-model quality scoring — train an add-one-smoothed
     * word-bigram LM on the corpus itself, then score every document by its
     * average per-bigram negative log-likelihood (the perplexity proxy the
@@ -52,8 +60,7 @@ object Quality {
     val vocab = cuni.agg(count(lit(1)).as("v"))
     val big = docs
       .filter(size($"lst") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(lst)-1), i -> struct(lst[i-1] AS w1, lst[i] AS w2))")).as("b"))
+      .select($"doc_id", explode(expr(bigramStructs("lst"))).as("b"))
       .select($"doc_id", $"b.w1", $"b.w2")
     val wBi = Window.partitionBy($"w1", $"w2")
     big
@@ -163,10 +170,14 @@ object Quality {
     val stopwords = Seq("the", "a", "of", "and", "to", "in")
     val graded = docs
       .select(col("lang"), split(col("text"), "\\s+").as("t"),
-        length(regexp_replace(col("text"), "\\s+", "")).as("nsp"))
+        length(regexp_replace(col("text"), "\\s+", "")).as("nsp"),
+        // Case-folded stopword scan — sentence-initial "The"/"In" ARE
+        // stopwords; this is also the exact rule q200's quality stage
+        // applies, so the funnel's pass set and the pipeline's stage-2
+        // survivor set cannot drift apart.
+        size(filter(split(lower(col("text")), "\\s+"),
+          x => x.isInCollection(stopwords))).as("stop_n"))
       .withColumn("n_tok", size(col("t")))
-      .withColumn("stop_n",
-        size(filter(col("t"), x => x.isInCollection(stopwords))))
       // exact integer fixed-point mean token length (×1000)
       .withColumn("mfp", expr("nsp * 1000L div n_tok"))
       .withColumn("verdict",
@@ -257,13 +268,24 @@ object Quality {
       .withColumn("c2", $"cg" - $"c1")
     val w = Window.partitionBy($"source").orderBy($"len")
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Cross-products in exact decimal(38,0), not int64 (q166/q195 device —
+    // the 245a55a audit missed this one): cum1·n2 grows ~N²/4 with corpus
+    // mass and crosses 2⁶³ at ~6e9 docs, where the wrapped abs corrupts
+    // the argmax silently. In-range values are bit-identical, so the
+    // BIGINT oracle is unchanged; d_num is cast back for the report
+    // (re-widen the report column the day a corpus actually exceeds it —
+    // the argmax and ks_d stay exact regardless).
+    val dec = "decimal(38,0)"
     grid
-      .withColumn("cum1", sum($"c1").over(w))
-      .withColumn("cum2", sum($"c2").over(w))
-      .withColumn("dnum", abs($"cum1" * $"n2" - $"cum2" * $"n1"))
+      .withColumn("cum1", sum($"c1").over(w).cast(dec))
+      .withColumn("cum2", sum($"c2").over(w).cast(dec))
+      .withColumn("dnum",
+        abs($"cum1" * $"n2".cast(dec) - $"cum2" * $"n1".cast(dec)))
       .groupBy($"source")
-      .agg(max($"n1").as("n_docs"), max($"dnum").as("d_num"),
-        round(max($"dnum").cast("double") / (max($"n1") * max($"n2")), 6)
+      .agg(max($"n1").as("n_docs"),
+        max($"dnum").cast("long").as("d_num"),
+        round(max($"dnum").cast("double")
+          / (max($"n1").cast(dec) * max($"n2").cast(dec)).cast("double"), 6)
           .as("ks_d"))
       .orderBy($"source")
   }
@@ -329,9 +351,8 @@ object Quality {
       .select(Corpus.splitOf($"doc_id").as("split"),
         expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("tk"))
       .filter(size($"tk") >= 2)
-    val bigrams = docs.select($"split", explode(expr(
-      "transform(sequence(1, size(tk) - 1), " +
-        "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("b"))
+    val bigrams = docs.select($"split",
+      explode(expr(bigramStructs("tk"))).as("b"))
       .select($"split", $"b.w1", $"b.w2")
     val train = bigrams.filter($"split" === "train")
     val cuni = train.groupBy($"w1").agg(count(lit(1)).as("c1"))

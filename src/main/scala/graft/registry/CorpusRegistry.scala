@@ -177,8 +177,10 @@ object CorpusRegistry {
         |  FROM documents
         |)
         |SELECT source, count(*) AS n_docs,
-        |  CAST(bit_xor(hi) AS BIGINT) AS xor_hi,
-        |  CAST(bit_xor(lo) AS BIGINT) AS xor_lo,
+        |  -- mod-2^32 multiset lane sums (xor cancels even multiplicities;
+        |  -- DuckDB sums BIGINT into HUGEINT, so the sum itself never wraps)
+        |  CAST(sum(hi) % 4294967296 AS BIGINT) AS fp_hi,
+        |  CAST(sum(lo) % 4294967296 AS BIGINT) AS fp_lo,
         |  CAST(sum(nb) AS BIGINT) AS n_chars
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // q198: holdout LM eval — q93's split rule, train-only counts, one
@@ -811,7 +813,8 @@ object CorpusRegistry {
         |  SELECT lang,
         |    len(regexp_split_to_array(text, '\s+')) AS n_tok,
         |    length(regexp_replace(text, '\s+', '', 'g')) AS nsp,
-        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    -- case-folded, mirroring the Spark rule (and q200's stage 2)
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
         |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop_n
         |  FROM documents
         |), v AS (

@@ -226,12 +226,16 @@ object TextRegistry {
         |      ELSE text END AS text
         |  FROM documents
         |), pref AS (
+        |  -- fingerprint only docs LONGER than the header width (mirrors
+        |  -- the Spark-side rule: sub-width duplicates are not chrome)
         |  SELECT doc_id, source, t,
-        |    md5(array_to_string(t[1:6], ' ')) AS p
+        |    CASE WHEN len(t) > 6
+        |      THEN md5(array_to_string(t[1:6], ' ')) END AS p
         |  FROM (SELECT doc_id, source,
         |          regexp_split_to_array(text, '\s+') AS t FROM docs)
         |), hdrs AS (
-        |  SELECT source, p FROM pref GROUP BY source, p HAVING count(*) >= 5
+        |  SELECT source, p FROM pref WHERE p IS NOT NULL
+        |  GROUP BY source, p HAVING count(*) >= 5
         |), marked AS (
         |  SELECT pref.source, len(pref.t) AS n_tok,
         |    (hdrs.p IS NOT NULL) AS is_hdr

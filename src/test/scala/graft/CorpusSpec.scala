@@ -345,7 +345,9 @@ class CorpusSpec extends SparkSpec {
     }
     val expected = docs.groupBy(_._1).view.mapValues { g =>
       val ls = g.map(d => lanes(d._2))
-      (g.length.toLong, ls.map(_._1).reduce(_ ^ _), ls.map(_._2).reduce(_ ^ _),
+      // mod-2^32 multiset lane sums (xor cancelled even multiplicities)
+      (g.length.toLong,
+        ls.map(_._1).sum % 4294967296L, ls.map(_._2).sum % 4294967296L,
         g.map(_._2.length.toLong).sum)
     }.toMap
     rows.foreach { r =>
