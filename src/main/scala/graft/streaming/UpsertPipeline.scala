@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -15,8 +14,8 @@ import graft.ops.{EmissionsEtl, Merge}
   *  - at-least-once delivery + idempotent merge ⇒ effectively-once results
   *    (`scripts/lambda_handler_warehouse.py:95-101`);
   *  - later-arriving files win on key conflict (the sequential per-file loop
-  *    at `:79`) — within a micro-batch, file order is imposed explicitly via
-  *    `_metadata.file_path`;
+  *    at `:79`) — within a micro-batch, ARRIVAL order is imposed explicitly
+  *    via `_metadata.file_modification_time` (path as tiebreak);
   *  - the warehouse table is readable at every point (versioned directories,
   *    latest-complete wins; a real deployment swaps in a table format's
   *    atomic commit, but the merge operator is identical).
@@ -43,22 +42,40 @@ object UpsertPipeline {
     * at-least-once + idempotent ⇒ effectively-once contract as the parquet
     * path: a re-delivered batch MERGEs to the same state. */
   def runOnceJdbc(spark: SparkSession, landingDir: String, jdbcUrl: String,
-                  checkpointDir: String): Unit = {
+                  checkpointDir: String): Unit =
+    runEtlPipeline(spark, landingDir, checkpointDir) { unique =>
+      graft.sinks.JdbcWarehouse.upsertBatch(unique, jdbcUrl)
+    }
+
+  /** The shared CSV-landing → P1-P8 transform → key-unique batch core of
+    * the upsert pipelines ([[runOnce]] and [[runOnceJdbc]] differ only in
+    * the sink — one body so the ordering/carry logic cannot diverge).
+    *
+    * "Later file wins" means ARRIVAL order, so the within-batch conflict
+    * rule orders by the file's modification time with the path as a pure
+    * tiebreak — ordering by path alone made "file_9.csv" beat a
+    * later-landed "file_10.csv" lexicographically. */
+  private def runEtlPipeline(spark: SparkSession, landingDir: String,
+                             checkpointDir: String)
+                            (sink: DataFrame => Unit): Unit = {
     implicit val s: SparkSession = spark
     val raw = spark.readStream
       .schema(EmissionsEtl.rawSchema)
       .option("header", "true")
       .option("delimiter", ",")
       .csv(landingDir)
+      .withColumn("__file_ts", col("_metadata.file_modification_time"))
       .withColumn("__file", col("_metadata.file_path"))
     val q = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val transformed = EmissionsEtl.transform(batch, carryCols = Seq("__file"))
-        val unique = Merge.latestPerKey(transformed, EmissionsEtl.mergeKeys, Seq("__file"))
-          .drop("__file")
-        graft.sinks.JdbcWarehouse.upsertBatch(unique, jdbcUrl)
+        val transformed =
+          EmissionsEtl.transform(batch, carryCols = Seq("__file_ts", "__file"))
+        val unique = Merge.latestPerKey(transformed, EmissionsEtl.mergeKeys,
+            Seq("__file_ts", "__file"))
+          .drop("__file_ts", "__file")
+        sink(unique)
         ()
       }
       .start()
@@ -99,11 +116,18 @@ object UpsertPipeline {
 
   /** Incremental-view maintenance over the event stream (the streaming form
     * of q92's refresh algebra): each micro-batch contributes PARTIAL
-    * aggregate states (count, raw sum) per (day, event_type), folded into
-    * the maintained rollup with one small groupBy — the rollup table is
-    * touched per batch, the event history is never rescanned. Combine is
-    * commutative/associative, so batch boundaries don't affect the result;
-    * the checkpoint guarantees each file folds in exactly once. */
+    * aggregate states (count, raw sum) per (day, event_type) and the
+    * maintained rollup is rebuilt from the partials with one small groupBy
+    * — the event history is never rescanned (partials are rollup-sized:
+    * bounded by days × types, not by events).
+    *
+    * Partials land batchId-KEYED (micro_batch=N dirs, overwritten on
+    * replay) — the KmeansMonitor device — because foreachBatch is
+    * at-least-once: folding a replayed batch's partial into a rollup that
+    * already contains it would double-count (an earlier form did exactly
+    * that on crash-resume: additive folds are NOT replay-idempotent; LWW
+    * merges and absolute overwrites are, which is why the sibling sinks
+    * did not need this guard). */
   def runOnceRollup(spark: SparkSession, landingDir: String, warehouseDir: String,
                     checkpointDir: String): Unit = {
     implicit val s: SparkSession = spark
@@ -116,15 +140,17 @@ object UpsertPipeline {
       .schema(EventsStream.rawSchema)
       .parquet(landingDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val partialsDir = s"$warehouseDir/_partials"
     val q = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val partial = batch
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
           .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-        val target = graft.ops.VersionedTable.read(spark, warehouseDir, rollupSchema)
-        target.unionByName(partial)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$partialsDir/micro_batch=$batchId")
+        spark.read.schema(rollupSchema).parquet(partialsDir)
           .groupBy(col("day"), col("event_type"))
           .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
           .write.mode(SaveMode.Overwrite)
@@ -139,27 +165,8 @@ object UpsertPipeline {
     * (Trigger.AvailableNow). Call repeatedly as new files land — or swap the
     * trigger for a continuous schedule; checkpointing makes either safe. */
   def runOnce(spark: SparkSession, landingDir: String, warehouseDir: String,
-              checkpointDir: String): Unit = {
-    implicit val s: SparkSession = spark
-    val raw = spark.readStream
-      .schema(EmissionsEtl.rawSchema)
-      .option("header", "true")
-      .option("delimiter", ",")
-      .csv(landingDir)
-      .withColumn("__file", col("_metadata.file_path"))
-    val q = raw.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Reference semantics: later files win. Impose file order inside the
-        // batch, make it key-unique, then merge.
-        val transformed = EmissionsEtl.transform(batch, carryCols = Seq("__file"))
-        val unique = Merge.latestPerKey(transformed, EmissionsEtl.mergeKeys, Seq("__file"))
-          .drop("__file")
-        commitBatch(spark, warehouseDir, unique)
-        ()
-      }
-      .start()
-    q.awaitTermination()
-  }
+              checkpointDir: String): Unit =
+    runEtlPipeline(spark, landingDir, checkpointDir) { unique =>
+      commitBatch(spark, warehouseDir, unique)
+    }
 }
