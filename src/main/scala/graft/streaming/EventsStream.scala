@@ -145,27 +145,35 @@ object EventsStream {
     * global watermark passes their window.
     *
     * Two mechanics make run-once parity with a batch LEFT JOIN exact:
-    * (1) the landing dir is staged as chronological slices consumed with
-    * `maxFilesPerTrigger=1`, so the watermark actually advances across
-    * micro-batches (a single batch would leave every outer null unemitted
-    * at termination); (2) a far-future sentinel click+purchase pair (user
-    * −1, filtered from the output) pushes BOTH watermarks past every real
-    * window — the production analogue is the heartbeat event every
-    * watermarked pipeline ships so quiet sources cannot stall eviction. */
+    * (1) a far-future sentinel click+purchase pair (user −1, filtered from
+    * the output) pushes BOTH watermarks past every real window — the
+    * production analogue is the heartbeat event every watermarked pipeline
+    * ships so quiet sources cannot stall eviction; (2) AvailableNow's
+    * watermark-settling no-data batch then evicts the join state and emits
+    * every withheld outer-null row before termination (the emission
+    * mechanics are pinned batch-by-batch in StreamingSpec's left-outer
+    * test). Slicing the landing dir into per-file micro-batches adds
+    * NOTHING semantically: the late-row filter applies the PREVIOUS
+    * batch's watermark, so however many staged files land in one batch,
+    * no row can be dropped as late — matched pairs join within the batch
+    * and unmatched clicks emit at the watermark exactly as in a sliced
+    * replay. One data batch + one settling batch is therefore the minimal
+    * exact replay, and each avoided micro-batch saves a fixed state-store
+    * round (~1.2 s of pure overhead here). */
   def q134StreamingLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val name = s"graft_ssjoin_${System.nanoTime()}"
     // Slice staging (TWO data slices + the far-future sentinel, stamped
     // with increasing mtimes) lives in the memoized registry — see
-    // [[graft.sources.Staged.ssjoinWatchDir]] for the mechanics and why
-    // that slicing is minimal. The staged dir is read-only, so repeated
-    // runs and other sessions share it; each extra micro-batch costs a
-    // fixed state-store round (~1.2 s here).
+    // [[graft.sources.Staged.ssjoinWatchDir]]. The staged dir is
+    // read-only, so repeated runs and other sessions share it. No
+    // maxFilesPerTrigger: all slices land in ONE data batch (exactness
+    // argued in the scaladoc above), so the run is two micro-batches
+    // total instead of four.
     val watch = graft.sources.Staged.ssjoinWatchDir(spark, dir)
     def src() = spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val clicks = src().filter($"event_type" === "click")
@@ -227,9 +235,14 @@ object EventsStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watch = graft.sources.Staged.dedupWatchDir(spark, dir)
     val outDir = graft.sources.TempDirs.create("graft_dedup_out_").toString
+    // No maxFilesPerTrigger: both deliveries land in one micro-batch.
+    // `dropDuplicatesWithinWatermark` dedups WITHIN a batch with the same
+    // first-seen-wins state it uses across batches, so the result is
+    // byte-identical however the landing dir slices into batches — the
+    // cross-batch absorption is pinned by StreamingSpec's MemoryStream
+    // dedup test; the bench path skips the extra fixed state-store round.
     val deduped = spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "45 days")
@@ -279,9 +292,11 @@ object EventsStream {
       StructField("day", DateType),
       StructField("n_events", LongType),
       StructField("sum_value", DoubleType)))
+    // No maxFilesPerTrigger (same argument as q157): update-mode emission
+    // + LWW merge make the final table identical for ANY batch slicing —
+    // one micro-batch means one state round and one version commit.
     val updates = spark.readStream
       .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(watch)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "45 days")

@@ -19,10 +19,9 @@ import graft.sources.{Staged, TempDirs}
   * hash-checked against the same ground truth as the batch path.
   *
   * Composition, all pre-existing engine pieces: file stream over the
-  * staged two-delivery embeddings dir (`maxFilesPerTrigger=1` forces one
-  * micro-batch per delivery), `foreachBatch` running the scan-local
-  * literal-centroid assignment, append sink of k-row deltas, and a final
-  * bounded aggregate over deliveries×k rows.
+  * staged two-delivery embeddings dir, `foreachBatch` running the
+  * scan-local literal-centroid assignment, append sink of k-row deltas,
+  * and a final bounded aggregate over deliveries×k rows.
   */
 object KmeansMonitor {
 
@@ -37,9 +36,13 @@ object KmeansMonitor {
     val cents = KMeans.trainCentroids(spark, dir, k, iters)
     val watch = Staged.embeddingsWatchDir(spark, dir)
     val outDir = TempDirs.create("graft_kmmon_out_").toString
+    // No maxFilesPerTrigger: per-vector scoring is batching-independent
+    // and the per-cluster deltas are exact associative sums, so one
+    // micro-batch reproduces the q166 report byte-for-byte at one fixed
+    // foreachBatch round instead of two (multi-delivery folding is pinned
+    // by KMeansSpec).
     val q = spark.readStream
       .schema(batchSchema)
-      .option("maxFilesPerTrigger", 1)
       .parquet(watch)
       .writeStream
       .option("checkpointLocation", TempDirs.create("graft_kmmon_ck_").toString)

@@ -14,9 +14,11 @@ import graft.sources.{Staged, Tables, TempDirs}
   * must never rescan (or re-shingle) the accumulated corpus.
   *
   * Composition, all pre-existing engine pieces:
-  *  - file stream source over the landing dir (`maxFilesPerTrigger=1`
-  *    forces one micro-batch per landed file — the replay is genuinely
-  *    incremental, not one big batch);
+  *  - file stream source over the landing dir (q201's learning replay
+  *    keeps `maxFilesPerTrigger=1` so each landed file is its own
+  *    micro-batch — the cross-batch matching its oracle pins needs it;
+  *    q153's history-only probe is slicing-independent and runs its
+  *    replay as one batch);
   *  - `foreachBatch` → [[graft.ext.Dedup.newNearDupsAgainstSignatureTable]]
   *    — the same zero-corpus-shuffle probe q150 uses (batch bands
   *    BROADCAST against the signature-table scan; only result-bounded
@@ -47,7 +49,7 @@ object NearDupIngest {
     StructField("doc_id", LongType), StructField("text", StringType)))
 
   /** q153: stream the deterministic q150 ingest batch through the landing
-    * dir, two micro-batches, probe each against the signature table. */
+    * dir and probe each micro-batch against the signature table. */
   def q153StreamingNearDupIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
@@ -55,9 +57,13 @@ object NearDupIngest {
     val table = Staged.minhashSignatureTable(spark, dir)
     val watch = Staged.neardupIngestWatchDir(spark, dir)
     val outDir = TempDirs.create("graft_ndingest_out_").toString
+    // No maxFilesPerTrigger: every batch row probes HISTORY only, so the
+    // union of per-micro-batch reports is independent of file slicing (the
+    // scaladoc invariant above) — one micro-batch is the cheapest exact
+    // replay. Genuinely-incremental multi-batch probing is exercised by
+    // q201 and NearDupIngestSpec.
     val q = spark.readStream
       .schema(batchSchema)
-      .option("maxFilesPerTrigger", 1)
       .parquet(watch)
       .writeStream
       .option("checkpointLocation",
