@@ -388,7 +388,8 @@ object Corpus {
     */
   def q164CooccurrencePmi(spark: SparkSession, dir: String,
                           win: Int = 3, minCount: Long = 5L,
-                          topN: Int = 30): DataFrame = {
+                          topN: Int = 30,
+                          forceLnForm: Boolean = false): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select(split($"text", "\\s+").as("tk"))
@@ -411,13 +412,29 @@ object Corpus {
       // PMI products in exact decimal(38,0) (q166/q195 device — int64
       // wrapped at the 64× fixed-vocab probe: c_ab·T² crosses 2⁶³ once
       // T ~ 2·10⁸). 10³⁸ carries exact products to ~10¹⁴-token corpora
-      // (c_ab·T² ≤ 10¹⁰·10²⁸); past that the formula's documented
-      // fallback is the log-sum form, which trades hash-exact parity for
-      // unbounded range. In-range values are bit-identical (one double
-      // rounding either way), oracle unchanged.
+      // (c_ab·T² ≤ 10¹⁰·10²⁸). Past that the LN-SUM form takes over —
+      // selected PER ROW, automatically, by a width check on the actual
+      // factors (digit counts vs 36, two digits of headroom below the
+      // decimal's 38): ln(c_ab)+2ln(T)−ln(P)−ln(c_a)−ln(c_b) has unbounded
+      // range at ~1-ulp relative error, trading the exact form's
+      // correctly-rounded single division for never overflowing. Every
+      // fixture-scale row is in range, so the oracle is untouched; the
+      // width guard sits inside when()'s short-circuit, so an out-of-range
+      // row never evaluates the decimal product (which would throw under
+      // ANSI). CorpusSpec pins ln-form ≡ exact-form on the fixture via
+      // `forceLnForm` (test-only escape hatch, never set in the registry).
       .select($"a", $"b", $"c_ab", $"c_a", $"c_b",
-        round(log(($"c_ab".cast("decimal(38,0)") * $"n_tok" * $"n_tok").cast("double")
-          / ($"n_pair".cast("decimal(38,0)") * $"c_a" * $"c_b").cast("double")), 6).as("pmi"))
+        round(
+          when(lit(!forceLnForm) &&
+              log10($"c_ab".cast("double")) + lit(2.0) * log10($"n_tok".cast("double")) < 36.0 &&
+              log10($"n_pair".cast("double")) + log10($"c_a".cast("double"))
+                + log10($"c_b".cast("double")) < 36.0,
+            log(($"c_ab".cast("decimal(38,0)") * $"n_tok" * $"n_tok").cast("double")
+              / ($"n_pair".cast("decimal(38,0)") * $"c_a" * $"c_b").cast("double")))
+          .otherwise(
+            log($"c_ab".cast("double")) + lit(2.0) * log($"n_tok".cast("double"))
+              - log($"n_pair".cast("double")) - log($"c_a".cast("double"))
+              - log($"c_b".cast("double"))), 6).as("pmi"))
       .orderBy($"c_ab".desc, $"a", $"b")
       .limit(topN)
   }

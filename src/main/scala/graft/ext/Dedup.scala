@@ -191,8 +191,15 @@ object Dedup {
     // becomes a full history scan + treeAggregate that rules nothing
     // out; the exact anti-join keeps results correct, so nothing ever
     // FAILS, the bloom pass just quietly stops paying for itself.
+    // Clamped: a history plan with NO real stats reports the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and an
+    // unclamped estimate (~1.4e17 "rows") would make bloomFilter() throw
+    // allocating the bit array. 2³³ items at fpp 0.01 is a ~10 GiB filter
+    // — already past what a broadcast prefilter should be asked to carry,
+    // and far above any estimate a REAL scan produces here.
     val estRows =
-      (h.queryExecution.optimizedPlan.stats.sizeInBytes / 64L).toLong
+      (h.queryExecution.optimizedPlan.stats.sizeInBytes / 64L)
+        .min(BigInt(1L << 33)).toLong
     val nItems = math.max(expectedHistory, estRows)
     val bloom = h.stat.bloomFilter("content_hash", nItems, fpp)
     val spark = batch.sparkSession

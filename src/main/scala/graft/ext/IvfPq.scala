@@ -43,11 +43,17 @@ object IvfPq {
     * sample's residuals. Split out so the pair can be staged as write-once
     * index state ([[graft.sources.Staged.ivfpqQuantizers]]; q99 keeps
     * training inline so the suite still times the full build). */
-  def trainQuantizers(corpus: DataFrame): (Array[Double], Array[Double]) = {
+  def trainQuantizers(corpus: DataFrame,
+                      sample: Option[Array[Array[Double]]] = None)
+      : (Array[Double], Array[Double]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
-    val train = Pq.collectBoundedSample(corpus, emb)
+    // `sample` = the pre-collected bounded draw (see Pq.trainedCodebook):
+    // Staged shares ONE collect across the PQ and IVFPQ trainers.
+    val train = sample.getOrElse {
+      val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
+      Pq.collectBoundedSample(corpus, emb)
+    }
     val coarse = Pq.trainCodebooks(train, m = 1, k = NCells, subDim = Pq.Dims)
     val residuals = train.map { v =>
       val cell = assignDriver(v, coarse)

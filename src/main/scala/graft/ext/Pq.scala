@@ -134,7 +134,7 @@ object Pq {
     * WHICH sample rows survive, so trained codebooks — and every downstream
     * code — are run-deterministic. ≤ [[MaxTrainRows]] rows (~2 MB) at any
     * corpus size. */
-  private[ext] def collectBoundedSample(corpus: DataFrame, emb: DataFrame): Array[Array[Double]] = {
+  private[graft] def collectBoundedSample(corpus: DataFrame, emb: DataFrame): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val estRowBytes = 200L
@@ -173,11 +173,19 @@ object Pq {
     * split out so the trained artifact can be staged as write-once index
     * state ([[graft.sources.Staged.pqCodebook]]; q98 keeps training inline
     * so the suite still times the full build). */
-  def trainedCodebook(corpus: DataFrame): Array[Double] = {
+  def trainedCodebook(corpus: DataFrame,
+                      sample: Option[Array[Array[Double]]] = None): Array[Double] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
-    trainCodebooks(collectBoundedSample(corpus, emb))
+    def collect() = {
+      val emb = corpus.withColumn("norm_e", Similarity.normalizeArr($"embedding"))
+      collectBoundedSample(corpus, emb)
+    }
+    // `sample` short-circuits the draw with a PRE-collected bounded sample:
+    // the PQ and IVFPQ trainers draw the IDENTICAL sample (same seed, same
+    // sorted limit), so Staged collects it once per corpus and feeds both —
+    // the codebook is bit-identical either way (AnnStagedModelSpec).
+    trainCodebooks(sample.getOrElse(collect()))
   }
 
   def annPq(corpus: DataFrame, nQueries: Int = 8, k: Int = 5,

@@ -310,6 +310,20 @@ object Similarity {
     * composite recall audit q149 reads it; q42 itself keeps training inline
     * so the suite still times the full build). Deterministic (seeded sample,
     * seeded random init), so the staged and inline models are identical. */
+  /** The sample fraction [[trainIvfModel]] draws at, from the optimizer's
+    * size estimate of the corpus scan (no count() job; estRowBytes is
+    * deliberately low so the row-count estimate errs high and the fraction
+    * low — the post-draw clamp redraws on a shortfall). Exposed so the
+    * partition-independence spec can prove its corpus actually engages the
+    * fraction < 1 sampling path. */
+  private[graft] def ivfTrainFraction(corpus: DataFrame, nCells: Int = 16): Double = {
+    val maxTrainRows = math.max(nCells * 1000, 16 * 1024)
+    val estRowBytes = 200L
+    val estRows = math.max(1L,
+      (corpus.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
+    math.min(1.0, 2.0 * maxTrainRows / estRows)
+  }
+
   def trainIvfModel(corpus: DataFrame, nCells: Int = 16)
       : org.apache.spark.ml.clustering.KMeansModel = {
     val spark = corpus.sparkSession
@@ -328,14 +342,20 @@ object Similarity {
     // cached (k-means runs several jobs over it); 2× oversampling before the
     // exact limit absorbs the row-size estimate's error.
     val maxTrainRows = math.max(nCells * 1000, 16 * 1024)
-    val estRowBytes = 200L // vec_id + 64 packed floats; deliberately low so
-                           // the row-count estimate errs high (fraction low)
-    val estRows = math.max(1L,
-      (corpus.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
     def draw(fraction: Double) = {
+      // Deterministic content-keyed draw, NOT sample(): per-partition RNG
+      // seeding makes sample() depend on scan partitioning, so for corpora
+      // large enough that fraction < 1 the trained centroids would vary
+      // with session conf (maxPartitionBytes, file layout) — breaking the
+      // "trained model is a pure value of the corpus" contract behind
+      // Staged.ivfModel. A hash filter on the key admits exactly the same
+      // rows under ANY partitioning (pinned by AnnStagedModelSpec's
+      // above-the-cap partition-independence test).
       val sampled =
         if (fraction >= 1.0) featurized
-        else featurized.sample(withReplacement = false, fraction, seed = 7L)
+        else featurized.filter(
+          pmod(xxhash64($"vec_id", lit(7)), lit(1000000L)) <
+            (fraction * 1e6).toLong)
       // orderBy before the limit (the Pq.collectBoundedSample discipline):
       // a bare limit takes whichever sampled rows arrive first, which
       // depends on scan partitioning — i.e. on session conf — so the
@@ -348,7 +368,7 @@ object Similarity {
       sampled.orderBy($"vec_id").limit(maxTrainRows)
         .select($"features").repartition(8).cache()
     }
-    val fraction = math.min(1.0, 2.0 * maxTrainRows / estRows)
+    val fraction = ivfTrainFraction(corpus, nCells)
     // Clamp AFTER the draw: the size-based row estimate can undershoot when
     // actual bytes/row exceed ~2× estRowBytes (wider embeddings, page
     // overhead), which would silently train on too few points. count() here

@@ -172,6 +172,11 @@ object Analytics {
     * cardinality estimation. No DuckDB oracle (different sketch) — driver
     * records a rows-only check; the exact/approx agreement is unit-tested.
     *
+    * CONTRACT (since round 12): this query's error bound is 2% rsd — a
+    * shipped-result semantic, not an internal tuning knob. Callers who
+    * need the 1% class must use the DataSketches kernel path (q118/q138)
+    * rather than tightening this rsd back.
+    *
     * rsd 0.02, not 0.01, and deliberately: the built-in
     * `approx_count_distinct` carries its 2^p-register sketch as ~2^p/6
     * individual LONG COLUMNS in the aggregation buffer, so analyzer/

@@ -188,10 +188,24 @@ object Staged {
       graft.ext.Similarity.trainIvfModel(Tables.embeddings(spark, dir))
     }
 
+  /** ONE bounded training sample per corpus, shared by the PQ and IVFPQ
+    * trainers below — both draw the identical (seeded, sorted-limit)
+    * sample, so collecting it twice was pure duplicate scan work. ~2 MB
+    * driver-side; artifacts are bit-identical to inline training
+    * (AnnStagedModelSpec). */
+  private def annSample(spark: SparkSession, dir: String): Array[Array[Double]] =
+    getOrStage(s"ann_sample:$dir") {
+      val corpus = Tables.embeddings(spark, dir)
+      val emb = corpus.withColumn("norm_e",
+        graft.ext.Similarity.normalizeArr(col("embedding")))
+      graft.ext.Pq.collectBoundedSample(corpus, emb)
+    }
+
   /** See [[ivfModel]]: the staged PQ codebook (q98's trainer). */
   def pqCodebook(spark: SparkSession, dir: String): Array[Double] =
     getOrStage(s"pq_codebook:$dir") {
-      graft.ext.Pq.trainedCodebook(Tables.embeddings(spark, dir))
+      graft.ext.Pq.trainedCodebook(Tables.embeddings(spark, dir),
+        sample = Some(annSample(spark, dir)))
     }
 
   /** See [[ivfModel]]: the staged IVFPQ (coarse, residual-codebook) pair
@@ -199,7 +213,8 @@ object Staged {
   def ivfpqQuantizers(spark: SparkSession, dir: String)
       : (Array[Double], Array[Double]) =
     getOrStage(s"ivfpq_quantizers:$dir") {
-      graft.ext.IvfPq.trainQuantizers(Tables.embeddings(spark, dir))
+      graft.ext.IvfPq.trainQuantizers(Tables.embeddings(spark, dir),
+        sample = Some(annSample(spark, dir)))
     }
 
   /** q108's materialized view: the (l_returnflag, l_linestatus) rollup of

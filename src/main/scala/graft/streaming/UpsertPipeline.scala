@@ -115,19 +115,27 @@ object UpsertPipeline {
   }
 
   /** Incremental-view maintenance over the event stream (the streaming form
-    * of q92's refresh algebra): each micro-batch contributes PARTIAL
-    * aggregate states (count, raw sum) per (day, event_type) and the
-    * maintained rollup is rebuilt from the partials with one small groupBy
-    * — the event history is never rescanned (partials are rollup-sized:
-    * bounded by days × types, not by events).
+    * of q92's refresh algebra): each micro-batch folds its PARTIAL
+    * aggregate state (count, raw sum) per (day, event_type) into a
+    * CUMULATIVE partial, and the maintained rollup is that cumulative
+    * state finalized — the event history is never rescanned (partials are
+    * rollup-sized: bounded by days × types, not by events).
     *
-    * Partials land batchId-KEYED (micro_batch=N dirs, overwritten on
+    * Cumulative dirs are batchId-KEYED (micro_batch=N, overwritten on
     * replay) — the KmeansMonitor device — because foreachBatch is
-    * at-least-once: folding a replayed batch's partial into a rollup that
+    * at-least-once: folding a replayed batch's partial into state that
     * already contains it would double-count (an earlier form did exactly
-    * that on crash-resume: additive folds are NOT replay-idempotent; LWW
-    * merges and absolute overwrites are, which is why the sibling sinks
-    * did not need this guard). */
+    * that on crash-resume: additive folds are NOT replay-idempotent).
+    * Batch N reads ONLY the newest dir strictly below N (so a replayed
+    * attempt's own half-written dir is never its input) and writes dir N
+    * = that state + its own partial; per-batch cost is therefore O(rollup
+    * size), not O(#batches) — the pre-round-13 form re-read EVERY
+    * micro_batch=* dir per batch and never pruned, so a long-running
+    * deployment accrued one dir per batch forever. Dirs strictly below
+    * the fold source are garbage: every future read (including a replay
+    * of N) needs at most the newest-below-N dir, so they are deleted
+    * after the fold — a crash mid-delete just leaves stragglers for the
+    * next batch's sweep. */
   def runOnceRollup(spark: SparkSession, landingDir: String, warehouseDir: String,
                     checkpointDir: String): Unit = {
     implicit val s: SparkSession = spark
@@ -145,16 +153,43 @@ object UpsertPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch
+        val root = new org.apache.hadoop.fs.Path(partialsDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Cumulative dirs strictly below this batch (a half-written dir
+        // from a crashed attempt of THIS batch id must not feed itself).
+        val existing: Seq[Long] =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .collect { case s if s.startsWith("micro_batch=") =>
+              s.stripPrefix("micro_batch=").toLong }
+            .filter(_ < batchId)
+        val batchPartial = batch
           .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-          .write.mode(SaveMode.Overwrite)
+        val foldFrom = existing.maxOption
+        val cumulative = foldFrom match {
+          case None => batchPartial
+          case Some(m) =>
+            spark.read.schema(rollupSchema)
+              .parquet(s"$partialsDir/micro_batch=$m")
+              .unionByName(batchPartial)
+              .groupBy(col("day"), col("event_type"))
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("sum_value")).as("sum_value"))
+        }
+        cumulative.write.mode(SaveMode.Overwrite)
           .parquet(s"$partialsDir/micro_batch=$batchId")
-        spark.read.schema(rollupSchema).parquet(partialsDir)
-          .groupBy(col("day"), col("event_type"))
-          .agg(sum(col("n_events")).as("n_events"), sum(col("sum_value")).as("sum_value"))
+        spark.read.schema(rollupSchema)
+          .parquet(s"$partialsDir/micro_batch=$batchId")
           .write.mode(SaveMode.Overwrite)
           .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
+        // GC below the fold source; the source itself must survive until
+        // this batch's checkpoint commit (a replay of batchId reads it).
+        foldFrom.foreach { m =>
+          existing.filter(_ < m).foreach { k =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$partialsDir/micro_batch=$k"), true)
+          }
+        }
         ()
       }
       .start()

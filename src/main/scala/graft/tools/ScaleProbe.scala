@@ -220,8 +220,20 @@ object ScaleProbe {
       "q199_release_manifest",
       // curation funnel: each stage's own shuffles, bounded summaries
       "q200_curation_pipeline")
+    // SPARK_GRAFT_PROBE_ALL=1 widens the sweep from the annotated headline
+    // set to EVERY registered query — the round-13 "entire suite clears
+    // the third octave" measurement. The ~110 extra rows are mostly
+    // relational/window shapes over the replicated lineitem/orders/events;
+    // the graph queries (q109/q117) run against the shared dir whose dims
+    // are deliberately held constant, so their all-sweep ratios read ~1×
+    // by construction — their honest scaling is the dedicated graph probe
+    // below.
+    val universe =
+      if (sys.env.get("SPARK_GRAFT_PROBE_ALL").contains("1"))
+        graft.SparkEntry.queries.keys.toSeq.sorted
+      else allHeadline
     // Focused re-probe: pass query names as args to probe only those.
-    val headline = if (args.nonEmpty) allHeadline.filter(args.contains) else allHeadline
+    val headline = if (args.nonEmpty) universe.filter(args.contains) else universe
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -39,20 +39,29 @@ class AnnStagedModelSpec extends SparkSpec {
   test("IVF training is partition-independent: different partitioning " +
     "of a corpus LARGER than the training cap trains the identical model") {
     // The staged-model contract: the trained model is a pure value of the
-    // corpus. A bare sample().limit() draw broke this — WHICH rows
-    // survived depended on scan partitioning — but only bites once the
-    // corpus exceeds maxTrainRows (16384; every parquet fixture is
-    // smaller, so a fixture-backed test would pass even with the bug).
-    // Synthesize 34 replicas (17k rows) with per-replica-scaled vectors
-    // so replica identity is visible in the centroids, and train under
-    // 2-partition and 64-partition layouts of the same rows.
+    // corpus. Two historical traps, both pinned here:
+    //  - a bare limit() takes whichever rows arrive first (partitioning-
+    //    dependent) — fixed by the sorted limit;
+    //  - sample()'s per-partition RNG seeding makes WHICH rows pass the
+    //    pre-limit filter depend on scan partitioning — fixed by the
+    //    deterministic xxhash64(vec_id) draw. That path only engages once
+    //    the size estimate puts the corpus above 2×maxTrainRows (32768
+    //    estimated rows), so the corpus here is replicated until the
+    //    ACTUAL computed fraction is < 1 — asserted, not assumed (the
+    //    round-12 version of this test resolved fraction = 1.0 and never
+    //    exercised the sampling draw).
+    // Per-replica-scaled vectors make replica identity visible in the
+    // centroids; train under 2- and 64-partition layouts of the same rows.
     import org.apache.spark.sql.functions._
     val base = graft.sources.Tables.embeddings(spark, sf0001)
-    val big = (0 until 34).map { r =>
+    val big = (0 until 80).map { r =>
       base.select((col("vec_id") + r * 1000000L).as("vec_id"),
         transform(col("embedding"),
           x => x * lit(1.0f + r / 100.0f)).as("embedding"))
     }.reduce(_ unionByName _)
+    val fraction = Similarity.ivfTrainFraction(big)
+    assert(fraction < 1.0,
+      s"test corpus must engage the sampling draw, got fraction=$fraction")
     def centers(parts: Int) =
       Similarity.trainIvfModel(big.repartition(parts)).clusterCenters
         .map(_.toArray.toSeq).toSeq

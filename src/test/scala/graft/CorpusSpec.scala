@@ -167,6 +167,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q164: the overflow-proof ln-sum form equals the exact decimal form on the fixture") {
+    // The automatic per-row width guard switches to
+    // ln(c_ab)+2ln(T)−ln(P)−ln(c_a)−ln(c_b) once the exact decimal(38,0)
+    // products would saturate (~10¹⁴ tokens — one order above the 100 TB
+    // design point). No fixture can reach that scale, so the fallback is
+    // pinned the only way it can be: force it and assert the rounded PMI
+    // of EVERY reported pair is identical to the exact form's — i.e. at
+    // any in-range scale the two forms agree to the reported precision,
+    // so the automatic switch is seamless where both are defined.
+    val exact = Corpus.q164CooccurrencePmi(spark, sf0001).collect()
+    val lnForm = Corpus.q164CooccurrencePmi(spark, sf0001, forceLnForm = true).collect()
+    assert(exact.length == 30 && lnForm.length == 30)
+    exact.zip(lnForm).foreach { case (e, l) =>
+      assert(e.getString(0) == l.getString(0) && e.getString(1) == l.getString(1),
+        s"row order diverged: ${e.toSeq} vs ${l.toSeq}")
+      assert(e.getDouble(5) == l.getDouble(5),
+        s"ln-form pmi ${l.getDouble(5)} != exact ${e.getDouble(5)} for ${e.toSeq}")
+    }
+  }
+
   test("q169: vocab-growth curve conserves totals and is cumulative-consistent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -13,6 +13,50 @@ class ExtSpec extends SparkSpec {
     assert(out.length == 500) // 500 distinct texts remain canonical
   }
 
+  test("MinHash band geometry: bands×rows == signature length and the " +
+    "J≥0.8 miss bound stays ≤ 1e-6") {
+    // Round 12's review caught a silent 128/32 → 64/16 drift that degraded
+    // the J=0.8 all-bands-miss probability to ~2.2e-4 (one flaky oracle
+    // row per ~150 runs). This pins the two invariants every completeness
+    // premise in Dedup.scala states, COMPUTED from the constants so any
+    // future band/signature refactor must re-satisfy them or fail here:
+    //  - the band layout tiles the signature exactly (integer division in
+    //    RowsPerBand would silently drop tail hashes otherwise);
+    //  - the implied miss probability (1 − J^r)^b at J = 0.8 is ≤ 1e-6
+    //    (the old 64/16 geometry fails this at 2.2e-4).
+    assert(Dedup.NumBands * Dedup.RowsPerBand == Dedup.NumHashes,
+      s"band layout ${Dedup.NumBands}×${Dedup.RowsPerBand} does not tile " +
+        s"the ${Dedup.NumHashes}-hash signature")
+    assert(Dedup.NumHashes == graft.functions.Kernels.MinHashCount,
+      "Dedup band constants and the codegen'd MinHash kernel width drifted apart")
+    val missAtJ08 =
+      math.pow(1.0 - math.pow(0.8, Dedup.RowsPerBand), Dedup.NumBands)
+    assert(missAtJ08 <= 1e-6,
+      f"geometry ${Dedup.NumBands}x${Dedup.RowsPerBand} misses a J=0.8 " +
+        f"pair with p=$missAtJ08%.2e > 1e-6")
+  }
+
+  test("bloom prefilter survives a stats-less history plan (defaultSizeInBytes sentinel)") {
+    // An RDD-backed plan has no real size stats: LogicalRDD reports the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and an
+    // unclamped sizeInBytes/64 estimate (~1.4e17 "items") made
+    // stat.bloomFilter throw on bit-array allocation — a working call
+    // turned crash purely by losing stats. The clamp caps the estimate;
+    // expectedHistory stays the floor. Results must equal the
+    // stats-backed path's.
+    import spark.implicits._
+    val historyLocal = Seq("alpha", "beta", "gamma").toDF("text")
+    val historyNoStats = spark.createDataFrame(
+      historyLocal.rdd, historyLocal.schema)
+    val batch = Seq((1L, "alpha"), (2L, "delta"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    def ids(h: org.apache.spark.sql.DataFrame) =
+      Dedup.newAgainstHistory(h, batch, expectedHistory = 100L)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(historyNoStats) == Seq(2L), "new-vs-history must dedup exactly")
+    assert(ids(historyNoStats) == ids(historyLocal))
+  }
+
   test("q144 companion oracle: planted exact copies fingerprint equal") {
     val out = TextAnalysis.q144FingerprintPlanted(spark, sf0001).collect()
     assert(out.length == 25)

@@ -123,6 +123,24 @@ class UpsertPipelineSpec extends SparkSpec {
     assert(rollup == Map(
       ("2024-01-01 00:00:00.0", "click") -> ((3L, 12.0)),
       ("2024-01-02 00:00:00.0", "view") -> ((2L, 20.0))))
+    // Compaction: each batch folds the previous cumulative partial and
+    // GCs everything below it, so the partials dir holds at most the
+    // fold source + the newest dir — NOT one dir per batch forever (the
+    // unbounded-growth shape this replaced). Two batches ran, so: dir 1
+    // (cumulative through batch 1) plus batch 0's dir, which batch 1
+    // keeps as its replay fold-source.
+    import scala.jdk.CollectionConverters._
+    val partialDirs = Files.list(java.nio.file.Paths.get(warehouse, "_partials"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("micro_batch=")).toSeq
+    assert(partialDirs.toSet == Set("micro_batch=0", "micro_batch=1"),
+      s"expected exactly the fold-source and newest cumulative dirs, got $partialDirs")
+    // The newest cumulative dir IS the rollup — bounded by days×types.
+    val cum = spark.read.schema(rollupSchema)
+      .parquet(s"$warehouse/_partials/micro_batch=1").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(cum == rollup.map(identity))
   }
 
   test("within one batch, the later file wins on key conflict") {
