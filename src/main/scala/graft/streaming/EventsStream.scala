@@ -42,7 +42,7 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
-    val q = startPinned(spark) {
+    val q = startPinned(spark, pinnedPartitionsFor(spark, watchDir)) {
       stream.writeStream
         .outputMode("complete")
         .format("memory")
@@ -96,6 +96,24 @@ object EventsStream {
     }
   }
 
+  /** State partitioning sized to the landing dir, for [[startPinned]]:
+    * design rule #6 ("partitions scale with data volume") applied to
+    * streaming state. The fixed pin of 4 is right at bench scale (the
+    * fixture stages ~2 MB and per-partition state-store overhead dwarfs
+    * the data), but a 64× replay through the same 4 state instances
+    * serializes tens of millions of state rows — the round-13 full-suite
+    * octave read q82 at 24× from exactly that. One FS metadata call, no
+    * data read; bench-scale dirs still resolve to 4, so pinned-partition
+    * results and timings are unchanged there. */
+  private def pinnedPartitionsFor(spark: SparkSession, watchDir: String): Int = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(watchDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => 0L }
+    math.max(4, math.min(32, (bytes / (8L << 20)).toInt))
+  }
+
   /** Sessionization as a streaming query — session windows (30-minute gap)
     * over the same file-arrival source, identical result (and DuckDB oracle)
     * to the batch q24. Session state is merged across micro-batches by the
@@ -103,11 +121,19 @@ object EventsStream {
     * run-once parity check possible (every session emitted at termination);
     * it retains all window state, so a CONTINUOUS production run would use
     * append/update mode instead, where the watermark evicts closed
-    * sessions and bounds state. */
+    * sessions and bounds state.
+    *
+    * The sink is `foreachBatch` → overwrite-parquet, NOT a memory sink:
+    * this result is CORPUS-SIZED (one row per user-session), and a memory
+    * sink funnels it through a single-threaded driver collect — the
+    * round-13 64× octave read q82 at ~50 s with the collect dominating.
+    * foreachBatch receives the complete result per trigger and writes it
+    * distributed; the bounded-result streams (q23's hourly grid) keep the
+    * memory sink. */
   def q82StreamingSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_sessions_${System.nanoTime()}"
+    val outDir = graft.sources.TempDirs.create("graft_sessions_out_").toString
     val watchDir = graft.sources.Staged.eventsWatchDir(spark, dir)
     val stream = spark.readStream
       .schema(rawSchema)
@@ -120,20 +146,25 @@ object EventsStream {
       // the plain 30-minute gap is exact.
       .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
-    val q = startPinned(spark) {
+    val q = startPinned(spark, pinnedPartitionsFor(spark, watchDir)) {
       stream.writeStream
         .outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        .option("checkpointLocation",
+          graft.sources.TempDirs.create("graft_sessions_ck_").toString)
         .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // Complete mode hands each trigger the FULL result; overwrite
+          // makes the last trigger's write the final answer (and a
+          // replayed trigger idempotent).
+          b.write.mode("overwrite").parquet(outDir)
+        }
         .start()
     }
     q.awaitTermination()
-    drainMemorySink(spark, name) { t =>
-      t.select($"user_id", unix_timestamp($"w.start").as("session_start_s"),
-          $"n_events", $"sum_value")
-        .orderBy($"user_id", $"session_start_s")
-    }
+    spark.read.parquet(outDir)
+      .select($"user_id", unix_timestamp($"w.start").as("session_start_s"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start_s")
   }
 
   /** q134: stream-stream LEFT OUTER interval join as a run-once query with
@@ -196,7 +227,7 @@ object EventsStream {
     // default stays. On a CONTINUOUS deployment with millions of in-flight
     // keys, RocksDB is the right provider (off-heap state, incremental
     // snapshots, changelog checkpointing) — flip `stateProvider` there.
-    val q = startPinned(spark) {
+    val q = startPinned(spark, pinnedPartitionsFor(spark, watch)) {
       joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -247,7 +278,7 @@ object EventsStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "45 days")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = startPinned(spark) {
+    val q = startPinned(spark, pinnedPartitionsFor(spark, watch)) {
       deduped.writeStream
         .outputMode("append")
         .format("parquet")
@@ -303,7 +334,7 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy($"event_type", to_date($"ts").as("day"))
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
-    val q = startPinned(spark) {
+    val q = startPinned(spark, pinnedPartitionsFor(spark, watch)) {
       updates.writeStream
         .outputMode("update")
         .option("checkpointLocation",
