@@ -168,7 +168,15 @@ object Bench {
     // contention both inflate together instead of serially compounding.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val prepPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    // Daemon thread: the pool is shut down on the normal path below, but
+    // if the warmup/await path ever throws, a non-daemon prep thread
+    // would keep the JVM alive forever (main ends with spark.stop(), no
+    // sys.exit) — the harness run would hang instead of failing fast.
+    val prepPool = java.util.concurrent.Executors.newFixedThreadPool(1, r => {
+      val t = new Thread(r, "bench-prepare")
+      t.setDaemon(true)
+      t
+    })
     val prepFuture = {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(prepPool)
       val t0 = System.nanoTime()

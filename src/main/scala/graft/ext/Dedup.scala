@@ -192,14 +192,22 @@ object Dedup {
     // out; the exact anti-join keeps results correct, so nothing ever
     // FAILS, the bloom pass just quietly stops paying for itself.
     // Clamped: a history plan with NO real stats reports the
-    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and an
-    // unclamped estimate (~1.4e17 "rows") would make bloomFilter() throw
-    // allocating the bit array. 2³³ items at fpp 0.01 is a ~10 GiB filter
-    // — already past what a broadcast prefilter should be asked to carry,
-    // and far above any estimate a REAL scan produces here.
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), i.e. an
+    // estimate of ~1.4e17 "rows". On Spark 4.1.2 `stat.bloomFilter`
+    // routes through BloomFilterAggregate, whose numItems/numBits are
+    // THEMSELVES silently Math.min-capped by the
+    // `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    // confs (defaults 4e6 items / 2²⁶ bits) — so the sentinel never
+    // crashed here, it silently built a saturated 8 MB filter whose
+    // realized fpp→1 turns the prefilter into a no-op. The clamp keeps
+    // the REQUEST inside what a broadcast prefilter should carry (2²⁶
+    // items ≈ 80 MB of bits at fpp 0.01) so the sizing stays sane even
+    // where those runtime caps are raised, and the sentinel case falls
+    // back to the caller's expectedHistory-bounded floor semantics
+    // rather than an absurd 1e17 request.
     val estRows =
       (h.queryExecution.optimizedPlan.stats.sizeInBytes / 64L)
-        .min(BigInt(1L << 33)).toLong
+        .min(BigInt(1L << 26)).toLong
     val nItems = math.max(expectedHistory, estRows)
     val bloom = h.stat.bloomFilter("content_hash", nItems, fpp)
     val spark = batch.sparkSession

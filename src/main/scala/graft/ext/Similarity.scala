@@ -351,11 +351,17 @@ object Similarity {
       // Staged.ivfModel. A hash filter on the key admits exactly the same
       // rows under ANY partitioning (pinned by AnnStagedModelSpec's
       // above-the-cap partition-independence test).
+      // Threshold floor of 1: a bare (fraction * 1e6).toLong truncates to
+      // ZERO once fraction < 1e-6 (estimated corpus > ~6.5 TB — inside the
+      // design envelope), admitting no rows and burning a full corpus scan
+      // to draw an empty set; with ceil+floor the draw degrades to "admit
+      // ~1 in a million" instead of cliffing, and the sorted limit still
+      // caps the yield.
       val sampled =
         if (fraction >= 1.0) featurized
         else featurized.filter(
           pmod(xxhash64($"vec_id", lit(7)), lit(1000000L)) <
-            (fraction * 1e6).toLong)
+            math.max(1L, math.ceil(fraction * 1e6).toLong))
       // orderBy before the limit (the Pq.collectBoundedSample discipline):
       // a bare limit takes whichever sampled rows arrive first, which
       // depends on scan partitioning — i.e. on session conf — so the

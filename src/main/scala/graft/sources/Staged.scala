@@ -59,9 +59,15 @@ object Staged {
     * session's JVM-unique UUID ([[Tables.sessionKey]], the same graftshim
     * key): identityHashCode of the catalog (the pre-round-10 key) can be
     * REUSED after a session is GC'd, silently sharing a staged table across
-    * unrelated catalogs. Sessions that do share a catalog now rebuild
-    * (drop + rewrite, idempotent) instead of sharing — a little extra work
-    * in exchange for a collision that can't happen. */
+    * unrelated catalogs.
+    *
+    * The session key is ALSO baked into the table NAME (round 13): two
+    * sessions that DO share an ExternalCatalog (`spark.newSession()` —
+    * e.g. Bench's warmup clone racing the now-overlapped prepare at the
+    * same dir) previously drop-and-rewrote the same dir-keyed name
+    * concurrently, each able to delete the other's files mid-write.
+    * Session-keyed names make concurrent stagings write DISTINCT tables —
+    * a little extra storage in exchange for a race that can't happen. */
   private def catalogId(spark: SparkSession): String = Tables.sessionKey(spark)
 
   /** Scan-parallelism re-staging: file count per table for
@@ -131,7 +137,7 @@ object Staged {
     * as a bucketed, bucket-sorted catalog table. Returns the table name. */
   def historyHashTable(spark: SparkSession, dir: String): String =
     getOrStage(s"hist_hashes:${catalogId(spark)}:$dir") {
-      val name = s"graft_hist_hashes_${tag(dir)}"
+      val name = s"graft_hist_hashes_${tag(s"${catalogId(spark)}:$dir")}"
       val (history, _) = graft.ext.Dedup.incrementalDedupFixture(spark, dir)
       graft.ext.Dedup.writeHistoryHashes(history, name, buckets = 16)
       name
@@ -142,7 +148,7 @@ object Staged {
     * ([[graft.ext.Dedup.writeSignatureTable]]). Returns the table name. */
   def minhashSignatureTable(spark: SparkSession, dir: String): String =
     getOrStage(s"minhash_sigs:${catalogId(spark)}:$dir") {
-      val name = s"graft_minhash_sigs_${tag(dir)}"
+      val name = s"graft_minhash_sigs_${tag(s"${catalogId(spark)}:$dir")}"
       val corpus = graft.ext.Dedup.withPlantedNear(
         Tables.documents(spark, dir), 20)
       graft.ext.Dedup.writeSignatureTable(corpus, name, buckets = 16)
@@ -168,7 +174,7 @@ object Staged {
     * of the plain embeddings table. */
   def embeddingSigTable(spark: SparkSession, dir: String): String =
     getOrStage(s"embedding_sigs:${catalogId(spark)}:$dir") {
-      val name = s"graft_embedding_sigs_${tag(dir)}"
+      val name = s"graft_embedding_sigs_${tag(s"${catalogId(spark)}:$dir")}"
       graft.ext.Similarity.writeEmbeddingSigTable(
         Tables.embeddings(spark, dir), name)
       name
@@ -222,7 +228,7 @@ object Staged {
     * name (registration is the useful effect). */
   def mv108Rollup(spark: SparkSession, dir: String): String =
     getOrStage(s"mv108:${catalogId(spark)}:$dir") {
-      val name = s"q108_rollup_${tag(dir)}"
+      val name = s"q108_rollup_${tag(s"${catalogId(spark)}:$dir")}"
       val mvDir = TempDirs.create("graft_mv108_").toString + "/rollup"
       graft.plans.MvRewrite.defineRollup(spark, name, s"$dir/lineitem.parquet",
         mvDir, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_extendedprice"))
@@ -260,10 +266,14 @@ object Staged {
     }
 
   /** q134's landing dir: events + far-future sentinel staged as three
-    * chronological slice files with strictly increasing mtimes, so a
-    * `maxFilesPerTrigger=1` replay is provably chronological. Returns the
-    * watch dir (read-only, shareable). See q134's scaladoc for why TWO data
-    * slices + the sentinel is the right slicing. */
+    * slice files with strictly increasing mtimes. q134 now consumes the
+    * whole dir in ONE data batch (round 13 — see its scaladoc for why a
+    * single batch is exact), so the slicing/mtime machinery is no longer
+    * load-bearing for it; both are kept because they cost nothing, keep
+    * the dir consumable by any per-file (`maxFilesPerTrigger=1`) reader
+    * a test or future query may point here, and make such a replay
+    * provably chronological. Returns the watch dir (read-only,
+    * shareable). */
   def ssjoinWatchDir(spark: SparkSession, dir: String): String =
     getOrStage(s"ssjoin_watch:$dir") {
       import spark.implicits._
@@ -325,11 +335,12 @@ object Staged {
 
   /** q153's landing dir: the deterministic incremental near-dup ingest
     * batch ([[graft.ext.Dedup.incrementalNearDupBatch]]) staged as two
-    * slice files with strictly increasing mtimes, so a
-    * `maxFilesPerTrigger=1` stream replays it as two micro-batches. The
-    * slice split (doc_id parity) is arbitrary: every batch row is checked
-    * against HISTORY only, so the union of per-micro-batch results is
-    * independent of how the batch lands in files. */
+    * slice files with strictly increasing mtimes. The slice split
+    * (doc_id parity) is arbitrary: every batch row is checked against
+    * HISTORY only, so the result is independent of how the batch lands
+    * in files — which is exactly why q153 now consumes the dir in one
+    * batch (round 13); the two-file layout and mtimes stay for any
+    * per-file replay (SemDedupSpec pins the layout). */
   def neardupIngestWatchDir(spark: SparkSession, dir: String): String =
     getOrStage(s"ndingest_watch:$dir") {
       val watch = TempDirs.create("graft_ndingest_")
@@ -457,9 +468,11 @@ object Staged {
   /** q157's landing dir: events staged as two chronological slices where
     * the SECOND slice re-delivers every 7th event of the first — the
     * at-least-once delivery duplication (source retries, upstream replays)
-    * that streaming exact-dedup exists to absorb. Mtimes strictly increase
-    * so `maxFilesPerTrigger=1` replays original-then-redelivery in order.
-    * Read-only, shareable. */
+    * that streaming exact-dedup exists to absorb. q157/q162 consume both
+    * deliveries in one batch since round 13 (dedup state is
+    * first-seen-wins within a batch too, so the result is
+    * slicing-independent); mtimes still strictly increase so a per-file
+    * replay stays original-then-redelivery. Read-only, shareable. */
   def dedupWatchDir(spark: SparkSession, dir: String): String =
     getOrStage(s"dedup_watch:$dir") {
       import spark.implicits._
@@ -508,11 +521,12 @@ object Staged {
     }
 
   /** Two-slice single-file-per-delivery staging of the embeddings table
-    * (slice = vec_id mod 2), for the streaming k-means monitor (q176):
-    * each delivery becomes one micro-batch under `maxFilesPerTrigger=1`,
-    * and because per-vector work is independent the union of micro-batch
-    * reports equals the one-shot batch result however the table is
-    * sliced. mtimes order the deliveries deterministically. */
+    * (slice = vec_id mod 2), for the streaming k-means monitor (q176).
+    * Per-vector work is independent and the per-cluster deltas are exact
+    * associative sums, so the folded report is identical however the
+    * table slices into micro-batches — q176 reads it as one batch since
+    * round 13; the layout and deterministic mtimes stay for per-file
+    * replays (KMeansSpec pins multi-delivery folding). */
   def embeddingsWatchDir(spark: SparkSession, dir: String): String =
     getOrStage(s"embeddings_watch:$dir") {
       import spark.implicits._

@@ -176,13 +176,21 @@ class CorpusSpec extends SparkSpec {
     // of EVERY reported pair is identical to the exact form's — i.e. at
     // any in-range scale the two forms agree to the reported precision,
     // so the automatic switch is seamless where both are defined.
+    //
+    // Tolerance of ONE 6-decimal rounding step, not bit-equality: the two
+    // forms differ by ~1-2 ulp pre-rounding (one division+log vs five
+    // summed logs), so a pair whose PMI sits within that of a x.xxxxx5
+    // boundary can legitimately round one step apart — a fixture
+    // regeneration or a platform with a different 1-ulp Math.log must not
+    // turn that into a spurious suite failure. (On the current fixture
+    // every pair is in fact bit-equal after rounding.)
     val exact = Corpus.q164CooccurrencePmi(spark, sf0001).collect()
     val lnForm = Corpus.q164CooccurrencePmi(spark, sf0001, forceLnForm = true).collect()
     assert(exact.length == 30 && lnForm.length == 30)
     exact.zip(lnForm).foreach { case (e, l) =>
       assert(e.getString(0) == l.getString(0) && e.getString(1) == l.getString(1),
         s"row order diverged: ${e.toSeq} vs ${l.toSeq}")
-      assert(e.getDouble(5) == l.getDouble(5),
+      assert(math.abs(e.getDouble(5) - l.getDouble(5)) <= 1.0000001e-6,
         s"ln-form pmi ${l.getDouble(5)} != exact ${e.getDouble(5)} for ${e.toSeq}")
     }
   }

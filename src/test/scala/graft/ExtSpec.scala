@@ -38,12 +38,17 @@ class ExtSpec extends SparkSpec {
 
   test("bloom prefilter survives a stats-less history plan (defaultSizeInBytes sentinel)") {
     // An RDD-backed plan has no real size stats: LogicalRDD reports the
-    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and an
-    // unclamped sizeInBytes/64 estimate (~1.4e17 "items") made
-    // stat.bloomFilter throw on bit-array allocation — a working call
-    // turned crash purely by losing stats. The clamp caps the estimate;
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), so the
+    // unclamped sizeInBytes/64 estimate asked bloomFilter for ~1.4e17
+    // items. Spark 4.1.2's BloomFilterAggregate silently Math.min-caps
+    // that against the runtime bloom-filter confs (4e6 items / 2^26 bits
+    // by default), yielding a saturated filter whose realized fpp -> 1 —
+    // a prefilter that silently rules nothing out (and an allocation
+    // crash on any build where those caps are raised). The clamp keeps
+    // the request at a genuinely-broadcastable 2^26 items;
     // expectedHistory stays the floor. Results must equal the
-    // stats-backed path's.
+    // stats-backed path's (the exact anti-join guarantees that either
+    // way; this pins the sizing path end-to-end).
     import spark.implicits._
     val historyLocal = Seq("alpha", "beta", "gamma").toDF("text")
     val historyNoStats = spark.createDataFrame(

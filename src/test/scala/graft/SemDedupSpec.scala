@@ -45,11 +45,13 @@ class SemDedupSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("q153 lands one result delivery per micro-batch (two files, two probes)") {
-    // maxFilesPerTrigger=1 over a two-file landing dir must produce two
-    // micro-batches; each appends its own parquet delivery. Count the
-    // committed part files in a fresh run's output dir via the query's own
-    // result lineage: re-run and check the input watch dir has 2 files.
+  test("q153's staged landing dir holds the two slice files the ingest fixture defines") {
+    // Round 13 removed q153's maxFilesPerTrigger (history-only probing is
+    // slicing-independent, so it now runs one data batch); genuinely
+    // incremental per-file batching is pinned by q201/NearDupIngestSpec.
+    // What this still guards: the staging contract — the fixture batch
+    // lands as exactly two parity-slice parquet files, the layout q201's
+    // learning replay (which DOES slice per file) builds on.
     val watch = graft.sources.Staged.neardupIngestWatchDir(spark, sf0001)
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(watch))
     val n = try listing.filter(_.getFileName.toString.endsWith(".parquet")).count()
