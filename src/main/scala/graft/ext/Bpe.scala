@@ -71,24 +71,33 @@ object Bpe {
       .cache()
     var vocab = vocab0
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (step <- 1 to merges) {
+    var exhausted = false
+    for (step <- 1 to merges if !exhausted) {
       // One (pair, count) row to the driver per round — model state.
       // Adjacent pairs as zip(symbols, symbols.tail) — slice handles the
       // fully-merged single-symbol case with an empty array, where
       // sequence(1, size-1) would DESCEND through [1, 0] and fabricate
       // null pairs.
       val tk = split($"w", " ")
-      val best = vocab
+      val bestRows = vocab
         .select(explode(zip_with(
           slice(tk, lit(1), size(tk) - 1),
           slice(tk, lit(2), size(tk) - 1),
           (a, b) => struct(a.as("a"), b.as("b")))).as("p"), $"c")
         .groupBy($"p.a", $"p.b").agg(sum($"c").as("cnt"))
         .orderBy($"cnt".desc, $"a", $"b").limit(1)
-        .collect()(0)
-      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((step, a, b, a + b, n))
-      vocab = vocab.select($"word", applyMerge($"w", a, b).as("w"), $"c")
+        .collect()
+      // Pair stream exhausted — every vocab word is already one symbol
+      // (tiny corpus, or merges > what the alphabet supports). BPE
+      // training is DONE at this point; stop cleanly with the merges
+      // learned so far rather than indexing into an empty result.
+      if (bestRows.isEmpty) exhausted = true
+      else {
+        val best = bestRows(0)
+        val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+        learned += ((step, a, b, a + b, n))
+        vocab = vocab.select($"word", applyMerge($"w", a, b).as("w"), $"c")
+      }
     }
     (vocab, learned.result())
   }

@@ -302,6 +302,35 @@ object Dedup {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesFromTokens(split(text, "\\s+"), k)
 
+  /** THE exact-verify tokenization, hoisted to one definition: edge-strip
+    * ASCII separators (faster than a per-element filter HOF, which breaks
+    * whole-stage codegen — measured 2× on the 8× probe corpus), split on
+    * separator runs, distinct 3-word shingles. Every string-verify side
+    * (q34/q143's windowed verify, q150/q153/q201's ingest verify, q121's
+    * PPJoin verify) projects through here, so a tokenization tweak cannot
+    * silently desynchronize one pipeline's verify from the others' — or
+    * from the kernel hash side, whose shingle walk this must mirror.
+    *
+    * `dropSeparatorOnly`: sites whose oracle excludes zero-token docs
+    * filter them here (an all-separator doc edge-strips to [""], whose
+    * 3-shingle set is [""] on both sides and would self-pair at J = 1.0);
+    * q121's PPJoin passes false — its prefix/size filters already exclude
+    * such docs, and the extra scan-wide regex would cost more than it
+    * rules out. */
+  private def verifyShingleSets(df: DataFrame, out: String,
+                                dropSeparatorOnly: Boolean): DataFrame = {
+    import df.sparkSession.implicits._
+    val base =
+      if (dropSeparatorOnly)
+        df.filter(regexp_replace($"text", "[\\x00-\\x20]", "") =!= "")
+      else df
+    base
+      .select($"doc_id",
+        split(regexp_replace($"text",
+          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
+      .select($"doc_id", wordShinglesFromTokens($"tk", 3).as(out))
+  }
+
   /** Deterministic per-hash-function seeds (same LCG stream as the native
     * kernel's, so the HOF and kernel signatures are bit-identical). */
   private def coeffs(numHashes: Int, seed: Long): Seq[Long] = {
@@ -545,12 +574,8 @@ object Dedup {
     import batch.sparkSession.implicits._
     val cand = candidates
       .localCheckpoint() // feeds the id fetch AND the verify join once
-    def strSets(df: DataFrame): DataFrame = df
-      .filter(regexp_replace($"text", "[\\x00-\\x20]", "") =!= "")
-      .select($"doc_id",
-        split(regexp_replace($"text",
-          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
-      .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("sh"))
+    def strSets(df: DataFrame): DataFrame =
+      verifyShingleSets(df, "sh", dropSeparatorOnly = true)
     val histSets = strSets(
       histText.join(cand.select($"history_id".as("doc_id")).distinct(), "doc_id"))
     cand
@@ -659,12 +684,8 @@ object Dedup {
     // (Their kernel hash sets are EMPTY, so all-zero minhash signatures
     // band them together as candidates.) The inner verify join then drops
     // any candidate pair touching such a doc, matching the oracle exactly.
-    val vsets = corpus.join(candIds, "doc_id")
-      .filter(regexp_replace($"text", "[\\x00-\\x20]", "") =!= "")
-      .select($"doc_id",
-        split(regexp_replace($"text",
-          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
-      .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("toks"))
+    val vsets = verifyShingleSets(corpus.join(candIds, "doc_id"), "toks",
+      dropSeparatorOnly = true)
     pairs
       .join(vsets.select($"doc_id".as("left_id"), $"toks".as("ls")), "left_id")
       .join(vsets.select($"doc_id".as("right_id"), $"toks".as("rs")), "right_id")
@@ -1106,18 +1127,12 @@ object Dedup {
     val candIds = surv.select($"a_id".as("doc_id"))
       .union(surv.select($"b_id")).distinct()
     // Also a leaf: referenced from both sides of the verify join.
-    // Edge separators are stripped BEFORE the split instead of filtering
-    // empty tokens after it: a `filter(..., lambda)` HOF here is interpreted
-    // per element and breaks whole-stage codegen for the whole verify
-    // projection — measured 2× on the 8× ScaleProbe corpus. The two forms
-    // are equivalent for every doc that can reach the verify (an
-    // all-separator doc tokenizes to [""], yields no 3-shingles, and is
-    // dropped by the set-size filters either way).
-    val vsets = corpus.join(candIds, "doc_id")
-      .select($"doc_id",
-        split(regexp_replace($"text",
-          "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""), "[\\x00-\\x20]+").as("tk"))
-      .select($"doc_id", wordShinglesFromTokens($"tk", 3).as("toks"))
+    // dropSeparatorOnly = false: the PPJoin's prefix/size filters already
+    // exclude zero-token docs, so the shared projection's optional
+    // all-separator filter would be a scan-wide regex ruling nothing out
+    // (see verifyShingleSets).
+    val vsets = verifyShingleSets(corpus.join(candIds, "doc_id"), "toks",
+        dropSeparatorOnly = false)
       .localCheckpoint()
     val verified = surv
       .join(vsets.select($"doc_id".as("a_id"), $"toks".as("ta")), "a_id")

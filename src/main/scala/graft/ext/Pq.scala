@@ -133,19 +133,43 @@ object Pq {
     * estimate-then-draw discipline of q42; the orderBy before the limit pins
     * WHICH sample rows survive, so trained codebooks — and every downstream
     * code — are run-deterministic. ≤ [[MaxTrainRows]] rows (~2 MB) at any
-    * corpus size. */
+    * corpus size.
+    *
+    * The pre-limit draw is a deterministic xxhash64(vec_id) filter, NOT
+    * sample() — the same fix trainIvfModel got in round 13: sample()'s
+    * per-partition RNG seeding admits different rows under different scan
+    * partitioning, so for corpora past the sampling cap the trained
+    * PQ/IVFPQ codebooks (and SemDedup's coarse clustering) would depend
+    * on session conf, breaking the "staged artifact ≡ inline training"
+    * contract. A content-keyed draw admits the same rows under ANY
+    * partitioning. Shortfall handling mirrors trainIvfModel (the size
+    * estimate can err low): one scaled redraw, then a full sorted-limit
+    * draw as the always-correct floor — which also covers stats-less
+    * plans whose Long.MaxValue size sentinel drives fraction to ~0. */
   private[graft] def collectBoundedSample(corpus: DataFrame, emb: DataFrame): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val estRowBytes = 200L
     val estRows = math.max(1L,
       (corpus.queryExecution.optimizedPlan.stats.sizeInBytes / estRowBytes).toLong)
+    def draw(fraction: Double): Array[Array[Double]] = {
+      val sampled = if (fraction >= 1.0) emb
+        else emb.filter(
+          pmod(xxhash64($"vec_id", lit(11)), lit(1000000L)) <
+            math.max(1L, math.ceil(fraction * 1e6).toLong))
+      sampled.orderBy($"vec_id").limit(MaxTrainRows)
+        .select($"norm_e").collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
     val fraction = math.min(1.0, 2.0 * MaxTrainRows / estRows)
-    val sampled = if (fraction >= 1.0) emb
-      else emb.sample(withReplacement = false, fraction, seed = 11L)
-    sampled.orderBy($"vec_id").limit(MaxTrainRows)
-      .select($"norm_e").collect()
-      .map(_.getSeq[Double](0).toArray)
+    val first = draw(fraction)
+    if (first.length >= MaxTrainRows || fraction >= 1.0) first
+    else {
+      val scaled = math.min(1.0,
+        fraction * (2.0 * MaxTrainRows / math.max(first.length, 1)))
+      val second = draw(scaled)
+      if (second.length >= MaxTrainRows) second else draw(1.0)
+    }
   }
 
   /** Stage 2 shared by the PQ and IVFPQ paths: exact cosine re-rank of a

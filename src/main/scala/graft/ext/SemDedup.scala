@@ -58,7 +58,12 @@ object SemDedup {
     * mini-batch rather than from one 4096-row sample; the assignment and
     * pairing SHAPE — one codegen'd argmin scan, one cell-key equi-join —
     * is what carries over unchanged.) */
-  def cellsFor(n: Long): Int = math.max(NCells, (n / TargetCell).toInt)
+  def cellsFor(n: Long): Int =
+    // Clamp in LONG space before the narrowing: (n / TargetCell).toInt
+    // wraps negative past ~5.5e11 vectors, and max(16, negative) would
+    // silently collapse to the 16-cell floor — Θ(n²) pair work instead of
+    // the linear rule this function exists to enforce.
+    math.max(NCells.toLong, math.min(n / TargetCell, Int.MaxValue.toLong)).toInt
 
   /** Semantic near-dup drops over a (`vec_id`, `embedding`) corpus.
     * Returns (dropped_id, kept_id, cos) ordered by dropped_id. */

@@ -63,6 +63,14 @@ object Wav {
       val id = new String(magic, "US-ASCII")
       val size = buf.getInt()
       if (size < 0 || size > buf.remaining()) fail(s"chunk $id overruns file")
+      // Word-alignment padding: an ODD-sized final chunk legitimately omits
+      // its pad byte at EOF (real writers do this), but a skip of
+      // size + (size & 1) would then set position past the limit and throw
+      // a raw IllegalArgumentException instead of the descriptive parse
+      // error the quarantine contract promises. Clamp the skip to the
+      // buffer's end.
+      def skipAligned(from: Int): Unit =
+        buf.position(math.min(from + size + (size & 1), buf.limit()))
       id match {
         case "fmt " =>
           if (size < 16) fail("fmt chunk too small")
@@ -75,7 +83,7 @@ object Wav {
           if (fmt != 1) fail(s"unsupported codec $fmt (PCM only)")
           if (channels != 1) fail(s"unsupported channel count $channels")
           if (bits != 16) fail(s"unsupported bit depth $bits")
-          buf.position(start + size + (size & 1)) // chunks are word-aligned
+          skipAligned(start) // chunks are word-aligned
         case "data" =>
           if (size % 2 != 0) fail("odd PCM16 data size")
           if (size == 0) fail("empty data chunk")
@@ -83,7 +91,7 @@ object Wav {
           var i = 0
           while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
         case _ => // unknown chunk (LIST, fact, ...): skip, word-aligned
-          buf.position(buf.position() + size + (size & 1))
+          skipAligned(buf.position())
       }
     }
     if (sampleRate < 0) fail("missing fmt chunk")

@@ -29,6 +29,20 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pair exhaustion stops training cleanly with the merges learned so far") {
+    import spark.implicits._
+    // Vocab {a, b}: round 1 merges (a,</w>), round 2 merges (b,</w>);
+    // after that every word is ONE symbol and the pair stream is empty.
+    // Asking for 5 merges must return the 2 learnable ones, not index
+    // into an empty collect() (the pre-round-13 crash).
+    val docs = Seq("a b", "b a").toDF("text")
+    val got = Bpe.train(spark, docs, 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got.length == 2, s"expected exactly the learnable merges, got $got")
+    assert(got.forall(_._3 == "</w>"), s"both merges fold the end marker: $got")
+    assert(got.map(_._1) == Seq(1, 2))
+  }
+
   test("q167: fixture-corpus merge table is monotone and well-formed") {
     import spark.implicits._
     val rows = Bpe.q167BpeTrain(spark, sf0001)

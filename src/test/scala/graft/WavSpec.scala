@@ -27,6 +27,21 @@ class WavSpec extends SparkSpec {
     assert(a.samples(5) == ((5 % 200) - 100).toShort)
   }
 
+  test("odd-sized FINAL chunk without its pad byte decodes (skip clamps to EOF)") {
+    // Real writers omit the word-alignment pad byte when an odd-sized
+    // metadata chunk is last in the file. The aligned skip used to set
+    // the buffer position past its limit there — a raw
+    // IllegalArgumentException instead of a parse (or a clean success).
+    val base = Wav.encode(64)
+    val listBody = "INFOIARTgraftxx".getBytes("US-ASCII") // 15 bytes, odd
+    val chunk = java.nio.ByteBuffer.allocate(8 + listBody.length) // NO pad
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    val a = Wav.decode(base ++ chunk.array())
+    assert(a.sampleRate == 8000 && a.samples.length == 64)
+    assert(a.samples(7) == ((7 % 200) - 100).toShort)
+  }
+
   test("malformed inputs throw instead of decoding garbage") {
     val good = Wav.encode(64)
     intercept[IllegalArgumentException](Wav.decode("RIFX".getBytes ++ good.drop(4)))
