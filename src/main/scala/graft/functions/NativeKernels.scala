@@ -438,6 +438,22 @@ object Kernels {
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def foldable: Boolean = left.foldable && right.foldable
+  // The kernel is picked from the LEFT child's element width, so a mixed
+  // float/double pair would read the other side's memory at the wrong
+  // stride — silently-wrong similarity scores on the registered SQL
+  // surface (`cosine_sim(double_arr, float_arr)`). Reject the mix at
+  // analysis instead.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "cosine_sim needs both sides ARRAY<FLOAT> or both ARRAY<DOUBLE>, " +
+            s"got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
   private def kernel: String = left.dataType match {
     case ArrayType(FloatType, _) => "cosineF"
     case _ => "cosineD"
@@ -454,7 +470,10 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
 }
 
 case class JaccardSortedLongs(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // See MinHashSig: raw long-slot reads on both sides need the inputs pinned.
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def foldable: Boolean = left.foldable && right.foldable
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -465,7 +484,14 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class MinHashSig(child: Expression) extends UnaryExpression {
+case class MinHashSig(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  // Same hazard NormalizeL2F documents, for the 8-byte direction: the
+  // kernel walks raw LONG slots, so an ARRAY<INT> argument on the
+  // registered SQL surface (`minhash_sig(array(1,2,3))`) would be read at
+  // the wrong stride — garbage signatures, no error. Pinning the input
+  // type makes narrower integrals auto-cast at analysis.
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
@@ -503,7 +529,10 @@ case class NormalizeL2F(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  // See MinHashSig: raw long-slot reads need the input pinned.
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =

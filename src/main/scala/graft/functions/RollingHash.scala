@@ -49,6 +49,12 @@ object RollingHashKernel {
 case class RollingHashMin(child: Expression, width: Int)
     extends UnaryExpression {
 
+  // width is user-supplied on the registered SQL surface: 0 would make
+  // every document fingerprint to the constant Seed (all docs flag as
+  // shared content, no error anywhere), and a negative width reads
+  // bytes(i - w) out of bounds mid-scan. Reject at construction.
+  require(width > 0, s"rolling_hash_min width must be positive, got $width")
+
   override def foldable: Boolean = child.foldable
   override def dataType: DataType = LongType
 

@@ -52,8 +52,16 @@ object AsOfJoin {
         .select(keys.map(c) ++ Seq(c(timeCol), col("__graft_side"),
           lit(null).cast(valsType).as("__graft_vals")) ++
           otherLeft.map(c): _*)
+    // Null keys never match in SQL join semantics (`ON l.k = r.k` is
+    // UNKNOWN for null), but a window PARTITION BY groups nulls together —
+    // so without this filter a null-key left row would pick up values from
+    // null-key right rows. Dropping null-key right rows leaves the null
+    // partition with no lookup side: left rows keep their outer-join
+    // presence with null asof_* values, exactly the SQL/DuckDB-ASOF result.
+    val rightKeysNotNull = keys.map(c(_).isNotNull).reduceOption(_ && _)
+      .getOrElse(lit(true))
     val rightTagged =
-      right.filter(c(timeCol).isNotNull)
+      right.filter(c(timeCol).isNotNull && rightKeysNotNull)
         .withColumn("__graft_side", lit(0))
         .select(keys.map(c) ++ Seq(c(timeCol), col("__graft_side"),
           struct(rightVals.map(v => c(v).as(s"asof_$v")): _*)

@@ -45,10 +45,29 @@ object Compaction {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(dir.stripSuffix("/") + ".compact-old")
+    // Hadoop FS signals rename/delete failure by RETURNING FALSE, not by
+    // throwing. Every step must be checked: the original unchecked chain
+    // could have a failed tmp→dir restore (object-store rename quirk, a
+    // concurrent re-creation of `dir`) fall through to `fs.delete(bak)` —
+    // deleting the only remaining copy of the table while `dir` does not
+    // exist. Now: a failed backup rename aborts with the table untouched;
+    // a failed restore rename puts the backup BACK (and only if that also
+    // fails leaves it at .compact-old, which the error names); the backup
+    // is deleted only after the restore provably succeeded.
     fs.delete(bak, true)
-    fs.rename(p, bak)
-    fs.rename(new Path(tmp), p)
-    fs.delete(bak, true)
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(
+        s"compact: could not move $dir aside to $bak; table left untouched")
+    if (!fs.rename(new Path(tmp), p)) {
+      val restored = fs.rename(bak, p)
+      throw new java.io.IOException(
+        if (restored)
+          s"compact: could not move compacted $tmp into place; original restored at $dir"
+        else
+          s"compact: could not move $tmp into place AND the original is still at $bak — rename it back to $dir manually")
+    }
+    fs.delete(bak, true) // best-effort: leftover backup is harmless
+    ()
   }
 
   /** Atomic compaction for a [[VersionedTable]]-layout table (`root/v=N`):

@@ -117,7 +117,7 @@ object EmissionsEtl {
                (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val chained =
       ((df: DataFrame) => project(df, carryCols))
-        .andThen(df => df.na.drop("any", projectedCols))
+        .andThen(dropNullKeys)
         .andThen(filterGasAndCountries)
         .andThen(deriveUnit)
         .andThen(normalizeGas)

@@ -38,6 +38,14 @@ object Layout {
     val b = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).collect().head
+    // Empty input: min/max aggregate to null, and getDouble would NPE —
+    // the sortedWrite twin handles empty frames, so a relayout pass over a
+    // possibly-empty partition directory must too. Any bounds work for
+    // zero rows; write the empty table and return.
+    if (b.isNullAt(0)) {
+      df.write.mode(SaveMode.Overwrite).parquet(dir)
+      return
+    }
     val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1),
       b.getDouble(2), b.getDouble(3))
     def scaled(c: String, lo: Double, hi: Double) = {

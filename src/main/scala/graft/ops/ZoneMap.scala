@@ -169,7 +169,20 @@ object ZoneMap {
     // direction.
     val listingById = spark.read.parquet(dir).inputFiles
       .map(s => new java.net.URI(s).getPath -> s).toMap
-    val rows = fs.listStatus(root)
+    // RECURSIVE listing, matching the scan-based build(): Spark's own
+    // parquet read descends into nested/partitioned layouts, so a
+    // top-level-only listStatus here would silently omit every nested
+    // part file from the footer index — the two builds are documented
+    // interchangeable, and an index missing files never prunes them
+    // (safe, but the promised skipping degrades to full scans).
+    val fileStatuses = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+    val rows = fileStatuses
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .flatMap(footerRow)
       .map(r => Row.fromSeq(

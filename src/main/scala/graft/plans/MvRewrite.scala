@@ -105,6 +105,25 @@ object MvRewrite {
       .queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }.get
     defsMap(spark).put(d.name, d.copy(mvRelation = mvRel))
+    // Maintenance: each refresh lands a complete rollup copy, and nothing
+    // else ever deleted superseded versions — a long-lived driver
+    // refreshing per batch leaked one full MV per refresh. Keep the new
+    // version plus its immediate predecessor (the grace window for a query
+    // planned against the old relation and still executing) and drop the
+    // rest; VersionedTable.vacuum is too aggressive here (keeps only the
+    // latest).
+    locally {
+      val root = new org.apache.hadoop.fs.Path(d.mvRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        val committed = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+          .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
+            .map(_ -> s.getPath))
+          .sortBy(_._1)
+        committed.dropRight(2).foreach { case (_, p) => fs.delete(p, true) }
+      }
+    }
   }
 
   /** Materialize the rollup of `factDir` under `mvRoot` (a

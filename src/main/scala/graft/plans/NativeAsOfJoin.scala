@@ -52,8 +52,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
 
+  // requireAllClusterKeys = true: plain ClusteredDistribution is satisfied
+  // by a hash partitioning on any SUBSET of the keys, so left partitioned
+  // on keys(0) and right on all keys would both "satisfy" their side while
+  // equal full keys land at different partition indices — the
+  // zipPartitions merge below would silently never see the matching right
+  // rows. Requiring the exact full key set on both children makes the
+  // co-location the merge assumes a planner guarantee, at worst one
+  // conservative extra shuffle of an already-subset-partitioned input.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true) ::
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
@@ -100,11 +109,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         advanceRight()
 
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKeyRow = rKeyProj(rRow)
-            rTimeVal = boundRTime.eval(rRow)
-          } else { rRow = null; rKeyRow = null; rTimeVal = null }
+          var done = false
+          while (!done) {
+            if (rIter.hasNext) {
+              rRow = rIter.next()
+              rKeyRow = rKeyProj(rRow)
+              // Null-key right rows can match NOTHING under SQL equi-join
+              // semantics (`l.k = r.k` is UNKNOWN for null) — but the
+              // interpreted key ordering treats null == null as equal, so
+              // without this skip a null-key LEFT row would pick up values
+              // from null-key right rows (diverging from the composed
+              // window form and DuckDB ASOF, both of which this operator
+              // cites as its semantics). Skipping them here also keeps the
+              // merge advance unstalled: nulls sort first, valid keys
+              // follow.
+              if (!rKeyRow.anyNull) { rTimeVal = boundRTime.eval(rRow); done = true }
+            } else { rRow = null; rKeyRow = null; rTimeVal = null; done = true }
+          }
         }
 
         override def hasNext: Boolean = lIter.hasNext

@@ -27,6 +27,33 @@ class FunctionsSpec extends SparkSpec {
     assert(doc.getLong(0) != 0L)
   }
 
+  test("kernel input typing: mixed-width cosine rejected, int arrays auto-widen, bad width rejected") {
+    GraftFunctions.registerAll(spark)
+    // cosine_sim dispatches its raw-memory kernel on the LEFT type; a
+    // mixed float/double pair would read the right side at the wrong
+    // stride — must fail ANALYSIS, not return garbage.
+    val mixed = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT cosine_sim(array(1.0D, 2.0D), cast(array(1.0, 2.0) AS ARRAY<FLOAT>))"""
+      ).collect()
+    }
+    assert(mixed.getMessage.toLowerCase.contains("cosine_sim"))
+    // minhash_sig/simhash64 walk raw LONG slots; ARRAY<INT> literals must
+    // auto-cast at analysis (ImplicitCastInputTypes), giving the same
+    // signature as the explicit BIGINT form — not a misread.
+    val r = spark.sql(
+      """SELECT minhash_sig(array(1, 2, 3)) = minhash_sig(array(1L, 2L, 3L)) AS mh_eq,
+        |       simhash64(array(7, 8)) = simhash64(array(7L, 8L)) AS sh_eq""".stripMargin)
+      .collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    // rolling_hash_min width is user-supplied: non-positive must reject
+    // loudly (width 0 used to fingerprint EVERY document to the seed).
+    val badWidth = intercept[Exception] {
+      spark.sql("SELECT rolling_hash_min('abc', 0)").collect()
+    }
+    assert(badWidth.getMessage.contains("width"))
+  }
+
   test("md5U32Components is bit-identical to the SQL conv/substring/md5 form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

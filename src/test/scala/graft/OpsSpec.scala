@@ -91,6 +91,31 @@ class OpsSpec extends SparkSpec {
     assert(native == expected)
   }
 
+  test("as-of join: null KEYS never match — left null-key rows get null asof values (both impls)") {
+    import spark.implicits._
+    // SQL equi-join semantics: `l.k = r.k` is UNKNOWN for null, so a
+    // null-key left row matches NO right row — but a window PARTITION BY
+    // (composed form) and the interpreted key ordering (native merge)
+    // both treat null == null as equal, which used to hand null-key left
+    // rows values from null-key right rows. DuckDB ASOF (the cited
+    // semantics reference) returns NULL there.
+    val left = Seq(
+      (Option(1L), 100L, "l1"),
+      (Option.empty[Long], 100L, "lnullkey")).toDF("k", "t", "payload")
+    val right = Seq(
+      (Option(1L), 50L, 5.0),
+      (Option.empty[Long], 40L, 99.0)).toDF("k", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("payload", "asof_v").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val expected = Map("l1" -> Some(5.0), "lnullkey" -> None)
+    val composed = canon(AsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v")))
+    val native = canon(graft.plans.NativeAsOfJoin.lookup(left, right, Seq("k"), "t", Seq("v")))
+    assert(composed == expected, s"composed: $composed")
+    assert(native == expected, s"native: $native")
+  }
+
   test("as-of join: a genuine null in the most recent right row survives (multi rightVals)") {
     import spark.implicits._
     // The winning right row (t=150) has v2 = null. Per-column
