@@ -36,7 +36,17 @@ import org.apache.spark.sql.functions.col
 object JdbcWarehouse {
 
   val TableName = "EUROPEAN_GHG_PROJECTIONS"
-  val StagingName = "TEMP_EUROPEAN_GHG_PROJECTIONS"
+  /** Per-invocation staging name: a FIXED name (the reference's choice, and
+    * this sink's through round 12) lets two concurrent loads against the
+    * same database cross-contaminate — one caller's DROP/CREATE lands mid
+    * way through the other's staged write, so rows fail with
+    * table-not-found or silently merge as part of the WRONG batch. A
+    * unique suffix per upsert keeps staging private to its load (the same
+    * session-keyed-name fix the catalog stagings got in round 13); the
+    * table is dropped after the merge. */
+  private def freshStagingName(): String =
+    "TEMP_EUROPEAN_GHG_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12).toUpperCase
   /** Natural key (reference `:63`). */
   val KeyCols = Seq("COUNTRY", "YEAR", "SCENARIO", "CATEGORY", "GAS", "UNIT")
   /** All data columns, in reference DDL order (`:54-64`). */
@@ -92,14 +102,22 @@ object JdbcWarehouse {
 
   /** Reference `create_temporary_table_command` (`:68-70`): same shape as
     * the target, no id, recreated empty per load. */
-  private def resetStaging(url: String): Unit = withConnection(url) { conn =>
-    val st = conn.createStatement()
-    try {
-      if (tableExists(conn, StagingName))
-        st.executeUpdate(s"DROP TABLE ${q(StagingName)}")
-      st.executeUpdate(s"CREATE TABLE ${q(StagingName)} (${colDdl(notNullKeys = false)})")
-    } finally st.close()
-  }
+  private def createStaging(url: String, staging: String): Unit =
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        if (tableExists(conn, staging))
+          st.executeUpdate(s"DROP TABLE ${q(staging)}")
+        st.executeUpdate(s"CREATE TABLE ${q(staging)} (${colDdl(notNullKeys = false)})")
+      } finally st.close()
+    }
+
+  private def dropStaging(url: String, staging: String): Unit =
+    try withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try { if (tableExists(conn, staging)) st.executeUpdate(s"DROP TABLE ${q(staging)}") }
+      finally st.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort cleanup
 
   /** Load one batch: stage via parallel `df.write.jdbc`, then one set-based
     * MERGE into the target (reference `import_into_real_table_command`
@@ -107,22 +125,25 @@ object JdbcWarehouse {
     * key-unique (enforce upstream with [[graft.ops.Merge.latestPerKey]]). */
   def upsertBatch(batch: DataFrame, url: String, numPartitions: Int = 4): Unit = {
     ensureTarget(url)
-    resetStaging(url)
-    val upper = batch.select(batch.columns.toIndexedSeq.map(c => col(c).as(c.toUpperCase)): _*)
-      .select(DataCols.map(col): _*)
-    upper.repartition(numPartitions)
-      .write.mode(SaveMode.Append).jdbc(url, q(StagingName), new Properties())
-    val on = KeyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    withConnection(url) { conn =>
-      val st = conn.createStatement()
-      try st.executeUpdate(
-        s"""MERGE INTO ${q(TableName)} t
-           |USING ${q(StagingName)} s ON $on
-           |WHEN MATCHED THEN UPDATE SET "REPORTEDVALUE" = s."REPORTEDVALUE"
-           |WHEN NOT MATCHED THEN INSERT (${DataCols.map(q).mkString(", ")})
-           |VALUES (${DataCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
-      finally st.close()
-    }
+    val staging = freshStagingName()
+    createStaging(url, staging)
+    try {
+      val upper = batch.select(batch.columns.toIndexedSeq.map(c => col(c).as(c.toUpperCase)): _*)
+        .select(DataCols.map(col): _*)
+      upper.repartition(numPartitions)
+        .write.mode(SaveMode.Append).jdbc(url, q(staging), new Properties())
+      val on = KeyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      withConnection(url) { conn =>
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""MERGE INTO ${q(TableName)} t
+             |USING ${q(staging)} s ON $on
+             |WHEN MATCHED THEN UPDATE SET "REPORTEDVALUE" = s."REPORTEDVALUE"
+             |WHEN NOT MATCHED THEN INSERT (${DataCols.map(q).mkString(", ")})
+             |VALUES (${DataCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
+        finally st.close()
+      }
+    } finally dropStaging(url, staging)
   }
 
   /** Read the warehouse table back as a DataFrame (id excluded — the

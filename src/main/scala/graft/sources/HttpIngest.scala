@@ -44,7 +44,14 @@ object HttpIngest {
             maxAttempts: Int = 3, backoffMs: Long = 100L): Option[String] = {
     val dir = Paths.get(landingDir)
     Files.createDirectories(dir)
-    val part = dir.resolve(s".$fileName.part")
+    // Unique staging name per CALL: a fixed `.{name}.part` lets two
+    // overlapping fetches of the same file (the classic cron-overlap case)
+    // interleave their body writes into one staging file and atomically
+    // publish the mixed bytes — exactly the torn read the staging exists
+    // to prevent. Unique names keep each download private; the dot prefix
+    // still hides it from Spark sources, and failure paths delete it.
+    val part = dir.resolve(
+      s".$fileName.${java.util.UUID.randomUUID().toString.take(8)}.part")
     val dest = dir.resolve(fileName)
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMinutes(5)).GET().build()

@@ -602,6 +602,7 @@ object Staged {
         timed("evolvedOrders")(evolvedOrdersDir(spark, dir)),
         timed("ppmFiles")(ppmFilesDir(spark, dir)),
         timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)),
+        timed("ndlearnWatch")(learningIngestWatchDir(spark, dir)),
         timed("setsimPairs")(setsimPairs(spark, dir)),
         timed("ivfModel")(ivfModel(spark, dir)),
         timed("pqCodebook")(pqCodebook(spark, dir)),

@@ -45,8 +45,17 @@ object Tables {
     * the same ten tables. Logical plans are immutable, so sharing one
     * frame across queries is free. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    dfCache.computeIfAbsent(s"${sessionKey(spark)}:$dir:$name",
-      _ => spark.read.parquet(Staged.tableDir(spark, dir, name)))
+    // Through Staged.getOrStage, NOT computeIfAbsent with the build inline:
+    // the first load of a big table runs the whole multi-file re-staging
+    // Spark job (tableDir), and running THAT inside a ConcurrentHashMap
+    // compute would hold the bin lock for the build's duration — any
+    // concurrent load hashing to the same bin (the 8-thread warmup's cold
+    // sf0.001 pass) blocks on an unrelated table's staging instead of on
+    // the memoized holder. getOrStage publishes a lazy holder instantly
+    // and runs the build outside any map lock.
+    Staged.getOrStage(s"tabledf:${sessionKey(spark)}:$dir:$name") {
+      spark.read.parquet(Staged.tableDir(spark, dir, name))
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -110,7 +110,12 @@ object EventsStream {
       val p = new org.apache.hadoop.fs.Path(watchDir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(p).getLength
-    } catch { case _: Throwable => 0L }
+    } catch {
+      // NonFatal only: this is a best-effort size probe, but swallowing a
+      // VM error or interrupt here would mask a fatal condition behind a
+      // silently-floored partition count.
+      case scala.util.control.NonFatal(_) => 0L
+    }
     math.max(4, math.min(32, (bytes / (8L << 20)).toInt))
   }
 
@@ -194,7 +199,7 @@ object EventsStream {
   def q134StreamingLeftJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_ssjoin_${System.nanoTime()}"
+    val outDir = graft.sources.TempDirs.create("graft_ssjoin_out_").toString
     // Slice staging (TWO data slices + the far-future sentinel, stamped
     // with increasing mtimes) lives in the memoized registry — see
     // [[graft.sources.Staged.ssjoinWatchDir]]. The staged dir is
@@ -227,21 +232,29 @@ object EventsStream {
     // default stays. On a CONTINUOUS deployment with millions of in-flight
     // keys, RocksDB is the right provider (off-heap state, incremental
     // snapshots, changelog checkpointing) — flip `stateProvider` there.
+    // foreachBatch → batchId-keyed overwrite-parquet, NOT a memory sink:
+    // the join result is CORPUS-SIZED (one-plus rows per click) and a
+    // memory sink funnels it through a single-threaded driver collect —
+    // the q82 pathology, removed there this round. Append mode emits each
+    // row exactly once across batches, so per-batch dirs union to the full
+    // result and a replayed batch overwrites only its own dir.
     val q = startPinned(spark, pinnedPartitionsFor(spark, watch)) {
       joined.writeStream
         .outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .option("checkpointLocation",
+          graft.sources.TempDirs.create("graft_ssjoin_ck_").toString)
         .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
         .start()
     }
     q.awaitTermination()
-    drainMemorySink(spark, name) { t =>
-      t.filter($"user_id" =!= -1L)
-        .select($"user_id", unix_micros($"click_ts").as("click_us"),
-          coalesce(unix_micros($"p_ts"), lit(-1L)).as("purchase_us"))
-        .orderBy($"user_id", $"click_us", $"purchase_us")
-    }
+    spark.read.parquet(outDir)
+      .filter($"user_id" =!= -1L)
+      .select($"user_id", unix_micros($"click_ts").as("click_us"),
+        coalesce(unix_micros($"p_ts"), lit(-1L)).as("purchase_us"))
+      .orderBy($"user_id", $"click_us", $"purchase_us")
   }
 
   /** q157: streaming exact deduplication under at-least-once delivery —

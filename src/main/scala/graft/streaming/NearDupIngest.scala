@@ -93,13 +93,32 @@ object NearDupIngest {
     def report(batchId: Long): String = s"$reportDir/micro_batch=$batchId"
   }
 
-  private def readDeltas(spark: SparkSession, dir: String,
-                         below: Long): Option[DataFrame] = {
+  // Explicit delta schemas (batch_id is the partition dir key): schema
+  // INFERENCE over the delta root wedges checkpoint replay — a batch that
+  // crashed after creating its batch_id=N dir but before committing any
+  // part file leaves the root existing with ZERO data files, and an
+  // inferring read throws UNABLE_TO_INFER_SCHEMA forever after. With the
+  // schema supplied, that state reads back as an empty frame and the
+  // replay proceeds — the same explicit-schema device the report read
+  // below already uses.
+  // (hs, the delta files' third data column, is deliberately absent —
+  // consumers only read (doc_id, sig), and a user schema prunes unlisted
+  // columns at the reader.)
+  private val sigDeltaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", org.apache.spark.sql.types.ArrayType(LongType)),
+    StructField("batch_id", LongType)))
+  private val docDeltaSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("batch_id", LongType)))
+
+  private def readDeltas(spark: SparkSession, dir: String, below: Long,
+                         schema: StructType): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val df = spark.read.parquet(dir)
+      val df = spark.read.schema(schema).parquet(dir)
       // Strictly-earlier deltas only: a RETRIED batch must not probe the
       // half-written delta of its own first attempt.
       Some(df.filter(col("batch_id") < below))
@@ -122,11 +141,11 @@ object NearDupIngest {
                   state: IngestState, b: DataFrame, batchId: Long): Unit = {
     import spark.implicits._
     val baseSigs = spark.table(baseTable).select($"doc_id", $"sig")
-    val histSigs = readDeltas(spark, state.sigsDir, batchId) match {
+    val histSigs = readDeltas(spark, state.sigsDir, batchId, sigDeltaSchema) match {
       case Some(d) => baseSigs.unionByName(d.select($"doc_id", $"sig"))
       case None => baseSigs
     }
-    val histText = readDeltas(spark, state.docsDir, batchId) match {
+    val histText = readDeltas(spark, state.docsDir, batchId, docDeltaSchema) match {
       case Some(d) => corpus.unionByName(d.select($"doc_id", $"text"))
       case None => corpus
     }
