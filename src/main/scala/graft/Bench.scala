@@ -177,12 +177,21 @@ object Bench {
       t.setDaemon(true)
       t
     })
+    // A failed prepare silently shifts all staging cost into the timed
+    // query loop (each query re-stages lazily) — record it so the artifact
+    // distinguishes a degraded run from a clean one. NonFatal only: an OOM
+    // or VM error on the prepare thread must crash the run, not resolve it.
+    @volatile var prepareFailed = false
     val prepFuture = {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(prepPool)
       val t0 = System.nanoTime()
       Future {
         try graft.sources.Staged.prepare(spark, sfDir)
-        catch { case e: Throwable => System.err.println(s"[bench-prepare] ${e.getMessage}") }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            prepareFailed = true
+            System.err.println(s"[bench-prepare] FAILED: ${e.getMessage}")
+        }
         System.err.println(f"[bench-prepare] async wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }
@@ -265,12 +274,13 @@ object Bench {
     val compact = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","n_queries":${results.size},"queries":${toJson(slowest)}""" +
       s""","queries_omitted":${results.size - slowest.size}""" +
-      s""","prepare_sec":${sec(prepareSec)}""" +
+      s""","prepare_sec":${sec(prepareSec)},"prepare_failed":$prepareFailed""" +
       s""","reps":$reps,"task_cpu_ratio":${sec(contention)}""" +
       s""","full_map":"bench_out.json","value":${sec(total)}}"""
     println(compact)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","queries":${toJson(results)},"prepare_sec":${sec(prepareSec)}""" +
+      s""","prepare_failed":$prepareFailed""" +
       s""","reps":$reps,"task_cpu_ratio":${sec(contention)}""" +
       s""","diag":${toDiagJson(results)},"value":${sec(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -46,6 +46,10 @@ object MvRewrite {
   /** Session flag: answer subsumed aggregates from registered rollups. */
   val EnabledKey = "spark.graft.mvRewrite.enabled"
 
+  /** How many newest committed MV versions each refresh retains (default 2:
+    * current + one predecessor for in-flight readers; min 1). */
+  val RetainVersionsKey = "spark.graft.mvRewrite.retainVersions"
+
   private[plans] final case class MvDef(
       name: String,
       factRootPaths: Set[String],
@@ -107,22 +111,24 @@ object MvRewrite {
     defsMap(spark).put(d.name, d.copy(mvRelation = mvRel))
     // Maintenance: each refresh lands a complete rollup copy, and nothing
     // else ever deleted superseded versions — a long-lived driver
-    // refreshing per batch leaked one full MV per refresh. Keep the new
-    // version plus its immediate predecessor (the grace window for a query
-    // planned against the old relation and still executing) and drop the
-    // rest; VersionedTable.vacuum is too aggressive here (keeps only the
-    // latest).
+    // refreshing per batch leaked one full MV per refresh. Retention is
+    // count-based and tunable ([[RetainVersionsKey]], default 2: the new
+    // version plus its immediate predecessor as the grace window for a
+    // query planned against the old relation and still executing); a
+    // deployment whose scans can outlive two refresh cycles raises it.
+    // Only COMMITTED (`_SUCCESS`-marked) versions are candidates: an
+    // uncommitted dir is a concurrent writer's in-flight attempt (or a
+    // crashed one that nextVersionPath will overwrite), never ours to
+    // delete. VersionedTable.vacuum is too aggressive here (keeps only
+    // the latest).
     locally {
+      val retain = math.max(1,
+        spark.conf.get(RetainVersionsKey, "2").toInt)
       val root = new org.apache.hadoop.fs.Path(d.mvRoot)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) {
-        val committed = fs.listStatus(root).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-          .flatMap(s => s.getPath.getName.stripPrefix("v=").toLongOption
-            .map(_ -> s.getPath))
-          .sortBy(_._1)
-        committed.dropRight(2).foreach { case (_, p) => fs.delete(p, true) }
-      }
+      graft.ops.VersionedTable.committedVersions(spark, d.mvRoot)
+        .dropRight(retain)
+        .foreach { case (_, p) => fs.delete(p, true) }
     }
   }
 

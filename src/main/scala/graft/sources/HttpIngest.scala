@@ -50,6 +50,12 @@ object HttpIngest {
     // publish the mixed bytes — exactly the torn read the staging exists
     // to prevent. Unique names keep each download private; the dot prefix
     // still hides it from Spark sources, and failure paths delete it.
+    // What failure paths can't delete — a JVM crash mid-download — would
+    // leak the unique-named staging file forever (nothing ever revisits
+    // it), so entry sweeps siblings older than the request timeout: any
+    // live download refreshes its staging file's mtime continuously as the
+    // body streams, and one that hasn't within the timeout window is dead.
+    sweepStaleParts(dir, fileName)
     val part = dir.resolve(
       s".$fileName.${java.util.UUID.randomUUID().toString.take(8)}.part")
     val dest = dir.resolve(fileName)
@@ -88,4 +94,29 @@ object HttpIngest {
     lastTransport.foreach(throw _) // transport never recovered: surface it
     None // server kept failing: report-and-skip, pipeline sees no file
   }
+
+  /** How long a staging file may sit untouched before it is presumed
+    * orphaned — the per-request timeout: a download that produced no byte
+    * (and so no mtime refresh) for that long has had its request aborted. */
+  private[sources] val StalePartMs: Long = Duration.ofMinutes(5).toMillis
+
+  /** Best-effort removal of crash-orphaned `.{fileName}.*.part` staging
+    * files. Mtime-gated so a concurrent in-flight download's staging file
+    * (fresh by definition) is never touched; every failure is swallowed —
+    * cleanup must never fail a fetch. */
+  private def sweepStaleParts(dir: java.nio.file.Path, fileName: String): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - StalePartMs
+      val listing = Files.list(dir)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith(s".$fileName.") && n.endsWith(".part") &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+            Files.deleteIfExists(p)
+        }
+      } finally listing.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

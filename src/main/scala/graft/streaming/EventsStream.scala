@@ -102,9 +102,11 @@ object EventsStream {
     * fixture stages ~2 MB and per-partition state-store overhead dwarfs
     * the data), but a 64× replay through the same 4 state instances
     * serializes tens of millions of state rows — the round-13 full-suite
-    * octave read q82 at 24× from exactly that. One FS metadata call, no
-    * data read; bench-scale dirs still resolve to 4, so pinned-partition
-    * results and timings are unchanged there. */
+    * octave read q82 at 24× from exactly that. One metadata probe (a
+    * recursive listing on object stores — O(files), fine for a landing dir,
+    * not for a data lake root), no data read; bench-scale dirs still
+    * resolve to 4, so pinned-partition results and timings are unchanged
+    * there. */
   private def pinnedPartitionsFor(spark: SparkSession, watchDir: String): Int = {
     val bytes = try {
       val p = new org.apache.hadoop.fs.Path(watchDir)
@@ -113,8 +115,16 @@ object EventsStream {
     } catch {
       // NonFatal only: this is a best-effort size probe, but swallowing a
       // VM error or interrupt here would mask a fatal condition behind a
-      // silently-floored partition count.
-      case scala.util.control.NonFatal(_) => 0L
+      // silently-floored partition count. The fallback itself must be
+      // VISIBLE: on a filesystem where the probe reliably fails, a silent
+      // floor of 4 re-creates exactly the serialized-state pathology this
+      // function exists to prevent.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft-stream] state-partition size probe failed for $watchDir " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "falling back to 4 state partitions")
+        0L
     }
     math.max(4, math.min(32, (bytes / (8L << 20)).toInt))
   }

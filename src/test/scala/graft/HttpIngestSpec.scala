@@ -93,6 +93,30 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("crash-orphaned staging files are swept on the next fetch; fresh ones are not") {
+    withServer(csv) { baseUrl =>
+      val landing = Files.createTempDirectory("graft_http_sweep_")
+      // a crashed prior download: old mtime, same target file name
+      val stale = landing.resolve(".data.csv.deadbeef.part")
+      Files.write(stale, "half a body".getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 5 * 60 * 1000L))
+      // a concurrent in-flight download: fresh mtime — must survive
+      val fresh = landing.resolve(".data.csv.cafe0001.part")
+      Files.write(fresh, "streaming now".getBytes(StandardCharsets.UTF_8))
+      // an unrelated file's staging: stale but different name — untouched
+      val other = landing.resolve(".other.csv.deadbeef.part")
+      Files.write(other, "x".getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(other, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 5 * 60 * 1000L))
+
+      assert(HttpIngest.fetch(s"$baseUrl/data.csv", landing.toString, "data.csv").isDefined)
+      assert(!Files.exists(stale), "stale orphan for the same file must be swept")
+      assert(Files.exists(fresh), "a fresh (possibly in-flight) staging file must survive")
+      assert(Files.exists(other), "another file's staging is not ours to sweep")
+    }
+  }
+
   test("HTTP fetch feeds the streaming pipeline end-to-end (reference lifecycle)") {
     withServer(csv) { baseUrl =>
       val landing = Files.createTempDirectory("graft_http_e2e_").toString

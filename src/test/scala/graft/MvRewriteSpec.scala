@@ -146,6 +146,29 @@ class MvRewriteSpec extends SparkSpec {
       "define + refresh must leave two committed versions")
   }
 
+  test("refresh GC: retention knob honored; uncommitted version dirs are never deleted") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_mvgc_").toString
+    val (factDir, deltaDir, mvRoot) = (s"$base/fact", s"$base/delta", s"$base/mv")
+    (1 to 50).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x").write.parquet(factDir)
+    (51 to 60).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x").write.parquet(deltaDir)
+    spark.conf.set(MvRewrite.RetainVersionsKey, "3")
+    try {
+      MvRewrite.defineRollup(spark, "t_gc", factDir, mvRoot, Seq("g"), Seq("x"))
+      // a concurrent writer's in-flight (uncommitted — no _SUCCESS) attempt:
+      // GC must leave it alone even though it sorts below every retained one
+      val inflight = new java.io.File(s"$mvRoot/v=900")
+      assert(inflight.mkdirs())
+      for (_ <- 1 to 4) MvRewrite.refreshIncremental(spark, "t_gc", deltaDir)
+      val kept = graft.ops.VersionedTable.committedVersions(spark, mvRoot).map(_._1)
+      assert(kept == Seq(2, 3, 4), s"retain=3 after 5 commits must keep 2..4, got $kept")
+      assert(inflight.isDirectory, "uncommitted version dir was deleted by MV GC")
+    } finally {
+      spark.conf.unset(MvRewrite.RetainVersionsKey)
+      MvRewrite.dropRollup(spark, "t_gc")
+    }
+  }
+
   test("null measures: AVG/COUNT/SUM rollup algebra matches Spark's ignore-null semantics") {
     import spark.implicits._
     val factDir = Files.createTempDirectory("graft_mvnull_").toString + "/fact"
