@@ -12,12 +12,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Flagship.q10RevenueByNation(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityRegistry.queries ++ RelationalRegistry.queries ++
+  /** One entry per implemented operator from SURVEY.md §2. Every entry is
+    * wrapped with [[Tuning.tuneFor]] so shuffle partitioning derives from
+    * the corpus directory's size before the query plans — the 100 TB
+    * partitioning rule as the default plan, not an env override. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val raw = ParityRegistry.queries ++ RelationalRegistry.queries ++
       EventsRegistry.queries ++ TextRegistry.queries ++
       CorpusRegistry.queries ++ SimilarityRegistry.queries ++
       StreamingRegistry.queries
+    raw.map { case (name, build) =>
+      name -> { (spark: SparkSession, dir: String) =>
+        Tuning.tuneFor(spark, dir)
+        build(spark, dir)
+      }
+    }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

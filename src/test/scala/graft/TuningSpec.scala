@@ -1,0 +1,54 @@
+package graft
+
+/** Pins the input-derived shuffle-partitioning rule (design rule #6 in the
+  * engine, not an env override): small dirs floor at core count — so every
+  * bench/verify plan at sf0.01/sf0.1 is unchanged — and big dirs scale
+  * linearly to the measured-good 64× setting, bounded by the cap. */
+class TuningSpec extends SparkSpec {
+
+  test("derivation floors at core count for bench-scale dirs") {
+    // sf0.1 is ~17 MB — under any plausible core count × 4 MiB
+    assert(Tuning.partitionsForBytes(17L << 20, floor = 32) == 32)
+    assert(Tuning.partitionsForBytes(0L, floor = 32) == 32)
+    // empty/missing dir probe (0 bytes) keeps the session floor
+    assert(Tuning.partitionsForBytes(0L, floor = 4) == 4)
+  }
+
+  test("derivation scales with bytes: the 64x sweep dir lands near the measured-good 256") {
+    // the sweep's 64× dir is ~1.1 GB: 1.1 GB / 4 MiB ≈ 280
+    val p = Tuning.partitionsForBytes(1100L << 20, floor = 32)
+    assert(p >= 256 && p <= 320, s"expected ~256-320 partitions, got $p")
+  }
+
+  test("derivation is capped") {
+    // a 100 TB dir must not demand 26M partitions from the scheduler
+    assert(Tuning.partitionsForBytes(100L << 40, floor = 32) == 4096)
+    assert(Tuning.partitionsForBytes(100L << 40, floor = 32, cap = 512) == 512)
+  }
+
+  test("tuneFor sets the session conf from the dir's size and floors at sf scale") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // sf0.001 (~0.5 MB) floors at defaultParallelism (4 in tests)
+      Tuning.tuneFor(spark, sf0001)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ==
+        spark.sparkContext.defaultParallelism)
+      // a missing dir keeps the floor instead of throwing
+      Tuning.tuneFor(spark, "/nonexistent/graft/dir")
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ==
+        spark.sparkContext.defaultParallelism)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("every SparkEntry query passes through the tuner") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "999")
+      // building any registered query must re-derive the conf for its dir
+      SparkEntry.queries("q02_project_filter")(spark, sf0001)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ==
+        spark.sparkContext.defaultParallelism,
+        "SparkEntry wrapper did not tune the session for the query dir")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
