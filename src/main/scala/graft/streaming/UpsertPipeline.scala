@@ -36,6 +36,31 @@ object UpsertPipeline {
       .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
   }
 
+  /** Merge one transformed batch into a HASH-BUCKET-PARTITIONED warehouse
+    * ([[graft.ops.PartitionedTable]]): first batch creates the layout,
+    * every later batch reads and rewrites ONLY the partitions its keys
+    * hash into — per-batch write cost is O(touched buckets), not O(table).
+    * This is the 100 TB form of [[commitBatch]], whose versioned commit
+    * rewrites the full target per merge; the reference's Postgres
+    * `ON CONFLICT` had the touched-pages-only property natively
+    * (`scripts/lambda_handler_warehouse.py:95-101`). */
+  def commitBatchPartitioned(spark: SparkSession, warehouseRoot: String,
+                             transformed: DataFrame, nBuckets: Int = 16): Unit =
+    if (!graft.ops.PartitionedTable.exists(spark, warehouseRoot))
+      graft.ops.PartitionedTable.create(spark, warehouseRoot, transformed,
+        EmissionsEtl.mergeKeys, nBuckets)
+    else graft.ops.PartitionedTable.merge(spark, warehouseRoot, transformed)
+
+  /** [[runOnce]] with the partitioned warehouse sink: identical pipeline
+    * semantics (at-least-once delivery + idempotent LWW merge ⇒
+    * effectively-once), touched-partition-only write amplification. */
+  def runOncePartitioned(spark: SparkSession, landingDir: String,
+                         warehouseRoot: String, checkpointDir: String,
+                         nBuckets: Int = 16): Unit =
+    runEtlPipeline(spark, landingDir, checkpointDir) { unique =>
+      commitBatchPartitioned(spark, warehouseRoot, unique, nBuckets)
+    }
+
   /** Same event-driven pipeline, but the sink is the JDBC warehouse — the
     * reference's actual target (Postgres RDS; embedded Derby in tests).
     * `foreachBatch` + the staged-MERGE upsert give the same

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Merge, PartitionedTable}
+import graft.streaming.UpsertPipeline
+import graft.ops.EmissionsEtl
+
+/** The bucket-partitioned warehouse target: merges must (a) equal the plain
+  * whole-table Merge.upsert result, (b) physically rewrite ONLY the
+  * partitions the update batch's keys hash into, (c) stay idempotent under
+  * re-delivery — the write-amplification contract the 100 TB upsert shape
+  * depends on. */
+class PartitionedTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_ptab_").toString + "/t"
+
+  /** (relative path, mtime, length) of every data file per bucket dir. */
+  private def fileState(root: String): Map[String, Set[(String, Long, Long)]] = {
+    val base = new java.io.File(root)
+    base.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith(PartitionedTable.BucketCol + "="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified(), f.length())).toSet
+      }.toMap
+  }
+
+  private def df(rows: Seq[(Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("k", "name", "v")
+  }
+
+  test("create + read round-trips the data and hides the bucket column") {
+    val root = freshRoot()
+    val base = df((1L to 100L).map(i => (i, s"n$i", i.toDouble)))
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 8)
+    val back = PartitionedTable.read(spark, root)
+    assert(back.columns.toSet == Set("k", "name", "v"))
+    assert(back.count() == 100)
+    assert(PartitionedTable.meta(spark, root) == (Seq("k"), 8))
+  }
+
+  test("merge equals whole-table Merge.upsert (updates + inserts) and is idempotent") {
+    val root = freshRoot()
+    val base = df((1L to 100L).map(i => (i, s"n$i", i.toDouble)))
+    // updates rewrite 10 existing keys and insert 3 new ones
+    val updates = df((11L to 20L).map(i => (i, s"upd$i", -i.toDouble)) ++
+      Seq((201L, "new1", 1.0), (202L, "new2", 2.0), (203L, "new3", 3.0)))
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 8)
+    PartitionedTable.merge(spark, root, updates)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = sorted(Merge.upsert(base, updates, Seq("k")))
+    assert(sorted(PartitionedTable.read(spark, root)) == expected)
+    // re-delivery of the same batch: same table (LWW idempotence survives
+    // the physical partition rewrite)
+    PartitionedTable.merge(spark, root, updates)
+    assert(sorted(PartitionedTable.read(spark, root)) == expected)
+  }
+
+  test("merge rewrites ONLY the touched partitions") {
+    val root = freshRoot()
+    val nBuckets = 8
+    val base = df((1L to 200L).map(i => (i, s"n$i", i.toDouble)))
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets)
+    // pick update keys that all hash into a small bucket subset
+    import spark.implicits._
+    val keyToBucket = (1L to 200L).toDF("k")
+      .withColumn("b", PartitionedTable.bucketExpr(Seq("k"), nBuckets))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wanted = keyToBucket.values.toSeq.distinct.sorted.take(2).toSet
+    val updKeys = keyToBucket.filter { case (_, b) => wanted.contains(b) }.keys.toSeq.sorted.take(5)
+    assert(updKeys.nonEmpty)
+    val touched = updKeys.map(keyToBucket).toSet
+
+    val before = fileState(root)
+    Thread.sleep(1100) // mtime granularity can be 1 s on some filesystems
+    PartitionedTable.merge(spark, root, df(updKeys.map(k => (k, "touched", 0.0))))
+    val after = fileState(root)
+
+    for ((dir, files) <- before) {
+      val b = dir.stripPrefix(PartitionedTable.BucketCol + "=").toInt
+      if (touched.contains(b))
+        assert(after(dir) != files, s"touched partition $dir was not rewritten")
+      else
+        assert(after(dir) == files,
+          s"UNTOUCHED partition $dir was rewritten — write amplification regressed")
+    }
+    // and the data is still right
+    val got = PartitionedTable.read(spark, root)
+      .filter(col("k").isin(updKeys.map(Long.box).toIndexedSeq: _*))
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set("touched"))
+    assert(PartitionedTable.read(spark, root).count() == 200)
+  }
+
+  test("empty update batch is a no-op") {
+    val root = freshRoot()
+    val base = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 4)
+    val before = fileState(root)
+    PartitionedTable.merge(spark, root, base.limit(0))
+    assert(fileState(root) == before)
+  }
+
+  test("pipeline end-to-end: partitioned warehouse sink, re-delivery idempotent") {
+    def writeCsv(dir: Path, name: String, rows: Seq[String]): Unit = {
+      val header = "CountryCode,Year,Scenario,Category,Gas,Reported Value"
+      Files.writeString(dir.resolve(name), (header +: rows).mkString("\n"))
+    }
+    val landing = Files.createTempDirectory("graft_pland_")
+    val warehouse = Files.createTempDirectory("graft_pwh_").toString + "/wh"
+    val checkpoint = Files.createTempDirectory("graft_pckpt_").toString
+    val gas = EmissionsEtl.totalGhgRaw
+    def state(): Map[String, Double] =
+      PartitionedTable.read(spark, warehouse).collect()
+        .map(r => (r.getString(0), r.getDouble(5))).toMap
+
+    writeCsv(landing, "001.csv", Seq(
+      s"""AT,2030,WEM,Energy,"$gas",100.0""",
+      s"""DE,2030,WEM,Energy,"$gas",50.0"""))
+    UpsertPipeline.runOncePartitioned(spark, landing.toString, warehouse, checkpoint)
+    assert(state() == Map("Austria" -> 100.0, "Germany" -> 50.0))
+
+    writeCsv(landing, "002.csv", Seq(
+      s"""AT,2030,WEM,Energy,"$gas",200.0""",
+      s"""FR,2030,WEM,Energy,"$gas",75.0"""))
+    UpsertPipeline.runOncePartitioned(spark, landing.toString, warehouse, checkpoint)
+    assert(state() == Map("Austria" -> 200.0, "Germany" -> 50.0, "France" -> 75.0))
+
+    // nothing new: checkpointed source yields no batch — state holds
+    UpsertPipeline.runOncePartitioned(spark, landing.toString, warehouse, checkpoint)
+    assert(state() == Map("Austria" -> 200.0, "Germany" -> 50.0, "France" -> 75.0))
+  }
+}
