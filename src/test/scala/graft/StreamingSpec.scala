@@ -296,4 +296,34 @@ class StreamingSpec extends SparkSpec {
     // (type, day) is the MV's primary key — the merge must keep it unique.
     assert(mv.select("event_type", "day").distinct().count() == rows.size)
   }
+
+  test("structural guard: corpus-sized streaming results are file-backed, never memory sinks") {
+    // The memory-sink pathology recurred twice (q82 in the r13 64x sweep,
+    // q134 in review): a corpus-sized result routed through format("memory")
+    // funnels the whole output through a single-threaded driver collect.
+    // The fixed queries return frames rooted at a parquet read of their
+    // foreachBatch/file-sink output; the drain-a-memory-sink path returns a
+    // localCheckpoint (LogicalRDD, no file relation). Assert the plan shape
+    // so a reintroduced memory sink on any corpus-sized entry fails here.
+    // Bounded-result streams (q23/q25's fixed hourly/window grids, q176's
+    // k-report) legitimately keep memory sinks and are exempt.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val corpusSized = Seq(
+      "q82_streaming_sessions", "q134_streaming_left_join",
+      "q153_streaming_neardup_ingest", "q157_streaming_dedup",
+      "q162_streaming_mv", "q201_learning_ingest")
+    for (name <- corpusSized) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val plan = df.queryExecution.analyzed
+      val fileBacked = plan.collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => ()
+      }.isDefined
+      val hasRdd = plan.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      }.isDefined
+      assert(fileBacked && !hasRdd,
+        s"$name must return a file-backed result (foreachBatch/file sink), " +
+          s"not a drained memory sink: fileBacked=$fileBacked hasLogicalRDD=$hasRdd")
+    }
+  }
 }
