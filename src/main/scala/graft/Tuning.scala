@@ -109,8 +109,13 @@ object Tuning {
         case Some(n) => n.toInt
         case None => derivedShufflePartitions(spark, dir)
       }
-      if (spark.conf.get("spark.sql.shuffle.partitions").toInt != target)
+      if (spark.conf.get("spark.sql.shuffle.partitions").toInt != target) {
+        // One line per CHANGE (same-dir workloads log once, alternating-dir
+        // probes log per switch): the derived plan scale should be visible
+        // in operational logs, not inferred from timings.
+        System.err.println(s"[graft-tuning] shuffle partitions -> $target for $dir")
         spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft-tuning] tuneFor($dir) failed: ${e.getMessage}")
