@@ -42,12 +42,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Join"))
   }
 
-  test("q75: EXISTS/NOT EXISTS decorrelate into hash semi/anti joins, no nested loop") {
-    val plan = planOf(graft.queries.Extra.q75OnlySlowSupplier(spark, sf0001))
+  test("q75 quantified form: EXISTS/NOT EXISTS decorrelate into hash semi/anti joins, no nested loop") {
+    val plan = planOf(graft.queries.Extra.q75QuantifiedForm(spark, sf0001))
     assert(plan.contains("LeftSemi"), "EXISTS must become a semi join")
     assert(plan.contains("LeftAnti"), "NOT EXISTS must become an anti join")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "correlated predicates must not plan as a nested loop")
+  }
+
+  test("q75 grouped form: ONE lineitem scan (vs three in the quantified plan) and equal results") {
+    // Count scan NODES in the formatted plan — the executed plan hides
+    // scans inside AdaptiveSparkPlanExec from a tree collect.
+    def scanNodes(df: org.apache.spark.sql.DataFrame): Int =
+      planOf(df).linesIterator.count(_.matches("^\\(\\d+\\) Scan parquet.*"))
+    val grouped = graft.queries.Extra.q75OnlySlowSupplier(spark, sf0001)
+    val quantified = graft.queries.Extra.q75QuantifiedForm(spark, sf0001)
+    assert(scanNodes(grouped) == 3,
+      s"grouped q75 must plan exactly 3 scans (lineitem+orders+supplier), found ${scanNodes(grouped)}")
+    assert(scanNodes(quantified) >= 5,
+      s"quantified q75 plans 3 lineitem scans (5+ total); found ${scanNodes(quantified)} — " +
+        "if Catalyst learned to collapse them, retire the grouped rewrite")
+    assert(grouped.collect().toSeq == quantified.collect().toSeq,
+      "grouped per-order set-predicate form diverged from the quantified SQL form")
   }
 
   test("q102: LATERAL with ORDER BY + LIMIT decorrelates to WindowGroupLimit + hash join, no nested loop") {
