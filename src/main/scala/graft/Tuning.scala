@@ -46,6 +46,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Tuning {
 
+  /** Master switch: set false to leave `spark.sql.shuffle.partitions`
+    * entirely to the session owner (perf tools sweeping explicit partition
+    * counts — e.g. `tools.Micro`'s SPARK_GRAFT_SHUFFLE knob — must not
+    * have their setting silently re-derived out from under them). */
+  val EnabledKey = "spark.graft.tuning.enabled"
+
   /** Compressed input bytes one shuffle partition should carry. */
   val BytesPerPartitionKey = "spark.graft.tuning.bytesPerShufflePartition"
 
@@ -57,26 +63,43 @@ object Tuning {
 
   private val dirBytesCache = new ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Total bytes under `dir`, memoized for the JVM's lifetime. 0 when the
-    * probe fails (missing dir, permission) — the floor then applies, which
-    * is the pre-derivation behavior; the failure is logged, not swallowed
-    * silently (a reliably-failing probe would otherwise silently pin every
-    * query at core-count partitions — the q82-class degradation). */
-  private def dirBytes(spark: SparkSession, dir: String): Long =
-    dirBytesCache.computeIfAbsent(dir, d => {
-      try {
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(
-            s"[graft-tuning] input size probe failed for $d " +
-              s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
-              "shuffle partitions stay at the session floor")
-          0L
-      }
-    })
+  /** One content-summary probe, shared with the streaming state-partition
+    * rule ([[graft.streaming.EventsStream]] calls this) so the
+    * probe-with-visible-fallback behavior cannot diverge between the two
+    * partition-scaling sites. Per-call, never cached: 0 on failure, with
+    * the failure logged (a silent fallback would pin partitions at the
+    * floor — the q82-class degradation — with no signal). NOTE: a
+    * recursive listing on object stores — fine for a corpus/landing dir,
+    * not for a data-lake root. */
+  def probeDirBytes(spark: SparkSession, dir: String, tag: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[$tag] input size probe failed for $dir " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "partitions stay at the floor")
+        0L
+    }
+
+  /** Total bytes under `dir`, memoized for the JVM's lifetime — but ONLY
+    * successful probes are cached: memoizing a transient failure (object
+    * store credential refresh, dir created a moment later) would pin that
+    * dir's queries at the floor for the driver's lifetime; retrying a
+    * failing probe per query costs one metadata call and recovers as soon
+    * as the filesystem does. */
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val cached = dirBytesCache.get(dir)
+    if (cached != null) cached.longValue()
+    else {
+      val bytes = probeDirBytes(spark, dir, "graft-tuning")
+      if (bytes > 0L) dirBytesCache.put(dir, bytes)
+      bytes
+    }
+  }
 
   /** The derivation, pure and spec-testable. */
   private[graft] def partitionsForBytes(bytes: Long, floor: Int,
@@ -95,16 +118,22 @@ object Tuning {
 
   /** Set this session's `spark.sql.shuffle.partitions` for a query over
     * `dir`. Called by the `SparkEntry.queries` wrapper before each query
-    * builder runs — the conf is read at that query's planning, so the
-    * per-dir value is in force for its execution. Never throws: tuning is
-    * an optimization, a failed probe leaves the session floor in place.
+    * builder runs. `spark.sql.shuffle.partitions` is read when the frame
+    * EXECUTES, not when it is built — so the contract is build-then-act
+    * (what Bench/Verify/ScaleProbe and every driver path do). A caller
+    * that builds frames for SEVERAL dirs before acting on any must
+    * re-invoke tuneFor (or pin the conf) around each action, or the last
+    * build's setting governs all of them. Never throws: tuning is an
+    * optimization, a failed probe leaves the session floor in place.
     *
     * NOT restored afterwards: the next query over any dir re-derives, and
     * interleaved consumers (ScaleProbe alternating two dirs) get the right
-    * value per call. The env override, when present, is applied verbatim
-    * and the derivation skipped. */
+    * value per call. Disabled entirely via [[EnabledKey]]=false; the env
+    * override, when present, is applied verbatim and the derivation
+    * skipped. */
   def tuneFor(spark: SparkSession, dir: String): Unit =
     try {
+      if (!spark.conf.get(EnabledKey, "true").toBoolean) return
       val target = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
         case Some(n) => n.toInt
         case None => derivedShufflePartitions(spark, dir)

@@ -110,7 +110,13 @@ object PartitionedTable {
     * the same table. */
   def merge(spark: SparkSession, root: String, updates: DataFrame): Unit = {
     val (keys, nBuckets) = meta(spark, root)
+    // Materialize the update batch ONCE: it feeds the touched-bucket
+    // collect, the upsert's anti-join probe, and the upsert's union — an
+    // uncached lazy frame (e.g. the pipeline's transform + window dedup)
+    // would re-run its whole upstream chain three times per commit.
+    // Batch-sized by contract, so the checkpoint is the cheap side.
     val up = updates.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .localCheckpoint()
     // Touched-bucket set: ≤ nBuckets ints, driver-bounded by construction.
     val touched = up.select(BucketCol).distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return

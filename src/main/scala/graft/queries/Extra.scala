@@ -84,9 +84,9 @@ object Extra {
     *    count. A result-bounded re-key by supplier + broadcast supplier
     *    dim finishes.
     *
-    * One scan of lineitem instead of three (plan-guarded in PlanSpec),
-    * two fact-sized exchanges instead of six; equality with the
-    * quantified form is spec-pinned (ExtraShapesSpec). */
+    * One scan of lineitem instead of three, two fact-sized exchanges
+    * instead of six; PlanSpec pins both forms' scan counts AND their
+    * result equality. */
   def q75OnlySlowSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)

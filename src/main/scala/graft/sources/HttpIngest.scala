@@ -52,9 +52,10 @@ object HttpIngest {
     // still hides it from Spark sources, and failure paths delete it.
     // What failure paths can't delete — a JVM crash mid-download — would
     // leak the unique-named staging file forever (nothing ever revisits
-    // it), so entry sweeps siblings older than the request timeout: any
-    // live download refreshes its staging file's mtime continuously as the
-    // body streams, and one that hasn't within the timeout window is dead.
+    // it), so entry sweeps siblings whose mtime is stale past
+    // [[StalePartMs]] (2× the request timeout — see its scaladoc for why
+    // 1× is not a liveness proof, and why the owner of a swept file
+    // retries instead of failing).
     sweepStaleParts(dir, fileName)
     val part = dir.resolve(
       s".$fileName.${java.util.UUID.randomUUID().toString.take(8)}.part")
@@ -74,14 +75,26 @@ object HttpIngest {
             java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
             java.nio.file.StandardOpenOption.WRITE))
           if (resp.statusCode() / 100 == 2) {
-            Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-            return Some(dest.toString)
+            // NoSuchFileException from the move means a concurrent fetch's
+            // stale sweep took our staging file (possible only for a
+            // transfer that stalled past StalePartMs) — this download is
+            // lost but the loop retries it; propagating would fail a fetch
+            // whose server is healthy.
+            try {
+              Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+              return Some(dest.toString)
+            } catch {
+              case e: java.nio.file.NoSuchFileException =>
+                lastTransport = Some(e)
+            }
+            true
+          } else {
+            Files.deleteIfExists(part)
+            if (resp.statusCode() < 500) return None // 4xx: permanent, skip
+            lastTransport = None
+            true
           }
-          Files.deleteIfExists(part)
-          if (resp.statusCode() < 500) return None // 4xx: permanent, skip
-          lastTransport = None
-          true
         } catch {
           case e: java.io.IOException =>
             Files.deleteIfExists(part)
@@ -96,9 +109,14 @@ object HttpIngest {
   }
 
   /** How long a staging file may sit untouched before it is presumed
-    * orphaned — the per-request timeout: a download that produced no byte
-    * (and so no mtime refresh) for that long has had its request aborted. */
-  private[sources] val StalePartMs: Long = Duration.ofMinutes(5).toMillis
+    * orphaned. Deliberately 2× the request timeout, not 1×: the JDK's
+    * HttpRequest timeout covers only up to response headers — a body
+    * transfer that stalls mid-stream has no timeout, so a live connection
+    * CAN leave its staging file mtime-stale longer than the request
+    * timeout. The margin (plus the owner's tolerance below: a swept
+    * staging file turns into a retry, not data loss) keeps the sweep safe
+    * for that case. */
+  private[graft] val StalePartMs: Long = 2 * Duration.ofMinutes(5).toMillis
 
   /** Best-effort removal of crash-orphaned `.{fileName}.*.part` staging
     * files. Mtime-gated so a concurrent in-flight download's staging file

@@ -108,24 +108,10 @@ object EventsStream {
     * resolve to 4, so pinned-partition results and timings are unchanged
     * there. */
   private def pinnedPartitionsFor(spark: SparkSession, watchDir: String): Int = {
-    val bytes = try {
-      val p = new org.apache.hadoop.fs.Path(watchDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getContentSummary(p).getLength
-    } catch {
-      // NonFatal only: this is a best-effort size probe, but swallowing a
-      // VM error or interrupt here would mask a fatal condition behind a
-      // silently-floored partition count. The fallback itself must be
-      // VISIBLE: on a filesystem where the probe reliably fails, a silent
-      // floor of 4 re-creates exactly the serialized-state pathology this
-      // function exists to prevent.
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"[graft-stream] state-partition size probe failed for $watchDir " +
-            s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
-            "falling back to 4 state partitions")
-        0L
-    }
+    // Shared probe ([[graft.Tuning.probeDirBytes]]): per-call, NonFatal
+    // only, failure logged — a silent floor of 4 would re-create exactly
+    // the serialized-state pathology this function exists to prevent.
+    val bytes = graft.Tuning.probeDirBytes(spark, watchDir, "graft-stream")
     math.max(4, math.min(32, (bytes / (8L << 20)).toInt))
   }
 

@@ -44,12 +44,32 @@ object JobTime {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // Listener delivery is async (the Bench.settled() lesson): without a
+    // drain, a timed job whose JobEnd is still queued reads end=0 (huge
+    // negative duration), and warmup JobStarts delivered after clear()
+    // re-enter the map attributed to the timed pass.
+    def settled(): Unit = {
+      // VALUE snapshot (Job.end is a var; snapshotting references would
+      // make cur == prev trivially true while ends still mutate)
+      def snap(): Map[Int, Long] = jobs.map { case (id, j) => id -> j.end }.toMap
+      var prev = snap()
+      var spins = 0
+      while (spins < 10) {
+        Thread.sleep(20)
+        val cur = snap()
+        if (cur == prev && cur.valuesIterator.forall(_ != 0L)) spins = 10
+        else { prev = cur; spins += 1 }
+      }
+    }
+
     for (name <- names) {
       try run(name) catch { case e: Throwable => println(s"$name warmup: ${e.getMessage}") }
+      settled()
       jobs.clear()
       val t0 = System.nanoTime()
       run(name)
       val wall = (System.nanoTime() - t0) / 1e9
+      settled()
       val done = jobs.toSeq.sortBy(_._1)
       val sumJobs = done.map { case (_, j) => (j.end - j.start) / 1e3 }.sum
       println(f"== $name wall $wall%.2f s, ${done.size} jobs, job-sum $sumJobs%.2f s (gaps = driver/planning/FS)")

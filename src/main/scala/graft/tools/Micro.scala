@@ -18,6 +18,11 @@ object Micro {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuf)
+      // An EXPLICIT shuffle sweep must measure what it set: disable the
+      // per-query derived re-tune, which would otherwise silently reset
+      // the conf before every SparkEntry build.
+      .config(graft.Tuning.EnabledKey,
+        (!sys.env.contains("SPARK_GRAFT_SHUFFLE")).toString)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

@@ -100,7 +100,7 @@ class HttpIngestSpec extends SparkSpec {
       val stale = landing.resolve(".data.csv.deadbeef.part")
       Files.write(stale, "half a body".getBytes(StandardCharsets.UTF_8))
       Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 2 * 5 * 60 * 1000L))
+        System.currentTimeMillis() - 3 * HttpIngest.StalePartMs / 2))
       // a concurrent in-flight download: fresh mtime — must survive
       val fresh = landing.resolve(".data.csv.cafe0001.part")
       Files.write(fresh, "streaming now".getBytes(StandardCharsets.UTF_8))
@@ -108,7 +108,7 @@ class HttpIngestSpec extends SparkSpec {
       val other = landing.resolve(".other.csv.deadbeef.part")
       Files.write(other, "x".getBytes(StandardCharsets.UTF_8))
       Files.setLastModifiedTime(other, java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 2 * 5 * 60 * 1000L))
+        System.currentTimeMillis() - 3 * HttpIngest.StalePartMs / 2))
 
       assert(HttpIngest.fetch(s"$baseUrl/data.csv", landing.toString, "data.csv").isDefined)
       assert(!Files.exists(stale), "stale orphan for the same file must be swept")
