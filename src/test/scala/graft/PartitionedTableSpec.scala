@@ -97,6 +97,31 @@ class PartitionedTableSpec extends SparkSpec {
     assert(PartitionedTable.read(spark, root).count() == 200)
   }
 
+  test("inserts hashing to a bucket with no existing partition dir create it") {
+    val root = freshRoot()
+    // 2 rows across 16 buckets: most buckets have NO dir on disk yet
+    val base = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 16)
+    val existing = fileState(root).keySet
+    // find an insert key whose bucket dir does not exist yet
+    import spark.implicits._
+    val candidates = (100L to 200L).toDF("k")
+      .withColumn("b", PartitionedTable.bucketExpr(Seq("k"), 16))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (newKey, newBucket) = candidates.find { case (_, b) =>
+      !existing.contains(s"${PartitionedTable.BucketCol}=$b") }.get
+    val before = fileState(root)
+    PartitionedTable.merge(spark, root, df(Seq((newKey, "fresh", 9.0))))
+    val after = fileState(root)
+    assert(after.contains(s"${PartitionedTable.BucketCol}=$newBucket"),
+      "dynamic overwrite must create the new key's partition dir")
+    assert(existing.forall(d => after(d) == before(d)),
+      "pre-existing partitions must be untouched by a new-bucket insert")
+    assert(PartitionedTable.read(spark, root).count() == 3)
+    assert(PartitionedTable.read(spark, root)
+      .filter(col("k") === newKey).collect().head.getString(1) == "fresh")
+  }
+
   test("empty update batch is a no-op") {
     val root = freshRoot()
     val base = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))

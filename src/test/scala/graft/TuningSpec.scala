@@ -40,6 +40,39 @@ class TuningSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("a failed size probe is not memoized: the dir re-probes once it exists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tune_retry_")
+      .resolve("later").toString
+    // first probe fails (dir absent) — must not poison the cache
+    Tuning.tuneFor(spark, dir)
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ==
+      spark.sparkContext.defaultParallelism)
+    // dir appears with enough bytes to out-derive the floor
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "blob.bin"),
+      new Array[Byte](48 << 20)) // 48 MB -> 12 partitions > floor 4
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Tuning.tuneFor(spark, dir)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt == 12,
+        "transient probe failure must not pin the dir at the floor forever")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("tuning.enabled=false leaves the session's setting alone") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set(Tuning.EnabledKey, "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "77")
+      SparkEntry.queries("q02_project_filter")(spark, sf0001)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "77",
+        "disabled tuner must not clobber an explicitly-set partition count")
+    } finally {
+      spark.conf.unset(Tuning.EnabledKey)
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("every SparkEntry query passes through the tuner") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
