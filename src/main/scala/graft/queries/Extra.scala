@@ -74,19 +74,25 @@ object Extra {
     * quantifiers are per-ORDER set predicates, so one orderkey-clustered
     * pass computes them exactly:
     *
-    *  - ⋈ orders, flag slow rows (one shuffle per side on orderkey);
-    *  - groupBy(orderkey, suppkey) — orderkey hash partitioning already
-    *    clusters it, NO new exchange — counting each supplier's slow rows;
-    *  - groupBy(orderkey) — same partitioning, exchange-free — yields
-    *    per-order distinct-supplier and slow-supplier counts;
+    *  - ⋈ orders, flag slow rows;
+    *  - groupBy(orderkey, suppkey) counting each supplier's slow rows;
+    *  - groupBy(orderkey) yields per-order distinct-supplier and
+    *    slow-supplier counts;
     *  - EXISTS ≡ n_supp > 1, NOT-EXISTS ≡ exactly one slow supplier (the
     *    row's own); its qualifying row count is that supplier's slow-row
     *    count. A result-bounded re-key by supplier + broadcast supplier
     *    dim finishes.
     *
-    * One scan of lineitem instead of three, two fact-sized exchanges
-    * instead of six; PlanSpec pins both forms' scan counts AND their
-    * result equality. */
+    * Exchange count by regime (PLANS.md): at bench scale orders
+    * BROADCASTS, so the two aggregations each shuffle — two fact-sized
+    * exchanges. At production scale orders outgrows the broadcast
+    * threshold and the join becomes a sort-merge on orderkey — whose
+    * hash partitioning then satisfies BOTH aggregations' clustering
+    * (orderkey ⊆ the grouping keys), so the aggregates run exchange-free
+    * and the plan's only fact shuffles are the join's two sides. Either
+    * regime: one scan of lineitem instead of three, ≤2 fact-sized
+    * exchanges instead of six. PlanSpec pins both forms' scan counts AND
+    * their result equality. */
   def q75OnlySlowSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)

@@ -66,6 +66,26 @@ class PlanSpec extends SparkSpec {
       "grouped per-order set-predicate form diverged from the quantified SQL form")
   }
 
+  test("q75 at scale (orders too big to broadcast): both aggregations reuse the join's orderkey partitioning") {
+    // The production regime: orders outgrows the broadcast threshold, the
+    // join becomes a sort-merge on orderkey, and BOTH groupBys' clustering
+    // (orderkey ⊆ keys) is satisfied by that partitioning — the aggregates
+    // must run exchange-free, leaving the join's two sides plus the
+    // result-bounded supplier re-key and final sort as the only shuffles.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(graft.queries.Extra.q75OnlySlowSupplier(spark, sf0001))
+      assert(plan.contains("SortMergeJoin"), "big-orders regime should sort-merge")
+      val exchanges = plan.linesIterator
+        .count(_.matches("^\\(\\d+\\) Exchange.*"))
+      // li-side + orders-side + supplier-rekey + final sort (+1 slack for a
+      // planner-version wobble); 6+ means an aggregate re-shuffled the fact
+      assert(exchanges <= 5,
+        s"expected ≤5 exchanges (join sides + bounded rekey + sort), got $exchanges — " +
+          "an aggregation stopped reusing the join's orderkey partitioning")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q102: LATERAL with ORDER BY + LIMIT decorrelates to WindowGroupLimit + hash join, no nested loop") {
     val plan = planOf(graft.queries.Extra.q102LateralTopN(spark, sf0001))
     assert(plan.contains("WindowGroupLimit"),
