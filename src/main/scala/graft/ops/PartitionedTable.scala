@@ -59,32 +59,64 @@ object PartitionedTable {
 
   private def writeMeta(spark: SparkSession, root: String,
                         keys: Seq[String], nBuckets: Int): Unit = {
+    // Staged-then-renamed (the VersionedTable/HttpIngest discipline): a
+    // direct create at the final path makes a crash between create and
+    // close observable as an EMPTY marker — exists()==true, meta() throws —
+    // permanently failing every later merge. The dot prefix keeps the
+    // staging file invisible to parquet dir scans while it's in flight.
     val p = new Path(root, MetaFile)
-    val out = fs(spark, p).create(p, true)
+    val tmp = new Path(root, s".$MetaFile.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val f = fs(spark, p)
+    val out = f.create(tmp, true)
     try out.write(s"nBuckets=$nBuckets\nkeys=${keys.mkString(",")}\n".getBytes("UTF-8"))
     finally out.close()
+    // HDFS/local rename is atomic; object stores emulate with copy+delete,
+    // where the worst crash outcome is a stale .tmp sibling — never a
+    // half-written marker at the final path.
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"could not publish table meta at $p")
+    }
   }
 
-  /** Whether a table (its meta marker) exists at `root`. The marker is
-    * written AFTER the initial data, so a crashed half-created table reads
-    * as absent and the retrying creator's static overwrite wipes it. */
-  def exists(spark: SparkSession, root: String): Boolean = {
-    val p = new Path(root, MetaFile)
-    fs(spark, p).exists(p)
-  }
-
-  /** (keys, nBuckets) recorded at [[create]] time. */
-  def meta(spark: SparkSession, root: String): (Seq[String], Int) = {
-    val p = new Path(root, MetaFile)
-    val in = fs(spark, p).open(p)
-    val text =
-      try new String(in.readAllBytes(), "UTF-8")
-      finally in.close()
+  private def parseMeta(text: String): Option[(Seq[String], Int)] = {
     val kv = text.linesIterator.filter(_.contains('=')).map { l =>
       val Array(k, v) = l.split("=", 2); k -> v
     }.toMap
-    (kv("keys").split(",").toIndexedSeq, kv("nBuckets").toInt)
+    for {
+      keys <- kv.get("keys").map(_.split(",").toIndexedSeq)
+      n <- kv.get("nBuckets").flatMap(_.toIntOption)
+    } yield (keys, n)
   }
+
+  private def readMeta(spark: SparkSession, root: String): Option[(Seq[String], Int)] = {
+    val p = new Path(root, MetaFile)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      // An unparseable marker (truncated by a crashed non-atomic writer of
+      // an older layout, or foreign junk) reads as table-absent — the
+      // retrying creator's static overwrite then rebuilds it — rather than
+      // wedging the table forever.
+      parseMeta(text)
+    }
+  }
+
+  /** Whether a table (a READABLE meta marker) exists at `root`. The marker
+    * is written AFTER the initial data and published by atomic rename, so a
+    * crashed half-created table reads as absent and the retrying creator's
+    * static overwrite wipes it. */
+  def exists(spark: SparkSession, root: String): Boolean =
+    readMeta(spark, root).isDefined
+
+  /** (keys, nBuckets) recorded at [[create]] time. */
+  def meta(spark: SparkSession, root: String): (Seq[String], Int) =
+    readMeta(spark, root).getOrElse(throw new IllegalStateException(
+      s"no readable $MetaFile marker under $root — table absent or its meta is corrupt"))
 
   /** Initial full materialization of `df` as a bucket-partitioned table.
     * One shuffle on the bucket (so each bucket lands as one coherent file
@@ -94,6 +126,10 @@ object PartitionedTable {
     require(nBuckets > 0, "nBuckets must be positive")
     require(keys.nonEmpty, "at least one merge key")
     require(!df.columns.contains(BucketCol), s"$BucketCol is reserved")
+    // The marker serializes keys as k=v / comma-separated lines; a key name
+    // containing the delimiters would round-trip corrupted.
+    require(keys.forall(k => !k.exists(c => c == ',' || c == '=' || c == '\n')),
+      s"merge key names must not contain ',', '=' or newline: $keys")
     df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .repartition(col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(root)
@@ -115,25 +151,33 @@ object PartitionedTable {
     // uncached lazy frame (e.g. the pipeline's transform + window dedup)
     // would re-run its whole upstream chain three times per commit.
     // Batch-sized by contract, so the checkpoint is the cheap side.
-    val up = updates.withColumn(BucketCol, bucketExpr(keys, nBuckets))
-      .localCheckpoint()
+    val up = graft.JobStage.named(spark, "partitioned-table: update batch checkpoint") {
+      updates.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+        .localCheckpoint()
+    }
     // Touched-bucket set: ≤ nBuckets ints, driver-bounded by construction.
-    val touched = up.select(BucketCol).distinct().collect().map(_.getInt(0))
+    val touched = graft.JobStage.named(spark, "partitioned-table: touched-bucket collect") {
+      up.select(BucketCol).distinct().collect().map(_.getInt(0))
+    }
     if (touched.isEmpty) return
     val target = spark.read.parquet(root)
       .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
-    val merged = Merge.upsert(target, up.select(target.columns.map(col): _*), keys)
-      // Materialization barrier (bounded by the touched partitions): the
-      // overwrite below replaces the very files the merge reads, so the
-      // result must exist before the first old file is deleted — and a
-      // lineage-truncated frame is also what lets Spark accept a write
-      // onto a path the original plan scanned.
-      .localCheckpoint()
-    merged
-      .repartition(col(BucketCol))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol)
-      .parquet(root)
+    val merged = graft.JobStage.named(spark, s"partitioned-table: merge ${touched.length} touched buckets") {
+      Merge.upsert(target, up.select(target.columns.map(col): _*), keys)
+        // Materialization barrier (bounded by the touched partitions): the
+        // overwrite below replaces the very files the merge reads, so the
+        // result must exist before the first old file is deleted — and a
+        // lineage-truncated frame is also what lets Spark accept a write
+        // onto a path the original plan scanned.
+        .localCheckpoint()
+    }
+    graft.JobStage.named(spark, s"partitioned-table: dynamic overwrite ${touched.length} buckets") {
+      merged
+        .repartition(col(BucketCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(root)
+    }
   }
 }

@@ -122,8 +122,15 @@ object MvRewrite {
     // delete. VersionedTable.vacuum is too aggressive here (keeps only
     // the latest).
     locally {
+      // Never-throw parse (the tuneFor posture for maintenance-side knobs):
+      // a malformed retention value must not fail a refresh whose data
+      // commit already succeeded.
       val retain = math.max(1,
-        spark.conf.get(RetainVersionsKey, "2").toInt)
+        spark.conf.get(RetainVersionsKey, "2").toIntOption.getOrElse {
+          System.err.println(
+            s"[mv-rewrite] malformed $RetainVersionsKey; retaining default 2")
+          2
+        })
       val root = new org.apache.hadoop.fs.Path(d.mvRoot)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       graft.ops.VersionedTable.committedVersions(spark, d.mvRoot)

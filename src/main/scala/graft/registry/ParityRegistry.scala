@@ -27,6 +27,7 @@ object ParityRegistry {
     "q91_xml_roundtrip" -> (Parity.q91XmlRoundtrip _),
     "q100_cdc_apply" -> (Extra.q100CdcApply _),
     "q159_schema_evolution" -> (Extra.q159SchemaEvolution _),
+    "q202_partitioned_upsert" -> (Parity.q202PartitionedUpsert _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -149,5 +150,19 @@ object ParityRegistry {
         |)
         |SELECT key, val FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY key""".stripMargin,
+    // q202: q07's LWW merge semantic with a bounded update-key set
+    // (orderkey <= 100), routed through the bucket-partitioned target.
+    "q202_partitioned_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+        |         o_orderstatus
+        |  FROM t WHERE o_orderkey <= 100
+        |)
+        |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+        |UNION ALL
+        |SELECT * FROM u
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -32,6 +32,12 @@ import java.time.Duration
   */
 object HttpIngest {
 
+  /** Per-request timeout (headers deadline — see [[StalePartMs]] for why a
+    * body transfer can outlive it). Single constant so the sweep's "2× the
+    * request timeout" safety margin cannot silently drift from the timeout
+    * actually configured on requests. */
+  private val RequestTimeout: Duration = Duration.ofMinutes(5)
+
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NORMAL)
     .connectTimeout(Duration.ofSeconds(30))
@@ -61,7 +67,7 @@ object HttpIngest {
       s".$fileName.${java.util.UUID.randomUUID().toString.take(8)}.part")
     val dest = dir.resolve(fileName)
     val req = HttpRequest.newBuilder(URI.create(url))
-      .timeout(Duration.ofMinutes(5)).GET().build()
+      .timeout(RequestTimeout).GET().build()
     var attempt = 0
     var lastTransport: Option[java.io.IOException] = None
     while (attempt < maxAttempts) {
@@ -116,7 +122,7 @@ object HttpIngest {
     * timeout. The margin (plus the owner's tolerance below: a swept
     * staging file turns into a retry, not data loss) keeps the sweep safe
     * for that case. */
-  private[graft] val StalePartMs: Long = 2 * Duration.ofMinutes(5).toMillis
+  private[graft] val StalePartMs: Long = 2 * RequestTimeout.toMillis
 
   /** Best-effort removal of crash-orphaned `.{fileName}.*.part` staging
     * files. Mtime-gated so a concurrent in-flight download's staging file

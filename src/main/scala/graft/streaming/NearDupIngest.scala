@@ -150,12 +150,18 @@ object NearDupIngest {
       case None => corpus
     }
     val cand = Dedup.nearDupCandidatesAgainstSigs(histSigs, b)
-    Dedup.verifyNearDupCandidates(cand, histText, b)
-      .write.mode("overwrite").parquet(state.report(batchId))
-    Dedup.batchSignatureRows(b)
-      .write.mode("overwrite").parquet(state.sigDelta(batchId))
-    b.select($"doc_id", $"text")
-      .write.mode("overwrite").parquet(state.docDelta(batchId))
+    graft.JobStage.named(spark, s"neardup-ingest: probe+verify report (batch $batchId)") {
+      Dedup.verifyNearDupCandidates(cand, histText, b)
+        .write.mode("overwrite").parquet(state.report(batchId))
+    }
+    graft.JobStage.named(spark, s"neardup-ingest: signature delta (batch $batchId)") {
+      Dedup.batchSignatureRows(b)
+        .write.mode("overwrite").parquet(state.sigDelta(batchId))
+    }
+    graft.JobStage.named(spark, s"neardup-ingest: doc delta (batch $batchId)") {
+      b.select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(state.docDelta(batchId))
+    }
   }
 
   /** The learning pipeline over a watched landing dir: like

@@ -94,13 +94,15 @@ object UpsertPipeline {
     val q = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val transformed =
           EmissionsEtl.transform(batch, carryCols = Seq("__file_ts", "__file"))
         val unique = Merge.latestPerKey(transformed, EmissionsEtl.mergeKeys,
             Seq("__file_ts", "__file"))
           .drop("__file_ts", "__file")
-        sink(unique)
+        graft.JobStage.named(spark, s"upsert-pipeline: transform+merge commit (batch $batchId)") {
+          sink(unique)
+        }
         ()
       }
       .start()

@@ -6,9 +6,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 import org.apache.spark.sql.SparkSession
 
 /** Per-JOB attribution for one SparkEntry query: runs the query (warmup +
-  * one timed pass) and prints every Spark job's wall time with its call
-  * site, so a multi-job query (streaming foreachBatch pipelines, staged
-  * merges) shows WHERE its wall goes rather than one opaque number.
+  * one timed pass) and prints every Spark job's wall time with its NAME —
+  * the engine stamps phase descriptions via [[graft.JobStage]] (probe/
+  * verify/delta writes, partitioned-merge phases, versioned commits), so a
+  * multi-job query (streaming foreachBatch pipelines, staged merges) shows
+  * WHERE its wall goes rather than one opaque number. For streaming
+  * queries it additionally prints each micro-batch's engine-phase
+  * durations (listing/planning/addBatch/offset-log/commit-log) from the
+  * StreamingQueryProgress — the driver-side costs that appear as inter-job
+  * GAPS in the job table.
   * Usage: runMain graft.tools.JobTime <sfDir> <query...>
   */
 object JobTime {
@@ -35,9 +41,28 @@ object JobTime {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.put(j.jobId, Job(j.time,
-          Option(j.properties.getProperty("callSite.short")).getOrElse("?")))
+          // Engine-stamped phase description first (JobStage.named);
+          // callSite is only populated when something set it explicitly,
+          // so it is the fallback, not the primary.
+          Option(j.properties.getProperty("spark.job.description"))
+            .orElse(Option(j.properties.getProperty("callSite.short")))
+            .getOrElse("?")))
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         jobs.get(j.jobId).foreach(_.end = j.time)
+    })
+
+    // Streaming-phase attribution: micro-batch durations (source listing,
+    // planning, state/sink work, offset+commit log writes) are DRIVER-side
+    // and never appear as Spark jobs — they are the gaps between jobs. The
+    // progress events name them.
+    val batchProgress = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        batchProgress.add(e.progress)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     })
 
     def run(name: String): Unit =
@@ -66,15 +91,29 @@ object JobTime {
       try run(name) catch { case e: Throwable => println(s"$name warmup: ${e.getMessage}") }
       settled()
       jobs.clear()
+      batchProgress.clear()
       val t0 = System.nanoTime()
       run(name)
       val wall = (System.nanoTime() - t0) / 1e9
       settled()
-      val done = jobs.toSeq.sortBy(_._1)
+      // A job whose JobEnd never settled would read end=0 → a huge negative
+      // duration silently corrupting the job-sum; flag it instead.
+      val (done, unfinished) = jobs.toSeq.sortBy(_._1).partition(_._2.end != 0L)
       val sumJobs = done.map { case (_, j) => (j.end - j.start) / 1e3 }.sum
       println(f"== $name wall $wall%.2f s, ${done.size} jobs, job-sum $sumJobs%.2f s (gaps = driver/planning/FS)")
       for ((id, j) <- done)
         println(f"  job $id%3d ${(j.end - j.start) / 1e3}%7.3f s  ${j.site}")
+      for ((id, j) <- unfinished)
+        println(f"  job $id%3d   UNFINISHED (no JobEnd) — excluded from job-sum  ${j.site}")
+      // Micro-batch phase breakdown (streaming queries only): the named
+      // driver-side costs behind the job-table gaps.
+      import scala.jdk.CollectionConverters._
+      for (p <- batchProgress.asScala.toSeq.sortBy(_.batchId)) {
+        val phases = p.durationMs.asScala.toSeq
+          .sortBy { case (_, ms) => -ms.longValue() }
+          .map { case (k, ms) => s"$k ${ms}ms" }.mkString(", ")
+        println(f"  batch ${p.batchId}%2d (${p.numInputRows}%5d rows)  $phases")
+      }
     }
     spark.stop()
   }

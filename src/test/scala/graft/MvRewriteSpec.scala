@@ -169,6 +169,39 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("slow reader's resolved version survives rapid refreshes; malformed knob never fails a refresh") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_mvslow_").toString
+    val (factDir, deltaDir, mvRoot) = (s"$base/fact", s"$base/delta", s"$base/mv")
+    (1 to 50).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x").write.parquet(factDir)
+    (51 to 60).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x").write.parquet(deltaDir)
+    spark.conf.set(MvRewrite.RetainVersionsKey, "3")
+    try {
+      MvRewrite.defineRollup(spark, "t_slow", factDir, mvRoot, Seq("g"), Seq("x"))
+      MvRewrite.refreshIncremental(spark, "t_slow", deltaDir)
+      // A slow reader plans against the version current NOW (v=1)...
+      val (v, path) = graft.ops.VersionedTable.latest(spark, mvRoot).get
+      val reader = spark.read.parquet(path.toString)
+      val expected = reader.agg(sum($"cnt_star")).collect().head.getLong(0)
+      // ...then two rapid refreshes land while it is still executing.
+      // retain=3 keeps v alongside the two newer commits, so the reader's
+      // re-scan still resolves every file it planned against.
+      MvRewrite.refreshIncremental(spark, "t_slow", deltaDir)
+      MvRewrite.refreshIncremental(spark, "t_slow", deltaDir)
+      assert(reader.agg(sum($"cnt_star")).collect().head.getLong(0) == expected,
+        s"slow reader's version v=$v was vacuumed out from under it")
+      // Malformed knob: the refresh's data commit must succeed and GC must
+      // fall back to the default instead of throwing after the commit.
+      spark.conf.set(MvRewrite.RetainVersionsKey, "not-a-number")
+      MvRewrite.refreshIncremental(spark, "t_slow", deltaDir)
+      assert(graft.ops.VersionedTable.latest(spark, mvRoot).get._1 == v + 3,
+        "refresh under a malformed retention knob must still commit")
+    } finally {
+      spark.conf.unset(MvRewrite.RetainVersionsKey)
+      MvRewrite.dropRollup(spark, "t_slow")
+    }
+  }
+
   test("null measures: AVG/COUNT/SUM rollup algebra matches Spark's ignore-null semantics") {
     import spark.implicits._
     val factDir = Files.createTempDirectory("graft_mvnull_").toString + "/fact"

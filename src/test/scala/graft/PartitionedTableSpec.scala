@@ -131,6 +131,38 @@ class PartitionedTableSpec extends SparkSpec {
     assert(fileState(root) == before)
   }
 
+  test("a truncated/unparseable meta marker reads as table-absent and create recovers") {
+    val root = freshRoot()
+    val base = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 4)
+    // Simulate the pre-fix crash artifact: an EMPTY marker at the final
+    // path (non-atomic create that died before close). exists() must say
+    // absent instead of letting meta() throw on every later merge forever.
+    Files.write(java.nio.file.Paths.get(root, "_graft_partitioned_table"),
+      Array.emptyByteArray)
+    assert(!PartitionedTable.exists(spark, root),
+      "a corrupt meta marker must read as table-absent, not wedge the table")
+    intercept[IllegalStateException] { PartitionedTable.meta(spark, root) }
+    // the retrying creator's path: static overwrite rebuilds data + marker
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 4)
+    assert(PartitionedTable.exists(spark, root))
+    assert(PartitionedTable.meta(spark, root) == (Seq("k"), 4))
+    assert(PartitionedTable.read(spark, root).count() == 2)
+  }
+
+  test("key names containing the marker delimiters are rejected at create") {
+    val root = freshRoot()
+    import spark.implicits._
+    val bad = Seq((1L, "a")).toDF("k,x", "v")
+    intercept[IllegalArgumentException] {
+      PartitionedTable.create(spark, root, bad, Seq("k,x"), nBuckets = 4)
+    }
+    val bad2 = Seq((1L, "a")).toDF("k=x", "v")
+    intercept[IllegalArgumentException] {
+      PartitionedTable.create(spark, root, bad2, Seq("k=x"), nBuckets = 4)
+    }
+  }
+
   test("pipeline end-to-end: partitioned warehouse sink, re-delivery idempotent") {
     def writeCsv(dir: Path, name: String, rows: Seq[String]): Unit = {
       val header = "CountryCode,Year,Scenario,Category,Gas,Reported Value"
