@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   * Contention robustness: each query is timed as the MEDIAN of
   * `SPARK_GRAFT_BENCH_REPS` (default 3) back-to-back reps — a one-off
   * descheduling burst inflates at most one rep, and the median discards it.
+  * Queries whose reps still spread >3× (two-of-three storm reps CAN align —
+  * the r14 q122 artifact) are re-run at suite end for up to 2 extra reps
+  * (median-of-5); every row carries its `wall_spread` and `extra_reps` in
+  * bench_out.json so a total is explainable from its own artifact.
   * The compact stdout line also carries the suite-level `task_cpu_ratio`
   * (summed executor task run time / summed task CPU time). Run time counts
   * I/O waits and SMT sharing too, so the QUIET baseline on this box is
@@ -58,10 +62,23 @@ object Bench {
   }
 
   /** `wall` is the median of `walls` (one entry per rep); task/GC/CPU
-    * metrics are summed across ALL reps of the query. */
+    * metrics are summed across ALL reps of the query. `extraReps` counts
+    * the suite-end re-runs the spread guard added (0 = unflagged). */
   private final case class Diag(order: Int, wall: Double, walls: Seq[Double],
                                 taskSec: Double, taskGcSec: Double,
-                                jvmGcSec: Double, cpuSec: Double, nTasks: Long)
+                                jvmGcSec: Double, cpuSec: Double, nTasks: Long,
+                                extraReps: Int = 0)
+
+  /** Max/min rep spread — the per-query weather fingerprint. A query whose
+    * reps agree reads ~1; a one-rep storm burst reads its full magnitude. */
+  private def spreadOf(walls: Seq[Double]): Double =
+    if (walls.size < 2 || walls.min <= 0.0) 1.0 else walls.max / walls.min
+
+  /** Rep spread above which a query's median is considered storm-suspect
+    * and re-measured at suite end (r14: q122's committed reps read
+    * 5.4/30.6/24.4 s — one weather burst inflated the official total ~12%
+    * and took a worktree A/B to adjudicate). */
+  private val SpreadLimit = 3.0
 
   /** Mute the benign per-query WARN chatter that drowns the driver's
     * 2000-char stdout/stderr tail. Every unpartitioned-window site in this
@@ -217,7 +234,8 @@ object Bench {
     val prepareSec = (System.nanoTime() - tPrep) / 1e9
 
     var order = 0
-    val results = names.map { name =>
+    val resultsBuf = scala.collection.mutable.LinkedHashMap.empty[String, Diag]
+    names.foreach { name =>
       val (r0, g0, c0, n0) = settled()
       // JMH-style inter-iteration GC, OUTSIDE the timed region: without it
       // the previous query's garbage (e.g. q20's exact-distinct Expand
@@ -241,10 +259,47 @@ object Bench {
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
       order += 1
-      name -> Diag(order, walls.sorted.apply((walls.size - 1) / 2), walls,
+      resultsBuf(name) = Diag(order, walls.sorted.apply((walls.size - 1) / 2), walls,
         (r1 - r0) / 1e3, (g1 - g0) / 1e3,
         (j1 - j0) / 1e3, (c1 - c0) / 1e9, n1 - n0)
     }
+    // Storm-rep guard: a query whose reps spread >SpreadLimit× had at least
+    // one rep inflated by host weather — its 3-rep median may still rest on
+    // two storm reps (the r14 q122 artifact). Re-run flagged queries at
+    // suite end (up to 2 extra reps → median-of-5) so no row's number rests
+    // on a wide spread without extra evidence. The re-runs get their own
+    // small grace window past the main deadline: they exist precisely for
+    // the slow-host case the deadline failsafe triggers on, and flagged
+    // rows are few by construction.
+    val rerunGraceSec = 120.0
+    val flagged = resultsBuf.collect {
+      case (n, d) if spreadOf(d.walls) > SpreadLimit => n }.toSeq
+    for (name <- flagged) {
+      System.gc()
+      val (r0, g0, c0, n0) = settled()
+      val j0 = jvmGcMs()
+      val extra = (1 to 2).flatMap { _ =>
+        if (elapsedSec() > deadlineSec + rerunGraceSec) None
+        else {
+          val t0 = System.nanoTime()
+          try run(name, sfDir)
+          catch { case e: Throwable => System.err.println(s"[bench-respread] $name: ${e.getMessage}") }
+          Some((System.nanoTime() - t0) / 1e9)
+        }
+      }
+      val (r1, g1, c1, n1) = settled()
+      val j1 = jvmGcMs()
+      val d = resultsBuf(name)
+      val walls = d.walls ++ extra
+      resultsBuf(name) = d.copy(
+        wall = walls.sorted.apply((walls.size - 1) / 2), walls = walls,
+        taskSec = d.taskSec + (r1 - r0) / 1e3, taskGcSec = d.taskGcSec + (g1 - g0) / 1e3,
+        jvmGcSec = d.jvmGcSec + (j1 - j0) / 1e3, cpuSec = d.cpuSec + (c1 - c0) / 1e9,
+        nTasks = d.nTasks + (n1 - n0), extraReps = extra.size)
+      System.err.println(f"[bench-respread] $name spread ${spreadOf(d.walls)}%.1fx -> " +
+        f"+${extra.size} reps, median ${d.wall}%.3f -> ${resultsBuf(name).wall}%.3f s")
+    }
+    val results = resultsBuf.toSeq
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Diag)]): String =
       rs.map { case (k, d) => "\"" + k + "\":" + sec(d.wall) }.mkString("{", ",", "}")
@@ -252,6 +307,8 @@ object Bench {
       rs.map { case (k, d) =>
         "\"" + k + "\":{\"order\":" + d.order + ",\"wall_sec\":" + sec(d.wall) +
           ",\"wall_reps\":" + d.walls.map(sec).mkString("[", ",", "]") +
+          ",\"wall_spread\":" + sec(spreadOf(d.walls)) +
+          ",\"extra_reps\":" + d.extraReps +
           ",\"task_sec\":" + sec(d.taskSec) + ",\"task_gc_sec\":" + sec(d.taskGcSec) +
           ",\"jvm_gc_sec\":" + sec(d.jvmGcSec) + ",\"cpu_sec\":" + sec(d.cpuSec) +
           ",\"n_tasks\":" + d.nTasks + "}"
@@ -275,13 +332,15 @@ object Bench {
       s""","n_queries":${results.size},"queries":${toJson(slowest)}""" +
       s""","queries_omitted":${results.size - slowest.size}""" +
       s""","prepare_sec":${sec(prepareSec)},"prepare_failed":$prepareFailed""" +
-      s""","reps":$reps,"task_cpu_ratio":${sec(contention)}""" +
+      s""","reps":$reps,"respread_reruns":${flagged.size}""" +
+      s""","task_cpu_ratio":${sec(contention)}""" +
       s""","full_map":"bench_out.json","value":${sec(total)}}"""
     println(compact)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","queries":${toJson(results)},"prepare_sec":${sec(prepareSec)}""" +
       s""","prepare_failed":$prepareFailed""" +
-      s""","reps":$reps,"task_cpu_ratio":${sec(contention)}""" +
+      s""","reps":$reps,"respread_reruns":${flagged.size}""" +
+      s""","task_cpu_ratio":${sec(contention)}""" +
       s""","diag":${toDiagJson(results)},"value":${sec(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

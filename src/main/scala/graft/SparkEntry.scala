@@ -23,6 +23,11 @@ object SparkEntry {
       StreamingRegistry.queries
     raw.map { case (name, build) =>
       name -> { (spark: SparkSession, dir: String) =>
+        // CONTRACT (pinned in TuningSpec): the setting is read when the
+        // frame EXECUTES, not here at build time — a caller building frames
+        // for several dirs before acting on any must re-invoke this wrapper
+        // (or Tuning.tuneFor) around each action, or the LAST build's
+        // partitioning silently governs all of them.
         Tuning.tuneFor(spark, dir)
         build(spark, dir)
       }

@@ -132,9 +132,16 @@ object Tuning {
     * override, when present, is applied verbatim and the derivation
     * skipped. */
   def tuneFor(spark: SparkSession, dir: String): Unit =
+    tuneForWith(spark, dir, sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
+
+  /** [[tuneFor]] with the env override injectable — the spec seam (sys.env
+    * is immutable in-process, so the override-wins contract is pinned by
+    * calling this directly). */
+  private[graft] def tuneForWith(spark: SparkSession, dir: String,
+                                 envOverride: Option[String]): Unit =
     try {
       if (!spark.conf.get(EnabledKey, "true").toBoolean) return
-      val target = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      val target = envOverride match {
         case Some(n) => n.toInt
         case None => derivedShufflePartitions(spark, dir)
       }

@@ -314,6 +314,36 @@ object ScaleProbe {
       ccBytes(s"${replicas}x", big)
     }
 
+    // The partitioned merge target's scaling claim is about the MERGE, not
+    // the one-time create (which is O(table) by definition) or the q202
+    // read-back: with a CONSTANT update batch (keys <= 100 live only in
+    // replica 0 — the replica offsets push all other keys far above), the
+    // per-merge cost must track touched buckets, not table size. Times
+    // create and merge separately on both dirs and prints both ratios.
+    if (args.contains("q202_merge_cost")) {
+      def mergeCost(tag: String, dir: String): (Double, Double) = {
+        val cols = Seq($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+        val target = Tables.orders(spark, dir).select(cols: _*)
+        val updates = target.filter($"o_orderkey" <= 100)
+          .withColumn("o_totalprice", $"o_totalprice" * 1.1)
+        val walls = (1 to probeReps).map { _ =>
+          val root = graft.sources.TempDirs.create("graft_ptab_probe_").toString + "/t"
+          val t0 = System.nanoTime()
+          graft.ops.PartitionedTable.create(spark, root, target, Seq("o_orderkey"), 64)
+          val t1 = System.nanoTime()
+          graft.ops.PartitionedTable.merge(spark, root, updates)
+          val t2 = System.nanoTime()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        }
+        def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
+        (med(walls.map(_._1)), med(walls.map(_._2)))
+      }
+      val (c1, m1) = mergeCost("base", base)
+      val (cN, mN) = mergeCost(s"${replicas}x", big)
+      println(f"${"q202 partitioned create (O(table))"}%-38s $c1%8.2f $cN%8.2f  ${cN / c1}%.1fx")
+      println(f"${"q202 partitioned merge (O(touched))"}%-38s $m1%8.2f $mN%8.2f  ${mN / m1}%.1fx")
+    }
+
     // q164's salted-replica probe grows the vocab with the corpus (every
     // replica salts every token), so its aggregate key space scales in a
     // way a real corpus' nearly-fixed vocabulary would not. The separating

@@ -73,6 +73,38 @@ class TuningSpec extends SparkSpec {
     }
   }
 
+  test("build-then-act contract: last build's setting governs until the next per-action re-tune") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val bigDir = java.nio.file.Files.createTempDirectory("graft_tune_multi_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(bigDir, "blob.bin"),
+      new Array[Byte](48 << 20)) // 48 MB -> 12 partitions > floor 4
+    try {
+      // A multi-dir caller builds for the small dir FIRST, then the big
+      // one, then acts: the conf it executes under is the LAST build's.
+      Tuning.tuneFor(spark, sf0001)
+      Tuning.tuneFor(spark, bigDir)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt == 12,
+        "after building for two dirs, the last dir's derivation must govern")
+      // The documented remedy: re-tune per action — the small dir's floor
+      // comes back for ITS action.
+      Tuning.tuneFor(spark, sf0001)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ==
+        spark.sparkContext.defaultParallelism)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("explicit env override wins over the derivation") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val bigDir = java.nio.file.Files.createTempDirectory("graft_tune_env_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(bigDir, "blob.bin"),
+      new Array[Byte](48 << 20)) // would derive 12 without the override
+    try {
+      Tuning.tuneForWith(spark, bigDir, envOverride = Some("77"))
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt == 77,
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS must be applied verbatim, derivation skipped")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("every SparkEntry query passes through the tuner") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
