@@ -52,4 +52,11 @@ package object graftshim {
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Block until the shared listener bus has delivered everything queued
+    * (`LiveListenerBus.waitUntilEmpty` is `private[spark]`). Lets specs
+    * assert on QueryExecutionListener captures deterministically instead of
+    * spin-sleeping. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty() // verified Spark 4.1.2
 }

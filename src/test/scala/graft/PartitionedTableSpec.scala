@@ -131,6 +131,56 @@ class PartitionedTableSpec extends SparkSpec {
     assert(fileState(root) == before)
   }
 
+  test("merge SCANS only the touched partitions (read-side partition pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = freshRoot()
+    val rootTag = new java.io.File(root).getParentFile.getName // graft_ptab_XXXX
+    val base = df((1L to 200L).map(i => (i, s"n$i", i.toDouble)))
+    PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 16)
+    // The write-side guard (file mtimes, above) proves untouched partitions
+    // aren't REWRITTEN; this proves they aren't READ — the half of the
+    // O(touched) claim that matters when the table is 100 TB wide. Capture
+    // every executed scan of the table during the merge and assert each one
+    // carries the bucket partition filter and read exactly 1 of 16
+    // partitions (a single update key hashes to a single bucket).
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.executedPlan.collectLeaves().foreach {
+          case s: FileSourceScanExec if s.metadata("Location").contains(rootTag) =>
+            captured.add((s.metadata.getOrElse("PartitionFilters", ""),
+              s.metrics("numPartitions").value))
+          case _ => ()
+        }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    // AQE hides scans inside leaf query stages (the PlanSpec DPP lesson);
+    // pruning is orthogonal to AQE, so plan without it to keep scans visible.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.listenerManager.register(listener)
+    try {
+      PartitionedTable.merge(spark, root, df(Seq((1L, "x", 9.0))))
+      org.apache.spark.sql.graftshim.drainListenerBus(spark)
+      val scans = captured.toArray(Array.empty[(String, Long)]).toSeq
+      assert(scans.nonEmpty, "no table scan captured during merge")
+      scans.foreach { case (filters, nParts) =>
+        assert(filters.contains(PartitionedTable.BucketCol),
+          s"table scan without a bucket partition filter: '$filters'")
+        assert(nParts == 1L,
+          s"merge of 1 key must read 1 of 16 partitions, read $nParts")
+      }
+      assert(PartitionedTable.read(spark, root)
+        .filter(col("k") === 1L).collect().head.getString(1) == "x")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("a truncated/unparseable meta marker reads as table-absent and create recovers") {
     val root = freshRoot()
     val base = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
