@@ -247,14 +247,25 @@ object Bench {
       // next rep's steady-state cost, and the median absorbs the outlier.)
       System.gc()
       val j0 = jvmGcMs()
-      val walls = (1 to reps).flatMap { i =>
+      // A FAILED execution's wall (typically near-zero: the throw happens at
+      // plan/setup) must not enter the median — it would understate the
+      // query while looking like a fast rep. Failed attempts are kept only
+      // as a last resort when NO rep succeeded, so the artifact still has a
+      // number next to the stderr error instead of an unparseable hole.
+      val attempts = (1 to reps).flatMap { i =>
         if (i > 1 && elapsedSec() > deadlineSec) None
         else {
           val t0 = System.nanoTime()
-          try run(name, sfDir)
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-          Some((System.nanoTime() - t0) / 1e9)
+          val ok =
+            try { run(name, sfDir); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+          Some(((System.nanoTime() - t0) / 1e9, ok))
         }
+      }
+      val walls = {
+        val good = attempts.collect { case (w, true) => w }
+        if (good.nonEmpty) good else attempts.map(_._1)
       }
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
@@ -278,13 +289,18 @@ object Bench {
       System.gc()
       val (r0, g0, c0, n0) = settled()
       val j0 = jvmGcMs()
+      // Failed re-runs are DISCARDED outright (unlike the main loop there is
+      // no all-failed fallback to cover): a near-zero failure wall entering
+      // a median-of-5 would select the minimum real rep — corrupting the
+      // very number the guard exists to protect, with extra_reps lending it
+      // false credibility.
       val extra = (1 to 2).flatMap { _ =>
         if (elapsedSec() > deadlineSec + rerunGraceSec) None
         else {
           val t0 = System.nanoTime()
-          try run(name, sfDir)
-          catch { case e: Throwable => System.err.println(s"[bench-respread] $name: ${e.getMessage}") }
-          Some((System.nanoTime() - t0) / 1e9)
+          try { run(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench-respread] $name: ${e.getMessage}"); None }
         }
       }
       val (r1, g1, c1, n1) = settled()
@@ -299,6 +315,10 @@ object Bench {
       System.err.println(f"[bench-respread] $name spread ${spreadOf(d.walls)}%.1fx -> " +
         f"+${extra.size} reps, median ${d.wall}%.3f -> ${resultsBuf(name).wall}%.3f s")
     }
+    // Queries that actually GOT extra reps — not merely flagged: when the
+    // grace window expires (or every re-run fails) the artifact must not
+    // claim re-measurement that never happened.
+    val rerunCount = resultsBuf.count(_._2.extraReps > 0)
     val results = resultsBuf.toSeq
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Diag)]): String =
@@ -332,14 +352,14 @@ object Bench {
       s""","n_queries":${results.size},"queries":${toJson(slowest)}""" +
       s""","queries_omitted":${results.size - slowest.size}""" +
       s""","prepare_sec":${sec(prepareSec)},"prepare_failed":$prepareFailed""" +
-      s""","reps":$reps,"respread_reruns":${flagged.size}""" +
+      s""","reps":$reps,"respread_reruns":$rerunCount""" +
       s""","task_cpu_ratio":${sec(contention)}""" +
       s""","full_map":"bench_out.json","value":${sec(total)}}"""
     println(compact)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","queries":${toJson(results)},"prepare_sec":${sec(prepareSec)}""" +
       s""","prepare_failed":$prepareFailed""" +
-      s""","reps":$reps,"respread_reruns":${flagged.size}""" +
+      s""","reps":$reps,"respread_reruns":$rerunCount""" +
       s""","task_cpu_ratio":${sec(contention)}""" +
       s""","diag":${toDiagJson(results)},"value":${sec(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

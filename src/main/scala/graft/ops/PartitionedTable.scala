@@ -89,34 +89,37 @@ object PartitionedTable {
     } yield (keys, n)
   }
 
-  private def readMeta(spark: SparkSession, root: String): Option[(Seq[String], Int)] = {
+  /** Whether a table (its meta marker FILE) exists at `root`. The marker is
+    * written AFTER the initial data and published by atomic rename, so a
+    * crashed half-created table has NO marker, reads as absent, and the
+    * retrying creator's static overwrite wipes it. A PRESENT marker counts
+    * as existing even if unreadable: treating corruption as absence would
+    * let the pipeline's exists→create branch silently wipe an ESTABLISHED
+    * table whose marker was damaged externally — corruption must fail the
+    * loud way, in [[meta]]. */
+  def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, MetaFile)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text =
-        try new String(in.readAllBytes(), "UTF-8")
-        finally in.close()
-      // An unparseable marker (truncated by a crashed non-atomic writer of
-      // an older layout, or foreign junk) reads as table-absent — the
-      // retrying creator's static overwrite then rebuilds it — rather than
-      // wedging the table forever.
-      parseMeta(text)
-    }
+    fs(spark, p).exists(p)
   }
 
-  /** Whether a table (a READABLE meta marker) exists at `root`. The marker
-    * is written AFTER the initial data and published by atomic rename, so a
-    * crashed half-created table reads as absent and the retrying creator's
-    * static overwrite wipes it. */
-  def exists(spark: SparkSession, root: String): Boolean =
-    readMeta(spark, root).isDefined
-
-  /** (keys, nBuckets) recorded at [[create]] time. */
-  def meta(spark: SparkSession, root: String): (Seq[String], Int) =
-    readMeta(spark, root).getOrElse(throw new IllegalStateException(
-      s"no readable $MetaFile marker under $root — table absent or its meta is corrupt"))
+  /** (keys, nBuckets) recorded at [[create]] time. Throws (rather than
+    * pretending absence) on a present-but-unparseable marker: the atomic
+    * rename in [[writeMeta]] means our own writer cannot produce one, so an
+    * unreadable marker is external damage to a table that presumably still
+    * holds data — an operator decision, never an automatic overwrite. */
+  def meta(spark: SparkSession, root: String): (Seq[String], Int) = {
+    val p = new Path(root, MetaFile)
+    val f = fs(spark, p)
+    if (!f.exists(p))
+      throw new IllegalStateException(s"no $MetaFile marker under $root — table absent")
+    val in = f.open(p)
+    val text =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    parseMeta(text).getOrElse(throw new IllegalStateException(
+      s"unreadable $MetaFile marker under $root — the table's data may be intact; " +
+        "refusing to treat corruption as absence (re-create deliberately to rebuild)"))
+  }
 
   /** Initial full materialization of `df` as a bucket-partitioned table.
     * One shuffle on the bucket (so each bucket lands as one coherent file

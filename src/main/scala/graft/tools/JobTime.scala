@@ -90,12 +90,19 @@ object JobTime {
     for (name <- names) {
       try run(name) catch { case e: Throwable => println(s"$name warmup: ${e.getMessage}") }
       settled()
+      // Drain the shared bus before clearing and again before printing:
+      // progress events are async like job events — without the drain a
+      // warmup batch's late event lands AFTER clear() (misattributed to the
+      // timed pass) and the timed pass's last event can still be in flight
+      // at print time (silently dropped batch).
+      org.apache.spark.sql.graftshim.drainListenerBus(spark)
       jobs.clear()
       batchProgress.clear()
       val t0 = System.nanoTime()
       run(name)
       val wall = (System.nanoTime() - t0) / 1e9
       settled()
+      org.apache.spark.sql.graftshim.drainListenerBus(spark)
       // A job whose JobEnd never settled would read end=0 → a huge negative
       // duration silently corrupting the job-sum; flag it instead.
       val (done, unfinished) = jobs.toSeq.sortBy(_._1).partition(_._2.end != 0L)

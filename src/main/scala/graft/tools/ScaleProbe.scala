@@ -326,13 +326,15 @@ object ScaleProbe {
         val target = Tables.orders(spark, dir).select(cols: _*)
         val updates = target.filter($"o_orderkey" <= 100)
           .withColumn("o_totalprice", $"o_totalprice" * 1.1)
-        val walls = (1 to probeReps).map { _ =>
+        val walls = (1 to probeReps).map { rep =>
           val root = graft.sources.TempDirs.create("graft_ptab_probe_").toString + "/t"
           val t0 = System.nanoTime()
           graft.ops.PartitionedTable.create(spark, root, target, Seq("o_orderkey"), 64)
           val t1 = System.nanoTime()
           graft.ops.PartitionedTable.merge(spark, root, updates)
           val t2 = System.nanoTime()
+          System.err.println(f"[q202-probe] $tag rep $rep: create ${(t1 - t0) / 1e9}%.2f s, " +
+            f"merge ${(t2 - t1) / 1e9}%.2f s")
           ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
         }
         def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)

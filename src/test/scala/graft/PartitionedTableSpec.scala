@@ -181,21 +181,38 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
-  test("a truncated/unparseable meta marker reads as table-absent and create recovers") {
+  test("a corrupt meta marker fails loudly and never routes to a wiping create; a missing one is absent") {
     val root = freshRoot()
     val base = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 4)
-    // Simulate the pre-fix crash artifact: an EMPTY marker at the final
-    // path (non-atomic create that died before close). exists() must say
-    // absent instead of letting meta() throw on every later merge forever.
-    Files.write(java.nio.file.Paths.get(root, "_graft_partitioned_table"),
-      Array.emptyByteArray)
-    assert(!PartitionedTable.exists(spark, root),
-      "a corrupt meta marker must read as table-absent, not wedge the table")
-    intercept[IllegalStateException] { PartitionedTable.meta(spark, root) }
-    // the retrying creator's path: static overwrite rebuilds data + marker
+    // Externally damaged marker on an ESTABLISHED table (truncated restore,
+    // foreign junk — our own writer can't produce this since the atomic
+    // rename). Absence-on-corruption would send the pipeline's
+    // exists→create branch through a static overwrite of live data; the
+    // contract is: present marker = table exists, unreadable marker = loud
+    // failure, data untouched.
+    val marker = java.nio.file.Paths.get(root, "_graft_partitioned_table")
+    Files.write(marker, Array.emptyByteArray)
+    assert(PartitionedTable.exists(spark, root),
+      "a present-but-corrupt marker must still count as existing")
+    val e = intercept[IllegalStateException] { PartitionedTable.meta(spark, root) }
+    assert(e.getMessage.contains("unreadable"))
+    intercept[IllegalStateException] {
+      PartitionedTable.merge(spark, root, df(Seq((1L, "x", 9.0))))
+    }
+    intercept[IllegalStateException] {
+      // the pipeline path: exists()==true routes to merge, which fails
+      // loudly at meta() instead of create() wiping the root
+      UpsertPipeline.commitBatchPartitioned(spark, root,
+        df(Seq((1L, "x", 9.0))), nBuckets = 4)
+    }
+    assert(spark.read.parquet(root).drop(PartitionedTable.BucketCol).count() == 2,
+      "table data must survive a corrupt-marker failure untouched")
+    // a MISSING marker (creator crashed before the atomic publish) is the
+    // genuine table-absent case: the retrying creator rebuilds
+    Files.delete(marker)
+    assert(!PartitionedTable.exists(spark, root))
     PartitionedTable.create(spark, root, base, Seq("k"), nBuckets = 4)
-    assert(PartitionedTable.exists(spark, root))
     assert(PartitionedTable.meta(spark, root) == (Seq("k"), 4))
     assert(PartitionedTable.read(spark, root).count() == 2)
   }
