@@ -230,6 +230,40 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
+  test("property: any random batch sequence through the partitioned table equals iterative whole-table upsert") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // A batch: key-unique rows over a small key universe so later batches
+    // genuinely collide with earlier ones; bucket count drawn small-to-big
+    // so the table sometimes has more buckets than keys and vice versa.
+    val batchGen: Gen[Seq[(Long, String, Double)]] = for {
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 20L)
+        v <- Gen.choose(0, 1000).map(_.toDouble)
+      } yield (k, s"n$k", v))
+    } yield rows.groupBy(_._1).values.map(_.head).toSeq // key-unique
+    val prop = Prop.forAll(
+      Gen.choose(1, 16), batchGen, Gen.listOfN(3, batchGen)) {
+      (nBuckets, first, rest) =>
+        val root = freshRoot()
+        PartitionedTable.create(spark, root, df(first), Seq("k"), nBuckets)
+        var oracle = df(first)
+        rest.foreach { b =>
+          PartitionedTable.merge(spark, root, df(b))
+          oracle = Merge.upsert(oracle, df(b), Seq("k"))
+        }
+        val got = PartitionedTable.read(spark, root)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        val want = oracle
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("pipeline end-to-end: partitioned warehouse sink, re-delivery idempotent") {
     def writeCsv(dir: Path, name: String, rows: Seq[String]): Unit = {
       val header = "CountryCode,Year,Scenario,Category,Gas,Reported Value"
