@@ -71,7 +71,7 @@ object Bench {
 
   /** Max/min rep spread — the per-query weather fingerprint. A query whose
     * reps agree reads ~1; a one-rep storm burst reads its full magnitude. */
-  private def spreadOf(walls: Seq[Double]): Double =
+  private[graft] def spreadOf(walls: Seq[Double]): Double =
     if (walls.size < 2 || walls.min <= 0.0) 1.0 else walls.max / walls.min
 
   /** Rep spread above which a query's median is considered storm-suspect
