@@ -65,9 +65,15 @@ object JobTime {
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     })
 
+    // Default label for jobs submitted from THIS thread (the noop sink and
+    // its AQE stages): engine phases running on other threads (foreachBatch)
+    // keep their own JobStage stamps; jobs that would otherwise print `?`
+    // now at least name the query's own materialization.
     def run(name: String): Unit =
-      graft.SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+      graft.JobStage.named(spark, s"$name: result materialize") {
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+      }
 
     // Listener delivery is async (the Bench.settled() lesson): without a
     // drain, a timed job whose JobEnd is still queued reads end=0 (huge
