@@ -92,17 +92,19 @@ object Parity {
   /** K4 at the 100 TB layout: the q07 last-write-wins semantic routed
     * through the hash-bucket-PARTITIONED warehouse target
     * ([[graft.ops.PartitionedTable]]) — create the table from orders, merge
-    * a SMALL repriced batch (keys ≤ 100: a bounded key set, so the merge
-    * reads and rewrites only the few buckets those keys hash into, never
-    * the whole table — `scripts/lambda_handler_warehouse.py:95-101` is the
-    * semantic, Postgres ON CONFLICT's touched-pages-only property the
-    * shape), and read the merged table back. Oracle: q07's anti-join ∪
-    * updates form with the bounded-key predicate. */
+    * a SMALL repriced batch (keys ≤ 8: the fixture's orderkeys are dense,
+    * so this is 9 keys touching ≤9 of the 64 buckets — the merge reads and
+    * rewrites only those partitions, never the whole table —
+    * `scripts/lambda_handler_warehouse.py:95-101` is the semantic, Postgres
+    * ON CONFLICT's touched-pages-only property the shape), and read the
+    * merged table back. Oracle: q07's anti-join ∪ updates form with the
+    * bounded-key predicate. The batch is SF-CONSTANT (same 9 keys at every
+    * scale), which is what makes the 64× merge-cost probe honest. */
   def q202PartitionedUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
     val target = Tables.orders(spark, dir).select(cols: _*)
-    val updates = target.filter($"o_orderkey" <= 100)
+    val updates = target.filter($"o_orderkey" <= 8)
       .withColumn("o_totalprice", $"o_totalprice" * 1.1)
     val root = graft.sources.TempDirs.create("graft_ptab_q202_").toString + "/t"
     graft.ops.PartitionedTable.create(spark, root, target, Seq("o_orderkey"), nBuckets = 64)

@@ -151,14 +151,15 @@ object ParityRegistry {
         |SELECT key, val FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY key""".stripMargin,
     // q202: q07's LWW merge semantic with a bounded update-key set
-    // (orderkey <= 100), routed through the bucket-partitioned target.
+    // (orderkey <= 8: 9 keys — the fixture's keys are dense), routed
+    // through the bucket-partitioned target.
     "q202_partitioned_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
         |), u AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
         |         o_orderstatus
-        |  FROM t WHERE o_orderkey <= 100
+        |  FROM t WHERE o_orderkey <= 8
         |)
         |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
         |UNION ALL

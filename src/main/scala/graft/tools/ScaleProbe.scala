@@ -316,15 +316,16 @@ object ScaleProbe {
 
     // The partitioned merge target's scaling claim is about the MERGE, not
     // the one-time create (which is O(table) by definition) or the q202
-    // read-back: with a CONSTANT update batch (keys <= 100 live only in
-    // replica 0 — the replica offsets push all other keys far above), the
-    // per-merge cost must track touched buckets, not table size. Times
-    // create and merge separately on both dirs and prints both ratios.
+    // read-back: with a CONSTANT update batch (keys <= 8 live only in
+    // replica 0 — the replica offsets push all other keys far above; 9
+    // dense keys touch <=9 of the 64 buckets), the per-merge cost must
+    // track touched buckets, not table size. Times create and merge
+    // separately on both dirs and prints both ratios.
     if (args.contains("q202_merge_cost")) {
       def mergeCost(tag: String, dir: String): (Double, Double) = {
         val cols = Seq($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
         val target = Tables.orders(spark, dir).select(cols: _*)
-        val updates = target.filter($"o_orderkey" <= 100)
+        val updates = target.filter($"o_orderkey" <= 8)
           .withColumn("o_totalprice", $"o_totalprice" * 1.1)
         val walls = (1 to probeReps).map { rep =>
           val root = graft.sources.TempDirs.create("graft_ptab_probe_").toString + "/t"
