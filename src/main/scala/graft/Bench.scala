@@ -74,6 +74,9 @@ object Bench {
   private[graft] def spreadOf(walls: Seq[Double]): Double =
     if (walls.size < 2 || walls.min <= 0.0) 1.0 else walls.max / walls.min
 
+  private def medianOf(xs: Seq[Double]): Double =
+    xs.sorted.apply((xs.size - 1) / 2)
+
   /** Rep spread above which a query's median is considered storm-suspect
     * and re-measured at suite end (r14: q122's committed reps read
     * 5.4/30.6/24.4 s — one weather burst inflated the official total ~12%
@@ -270,7 +273,7 @@ object Bench {
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
       order += 1
-      resultsBuf(name) = Diag(order, walls.sorted.apply((walls.size - 1) / 2), walls,
+      resultsBuf(name) = Diag(order, medianOf(walls), walls,
         (r1 - r0) / 1e3, (g1 - g0) / 1e3,
         (j1 - j0) / 1e3, (c1 - c0) / 1e9, n1 - n0)
     }
@@ -308,7 +311,7 @@ object Bench {
       val d = resultsBuf(name)
       val walls = d.walls ++ extra
       resultsBuf(name) = d.copy(
-        wall = walls.sorted.apply((walls.size - 1) / 2), walls = walls,
+        wall = medianOf(walls), walls = walls,
         taskSec = d.taskSec + (r1 - r0) / 1e3, taskGcSec = d.taskGcSec + (g1 - g0) / 1e3,
         jvmGcSec = d.jvmGcSec + (j1 - j0) / 1e3, cpuSec = d.cpuSec + (c1 - c0) / 1e9,
         nTasks = d.nTasks + (n1 - n0), extraReps = extra.size)

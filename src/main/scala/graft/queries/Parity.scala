@@ -100,17 +100,27 @@ object Parity {
     * merged table back. Oracle: q07's anti-join ∪ updates form with the
     * bounded-key predicate. The batch is SF-CONSTANT (same 9 keys at every
     * scale), which is what makes the 64× merge-cost probe honest. */
-  def q202PartitionedUpsert(spark: SparkSession, dir: String): DataFrame = {
+  /** q202's (target, updates) pair — shared with ScaleProbe's merge-cost
+    * probe so the probed workload can never silently drift from the
+    * registered query's (the predicate itself already drifted once while
+    * it was written in two places). */
+  private[graft] def q202Parts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val cols = Seq($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
     val target = Tables.orders(spark, dir).select(cols: _*)
     val updates = target.filter($"o_orderkey" <= 8)
       .withColumn("o_totalprice", $"o_totalprice" * 1.1)
+    (target, updates)
+  }
+
+  def q202PartitionedUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (target, updates) = q202Parts(spark, dir)
     val root = graft.sources.TempDirs.create("graft_ptab_q202_").toString + "/t"
     graft.ops.PartitionedTable.create(spark, root, target, Seq("o_orderkey"), nBuckets = 64)
     graft.ops.PartitionedTable.merge(spark, root, updates)
     graft.ops.PartitionedTable.read(spark, root)
-      .select(cols: _*)
+      .select(target.columns.map(col): _*)
       .orderBy($"o_orderkey")
   }
 

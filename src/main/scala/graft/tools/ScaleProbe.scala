@@ -323,10 +323,10 @@ object ScaleProbe {
     // separately on both dirs and prints both ratios.
     if (args.contains("q202_merge_cost")) {
       def mergeCost(tag: String, dir: String): (Double, Double) = {
-        val cols = Seq($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
-        val target = Tables.orders(spark, dir).select(cols: _*)
-        val updates = target.filter($"o_orderkey" <= 8)
-          .withColumn("o_totalprice", $"o_totalprice" * 1.1)
+        // The exact workload q202 registers (shared builder): a probe that
+        // re-stated the predicate independently measured a DIFFERENT batch
+        // once already.
+        val (target, updates) = graft.queries.Parity.q202Parts(spark, dir)
         val walls = (1 to probeReps).map { rep =>
           val root = graft.sources.TempDirs.create("graft_ptab_probe_").toString + "/t"
           val t0 = System.nanoTime()

@@ -165,7 +165,7 @@ class PartitionedTableSpec extends SparkSpec {
     try {
       PartitionedTable.merge(spark, root, df(Seq((1L, "x", 9.0))))
       org.apache.spark.sql.graftshim.drainListenerBus(spark)
-      val scans = captured.toArray(Array.empty[(String, Long)]).toSeq
+      val scans = { import scala.jdk.CollectionConverters._; captured.asScala.toSeq }
       assert(scans.nonEmpty, "no table scan captured during merge")
       scans.foreach { case (filters, nParts) =>
         assert(filters.contains(PartitionedTable.BucketCol),
