@@ -40,7 +40,15 @@ object ApproxDistinct {
   val RsdKey = "spark.graft.approxDistinct.rsd"
 
   /** Idempotently register the rewrite on a live session. Inert until the
-    * session sets [[EnabledKey]] to true. */
+    * session sets [[EnabledKey]] to true.
+    *
+    * BATCH CAVEAT vs the builder path: `extraOptimizations` run in the
+    * "User Provided Optimizers" batch, AFTER `RewriteDistinctAggregates` —
+    * so a MULTI-distinct aggregate (`count(DISTINCT a), count(DISTINCT b)`)
+    * has already been expanded there and stays exact; only the builder-time
+    * injection (operator-optimization batch) rewrites that shape. Single-
+    * distinct counts rewrite on both paths. Sessions that need the
+    * multi-distinct rewrite must be built with GraftExtensions. */
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite))
       spark.experimental.extraOptimizations =
@@ -50,10 +58,25 @@ object ApproxDistinct {
 object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   import ApproxDistinct._
 
+  // Never-throw conf parse (the RetainVersionsKey posture): this rule runs
+  // on EVERY plan in the session — a malformed value ("1", "yes", "5%")
+  // must degrade to the default with a logged warning, not fail every
+  // query including ones with no distinct count.
+  private def confBool(key: String, default: Boolean): Boolean =
+    conf.getConfString(key, default.toString).toBooleanOption.getOrElse {
+      logWarning(s"malformed $key; treating as $default")
+      default
+    }
+  private def confDouble(key: String, default: Double): Double =
+    conf.getConfString(key, default.toString).toDoubleOption.getOrElse {
+      logWarning(s"malformed $key; using $default")
+      default
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    if (!confBool(EnabledKey, default = false)) plan
     else {
-      val rsd = conf.getConfString(RsdKey, "0.05").toDouble
+      val rsd = confDouble(RsdKey, default = 0.05)
       plan.transform {
         case agg: Aggregate => agg.transformExpressions {
           case AggregateExpression(Count(Seq(child)), mode, true, filter, resultId) =>

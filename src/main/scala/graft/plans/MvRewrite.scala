@@ -94,18 +94,31 @@ object MvRewrite {
     * extrema take extrema. */
   private def combineRollups(rollups: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                              measures: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val aggs = sum(rollups("cnt_star")).as("cnt_star") +: measures.flatMap(m => Seq(
-      sum(rollups(s"sum_$m")).as(s"sum_$m"), sum(rollups(s"cnt_$m")).as(s"cnt_$m"),
-      min(rollups(s"min_$m")).as(s"min_$m"), max(rollups(s"max_$m")).as(s"max_$m")))
+    val aggs = sum(rollups("cnt_star")).as("cnt_star") +: measures.flatMap { m =>
+      // Sum over a decimal WIDENS precision per level (Decimal(p,s) →
+      // Decimal(p+10,s)); without the cast-back every refresh widened the
+      // stored sum_m by 10 until the 38 cap — a schema that drifts across
+      // versions. Lossless for values that fit the stored type (they did
+      // at define time); integral/double sums are unaffected (no-op cast).
+      val sumType = rollups.schema(s"sum_$m").dataType
+      Seq(
+        sum(rollups(s"sum_$m")).cast(sumType).as(s"sum_$m"),
+        sum(rollups(s"cnt_$m")).as(s"cnt_$m"),
+        min(rollups(s"min_$m")).as(s"min_$m"), max(rollups(s"max_$m")).as(s"max_$m"))
+    }
     rollups.groupBy(groupCols.map(rollups(_)): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def commitVersion(spark: SparkSession, d: MvDef,
                             data: org.apache.spark.sql.DataFrame): Unit = {
-    data.write.mode("overwrite")
-      .parquet(graft.ops.VersionedTable.nextVersionPath(spark, d.mvRoot))
-    val mvRel = spark.read
-      .parquet(graft.ops.VersionedTable.latest(spark, d.mvRoot).get._2.toString)
+    // Read back the path WE just wrote (single-writer contract) instead of
+    // re-resolving latest(): on an object store each latest()/
+    // committedVersions() is a full LIST plus per-version _SUCCESS probes,
+    // and this refresh already pays one for next-version and one for
+    // retention below.
+    val versionPath = graft.ops.VersionedTable.nextVersionPath(spark, d.mvRoot)
+    data.write.mode("overwrite").parquet(versionPath)
+    val mvRel = spark.read.parquet(versionPath)
       .queryExecution.analyzed
       .collectFirst { case lr: LogicalRelation => lr }.get
     defsMap(spark).put(d.name, d.copy(mvRelation = mvRel))
@@ -148,15 +161,35 @@ object MvRewrite {
   def defineRollup(spark: SparkSession, name: String, factDir: String,
                    mvRoot: String, groupCols: Seq[String],
                    measures: Seq[String]): Unit = {
-    require(groupCols.nonEmpty && measures.nonEmpty &&
-      !measures.exists(groupCols.contains),
-      "group columns and measures must be disjoint and non-empty")
+    require(groupCols.nonEmpty && measures.nonEmpty,
+      "group columns and measures must be non-empty")
     val fact = spark.read.parquet(factDir)
+    // Canonicalize names against the fact schema NOW (case-insensitively,
+    // like Spark's own resolution): rollupOf would resolve "L_RETURNFLAG"
+    // fine, but the rewrite matches registered names against plan attribute
+    // names, which carry the STORED case — a case-mismatched registration
+    // used to build a rollup that silently never rewrote anything.
+    val factNames = fact.schema.fieldNames
+    def canonical(role: String)(n: String): String =
+      factNames.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$role '$n' not found in fact schema ${factNames.mkString(", ")}"))
+    val gCols = groupCols.map(canonical("group column"))
+    val ms = measures.map(canonical("measure"))
+    require(!ms.exists(gCols.contains),
+      "group columns and measures must be disjoint")
+    // The rollup's output columns must be collision-free, or the parquet
+    // write fails with an opaque duplicate-column error (e.g. a measure
+    // literally named "star" would generate a second cnt_star).
+    val generated = gCols ++ ("cnt_star" +:
+      ms.flatMap(m => Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m")))
+    require(generated.distinct.size == generated.size,
+      s"rollup column names collide: ${generated.diff(generated.distinct).mkString(", ")}")
     val factPaths = rootPaths(fact.queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"$factDir did not resolve to a file relation"))
-    val d = MvDef(name, factPaths, groupCols, measures, mvRoot, null)
-    commitVersion(spark, d, rollupOf(fact, groupCols, measures))
+    val d = MvDef(name, factPaths, gCols, ms, mvRoot, null)
+    commitVersion(spark, d, rollupOf(fact, gCols, ms))
   }
 
   /** Incremental refresh: fold the rollup of ONE appended batch into the
@@ -206,7 +239,11 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import MvRewrite._
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) plan
+    // Never-throw parse: this rule runs on every plan in the session — a
+    // malformed flag value must read as disabled, not fail every query.
+    if (!conf.getConfString(EnabledKey, "false").toBooleanOption.getOrElse {
+          logWarning(s"malformed $EnabledKey; treating as false"); false
+        }) plan
     else rewriteNow(plan)
 
   /** The rewrite, independent of the session flag (the [[MvRewrite.answer]]
@@ -220,7 +257,9 @@ final case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (filters, lr) <- strip(child)
           paths <- rootPaths(lr)
           // several rollups may cover this fact: first one that derives wins
-          rewritten <- defs.filter(_.factRootPaths == paths)
+          // (lazily — a strict flatMap would run the full derivation for
+          // every covering rollup on every aggregate query's optimization)
+          rewritten <- defs.view.filter(_.factRootPaths == paths)
             .flatMap(mv => rewrite(agg, filters, mv)).headOption
         } yield rewritten).getOrElse(agg)
     }

@@ -187,6 +187,18 @@ object NativeAsOfJoin {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
+    // The executor machinery (hash partitioning, key/time orderings) is
+    // built from the LEFT side's types and applied to BOTH sides' rows — a
+    // built-in join would insert implicit casts at analysis, but this node
+    // has no analyzer coercion, so mismatched-but-comparable types (int vs
+    // long key) would hash-partition each side differently and return all
+    // nulls SILENTLY. Reject here; the caller casts explicitly.
+    def sameType(what: String, l: Attribute, r: Attribute): Unit =
+      require(l.dataType == r.dataType,
+        s"as-of $what '${l.name}' type mismatch: left ${l.dataType} vs " +
+          s"right ${r.dataType} — cast the sides to a common type first")
+    keys.foreach(k => sameType("key", attr(lPlan, k), attr(rPlan, k)))
+    sameType("time column", attr(lPlan, timeCol), attr(rPlan, timeCol))
     val outAttrs = rightVals.map { v =>
       val a = attr(rPlan, v)
       AttributeReference(s"asof_$v", a.dataType, nullable = true)()

@@ -29,6 +29,25 @@ class ApproxDistinctSpec extends SparkSpec {
     custDistinct().collect()(0).getLong(0)
   }
 
+  test("malformed flag/rsd values degrade to defaults instead of failing every query") {
+    // The rule runs on EVERY plan in the session: "1" or "yes" used to
+    // throw from String.toBoolean inside the optimizer, failing unrelated
+    // queries. Malformed enabled → treated as disabled; malformed rsd with
+    // enabled=true → default 0.05, query still runs.
+    spark.conf.set(ApproxDistinct.EnabledKey, "yes")
+    try {
+      assert(!optimized(custDistinct()).contains("approx_count_distinct"))
+      assert(custDistinct().collect()(0).getLong(0) == exactN)
+      spark.conf.set(ApproxDistinct.EnabledKey, "true")
+      spark.conf.set(ApproxDistinct.RsdKey, "5%")
+      assert(optimized(custDistinct()).contains("approx_count_distinct"))
+      assert(custDistinct().collect()(0).getLong(0) > 0)
+    } finally {
+      spark.conf.unset(ApproxDistinct.EnabledKey)
+      spark.conf.unset(ApproxDistinct.RsdKey)
+    }
+  }
+
   test("flag off: plan keeps the exact distinct") {
     withApprox(on = false) {
       assert(!optimized(custDistinct()).contains("approx_count_distinct"))

@@ -169,6 +169,39 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("registration canonicalizes column case; colliding generated names and unknown columns are rejected") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_mvcase_").toString
+    val factDir = s"$base/fact"
+    (1 to 40).map(i => (s"g${i % 2}", i.toDouble)).toDF("g", "x").write.parquet(factDir)
+    // Case-mismatched registration must still REWRITE (it used to build a
+    // rollup that silently never matched the stored lower-case attributes).
+    MvRewrite.defineRollup(spark, "t_case", factDir, s"$base/mv", Seq("G"), Seq("X"))
+    try {
+      val q = spark.read.parquet(factDir).groupBy(col("g"))
+        .agg(sum(col("x")).as("s"))
+      val answered = MvRewrite.answer(spark, q)
+      assert(scans(answered).exists(_.contains(s"$base/mv")),
+        s"case-mismatched registration must still rewrite, got ${scans(answered)}")
+      assert(sorted(answered) == sorted(q))
+    } finally MvRewrite.dropRollup(spark, "t_case")
+    // A measure named "star" would generate a second cnt_star — reject at
+    // the require(), not with an opaque parquet duplicate-column error.
+    (1 to 10).map(i => (s"g$i", i.toDouble)).toDF("g", "star")
+      .write.parquet(s"$base/fact2")
+    val collide = intercept[IllegalArgumentException] {
+      MvRewrite.defineRollup(spark, "t_star", s"$base/fact2", s"$base/mv2",
+        Seq("g"), Seq("star"))
+    }
+    assert(collide.getMessage.contains("collide"))
+    // Unknown columns name themselves in the error
+    val missing = intercept[IllegalArgumentException] {
+      MvRewrite.defineRollup(spark, "t_miss", factDir, s"$base/mv3",
+        Seq("nope"), Seq("x"))
+    }
+    assert(missing.getMessage.contains("nope"))
+  }
+
   test("slow reader's resolved version survives rapid refreshes; malformed knob never fails a refresh") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_mvslow_").toString

@@ -56,6 +56,20 @@ class OpsSpec extends SparkSpec {
     val n2 = graft.plans.NativeAsOfJoin.lookup(clicks, views, Seq("user_id"), "ts_ns", Seq("view_value"))
       .select("event_id", "asof_view_value").collect().map(_.toSeq).toSet
     assert(n2 == c2)
+
+    // Mismatched-but-comparable types must be REJECTED, not silently
+    // wrong: the node has no analyzer coercion, so an int-vs-long key
+    // would hash-partition the sides differently and null every lookup.
+    val intKeyLeft = left.selectExpr("CAST(k AS int) AS k", "t", "payload")
+    val eKey = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsOfJoin.lookup(intKeyLeft, right, Seq("k"), "t", Seq("v"))
+    }
+    assert(eKey.getMessage.contains("type mismatch"))
+    val intTimeLeft = left.selectExpr("k", "CAST(t AS int) AS t", "payload")
+    val eTime = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsOfJoin.lookup(intTimeLeft, right, Seq("k"), "t", Seq("v"))
+    }
+    assert(eTime.getMessage.contains("time column"))
   }
 
   test("as-of join: null right-times are dropped, null left-time matches nothing (both impls)") {
