@@ -65,11 +65,13 @@ object EventsStream {
     * checkpoint blocks are reference-tracked — freed once the returned
     * frame is garbage. */
   private def drainMemorySink(spark: SparkSession, name: String)
-                             (shape: DataFrame => DataFrame): DataFrame = {
-    val out = shape(spark.table(name)).localCheckpoint()
-    spark.catalog.dropTempView(name)
-    out
-  }
+                             (shape: DataFrame => DataFrame): DataFrame =
+    // finally, not success-path-only: if shape() or the checkpoint throws,
+    // leaving the view registered pins the full result set in driver
+    // memory for the session's lifetime — the exact leak this drain exists
+    // to prevent, just on the failure path.
+    try shape(spark.table(name)).localCheckpoint()
+    finally spark.catalog.dropTempView(name)
 
   /** Start a stateful run-once query with its shuffle partitioning pinned
     * low, restoring the session setting afterwards: a streaming aggregation
@@ -80,20 +82,12 @@ object EventsStream {
     * sizes this to the live key cardinality instead. (The partition count
     * is captured at query start and persisted in the checkpoint, so the
     * restore cannot affect the running query.) */
-  private def startPinned[A](spark: SparkSession, partitions: Int = 4,
-                             stateProvider: Option[String] = None)(start: => A): A = {
+  private def startPinned[A](spark: SparkSession, partitions: Int = 4)
+                            (start: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-    stateProvider.foreach(spark.conf.set(providerKey, _))
-    try start finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      if (stateProvider.isDefined) prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
+    try start
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** State partitioning sized to the landing dir, for [[startPinned]]:
@@ -227,7 +221,9 @@ object EventsStream {
     // the 40-minute window bounds state to a few thousand rows, so the
     // default stays. On a CONTINUOUS deployment with millions of in-flight
     // keys, RocksDB is the right provider (off-heap state, incremental
-    // snapshots, changelog checkpointing) — flip `stateProvider` there.
+    // snapshots, changelog checkpointing) — set
+    // spark.sql.streaming.stateStore.providerClass on that session (the
+    // same conf StreamingSpec's RocksDB equality test pins).
     // foreachBatch → batchId-keyed overwrite-parquet, NOT a memory sink:
     // the join result is CORPUS-SIZED (one-plus rows per click) and a
     // memory sink funnels it through a single-threaded driver collect —

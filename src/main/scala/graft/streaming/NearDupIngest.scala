@@ -69,13 +69,19 @@ object NearDupIngest {
       .option("checkpointLocation",
         TempDirs.create("graft_ndingest_ck_").toString)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // batchId-keyed OVERWRITE, never append (the file's own discipline,
+        // see the scaladoc above): an append sink double-writes on replay,
+        // and was shielded here only by the fresh temp checkpoint. The
+        // partition key is micro_batch (report rows already carry a
+        // batch_id DATA column — the probing document's id).
         Dedup.newNearDupsAgainstSignatureTable(spark, table, b, corpus)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/micro_batch=$batchId")
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir).orderBy("batch_id", "history_id")
+    spark.read.parquet(outDir).drop("micro_batch")
+      .orderBy("batch_id", "history_id")
   }
 
   /** State layout of one learning-ingest run: per-batch signature and
@@ -172,6 +178,15 @@ object NearDupIngest {
                      stateRoot: Option[String] = None,
                      checkpoint: Option[String] = None): DataFrame = {
     import spark.implicits._
+    // The two options are a PAIR: the checkpoint records which batches are
+    // committed, the stateRoot holds those batches' deltas and reports.
+    // Resuming a persistent checkpoint against a fresh temp stateRoot
+    // would silently skip the committed batches' reports AND probe new
+    // batches against an empty delta history — the cross-batch matches
+    // this pipeline exists for would just not appear.
+    require(stateRoot.isDefined == checkpoint.isDefined,
+      "stateRoot and checkpoint must be passed together (both persistent " +
+        "for a resumable ingest, both absent for a fresh run)")
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = Dedup.withPlantedNear(docs, 20)
     val table = Staged.minhashSignatureTable(spark, dir)

@@ -111,18 +111,29 @@ object UpsertPipeline {
 
   /** CDC variant of the pipeline: the landing directory receives operation
     * logs (data columns + a monotone sequence + an I/U/D op), and each
-    * micro-batch is applied to the versioned warehouse with
-    * [[Merge.applyCdc]] — merge-with-deletes, the Debezium/DMS consumption
-    * shape. Same delivery contract as the upsert path: applyCdc is
-    * idempotent over any re-delivered log suffix, so at-least-once file
-    * delivery yields effectively-once table state. */
+    * micro-batch is resolved into the versioned warehouse by per-key
+    * max-sequence-wins — merge-with-deletes, the Debezium/DMS consumption
+    * shape.
+    *
+    * The warehouse stores the FULL resolution state: data columns plus the
+    * per-key winning (seq, op), TOMBSTONES INCLUDED — the compacted-log
+    * layout. An earlier form stripped seq/op and physically dropped deleted
+    * keys, which made cross-run resolution impossible under out-of-order
+    * delivery: a late-landing file carrying OLDER sequence numbers rolled a
+    * committed key back (the stored row's seq read as -infinity), and a
+    * re-delivered pre-delete update resurrected a deleted key (nothing
+    * recorded the delete). With stored seq + tombstones, the table is a
+    * pure function of the SET of delivered ops in any arrival order — so
+    * at-least-once, out-of-order file delivery yields effectively-once
+    * state. Consumers read [[currentCdcTable]] (tombstones filtered,
+    * bookkeeping dropped). Tombstone retention is the standard price;
+    * a deployment compacts them out once the producer's lateness horizon
+    * has provably passed. */
   def runOnceCdc(spark: SparkSession, landingDir: String, warehouseDir: String,
                  checkpointDir: String,
                  logSchema: org.apache.spark.sql.types.StructType,
                  keys: Seq[String], seqCol: String, opCol: String): Unit = {
     implicit val s: SparkSession = spark
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      logSchema.filterNot(f => f.name == seqCol || f.name == opCol))
     val raw = spark.readStream
       .schema(logSchema)
       .option("header", "true")
@@ -130,16 +141,27 @@ object UpsertPipeline {
     val q = raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target = graft.ops.VersionedTable.read(spark, warehouseDir, dataSchema)
-        Merge.applyCdc(target, batch, keys, seqCol, opCol)
-          .write.mode(SaveMode.Overwrite)
-          .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val state = graft.ops.VersionedTable.read(spark, warehouseDir, logSchema)
+        graft.JobStage.named(spark, s"cdc-pipeline: resolve+commit (batch $batchId)") {
+          Merge.latestPerKey(state.unionByName(batch), keys, Seq(seqCol))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(graft.ops.VersionedTable.nextVersionPath(spark, warehouseDir))
+        }
         ()
       }
       .start()
     q.awaitTermination()
   }
+
+  /** Consumer view of a [[runOnceCdc]] warehouse: live rows only (delete
+    * tombstones filtered out), log bookkeeping columns dropped. */
+  def currentCdcTable(spark: SparkSession, warehouseDir: String,
+                      logSchema: org.apache.spark.sql.types.StructType,
+                      seqCol: String, opCol: String): DataFrame =
+    graft.ops.VersionedTable.read(spark, warehouseDir, logSchema)
+      .filter(col(opCol) =!= "D")
+      .drop(seqCol, opCol)
 
   /** Incremental-view maintenance over the event stream (the streaming form
     * of q92's refresh algebra): each micro-batch folds its PARTIAL

@@ -52,9 +52,8 @@ class UpsertPipelineSpec extends SparkSpec {
     val logSchema = StructType(Seq(
       StructField("k", StringType), StructField("v", DoubleType),
       StructField("seq", LongType), StructField("op", StringType)))
-    val dataSchema = StructType(logSchema.take(2))
     def state(): Map[String, Double] =
-      graft.ops.VersionedTable.read(spark, warehouse, dataSchema)
+      UpsertPipeline.currentCdcTable(spark, warehouse, logSchema, "seq", "op")
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     def run(): Unit = UpsertPipeline.runOnceCdc(spark, landing.toString, warehouse,
       checkpoint, logSchema, Seq("k"), "seq", "op")
@@ -72,6 +71,18 @@ class UpsertPipelineSpec extends SparkSpec {
 
     run() // no new files: checkpoint yields an empty batch stream — state holds
     assert(state() == Map("a" -> 10.0))
+
+    // LATE, OUT-OF-ORDER re-delivery (new file path, so the checkpoint
+    // can't dedup it) carrying only stale sequence numbers: a's old value,
+    // a pre-delete update for b, c's pre-delete insert. The stored per-key
+    // seq + tombstones must win — no rollback, no resurrection. (The
+    // pre-tombstone layout failed all three: stored rows compared as
+    // seq = -infinity and deletes left no trace.)
+    Files.writeString(landing.resolve("log1-retry.csv"),
+      Seq("k,v,seq,op", "a,1.0,1,I", "b,99.0,3,U", "c,3.0,5,I").mkString("\n"))
+    run()
+    assert(state() == Map("a" -> 10.0),
+      "stale re-delivered ops must not roll back or resurrect keys")
   }
 
   test("incremental rollup maintenance: streamed partials fold to the exact batch recompute") {
