@@ -84,15 +84,17 @@ object HttpIngest {
             // NoSuchFileException from the move means a concurrent fetch's
             // stale sweep took our staging file (possible only for a
             // transfer that stalled past StalePartMs) — this download is
-            // lost but the loop retries it; propagating would fail a fetch
-            // whose server is healthy.
+            // lost but the loop retries it. NOT recorded as a transport
+            // failure: the server was healthy (2xx), so if retries run out
+            // the fetch must report-and-skip (None) like any other
+            // lost-race outcome, not crash the caller.
             try {
               Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
                 StandardCopyOption.REPLACE_EXISTING)
               return Some(dest.toString)
             } catch {
-              case e: java.nio.file.NoSuchFileException =>
-                lastTransport = Some(e)
+              case _: java.nio.file.NoSuchFileException =>
+                lastTransport = None
             }
             true
           } else {

@@ -299,39 +299,45 @@ object Staged {
             .when($"ts" <= cut, 0).otherwise(1))
         .repartition(1)
         .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
-      // FileStreamSource orders files by millisecond-granularity
-      // modification time with an unspecified tie-break; all three slices
-      // land within the same write and could tie. Stamp explicitly
-      // increasing mtimes so the replay is provably chronological — if a
-      // later slice (worst: the sentinel) were consumed first, the
-      // watermark would jump ahead and silently drop earlier events as
-      // late.
-      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
-      for (s <- 0 to 2) {
-        val sliceDir = staging.resolve(s"slice=$s")
-        // Files.list holds a directory handle until closed; abandoning the
-        // stream leaks one handle per slice for the driver's lifetime.
-        val listing = java.nio.file.Files.list(sliceDir)
-        val moved =
-          try {
-            val part = listing.iterator()
-            var done = false
-            while (part.hasNext && !done) {
-              val p = part.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                val dest = watch.resolve(s"ev_$s.parquet")
-                java.nio.file.Files.move(p, dest)
-                java.nio.file.Files.setLastModifiedTime(dest,
-                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
-                done = true
-              }
-            }
-            done
-          } finally listing.close()
-        require(moved, s"no part file for slice $s")
-      }
+      publishSlices(staging, watch, 0 to 2, "ev", "ssjoin")
       watch.toString
     }
+
+  /** Publish each staged `slice=s` dir's single part file into `watch` as
+    * `<prefix>_<s>.parquet` with STRICTLY INCREASING mtimes (t0 + s
+    * seconds). FileStreamSource orders files by millisecond-granularity
+    * modification time with an unspecified tie-break, and all slices land
+    * within one write and could tie — if a later slice (worst: a sentinel)
+    * were consumed first, the watermark would jump ahead and silently drop
+    * earlier events as late. One part file per slice by construction
+    * (`repartition(1)` upstream); required, not assumed. Files.list holds
+    * a directory handle until closed — abandoning the stream would leak
+    * one handle per slice for the driver's lifetime. */
+  private def publishSlices(staging: java.nio.file.Path, watch: java.nio.file.Path,
+                            slices: Range, prefix: String, what: String): Unit = {
+    val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
+    for (s <- slices) {
+      val sliceDir = staging.resolve(s"slice=$s")
+      val listing = java.nio.file.Files.list(sliceDir)
+      val moved =
+        try {
+          val part = listing.iterator()
+          var done = false
+          while (part.hasNext && !done) {
+            val p = part.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              val dest = watch.resolve(s"${prefix}_$s.parquet")
+              java.nio.file.Files.move(p, dest)
+              java.nio.file.Files.setLastModifiedTime(dest,
+                java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
+              done = true
+            }
+          }
+          done
+        } finally listing.close()
+      require(moved, s"no part file for $what slice $s")
+    }
+  }
 
   /** q153's landing dir: the deterministic incremental near-dup ingest
     * batch ([[graft.ext.Dedup.incrementalNearDupBatch]]) staged as two
@@ -350,30 +356,7 @@ object Staged {
         .withColumn("slice", pmod(col("doc_id"), lit(2L)).cast("int"))
         .repartition(1)
         .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
-      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
-      for (s <- 0 to 1) {
-        val sliceDir = staging.resolve(s"slice=$s")
-        // Files.list holds a directory handle until closed (same discipline
-        // as ssjoinWatchDir).
-        val listing = java.nio.file.Files.list(sliceDir)
-        val moved =
-          try {
-            val part = listing.iterator()
-            var done = false
-            while (part.hasNext && !done) {
-              val p = part.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                val dest = watch.resolve(s"batch_$s.parquet")
-                java.nio.file.Files.move(p, dest)
-                java.nio.file.Files.setLastModifiedTime(dest,
-                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
-                done = true
-              }
-            }
-            done
-          } finally listing.close()
-        require(moved, s"no part file for ingest slice $s")
-      }
+      publishSlices(staging, watch, 0 to 1, "batch", "ingest")
       watch.toString
     }
 
@@ -402,28 +385,7 @@ object Staged {
         .unionByName(planted)
         .repartition(1)
         .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
-      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
-      for (s <- 0 to 1) {
-        val sliceDir = staging.resolve(s"slice=$s")
-        val listing = java.nio.file.Files.list(sliceDir)
-        val moved =
-          try {
-            val part = listing.iterator()
-            var done = false
-            while (part.hasNext && !done) {
-              val p = part.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                val dest = watch.resolve(s"batch_$s.parquet")
-                java.nio.file.Files.move(p, dest)
-                java.nio.file.Files.setLastModifiedTime(dest,
-                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
-                done = true
-              }
-            }
-            done
-          } finally listing.close()
-        require(moved, s"no part file for learning-ingest slice $s")
-      }
+      publishSlices(staging, watch, 0 to 1, "batch", "learning-ingest")
       watch.toString
     }
 
@@ -493,30 +455,7 @@ object Staged {
             .otherwise(array(lit(1)))))
         .repartition(1)
         .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
-      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
-      for (s <- 0 to 1) {
-        val sliceDir = staging.resolve(s"slice=$s")
-        // Files.list holds a directory handle until closed (same discipline
-        // as ssjoinWatchDir).
-        val listing = java.nio.file.Files.list(sliceDir)
-        val moved =
-          try {
-            val part = listing.iterator()
-            var done = false
-            while (part.hasNext && !done) {
-              val p = part.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                val dest = watch.resolve(s"delivery_$s.parquet")
-                java.nio.file.Files.move(p, dest)
-                java.nio.file.Files.setLastModifiedTime(dest,
-                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
-                done = true
-              }
-            }
-            done
-          } finally listing.close()
-        require(moved, s"no part file for dedup slice $s")
-      }
+      publishSlices(staging, watch, 0 to 1, "delivery", "dedup")
       watch.toString
     }
 
@@ -536,28 +475,7 @@ object Staged {
         .withColumn("slice", pmod($"vec_id", lit(2L)).cast("int"))
         .repartition(1)
         .write.mode("overwrite").partitionBy("slice").parquet(staging.toString)
-      val t0 = java.nio.file.Files.getLastModifiedTime(staging).toMillis
-      for (s <- 0 to 1) {
-        val sliceDir = staging.resolve(s"slice=$s")
-        val listing = java.nio.file.Files.list(sliceDir)
-        val moved =
-          try {
-            val part = listing.iterator()
-            var done = false
-            while (part.hasNext && !done) {
-              val p = part.next()
-              if (p.getFileName.toString.endsWith(".parquet")) {
-                val dest = watch.resolve(s"delivery_$s.parquet")
-                java.nio.file.Files.move(p, dest)
-                java.nio.file.Files.setLastModifiedTime(dest,
-                  java.nio.file.attribute.FileTime.fromMillis(t0 + s * 1000L))
-                done = true
-              }
-            }
-            done
-          } finally listing.close()
-        require(moved, s"no part file for embeddings slice $s")
-      }
+      publishSlices(staging, watch, 0 to 1, "delivery", "embeddings")
       watch.toString
     }
 
@@ -577,14 +495,31 @@ object Staged {
     * duplicate scan. Per-stage seconds print to stderr so a slow prepare
     * names its hog in the driver log. */
   def prepare(spark: SparkSession, dir: String): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, Promise}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // for Future.sequence's combinators only; tasks are submitted directly
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    def timed(name: String)(build: => Any): Future[Unit] = Future {
-      val t0 = System.nanoTime()
-      try { build; () } finally System.err.println(
-        f"[prepare] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    // Manual promise completion, not Future.apply: Future's body only
+    // completes the promise for NonFatal throws — a fatal error (OOM,
+    // StackOverflowError) in a staging build would kill the pool thread
+    // with the promise forever pending, wedging the Await.result(Inf)
+    // below (and Bench behind it) in a silent hang. Completing the promise
+    // on ANY throwable surfaces the failure to the awaiter; the fatal is
+    // then rethrown on the pool thread to keep its thread-death semantics.
+    def timed(name: String)(build: => Any): Future[Unit] = {
+      val p = Promise[Unit]()
+      pool.execute { () =>
+        val t0 = System.nanoTime()
+        try { build; p.success(()) }
+        catch { case t: Throwable =>
+          p.tryFailure(t)
+          if (!scala.util.control.NonFatal(t)) throw t
+        }
+        finally System.err.println(
+          f"[prepare] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+      }
+      p.future
     }
     try {
       Await.result(Future.sequence(parallelFiles.keys.toSeq.map(t =>

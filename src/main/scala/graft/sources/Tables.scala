@@ -17,10 +17,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // One lock per SESSION, not a global monitor: registerAll may run cold
+  // multi-file staging jobs under its lock, and a global mutex serialized
+  // every other session's registration behind them. Same-session callers
+  // must still serialize (register-THEN-publish ordering below).
+  private val registerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Cache key for a session. The classic session's UUID is unique for the
     * JVM's lifetime; identityHashCode (the pre-round-8 key) is NOT — two
@@ -117,22 +121,17 @@ object Tables {
     * nanos ([[Staged.tableDir]] normalizes at staging); the
     * [[normalizeEventsTs]] pass here is a type-adaptive no-op on that and a
     * real conversion on any un-staged layout. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    // NOT computeIfAbsent: the builder calls load() — a nested compute on
-    // the same map throws "Recursive update". Benign double-build race.
-    val key = s"${sessionKey(s)}:$d:events-derived"
-    val cached = dfCache.get(key)
-    if (cached != null) cached
-    else {
+  def events(s: SparkSession, d: String): DataFrame =
+    // getOrStage, like every other memoized layout (its Holder design runs
+    // the build OUTSIDE the map's compute, so the nested load() is fine —
+    // the legacy local-CHM form here had a documented double-build race).
+    Staged.getOrStage(s"eventsdf:${sessionKey(s)}:$d") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = normalizeEventsTs(load(s, d, "events"))
+      normalizeEventsTs(load(s, d, "events"))
         .withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts_ns div 1000")))
-      dfCache.putIfAbsent(key, df)
-      dfCache.get(key)
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
   /** Embeddings with the element type pinned to `array<float>`, whatever
@@ -164,9 +163,9 @@ object Tables {
     * caller (the bench's parallel warmup) see "already registered", skip,
     * and run its SQL against views that did not exist yet
     * (TABLE_OR_VIEW_NOT_FOUND on `customer`, seen in exactly that race). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    registeredDir.synchronized {
-      val key = sessionKey(spark)
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = sessionKey(spark)
+    registerLocks.computeIfAbsent(key, _ => new Object).synchronized {
       if (registeredDir.get(key) != dir) {
         all.foreach { n =>
           val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
@@ -175,6 +174,7 @@ object Tables {
         registeredDir.put(key, dir)
       }
     }
+  }
 
   /** CSV reader with the reference's option semantics (S1,
     * `scripts/etl_process.py:71-74`): header, explicit delimiter, explicit
