@@ -44,6 +44,12 @@ object AsOfJoin {
     def c(name: String): org.apache.spark.sql.Column =
       col("`" + name.replace("`", "``") + "`")
     val leftCols = left.columns
+    // Reserved working names and the derived output names must be absent
+    // from the left frame, or the selects below hit ambiguous-reference
+    // errors (or worse, silently duplicate output columns).
+    for (reserved <- Seq("__graft_side", "__graft_vals") ++ rightVals.map(v => s"asof_$v"))
+      require(!leftCols.contains(reserved),
+        s"left column name '$reserved' collides with the as-of join's working/output columns")
     val otherLeft = leftCols.filterNot(x => keys.contains(x) || x == timeCol)
     val valsType = StructType(rightVals.map(v =>
       StructField(s"asof_$v", right.schema(v).dataType, nullable = true)))

@@ -130,17 +130,33 @@ object BloomIndex {
     // ONE collect of the index: an uncached index frame re-executes its
     // whole build pipeline per action, so deriving the indexed-file set and
     // the candidate set from separate collects would scan twice.
-    val idxRows = index.select("file", "bloom").collect()
+    val hasType = index.columns.contains("key_type")
+    val idxRows = index.select(
+      (Seq("file", "bloom") ++ (if (hasType) Seq("key_type") else Nil)).map(col): _*
+    ).collect()
     val indexed = idxRows.map(_.getString(0)).toSet
-    val candidates = probe(idxRows,
-      keyHashes(keys, Some(table.schema(keyCol).dataType)))
+    // Probe with the type the index RECORDED at build time, not the live
+    // table schema's: files written after a column widened (int → long)
+    // change what the merged schema infers, and hashing probe keys at the
+    // widened type misses every bloom built at the old type — silent
+    // false-negative pruning over the old files. The live schema is only
+    // the fallback for a pre-key_type index.
+    val recordedType =
+      if (hasType && idxRows.nonEmpty)
+        org.apache.spark.sql.types.DataType.fromJson(
+          idxRows.head.getAs[String]("key_type"))
+      else table.schema(keyCol).dataType
+    val candidates = probe(idxRows, keyHashes(keys, Some(recordedType)))
     val files = current.filter(f => candidates.contains(f) || !indexed.contains(f)).toSeq
     val predicate = col(keyCol).isin(keys: _*)
     val df =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], table.schema)
-      else spark.read.parquet(files: _*).filter(predicate)
+      // basePath: an explicit file list otherwise loses directory-derived
+      // partition columns on partitioned layouts (root/date=.../part),
+      // changing the pruned frame's schema vs the full-table read.
+      else spark.read.option("basePath", dir).parquet(files: _*).filter(predicate)
     ZoneMap.Pruned(df, files.length, current.length)
   }
 }

@@ -50,11 +50,17 @@ object Merge {
       .unionByName(updates)
   }
 
-  /** Merge a union of versioned rows: highest `versionCol` wins per key;
-    * ties broken deterministically by the remaining sort expressions. */
+  /** Merge a union of versioned rows: highest `versionCol` wins per key.
+    * A (key, version) tie — a contract violation, each version's batch must
+    * be key-unique — is broken by the remaining data columns descending, so
+    * even violated inputs resolve DETERMINISTICALLY (re-running the merge
+    * returns the same winner; a version-only ordering picked whichever row
+    * the shuffle delivered first). */
   def upsertVersioned(all: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val tiebreak = all.columns.toIndexedSeq
+      .filterNot(c => keys.contains(c) || c == versionCol)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc)
+      .orderBy((col(versionCol).desc +: tiebreak.map(col(_).desc)): _*)
     all.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn", versionCol)

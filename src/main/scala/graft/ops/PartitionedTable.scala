@@ -155,7 +155,15 @@ object PartitionedTable {
     // would re-run its whole upstream chain three times per commit.
     // Batch-sized by contract, so the checkpoint is the cheap side.
     val up = graft.JobStage.named(spark, "partitioned-table: update batch checkpoint") {
-      updates.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      // Null-key update rows are dropped, not merged: Merge.upsert's
+      // anti-join never matches null keys (SQL semantics), so such a row
+      // would be UNIONED IN alongside any existing copy — every
+      // re-delivery of the batch appending one more duplicate, breaking
+      // this method's idempotence contract. A keyed warehouse row with a
+      // null key is unaddressable by definition; producers that need such
+      // rows key them with a sentinel.
+      updates.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .withColumn(BucketCol, bucketExpr(keys, nBuckets))
         .localCheckpoint()
     }
     // Touched-bucket set: ≤ nBuckets ints, driver-bounded by construction.

@@ -17,6 +17,10 @@ object SkewJoin {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int, factSaltCols: Seq[String]): DataFrame = {
+    // saltFactor=0 would make pmod(..., 0) evaluate to null (non-ANSI) and
+    // the equi-join on the null salt match NOTHING — an empty result with
+    // no error, the silent-wrongness class the sibling ops reject loudly.
+    require(saltFactor > 0, "saltFactor must be positive")
     val salted = fact.withColumn("__graft_salt",
       pmod(xxhash64(factSaltCols.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = dim.withColumn("__graft_salt",

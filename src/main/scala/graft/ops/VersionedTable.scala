@@ -34,7 +34,11 @@ object VersionedTable {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(s => s.getPath.getName.stripPrefix("v=").toInt -> s.getPath)
+      // Non-numeric v= dirs (an operator's v=backup, a tool's v=5.bak) are
+      // skipped, not fatal: .toInt here bricked every read/latest/vacuum of
+      // a table whose data was fully intact.
+      .flatMap(s => s.getPath.getName.stripPrefix("v=").toIntOption
+        .map(_ -> s.getPath))
       .filter { case (_, path) => f.exists(new Path(path, "_SUCCESS")) }
       .sortBy(_._1)
   }

@@ -65,7 +65,11 @@ object ZoneMap {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val tableSchema = spark.read.parquet(dir).schema
+    // ONE relation for both the schema and the listing-id map below: each
+    // spark.read.parquet(dir) builds its own InMemoryFileIndex — a full
+    // recursive listing, expensive on object stores.
+    val table = spark.read.parquet(dir)
+    val tableSchema = table.schema
     val fields = cols.map(c => tableSchema.fields.find(_.name == c)
       .getOrElse(throw new IllegalArgumentException(s"no column $c in $dir")))
     def convert(v: AnyRef, dt: org.apache.spark.sql.types.DataType,
@@ -148,6 +152,15 @@ object ZoneMap {
                   Ordering.by[Any, java.time.LocalDateTime](
                     _.asInstanceOf[java.time.LocalDateTime])(
                     Ordering.fromLessThan(_ isBefore _))
+                // Integral types fold in EXACT Long order: a Double fold
+                // collapses values that differ below 2^-53 relative (two
+                // ts_ns-scale longs 512 apart convert to the SAME double),
+                // which can shrink the envelope and positively prune a file
+                // that holds matching rows — lost rows, the one failure
+                // this module's contract forbids.
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.IntegerType =>
+                  Ordering.by[Any, Long](_.asInstanceOf[Number].longValue)
                 case _ => Ordering.by[Any, Double](x =>
                   x.asInstanceOf[Number].doubleValue)
               }
@@ -167,7 +180,7 @@ object ZoneMap {
     // listing), so prunedRead's set subtraction matches; a file the listing
     // doesn't know stays as-is and is simply never subtracted — the safe
     // direction.
-    val listingById = spark.read.parquet(dir).inputFiles
+    val listingById = table.inputFiles
       .map(s => new java.net.URI(s).getPath -> s).toMap
     // RECURSIVE listing, matching the scan-based build(): Spark's own
     // parquet read descends into nested/partitioned layouts, so a
@@ -245,7 +258,10 @@ object ZoneMap {
         // every file ruled out: empty frame with the table's schema, no scan
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
-      } else spark.read.parquet(files: _*).filter(predicate)
+      // basePath: an explicit file list otherwise loses directory-derived
+      // partition columns on the nested/partitioned layouts buildFromFooters
+      // supports, changing the pruned frame's schema vs the full-table read.
+      } else spark.read.option("basePath", dir).parquet(files: _*).filter(predicate)
     Pruned(df, files.length, current.length)
   }
 

@@ -37,6 +37,12 @@ class CompactionSpec extends SparkSpec {
     VersionedTable.vacuum(spark, root)
     intercept[NoSuchElementException] { VersionedTable.readAt(spark, root, 0) }
     assert(rows(VersionedTable.readAt(spark, root, 1)) == Set((1L, "a2"), (3L, "c")))
+    // A non-numeric v= sibling (operator's manual backup) is SKIPPED, not
+    // fatal: .toInt here used to brick every read/latest/vacuum of a table
+    // whose data was fully intact.
+    Files.createDirectories(java.nio.file.Paths.get(root, "v=backup"))
+    assert(VersionedTable.latest(spark, root).map(_._1).contains(1),
+      "a non-numeric v= dir must not break version resolution")
   }
 
   test("versioned compaction is atomic: readers resolve only committed versions") {

@@ -122,6 +122,21 @@ class PartitionedTableSpec extends SparkSpec {
       .filter(col("k") === newKey).collect().head.getString(1) == "fresh")
   }
 
+  test("null-key update rows are dropped: re-merging stays idempotent instead of duplicating") {
+    import spark.implicits._
+    val root = freshRoot()
+    PartitionedTable.create(spark, root,
+      df(Seq((1L, "a", 1.0), (2L, "b", 2.0))), Seq("k"), nBuckets = 4)
+    val updates = Seq[(java.lang.Long, String, Double)](
+      (1L, "x", 9.0), (null, "orphan", 5.0)).toDF("k", "name", "v")
+    PartitionedTable.merge(spark, root, updates)
+    PartitionedTable.merge(spark, root, updates) // re-delivery
+    val rows = PartitionedTable.read(spark, root).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSeq.sortBy(_._2)
+    assert(rows == Seq((Some(2L), "b"), (Some(1L), "x")),
+      s"null-key rows must never enter (or duplicate in) the table, got $rows")
+  }
+
   test("empty update batch is a no-op") {
     val root = freshRoot()
     val base = df(Seq((1L, "a", 1.0), (2L, "b", 2.0)))
