@@ -27,14 +27,27 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Arity guard: a wrong-arity SQL call otherwise surfaces as a raw
+    * IndexOutOfBoundsException from `es(1)` with no function name — this
+    * names the function and the expected count at analysis time. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${es.length}")
+      build(es)
+    }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (es => CosineSimF(es(0), es(1))),
-    "minhash_sig" -> (es => MinHashSig(es(0))),
-    "simhash64" -> (es => SimHash64(es(0))),
-    "normalize_l2" -> (es => NormalizeL2F(es(0))),
-    "lsh_sigs" -> (es => LshSigs(es(0))),
-    "shingle_hashes" -> (es => ShingleHashes(es(0), intLit(es(1), "shingle width"))),
-    "rolling_hash_min" -> (es => RollingHashMin(es(0), intLit(es(1), "window width"))))
+    "cosine_sim" -> arity("cosine_sim", 2)(es => CosineSimF(es(0), es(1))),
+    "minhash_sig" -> arity("minhash_sig", 1)(es => MinHashSig(es(0))),
+    "simhash64" -> arity("simhash64", 1)(es => SimHash64(es(0))),
+    "normalize_l2" -> arity("normalize_l2", 1)(es => NormalizeL2F(es(0))),
+    "lsh_sigs" -> arity("lsh_sigs", 1)(es => LshSigs(es(0))),
+    "shingle_hashes" -> arity("shingle_hashes", 2)(es =>
+      ShingleHashes(es(0), intLit(es(1), "shingle width"))),
+    "rolling_hash_min" -> arity("rolling_hash_min", 2)(es =>
+      RollingHashMin(es(0), intLit(es(1), "window width"))))
 
   /** Register every native function as a temp function on a live session. */
   def registerAll(spark: SparkSession): Unit =

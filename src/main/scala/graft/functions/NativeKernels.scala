@@ -19,9 +19,14 @@ import org.apache.spark.sql.graftshim.{columnOf, expressionOf, AbstractDataType}
 object Kernels {
 
   /** Cosine similarity over float arrays, double accumulation in index
-    * order — bit-identical to the sequential-fold HOF formulation. */
+    * order — bit-identical to the sequential-fold HOF formulation on
+    * equal-length inputs. Mismatched lengths FAIL LOUDLY: a silent
+    * prefix-cosine would rank a truncated/corrupt embedding with a
+    * plausible score (the HOF form surfaces the same rows as nulls). */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"cosine over mismatched vector lengths: $n vs ${b.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -75,9 +80,12 @@ object Kernels {
     spread(a) | (spread(b) << 1)
   }
 
-  /** Cosine over double arrays (normalized vectors, centroids). */
+  /** Cosine over double arrays (normalized vectors, centroids). Mismatched
+    * lengths fail loudly — see [[cosineF]]. */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"cosine over mismatched vector lengths: $n vs ${b.numElements()}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -211,6 +219,7 @@ object Kernels {
     * time on. One row per span flows into the elementwise-min aggregate
     * ([[VecSumAggregator.VecMin]]) instead of k. */
   def md5U32Components(h: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    require(k > 0, s"component count must be positive, got $k")
     val md = md5Local.get()
     val hb = h.getBytes
     val out = new Array[Long](k)
@@ -234,6 +243,10 @@ object Kernels {
     * hashes per window. No shingle strings are ever materialized — the
     * string-building HOF formulation spends ~2 ms/doc on allocation alone. */
   def shingleHashes(s: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    // k <= 0 would make every window hash to the constant FNV offset basis
+    // — every document fingerprints identically, all pairs flag as dups
+    // with no error anywhere (the RollingHashMin width guard, applied here).
+    require(k > 0, s"shingle width must be positive, got $k")
     val bytes = s.getBytes
     val n = bytes.length
     // per-token FNV-1a 64-bit hashes
@@ -293,11 +306,24 @@ object Kernels {
       planeCache.putIfAbsent(key, planes)
       planes = planeCache.get(key)
     }
-    val n = math.min(emb.numElements(), LshDims)
+    lshProject(emb, planes, numTables, planesPerTable, tableShift = 24)
+  }
+
+  /** Shared hyperplane-projection core of both LSH signature kernels: a
+    * vector LONGER than the plane width would be SILENTLY truncated (its
+    * upper dimensions never influencing any bucket bit) — rejected instead;
+    * a shorter vector projects onto the leading plane coordinates, which is
+    * the same random-hyperplane family restricted to that subspace. */
+  private def lshProject(emb: ArrayData, planes: Array[Array[Double]],
+                         numTables: Int, planesPerTable: Int,
+                         tableShift: Int): ArrayData = {
+    val n = emb.numElements()
+    require(n <= LshDims,
+      s"embedding has $n dims; LSH planes cover at most $LshDims")
     val out = new Array[Int](numTables)
     var t = 0
     while (t < numTables) {
-      var sig = t << 24
+      var sig = t << tableShift
       var p = 0
       while (p < planesPerTable) {
         val plane = planes(t * planesPerTable + p)
@@ -412,27 +438,12 @@ object Kernels {
   }
 
   /** Multi-table hyperplane signatures of a float embedding: array of
-    * NumTables ints, table index folded into bits 16+. */
-  def lshSignatures(emb: ArrayData): ArrayData = {
-    val n = math.min(emb.numElements(), LshDims)
-    val out = new Array[Int](LshTables)
-    var t = 0
-    while (t < LshTables) {
-      var sig = t << 16
-      var p = 0
-      while (p < LshPlanes) {
-        val plane = Planes(t * LshPlanes + p)
-        var proj = 0.0
-        var i = 0
-        while (i < n) { proj += emb.getFloat(i).toDouble * plane(i); i += 1 }
-        if (proj > 0) sig |= (1 << p)
-        p += 1
-      }
-      out(t) = sig
-      t += 1
-    }
-    new GenericArrayData(out)
-  }
+    * NumTables ints, table index folded into bits 16+. Same projection core
+    * as [[lshSignaturesCfg]] (the fixed Planes ARE planeMatrix(6, 4, 64),
+    * so this is the cfg form at its defaults with the legacy 16-bit table
+    * shift — bucket keys unchanged). */
+  def lshSignatures(emb: ArrayData): ArrayData =
+    lshProject(emb, Planes, LshTables, LshPlanes, tableShift = 16)
 }
 
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {

@@ -17,13 +17,19 @@ object TopKAggregator {
   case class Scored(id: Long, score: Double)
   case class TopKBuf(items: List[Scored])
 
-  private def ord: Ordering[Scored] =
+  private val ord: Ordering[Scored] =
     Ordering.by((s: Scored) => (-s.score, s.id))
 
   class TopK(k: Int) extends Aggregator[Scored, TopKBuf, List[Scored]] {
     override def zero: TopKBuf = TopKBuf(Nil)
+    // Buffer is kept sorted best-first, so when it is full and the new row
+    // is no better than the current worst (`items.last`) the row is
+    // rejected in O(k) with zero allocation — the overwhelmingly common
+    // case on a large scoring pass; the O(k log k) rebuild runs only on
+    // genuine top-k entries.
     override def reduce(b: TopKBuf, a: Scored): TopKBuf =
-      TopKBuf((a :: b.items).sorted(ord).take(k))
+      if (b.items.lengthCompare(k) >= 0 && ord.gteq(a, b.items.last)) b
+      else TopKBuf((a :: b.items).sorted(ord).take(k))
     override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =
       TopKBuf((b1.items ++ b2.items).sorted(ord).take(k))
     override def finish(r: TopKBuf): List[Scored] = r.items.sorted(ord)

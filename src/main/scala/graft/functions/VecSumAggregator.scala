@@ -31,6 +31,11 @@ object VecSumAggregator {
       if (b.isEmpty) a.clone()
       else if (a.isEmpty) b
       else {
+        // Loud on violated shared-length contract: iterating b.length alone
+        // would silently DROP a longer input's tail (wrong sums, no error)
+        // while a shorter one threw — asymmetric and order-dependent.
+        require(a.length == b.length,
+          s"vector aggregate over mismatched lengths: ${a.length} vs ${b.length}")
         var i = 0
         while (i < b.length) { b(i) += a(i); i += 1 }
         b
@@ -59,6 +64,8 @@ object VecSumAggregator {
       if (b.isEmpty) a.clone()
       else if (a.isEmpty) b
       else {
+        require(a.length == b.length,
+          s"vector aggregate over mismatched lengths: ${a.length} vs ${b.length}")
         var i = 0
         while (i < b.length) { if (a(i) < b(i)) b(i) = a(i); i += 1 }
         b

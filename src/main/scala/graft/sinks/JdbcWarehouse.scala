@@ -79,7 +79,13 @@ object JdbcWarehouse {
   }
 
   private def tableExists(conn: Connection, name: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, name, Array("TABLE"))
+    // getTables treats the name as a PATTERN: every table name here carries
+    // underscores (single-char wildcards), so an unescaped probe can
+    // false-positively match a similarly-named table and skip the CREATE.
+    val esc = conn.getMetaData.getSearchStringEscape
+    val literal = name.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    val rs = conn.getMetaData.getTables(null, null, literal, Array("TABLE"))
     try rs.next() finally rs.close()
   }
 
@@ -96,6 +102,14 @@ object JdbcWarehouse {
            | ${colDdl(notNullKeys = true)},
            | CONSTRAINT "UQ_GHG" UNIQUE (${KeyCols.map(q).mkString(", ")})
            |)""".stripMargin)
+      catch {
+        // Check-then-create race: two concurrent first loads both see the
+        // table absent; the loser's CREATE throws. If the table exists NOW,
+        // the winner created it and this load proceeds; anything else is a
+        // real DDL failure and propagates.
+        case e: java.sql.SQLException =>
+          if (!tableExists(conn, TableName)) throw e
+      }
       finally st.close()
     }
   }
@@ -135,13 +149,29 @@ object JdbcWarehouse {
       val on = KeyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
       withConnection(url) { conn =>
         val st = conn.createStatement()
-        try st.executeUpdate(
+        val mergeSql =
           s"""MERGE INTO ${q(TableName)} t
              |USING ${q(staging)} s ON $on
              |WHEN MATCHED THEN UPDATE SET "REPORTEDVALUE" = s."REPORTEDVALUE"
              |WHEN NOT MATCHED THEN INSERT (${DataCols.map(q).mkString(", ")})
-             |VALUES (${DataCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
-        finally st.close()
+             |VALUES (${DataCols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+        // ANSI MERGE lacks ON CONFLICT's concurrent-insert semantics: two
+        // concurrent loads inserting the same new key both take the NOT
+        // MATCHED branch and the second commit violates UQ_GHG. A retry
+        // re-evaluates the MERGE against the now-committed row (MATCHED →
+        // UPDATE), converging to the same state ON CONFLICT would produce.
+        // SQLState class 23 = integrity-constraint violation.
+        var attempts = 0
+        var done = false
+        try while (!done) {
+          attempts += 1
+          try { st.executeUpdate(mergeSql); done = true }
+          catch {
+            case e: java.sql.SQLException
+                if Option(e.getSQLState).exists(_.startsWith("23")) && attempts < 3 =>
+              () // unique-violation race: re-evaluate against committed rows
+          }
+        } finally st.close()
       }
     } finally dropStaging(url, staging)
   }
