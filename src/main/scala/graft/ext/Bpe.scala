@@ -99,7 +99,14 @@ object Bpe {
         vocab = vocab.select($"word", applyMerge($"w", a, b).as("w"), $"c")
       }
     }
-    (vocab, learned.result())
+    // Checkpoint-and-free (the iterative-kernel discipline): the returned
+    // vocabulary is materialized (vocab-sized — distinct words) so the
+    // cached word-frequency table can be released NOW; without this every
+    // learnMerges call (q167, and q168's retrain) left one cached copy
+    // pinned in block storage for the session's lifetime.
+    val out = vocab.localCheckpoint()
+    vocab0.unpersist(blocking = false)
+    (out, learned.result())
   }
 
   /** q168: encode the corpus with the tokenizer q167 just learned —

@@ -193,8 +193,13 @@ object Corpus {
                           terms: Seq[String] = Seq("merge", "stream", "window"),
                           n: Int = 50, k0: Int = 60, topK: Int = 15): DataFrame = {
     import spark.implicits._
+    // Document 0 IS the query (docs and vectors share the id space, the
+    // dense query is vector 0): excluded from BOTH arms, not just the
+    // dense one — ranked lexically it could return itself as a retrieval
+    // hit with its dense rank misreported as "absent".
     val lex = globalTopN(
         bm25Scores(spark, dir, terms)
+          .filter($"doc_id" =!= 0)
           .select($"doc_id".as("id"), $"bm25".as("score")), n)
       .select($"id".as("doc_id"), $"rank".as("r_lex"))
     val emb = Tables.embeddings(spark, dir)
@@ -560,18 +565,13 @@ object Corpus {
   def q200CurationPipeline(spark: SparkSession, dir: String,
                            width: Int = 8): DataFrame = {
     import spark.implicits._
-    val stopwords = Seq("the", "a", "of", "and", "to", "in")
-    val raw = Tables.documents(spark, dir)
-      .select($"doc_id", $"text", split($"text", "\\s+").as("t"),
-        length(regexp_replace($"text", "\\s+", "")).as("nsp"))
-      .withColumn("n_tok", size($"t").cast("long"))
-      .withColumn("stop_n",
-        size(filter(split(lower($"text"), "\\s+"),
-          x => x.isInCollection(stopwords))))
-      .withColumn("mfp", expr("nsp * 1000L div n_tok"))
-    val quality = raw.filter($"n_tok" >= 15 && $"n_tok" <= 5000
-      && $"mfp" >= 4000L && $"mfp" <= 9000L
-      && $"stop_n" * 100 >= $"n_tok" * 2)
+    // The SAME rule columns + verdict as q158's funnel (one shared
+    // definition in Quality — the stage-2 survivor set and the funnel's
+    // pass set provably cannot drift).
+    val raw = graft.ext.Quality.qualityRuleCols(
+      Tables.documents(spark, dir).select($"doc_id", $"text"))
+    val quality = raw.filter(
+      graft.ext.Quality.qualityVerdict(minTok = 15, maxTok = 5000) === "pass")
     val wDup = Window.partitionBy(md5($"text")).orderBy($"doc_id")
     // The dedup survivors feed FOUR branches (their stage row, the span
     // table, the prune join, the split assignment); as a lazy frame each

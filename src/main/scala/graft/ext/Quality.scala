@@ -100,6 +100,11 @@ object Quality {
     val w = Window.partitionBy($"lang")
       .orderBy($"key_fp".desc, $"doc_id".asc)
     Tables.documents(spark, dir)
+      // A-ES requires a POSITIVE weight: n_chars = 0 makes the key
+      // log(u)/0 = -Infinity, and the 1e-12 fixed-point cast aborts under
+      // ANSI. Weight-0 documents have sampling probability 0 anyway —
+      // excluded, matching the oracle's WHERE (no such row in the fixture).
+      .filter($"n_chars" > 0)
       .select($"lang", $"doc_id", $"n_chars",
         round(key * lit(1000000000000L)).cast("long").as("key_fp"))
       .withColumn("rk", row_number().over(w))
@@ -163,33 +168,40 @@ object Quality {
                        minTok: Int = 15, maxTok: Int = 5000): DataFrame =
     filterFunnel(Tables.documents(spark, dir), minTok, maxTok)
 
+  /** The shared quality-rule columns over any text frame: token array `t`,
+    * non-space char count `nsp`, token count `n_tok`, case-folded stopword
+    * count `stop_n` (sentence-initial "The"/"In" ARE stopwords), and the
+    * exact integer fixed-point mean token length `mfp` (×1000). ONE
+    * definition consumed by both q158's funnel and q200's curation stage —
+    * they were two hand-synced copies whose comments promised they "cannot
+    * drift apart" with nothing enforcing it. */
+  private[ext] val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[ext] def qualityRuleCols(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), "\\s+"))
+      .withColumn("nsp", length(regexp_replace(col("text"), "\\s+", "")))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .withColumn("stop_n", size(filter(split(lower(col("text")), "\\s+"),
+        x => x.isInCollection(Stopwords))))
+      .withColumn("mfp", expr("nsp * 1000L div n_tok"))
+
+  /** The rule cascade's verdict over [[qualityRuleCols]] output. */
+  private[ext] def qualityVerdict(minTok: Int, maxTok: Int): Column =
+    when(col("n_tok") < minTok, "too_short")
+      .when(col("n_tok") > maxTok, "too_long")
+      .when(col("mfp") < 4000L || col("mfp") > 9000L, "weird_tokens")
+      .when(col("stop_n") * 100 < col("n_tok") * 2, "low_stopword")
+      .otherwise("pass")
+
   /** The q158 rule cascade over any (lang, text) frame — split out so specs
     * can feed hand-built documents with a known verdict per rule. */
   def filterFunnel(docs: DataFrame,
-                   minTok: Int = 15, maxTok: Int = 5000): DataFrame = {
-    val stopwords = Seq("the", "a", "of", "and", "to", "in")
-    val graded = docs
-      .select(col("lang"), split(col("text"), "\\s+").as("t"),
-        length(regexp_replace(col("text"), "\\s+", "")).as("nsp"),
-        // Case-folded stopword scan — sentence-initial "The"/"In" ARE
-        // stopwords; this is also the exact rule q200's quality stage
-        // applies, so the funnel's pass set and the pipeline's stage-2
-        // survivor set cannot drift apart.
-        size(filter(split(lower(col("text")), "\\s+"),
-          x => x.isInCollection(stopwords))).as("stop_n"))
-      .withColumn("n_tok", size(col("t")))
-      // exact integer fixed-point mean token length (×1000)
-      .withColumn("mfp", expr("nsp * 1000L div n_tok"))
-      .withColumn("verdict",
-        when(col("n_tok") < minTok, "too_short")
-          .when(col("n_tok") > maxTok, "too_long")
-          .when(col("mfp") < 4000L || col("mfp") > 9000L, "weird_tokens")
-          .when(col("stop_n") * 100 < col("n_tok") * 2, "low_stopword")
-          .otherwise("pass"))
-    graded.groupBy(col("lang"), col("verdict"))
+                   minTok: Int = 15, maxTok: Int = 5000): DataFrame =
+    qualityRuleCols(docs)
+      .withColumn("verdict", qualityVerdict(minTok, maxTok))
+      .groupBy(col("lang"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("lang"), col("verdict"))
-  }
 
   /** q181: per-source KL divergence from the corpus token distribution —
     * the plug-in estimate of KL(P_src ‖ P_corpus), the domain-skew audit

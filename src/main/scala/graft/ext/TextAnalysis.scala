@@ -50,7 +50,11 @@ object TextAnalysis {
     * tokenizer budgeting when the real BPE vocab isn't in the loop. */
   def q52BpeTokenEstimate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pieces = regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    // Case-folded like every other tokenizer here: against raw text the
+    // letter class would treat each UPPERCASE letter as a single-char
+    // punctuation piece ("Hello" -> "H","ello"), inflating the estimate on
+    // any natural-case corpus (the fixture happens to be all-lowercase).
+    val pieces = regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
     Tables.documents(spark, dir)
       .select($"doc_id",
         size(pieces).as("n_pieces"),
@@ -224,13 +228,7 @@ object TextAnalysis {
   def q190LexicalCosine(spark: SparkSession, dir: String, nQueries: Int = 5,
                         k: Int = 5, dim: Int = 1024): DataFrame = {
     import spark.implicits._
-    val vec = Tables.documents(spark, dir)
-      .select($"doc_id", explode(
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("term"))
-      .select($"doc_id",
-        pmod(conv(substring(md5($"term"), 1, 8), 16, 10).cast("long"),
-          lit(dim.toLong)).as("bucket"))
-      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c"))
+    val vec = hashedBow(Tables.documents(spark, dir), dim)
     val norm2 = vec.groupBy($"doc_id").agg(sum($"c" * $"c").as("n2"))
     val q = vec.filter($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), $"bucket", $"c".as("cq"))
@@ -297,20 +295,6 @@ object TextAnalysis {
       .orderBy($"r")
   }
 
-  /** q175: Zipf rank–frequency fit — least-squares slope/intercept/R² of
-    * ln(frequency) against ln(rank) over the top-1000 terms, the corpus-
-    * health statistic that flags template/boilerplate-heavy or synthetic
-    * corpora (natural text fits slope ≈ −1; a flat or cliff-shaped curve
-    * means the token distribution is wrong before any model sees it).
-    *
-    * Cross-engine discipline: ln(rank) and ln(count) are pinned to 1e-4
-    * fixed point per term, so every regression sum (Σx, Σy, Σxy, Σx², Σy²)
-    * is exact integer arithmetic within int64 at n = 1000 — order-
-    * independent — and the slope/intercept/R² formulas are shape-mirrored
-    * double expressions over those exact sums. Scale shape: the top-1000
-    * cut is a TakeOrdered (bounded output, no global sort materialized);
-    * the ranking window and the regression run on the 1000-row table.
-    */
   /** q177: feature hashing (the Weinberger "hashing trick") — project each
     * document's bag-of-words into a fixed 1024-bucket count vector via a
     * hash of the term, the dimensionality-fixing featurizer for linear
@@ -325,25 +309,46 @@ object TextAnalysis {
     * (doc, bucket) aggregate is one shuffle bounded by docs×1024; the
     * top-5 window is per-document, WindowGroupLimit-bounded.
     */
+  /** The hashed bag-of-words featurizer shared by q177 and q190 (whose doc
+    * promises "cosine over the q177 vectors"): (doc_id, bucket, c) counts
+    * with bucket = md5-u32(term) mod dim. One definition so the bucket
+    * hash can never silently diverge between the two. */
+  private def hashedBow(docs: DataFrame, dim: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(
+        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("term"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("c"))
+
   def q177FeatureHashing(spark: SparkSession, dir: String, dim: Int = 1024,
                          nDocs: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"cnt".desc, $"bucket")
-    Tables.documents(spark, dir)
-      .filter($"doc_id" < nDocs)
-      .select($"doc_id", explode(
-        expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")).as("term"))
-      .select($"doc_id",
-        pmod(conv(substring(md5($"term"), 1, 8), 16, 10).cast("long"),
-          lit(dim.toLong)).as("bucket"))
-      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("cnt"))
+    hashedBow(Tables.documents(spark, dir).filter($"doc_id" < nDocs), dim)
+      .withColumnRenamed("c", "cnt")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"doc_id", $"rank", $"bucket", $"cnt")
       .orderBy($"doc_id", $"rank")
   }
 
+  /** q175: Zipf rank–frequency fit — least-squares slope/intercept/R² of
+    * ln(frequency) against ln(rank) over the top-1000 terms, the corpus-
+    * health statistic that flags template/boilerplate-heavy or synthetic
+    * corpora (natural text fits slope ≈ −1; a flat or cliff-shaped curve
+    * means the token distribution is wrong before any model sees it).
+    *
+    * Cross-engine discipline: ln(rank) and ln(count) are pinned to 1e-4
+    * fixed point per term, so every regression sum (Σx, Σy, Σxy, Σx², Σy²)
+    * is exact integer arithmetic within int64 at n = 1000 — order-
+    * independent — and the slope/intercept/R² formulas are shape-mirrored
+    * double expressions over those exact sums. Scale shape: the top-1000
+    * cut is a TakeOrdered (bounded output, no global sort materialized);
+    * the ranking window and the regression run on the 1000-row table.
+    */
   def q175ZipfFit(spark: SparkSession, dir: String,
                   topN: Int = 1000): DataFrame = {
     import spark.implicits._

@@ -947,7 +947,7 @@ object CorpusRegistry {
         |      ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS UBIGINT) + 0.5) / 4294967296.0)
         |      / n_chars * 1000000000000) AS BIGINT) AS key_fp
-        |  FROM documents
+        |  FROM documents WHERE n_chars > 0
         |), r AS (
         |  SELECT lang, doc_id, n_chars, key_fp,
         |    row_number() OVER (PARTITION BY lang ORDER BY key_fp DESC, doc_id) AS rk
@@ -1005,7 +1005,8 @@ object CorpusRegistry {
         |         CAST(SUM(c_fp) AS BIGINT) / CAST(1000000 AS DOUBLE) AS bm25
         |       FROM contrib GROUP BY 1),
         |lexr AS (SELECT doc_id, CAST(row_number()
-        |           OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex FROM bm),
+        |           OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex
+        |         FROM bm WHERE doc_id != 0),
         |lex AS (SELECT doc_id, r_lex FROM lexr WHERE r_lex <= 50),
         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |      FROM embeddings WHERE vec_id = 0),

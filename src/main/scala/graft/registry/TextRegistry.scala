@@ -70,10 +70,10 @@ object TextRegistry {
         |FROM corpus""".stripMargin,
     "q52_bpe_token_estimate" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
         |    AS n_pieces,
         |  CAST(list_sum(list_transform(
-        |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'),
         |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_estimate
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_text_stats" ->
