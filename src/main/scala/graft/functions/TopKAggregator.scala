@@ -21,6 +21,11 @@ object TopKAggregator {
     Ordering.by((s: Scored) => (-s.score, s.id))
 
   class TopK(k: Int) extends Aggregator[Scored, TopKBuf, List[Scored]] {
+    // Loud, not degrading: with k <= 0 the buffer is permanently empty, so
+    // the fast-path `items.last` below would throw NoSuchElementException
+    // mid-aggregation — an executor-side crash with a useless stack trace
+    // where the construction site is the actual bug.
+    require(k > 0, s"TopK needs k > 0, got $k")
     override def zero: TopKBuf = TopKBuf(Nil)
     // Buffer is kept sorted best-first, so when it is full and the new row
     // is no better than the current worst (`items.last`) the row is

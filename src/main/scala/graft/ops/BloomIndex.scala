@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{columnOf, expressionOf}
+import org.apache.spark.sql.types.DataType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** File-level Bloom-filter index over a parquet directory — the point-lookup
@@ -64,43 +65,83 @@ object BloomIndex {
       Literal(items), Literal(bits)).toAggregateExpression())
 
   /** Files that MIGHT contain at least one probed key — the scan list for
-    * an IN-list/point lookup. The probe runs on the DRIVER over collected
-    * index rows (one bloom per file): this is planner metadata, the same
-    * thing Delta/Iceberg hold in memory to build a scan's file list —
-    * row data is never touched. (Spark's own `might_contain` expression
-    * insists on a constant/scalar-subquery filter because it exists for
-    * broadcast runtime join pruning; a per-file metadata probe is exactly
-    * the driver-side case.) Keys are hashed with the same `XxHash64`
-    * expression the build used, CAST to the indexed column's type first:
-    * xxhash64 is type-sensitive, so probing a BIGINT column with an Int
-    * literal would hash differently and silently LOSE files (a false
-    * negative — the one failure mode a bloom must never have). The type is
-    * read from the index's own `key_type` column when present (every
-    * [[build]] output carries it), so callers cannot get this wrong; an
-    * explicit `keyType` overrides it, and only a pre-`key_type` index with
-    * no override falls back to trusting the keys' runtime types. A file
-    * whose keyed column was entirely null holds only the null hash and is
-    * pruned (null never satisfies an equality probe). Files absent from
-    * the index are NOT returned here — [[prunedRead]] adds them back from
-    * the live listing (staleness safety). */
+    * an IN-list/point lookup. The probe is DISTRIBUTED: the blooms are
+    * opened where the index rows live and only each file's (name, verdict)
+    * reaches the driver — planner metadata the same size as the file
+    * listing itself (~100 B/file), where collecting the blooms (the
+    * pre-round-16 shape) cost the driver O(files × filter bytes): at the
+    * default 1 MiB/file sizing a 10⁵-file index was a 100 GiB collect.
+    * (Spark's own `might_contain` expression insists on a constant/
+    * scalar-subquery filter because it exists for broadcast runtime join
+    * pruning; a per-file metadata probe needs its own evaluation path.)
+    * Keys are hashed with the same `XxHash64` expression the build used,
+    * CAST to the indexed column's type first: xxhash64 is type-sensitive,
+    * so probing a BIGINT column with an Int literal would hash differently
+    * and silently LOSE files (a false negative — the one failure mode a
+    * bloom must never have). The type is read PER ROW from the index's own
+    * `key_type` column (every [[build]] output carries it): `key_type` is
+    * per-file, and an index whose rows carry MIXED types — an old build
+    * unioned with an incremental rebuild after the column widened, the
+    * exact scenario `key_type` exists for — must probe each bloom at the
+    * type its own row recorded, not one nondeterministically-chosen type
+    * for all rows. An explicit `keyType` overrides every row; a
+    * pre-`key_type` index with no override falls back to trusting the
+    * keys' runtime types. A file whose keyed column was entirely null
+    * holds only the null hash and is pruned (null never satisfies an
+    * equality probe). Files absent from the index are NOT returned here —
+    * [[prunedRead]] adds them back from the live listing (staleness
+    * safety). Probe keys must be plain serializable literals (they ship
+    * in the probe closure). */
   def candidateFiles(index: DataFrame, keys: Seq[Any],
-                     keyType: Option[org.apache.spark.sql.types.DataType] = None): Set[String] = {
-    val hasType = index.columns.contains("key_type")
-    val cols = (Seq("file", "bloom") ++ (if (hasType) Seq("key_type") else Nil)).map(col)
-    // ONE collect: the index may be an uncached build pipeline, and separate
-    // collects for the type and the blooms would scan the data twice.
-    val rows = index.select(cols: _*).collect()
-    val dt = keyType.orElse(
-      if (hasType && rows.nonEmpty)
-        Some(org.apache.spark.sql.types.DataType.fromJson(
-          rows.head.getAs[String]("key_type")))
-      else None)
-    probe(rows, keyHashes(keys, dt))
+                     keyType: Option[DataType] = None): Set[String] =
+    probeAll(index, keys, keyType, fallbackType = None)
+      .collect { case ProbedFile(f, true) => f }.toSet
+
+  private[ops] case class ProbedFile(file: String, hit: Boolean)
+
+  /** ONE action over the index frame (an uncached build pipeline executes
+    * exactly once), returning every indexed file with its probe verdict.
+    * Type resolution per row: `overrideType` wins, else the row's recorded
+    * `key_type`, else `fallbackType`, else the keys' runtime types. */
+  private def probeAll(index: DataFrame, keys: Seq[Any],
+                       overrideType: Option[DataType],
+                       fallbackType: Option[DataType]): Seq[ProbedFile] = {
+    require(keys.nonEmpty, "bloom probe needs at least one key")
+    val typeCol =
+      if (index.columns.contains("key_type")) col("key_type")
+      else lit(null).cast("string")
+    val probeFn = udf(new BloomProbe(keys, overrideType, fallbackType))
+    index.select(col("file"), probeFn(col("bloom"), typeCol).as("hit"))
+      .collect()
+      .map(r => ProbedFile(r.getString(0), r.getBoolean(1))).toSeq
+  }
+
+  /** Executor-side bloom probe. Hash sets are memoized per recorded type
+    * (a handful of entries — one per distinct `key_type` in the index) in
+    * a transient per-deserialization cache; `Cast`/`XxHash64` eval is
+    * driver/executor-agnostic. Boxed-UDF cost is irrelevant here: the
+    * probe runs over index METADATA rows (one per file), never data. */
+  private class BloomProbe(keys: Seq[Any], overrideType: Option[DataType],
+                           fallbackType: Option[DataType])
+      extends ((Array[Byte], String) => Boolean) with Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    private def hashes(typeJson: String): Array[Long] =
+      cache.computeIfAbsent(if (typeJson == null) "" else typeJson, _ => {
+        val dt = overrideType
+          .orElse(Option(typeJson).map(DataType.fromJson))
+          .orElse(fallbackType)
+        keyHashes(keys, dt).toArray
+      })
+    override def apply(bloom: Array[Byte], typeJson: String): Boolean =
+      bloom != null && {
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bloom))
+        hashes(typeJson).exists(bf.mightContainLong)
+      }
   }
 
   private def keyHashes(keys: Seq[Any],
-                        keyType: Option[org.apache.spark.sql.types.DataType]): Seq[Long] = {
-    require(keys.nonEmpty, "bloom probe needs at least one key")
+                        keyType: Option[DataType]): Seq[Long] =
     keys.map { k =>
       val lit = keyType match {
         case Some(dt) =>
@@ -110,14 +151,6 @@ object BloomIndex {
       }
       new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long]
     }
-  }
-
-  private def probe(idxRows: Array[Row], hashes: Seq[Long]): Set[String] =
-    idxRows.flatMap { r =>
-      val bf = BloomFilter.readFrom(
-        new ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-      if (hashes.exists(bf.mightContainLong)) Some(r.getString(0)) else None
-    }.toSet
 
   /** Point-lookup read: current listing ∩ (bloom candidates ∪ unindexed
     * files), then the exact IN filter re-applied. Returns the frame plus
@@ -127,26 +160,19 @@ object BloomIndex {
                  keyCol: String, keys: Seq[Any]): ZoneMap.Pruned = {
     val table = spark.read.parquet(dir)
     val current = table.inputFiles
-    // ONE collect of the index: an uncached index frame re-executes its
-    // whole build pipeline per action, so deriving the indexed-file set and
-    // the candidate set from separate collects would scan twice.
-    val hasType = index.columns.contains("key_type")
-    val idxRows = index.select(
-      (Seq("file", "bloom") ++ (if (hasType) Seq("key_type") else Nil)).map(col): _*
-    ).collect()
-    val indexed = idxRows.map(_.getString(0)).toSet
-    // Probe with the type the index RECORDED at build time, not the live
-    // table schema's: files written after a column widened (int → long)
-    // change what the merged schema infers, and hashing probe keys at the
-    // widened type misses every bloom built at the old type — silent
-    // false-negative pruning over the old files. The live schema is only
-    // the fallback for a pre-key_type index.
-    val recordedType =
-      if (hasType && idxRows.nonEmpty)
-        org.apache.spark.sql.types.DataType.fromJson(
-          idxRows.head.getAs[String]("key_type"))
-      else table.schema(keyCol).dataType
-    val candidates = probe(idxRows, keyHashes(keys, Some(recordedType)))
+    // ONE action over the index (probeAll): an uncached index frame
+    // re-executes its whole build pipeline per action, so deriving the
+    // indexed-file set and the candidate set separately would scan twice.
+    // Each row is probed with the type ITS bloom RECORDED at build time,
+    // not the live table schema's: files written after a column widened
+    // (int → long) change what the merged schema infers, and hashing probe
+    // keys at the widened type misses every bloom built at the old type —
+    // silent false-negative pruning over the old files. The live schema is
+    // only the fallback for a pre-key_type index row.
+    val probed = probeAll(index, keys, overrideType = None,
+      fallbackType = Some(table.schema(keyCol).dataType))
+    val indexed = probed.map(_.file).toSet
+    val candidates = probed.collect { case ProbedFile(f, true) => f }.toSet
     val files = current.filter(f => candidates.contains(f) || !indexed.contains(f)).toSeq
     val predicate = col(keyCol).isin(keys: _*)
     val df =

@@ -52,13 +52,19 @@ object Merge {
 
   /** Merge a union of versioned rows: highest `versionCol` wins per key.
     * A (key, version) tie — a contract violation, each version's batch must
-    * be key-unique — is broken by the remaining data columns descending, so
-    * even violated inputs resolve DETERMINISTICALLY (re-running the merge
-    * returns the same winner; a version-only ordering picked whichever row
-    * the shuffle delivered first). */
+    * be key-unique — is broken by the remaining ORDERABLE data columns
+    * descending, so even violated inputs resolve DETERMINISTICALLY
+    * (re-running the merge returns the same winner; a version-only ordering
+    * picked whichever row the shuffle delivered first). Unorderable columns
+    * (maps, arrays of maps) are skipped from the tiebreak rather than
+    * failing analysis — a frame that carries one still merges; only a
+    * violated input whose duplicates differ SOLELY in an unorderable column
+    * resolves shuffle-order-arbitrarily, which no ordering could fix. */
   def upsertVersioned(all: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
     val tiebreak = all.columns.toIndexedSeq
       .filterNot(c => keys.contains(c) || c == versionCol)
+      .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(all.schema(c).dataType))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col(versionCol).desc +: tiebreak.map(col(_).desc)): _*)
     all.withColumn("__graft_rn", row_number().over(w))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{concat, count, lit, max, min, raise_error, sum, when}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Materialized-view query rewrite: aggregate queries over a fact table are
@@ -92,17 +92,32 @@ object MvRewrite {
   /** Fold one rollup into another: partial states combine with the same
     * algebra streaming partial aggregation uses — counts add, sums add,
     * extrema take extrema. */
-  private def combineRollups(rollups: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+  private[graft] def combineRollups(rollups: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                              measures: Seq[String]): org.apache.spark.sql.DataFrame = {
     val aggs = sum(rollups("cnt_star")).as("cnt_star") +: measures.flatMap { m =>
       // Sum over a decimal WIDENS precision per level (Decimal(p,s) →
       // Decimal(p+10,s)); without the cast-back every refresh widened the
       // stored sum_m by 10 until the 38 cap — a schema that drifts across
-      // versions. Lossless for values that fit the stored type (they did
-      // at define time); integral/double sums are unaffected (no-op cast).
+      // versions. Values fit the stored type at define time, but
+      // incremental refreshes ACCUMULATE: a cumulative sum can eventually
+      // exceed the stored precision, and under a non-ANSI session the
+      // cast-back silently NULLS it — the MV answers wrong while the fact
+      // table answers right. Overflow therefore fails the refresh loudly
+      // (non-null widened sum → null narrowed sum is exactly the overflow
+      // signature; ANSI sessions throw on the cast itself): the caller
+      // redefines the MV at a wider measure type, which full-rematerializes
+      // at the new schema.
       val sumType = rollups.schema(s"sum_$m").dataType
+      val wide = sum(rollups(s"sum_$m"))
+      val narrowed = wide.cast(sumType)
       Seq(
-        sum(rollups(s"sum_$m")).cast(sumType).as(s"sum_$m"),
+        when(wide.isNotNull && narrowed.isNull,
+          raise_error(concat(
+            lit(s"MV rollup sum_$m overflowed its stored type ${sumType.sql} "
+              + "(cumulative refreshes exceeded define-time precision); "
+              + "redefine the MV with a wider measure type. Value: "),
+            wide.cast("string"))).cast(sumType))
+          .otherwise(narrowed).as(s"sum_$m"),
         sum(rollups(s"cnt_$m")).as(s"cnt_$m"),
         min(rollups(s"min_$m")).as(s"min_$m"), max(rollups(s"max_$m")).as(s"max_$m"))
     }

@@ -49,6 +49,20 @@ object Staged {
     h.value.asInstanceOf[A]
   }
 
+  /** Evict every memoized entry belonging to one session (keys embed the
+    * session UUID as a `:uuid:` segment — `tabledf:`, `hist_hashes:`,
+    * `minhash_sigs:`, `embedding_sigs:`, `mv108:`). Called by
+    * `Tables.dropSession`; corpus-keyed entries (staged table dirs, watch
+    * dirs, trained models) are session-independent and stay. Cached
+    * FRAMES are dropped (un-pinning the session for GC); catalog tables a
+    * holder created are session-named and die with the session's catalog,
+    * and staged files are TempDirs-cleaned at JVM exit. */
+  private[sources] def dropSession(sessionKey: String): Unit = {
+    val marker = s":$sessionKey:"
+    val it = cache.keySet.iterator()
+    while (it.hasNext) if (it.next().contains(marker)) it.remove()
+  }
+
   /** Short stable digest of a path for embedding in table/view names. */
   private def tag(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -17,14 +17,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // One lock per SESSION, not a global monitor: registerAll may run cold
-  // multi-file staging jobs under its lock, and a global mutex serialized
-  // every other session's registration behind them. Same-session callers
-  // must still serialize (register-THEN-publish ordering below).
-  private val registerLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // One registration state per SESSION (its monitor is the lock — one lock
+  // per session, not a global mutex: registerAll may run cold multi-file
+  // staging jobs under its lock, and a global monitor serialized every
+  // other session's registration behind them; same-session callers still
+  // serialize, register-THEN-publish ordering below). One map, not the
+  // pre-round-16 lock-map + dir-map pair: a single entry per session is
+  // what [[dropSession]] can actually evict atomically.
+  private final class RegState { var dir: String = null }
+  private val registrations =
+    new java.util.concurrent.ConcurrentHashMap[String, RegState]()
 
   /** Cache key for a session. The classic session's UUID is unique for the
     * JVM's lifetime; identityHashCode (the pre-round-8 key) is NOT — two
@@ -165,15 +167,31 @@ object Tables {
     * (TABLE_OR_VIEW_NOT_FOUND on `customer`, seen in exactly that race). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val key = sessionKey(spark)
-    registerLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      if (registeredDir.get(key) != dir) {
+    val state = registrations.computeIfAbsent(key, _ => new RegState)
+    state.synchronized {
+      if (state.dir != dir) {
         all.foreach { n =>
           val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
           df.createOrReplaceTempView(n)
         }
-        registeredDir.put(key, dir)
+        state.dir = dir
       }
     }
+  }
+
+  /** Teardown hook for a long-lived driver that churns sessions (the
+    * MvRewrite.clear posture): drops this session's registration state
+    * here AND its memoized frames in [[Staged]]. Without it, each
+    * discarded session leaks one registration entry plus its cached
+    * table frames (which pin the session itself) for the JVM's lifetime —
+    * the deliberate default for the bench/verify single-session shape,
+    * wrong for a session-per-request server. Staged DISK artifacts are
+    * keyed per corpus, not per session, and are untouched (still shared,
+    * still TempDirs-cleaned at JVM exit). */
+  def dropSession(spark: SparkSession): Unit = {
+    val key = sessionKey(spark)
+    registrations.remove(key)
+    Staged.dropSession(key)
   }
 
   /** CSV reader with the reference's option semantics (S1,

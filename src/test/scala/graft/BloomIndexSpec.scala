@@ -126,6 +126,49 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("mixed key_type index: each bloom is probed at the type ITS row recorded") {
+    import spark.implicits._
+    // The scenario key_type exists for: an index built while the column was
+    // INT, unioned with an incremental rebuild after the column widened to
+    // BIGINT. One probe-type-for-all (the pre-round-16 shape) hashes at
+    // whichever type a nondeterministic head row carried and silently
+    // false-negative-prunes every file recorded at the OTHER type.
+    val dirOld = Files.createTempDirectory("graft_bloommix_").toString + "/old"
+    val dirNew = Files.createTempDirectory("graft_bloommix_").toString + "/new"
+    Seq((1000, "a")).toDF("k", "v").coalesce(1).write.parquet(dirOld)
+    Seq((1000L, "b")).toDF("k", "v").coalesce(1).write.parquet(dirNew)
+    val idx = BloomIndex.build(spark, dirOld, "k",
+        expectedItems = 100L, numBits = 1L << 12)
+      .unionByName(BloomIndex.build(spark, dirNew, "k",
+        expectedItems = 100L, numBits = 1L << 12))
+    assert(idx.select("key_type").distinct().count() == 2L,
+      "fixture must actually carry two recorded types")
+    // key 1000 lives in BOTH files; losing either is the forbidden failure
+    val cands = BloomIndex.candidateFiles(idx, Seq(1000L))
+    assert(cands.size == 2,
+      s"both type generations must survive the probe, got $cands")
+    // and the caller's runtime key type still cannot matter
+    assert(BloomIndex.candidateFiles(idx, Seq(1000)) == cands)
+  }
+
+  test("many-file index: only per-file verdicts reach the driver, candidates stay exact") {
+    import spark.implicits._
+    // 48 files ≈ 6 MiB of bloom bytes at this sizing; the distributed probe
+    // ships 48 (file, hit) rows instead. At 10⁵ production files the old
+    // driver-side collect was O(files × 1 MiB) — the structural bound this
+    // pins is that candidateFiles never materializes a bloom on the driver.
+    val dir = Files.createTempDirectory("graft_bloommany_").toString + "/t"
+    (0L until 4800L).map(i => (i, i.toString)).toDF("k", "v")
+      .repartition(48, $"k").write.parquet(dir)
+    val idx = BloomIndex.build(spark, dir, "k",
+      expectedItems = 1000L, numBits = 1L << 20)
+    val pruned = BloomIndex.prunedRead(spark, dir, idx, "k", Seq(7L, 4777L))
+    assert(pruned.totalFiles == 48)
+    assert(pruned.selectedFiles < pruned.totalFiles,
+      s"read ${pruned.selectedFiles}/48")
+    assert(pruned.df.select("k").as[Long].collect().sorted.toSeq == Seq(7L, 4777L))
+  }
+
   test("candidateFiles derives the key type from the index: Int keys probe a BIGINT column safely") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bloomtype_").toString + "/t"

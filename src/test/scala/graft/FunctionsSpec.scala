@@ -93,4 +93,9 @@ class FunctionsSpec extends SparkSpec {
         "shingle_hashes", "rolling_hash_min"))
     assert(ext != null)
   }
+
+  test("TopK rejects k <= 0 at construction, not with an executor-side .last crash") {
+    intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(0) }
+    intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(-3) }
+  }
 }

@@ -43,6 +43,21 @@ class MergeSpec extends SparkSpec {
     assert(canon(fwd) == canon(rev))
   }
 
+  test("upsertVersioned accepts unorderable data columns (maps) — tiebreak skips them") {
+    import spark.implicits._
+    // Map columns are not orderable; a tiebreak that blindly ordered by
+    // every data column failed ANALYSIS for any frame carrying one, even
+    // when versions alone resolve every key (the normal, contract-honoring
+    // case). The unorderable column must ride along, not break the merge.
+    val rows = Seq(
+      ("a", 0, Map("x" -> 1), 1.0), ("a", 1, Map("x" -> 2), 5.0),
+      ("b", 0, Map("y" -> 3), 2.0))
+      .toDF("k1", "__v", "attrs", "v")
+    val out = Merge.upsertVersioned(rows, Seq("k1"), "__v")
+      .collect().map(r => (r.getString(0), r.getMap[String, Int](1).toMap, r.getDouble(2))).toSet
+    assert(out == Set(("a", Map("x" -> 2), 5.0), ("b", Map("y" -> 3), 2.0)))
+  }
+
   test("null keys never match: both sides' null-key rows are retained (Postgres UNIQUE NULL semantics)") {
     import spark.implicits._
     val target = Seq((Option("a"), 1, 1.0), (Option.empty[String], 1, 2.0))

@@ -235,6 +235,39 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("decimal sum overflow on refresh fails loudly instead of committing a nulled sum") {
+    import spark.implicits._
+    // The stored sum type is define-time-fixed, but incremental refreshes
+    // ACCUMULATE: once the cumulative sum exceeds the stored precision, a
+    // non-ANSI cast-back silently nulls the MV's sum while the fact table
+    // still answers correctly — the refresh must abort instead of
+    // committing that. (Under ANSI the cast itself throws; this pins the
+    // engine's own guard on the silent path.)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      def rollup(v: String) = {
+        val d = new java.math.BigDecimal(v)
+        Seq(("a", 1L, d, 1L, d, d), ("a", 1L, d, 1L, d, d))
+          .toDF("g", "cnt_star", "sum_m", "cnt_m", "min_m", "max_m")
+          .select($"g", $"cnt_star", $"sum_m".cast("decimal(12,0)").as("sum_m"),
+            $"cnt_m", $"min_m".cast("decimal(12,0)").as("min_m"),
+            $"max_m".cast("decimal(12,0)").as("max_m"))
+      }
+      // 9e11 + 9e11 = 1.8e12 exceeds decimal(12,0): must throw, not null
+      val ex = intercept[Exception] {
+        MvRewrite.combineRollups(rollup("900000000000"), Seq("g"), Seq("m")).collect()
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("overflowed its stored type"), s"wrong failure: $chain")
+      // a fitting fold still narrows back to the stored type, value intact
+      val ok = MvRewrite.combineRollups(rollup("400000000000"), Seq("g"), Seq("m"))
+      assert(ok.schema("sum_m").dataType.sql == "DECIMAL(12,0)")
+      assert(ok.select($"sum_m".cast("string")).as[String].head() == "800000000000")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("null measures: AVG/COUNT/SUM rollup algebra matches Spark's ignore-null semantics") {
     import spark.implicits._
     val factDir = Files.createTempDirectory("graft_mvnull_").toString + "/fact"
