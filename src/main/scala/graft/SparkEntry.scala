@@ -13,9 +13,15 @@ object SparkEntry {
     Flagship.q10RevenueByNation(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. Every entry is
-    * wrapped with [[Tuning.tuneFor]] so shuffle partitioning derives from
-    * the corpus directory's size before the query plans — the 100 TB
-    * partitioning rule as the default plan, not an env override. */
+    * wrapped with [[Tuning.sessionFor]] so the frame is BUILT on a session
+    * whose conf carries the shuffle partitioning derived from the corpus
+    * directory's size — the 100 TB partitioning rule as the default plan,
+    * not an env override. Because the frame holds its tuned session, the
+    * derived setting travels WITH the frame to execution: callers building
+    * frames for several dirs before acting, or tuning concurrently, cannot
+    * inherit each other's partitioning (pinned in TuningSpec). At both
+    * driver SFs the derivation floors at the session default, so
+    * bench/verify run on the caller's own session unchanged. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val raw = ParityRegistry.queries ++ RelationalRegistry.queries ++
       EventsRegistry.queries ++ TextRegistry.queries ++
@@ -23,13 +29,7 @@ object SparkEntry {
       StreamingRegistry.queries
     raw.map { case (name, build) =>
       name -> { (spark: SparkSession, dir: String) =>
-        // CONTRACT (pinned in TuningSpec): the setting is read when the
-        // frame EXECUTES, not here at build time — a caller building frames
-        // for several dirs before acting on any must re-invoke this wrapper
-        // (or Tuning.tuneFor) around each action, or the LAST build's
-        // partitioning silently governs all of them.
-        Tuning.tuneFor(spark, dir)
-        build(spark, dir)
+        build(Tuning.sessionFor(spark, dir), dir)
       }
     }
   }

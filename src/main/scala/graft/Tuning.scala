@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   * rows (q75 15.3×, q122 14.8×, the q15/q89/q10/q05 9–10× cluster) were all
   * shuffle volume through a core-count-pinned 32 partitions, and all
   * recovered with more (q122 measured 53.9 → 32.6 s at 256) — but only via
-  * an env override, i.e. the 100 TB plan was opt-in. [[tuneFor]] makes it
-  * the default plan: every `SparkEntry.queries` invocation derives the
-  * setting from the corpus directory's bytes before building its frame.
+  * an env override, i.e. the 100 TB plan was opt-in. [[sessionFor]] makes it
+  * the default plan: every `SparkEntry.queries` invocation builds its frame
+  * on a session whose conf carries the value derived from the corpus
+  * directory's bytes.
   *
   * The rule: `clamp(defaultParallelism, dirBytes / 4 MiB, 4096)`.
   *  - Floor = the session's core count: below it a shuffle leaves cores
@@ -116,44 +117,73 @@ object Tuning {
     partitionsForBytes(dirBytes(spark, dir), floor, bpp, cap)
   }
 
-  /** Set this session's `spark.sql.shuffle.partitions` for a query over
-    * `dir`. Called by the `SparkEntry.queries` wrapper before each query
-    * builder runs. `spark.sql.shuffle.partitions` is read when the frame
-    * EXECUTES, not when it is built — so the contract is build-then-act
-    * (what Bench/Verify/ScaleProbe and every driver path do). A caller
-    * that builds frames for SEVERAL dirs before acting on any must
-    * re-invoke tuneFor (or pin the conf) around each action, or the last
-    * build's setting governs all of them. Never throws: tuning is an
-    * optimization, a failed probe leaves the session floor in place.
-    *
-    * NOT restored afterwards: the next query over any dir re-derives, and
-    * interleaved consumers (ScaleProbe alternating two dirs) get the right
-    * value per call. Disabled entirely via [[EnabledKey]]=false; the env
-    * override, when present, is applied verbatim and the derivation
-    * skipped. */
-  def tuneFor(spark: SparkSession, dir: String): Unit =
-    tuneForWith(spark, dir, sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
+  // Memoized tuned clones, one per (parent session, derived value): the
+  // population is bounded by the distinct derivations a JVM actually sees
+  // (same cardinality as the dirBytes cache), and reusing one clone across
+  // every query at a given scale keeps the per-session memoizations
+  // (Tables.load frames, catalog stagings) effective.
+  private val tunedSessions =
+    new ConcurrentHashMap[(String, Int), SparkSession]()
 
-  /** [[tuneFor]] with the env override injectable — the spec seam (sys.env
-    * is immutable in-process, so the override-wins contract is pinned by
-    * calling this directly). */
-  private[graft] def tuneForWith(spark: SparkSession, dir: String,
-                                 envOverride: Option[String]): Unit =
+  /** The session a query over `dir` should be BUILT with — which, because
+    * `spark.sql.shuffle.partitions` is read at frame EXECUTION, is also the
+    * session it executes under. Returns the parent itself when its current
+    * setting already equals the derivation (the bench/verify shape: both
+    * driver SFs floor at core count == the session default, so those paths
+    * see zero change); otherwise a memoized CLONE of the parent carrying
+    * the derived value in its own SQLConf.
+    *
+    * Why a clone and not a conf mutation (the pre-round-16 shape): the old
+    * `tuneFor` mutated the PARENT's session-global conf at build time, so a
+    * caller that built frames for SEVERAL dirs before acting on any — or
+    * two threads tuning different dirs — executed every frame under the
+    * LAST build's partitioning. A frame built on its own tuned session
+    * carries its partitioning WITH it; interleaved and concurrent callers
+    * cannot inherit each other's settings (pinned in TuningSpec).
+    *
+    * Clone cost: one SessionState copy — same SparkContext, same shared
+    * state, same staged table layouts ([[graft.sources.Staged]] disk keys
+    * are corpus-scoped). Parent conf changes made AFTER a clone exists do
+    * not propagate to it; tuned clones exist only for above-floor dirs,
+    * where the conf of record is the derivation itself.
+    *
+    * Never throws: tuning is an optimization — a failed probe or clone
+    * returns the parent unchanged. Disabled via [[EnabledKey]]=false; the
+    * env override, when present, is applied verbatim, derivation skipped. */
+  def sessionFor(spark: SparkSession, dir: String): SparkSession =
+    sessionForWith(spark, dir, sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
+
+  /** [[sessionFor]] with the env override injectable — the spec seam
+    * (sys.env is immutable in-process, so the override-wins contract is
+    * pinned by calling this directly). */
+  private[graft] def sessionForWith(spark: SparkSession, dir: String,
+                                    envOverride: Option[String]): SparkSession =
     try {
-      if (!spark.conf.get(EnabledKey, "true").toBoolean) return
+      if (!spark.conf.get(EnabledKey, "true").toBoolean) return spark
       val target = envOverride match {
         case Some(n) => n.toInt
         case None => derivedShufflePartitions(spark, dir)
       }
-      if (spark.conf.get("spark.sql.shuffle.partitions").toInt != target) {
-        // One line per CHANGE (same-dir workloads log once, alternating-dir
-        // probes log per switch): the derived plan scale should be visible
-        // in operational logs, not inferred from timings.
-        System.err.println(s"[graft-tuning] shuffle partitions -> $target for $dir")
-        spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+      if (spark.conf.get("spark.sql.shuffle.partitions").toInt == target) spark
+      else {
+        val key = (graft.sources.Tables.sessionKey(spark), target)
+        var created = false
+        val tuned = tunedSessions.computeIfAbsent(key, _ => {
+          val clone = org.apache.spark.sql.graftshim.cloneSessionOf(spark)
+          clone.conf.set("spark.sql.shuffle.partitions", target.toString)
+          created = true
+          clone
+        })
+        // One line per clone CREATION (same-scale workloads log once): the
+        // derived plan scale should be visible in operational logs, not
+        // inferred from timings.
+        if (created) System.err.println(
+          s"[graft-tuning] shuffle partitions -> $target (tuned session) for $dir")
+        tuned
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[graft-tuning] tuneFor($dir) failed: ${e.getMessage}")
+        System.err.println(s"[graft-tuning] sessionFor($dir) failed: ${e.getMessage}")
+        spark
     }
 }

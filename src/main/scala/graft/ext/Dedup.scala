@@ -212,13 +212,18 @@ object Dedup {
     val bloom = h.stat.bloomFilter("content_hash", nItems, fpp)
     val spark = batch.sparkSession
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightBeOld = udf((hash: String) =>
-      hash != null && bloomBc.value.mightContain(hash))
+    // Codegen'd probe, not a boxed UDF: the prefilter runs inside the batch
+    // scan's whole-stage codegen span, so at corpus scale it prices as scan
+    // work, not per-row deserialization (round-16, VERDICT #5). Null-hash
+    // rows read false (cannot exist in history) — same as the UDF it
+    // replaced.
+    def mightBeOld = graft.functions.NativeKernels
+      .bloomMightContainUtf8(bloomBc, col("content_hash"))
     val hashed = batch.withColumn("content_hash", sha2(col("text"), 256))
     // negatives are EXACT: these rows cannot exist in history
-    val definitelyNew = hashed.filter(!mightBeOld(col("content_hash")))
+    val definitelyNew = hashed.filter(!mightBeOld)
     // possible hits (true dups + fpp false alarms) get the exact anti-join
-    val confirmedNew = hashed.filter(mightBeOld(col("content_hash")))
+    val confirmedNew = hashed.filter(mightBeOld)
       .join(h, Seq("content_hash"), "left_anti")
     // within-batch dedup: one canonical row (min doc_id) per content hash;
     // min over a doc_id-first struct keeps the whole row in one aggregate

@@ -580,11 +580,14 @@ object Similarity {
     * them AN ANSWER is SQL-statable: recall@5 against the exact brute-force
     * top-5 (q37) must clear a per-method floor. Every method is seeded and
     * trains on deterministic samples, so the realized recall is a pure
-    * function of the fixture; the floors sit ≥ 1.75× under the realized
-    * values at both oracle SFs (graft.tools.AnnRecallProbe: LSH 0.53–0.58,
-    * IVF 0.45–0.68, PQ 0.98–1.0, IVFPQ 0.55–0.65) so a fixture
-    * regeneration has wide headroom before a floor bites — re-run the
-    * probe after any regeneration. All-DataFrame: hits counted by a LEFT SEMI
+    * function of the fixture; the floors are MEASURED-MINUS-MARGIN
+    * (round 16, VERDICT r15 #3 — the original 1.75×-headroom floors would
+    * have let a 2× recall regression pass CORRECTNESS): realized values at
+    * both oracle SFs are LSH 0.53–0.58, IVF 0.45–0.68, PQ 0.98–1.0,
+    * IVFPQ 0.55–0.65 (graft.tools.AnnRecallProbe), floors sit ~10–25%
+    * under the realized MINIMUM, so any genuine recall regression bites
+    * while fixture-regeneration jitter does not — re-run the probe after
+    * any regeneration and re-derive. All-DataFrame: hits counted by a LEFT SEMI
     * join of exact pairs against ANN pairs — 40-row sides, nothing
     * collected. DuckDB states the method domain, the data-derived query
     * count, and the required TRUEs. */
@@ -617,12 +620,12 @@ object Similarity {
     // (pinned by AnnStagedModelSpec), so this row set is unchanged.
     val staged = graft.sources.Staged
     row("ivf", q42AnnIvf(spark, dir,
-        model = Some(staged.ivfModel(spark, dir))), 0.25)
+        model = Some(staged.ivfModel(spark, dir))), 0.35)
       .unionByName(row("ivfpq", IvfPq.q99AnnIvfPq(spark, dir,
-        trained = Some(staged.ivfpqQuantizers(spark, dir))), 0.3))
-      .unionByName(row("lsh", q38AnnLsh(spark, dir), 0.3))
+        trained = Some(staged.ivfpqQuantizers(spark, dir))), 0.45))
+      .unionByName(row("lsh", q38AnnLsh(spark, dir), 0.4))
       .unionByName(row("pq", Pq.q98AnnPq(spark, dir,
-        trained = Some(staged.pqCodebook(spark, dir))), 0.5))
+        trained = Some(staged.pqCodebook(spark, dir))), 0.8))
       .orderBy($"method")
   }
 }

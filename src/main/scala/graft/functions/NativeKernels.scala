@@ -670,8 +670,61 @@ case class LshSigs(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Broadcast-bloom membership probe over a STRING column — the incremental
+  * dedup prefilter (`ext/Dedup.dedupAgainstHashes`) as a native expression.
+  * The boxed-UDF form it replaces deserialized every row's UTF8String into a
+  * java.lang.String before hashing; at 100 TB the prefilter IS the batch
+  * scan, so it must stay inside whole-stage codegen at scan speed. Null
+  * input → false, not null ("a null hash cannot be in history" — the same
+  * contract the UDF form implemented), so the output is non-nullable and
+  * downstream NOT-filters need no three-valued-logic care.
+  *
+  * Probe semantics match the build exactly: `stat.bloomFilter` on a string
+  * column inserts via the sketch's String path (UTF-8 bytes), and
+  * `mightContainBinary(utf8.getBytes)` is byte-identical to
+  * `mightContain(String)` without materializing the String. The filter
+  * rides a Broadcast (one copy per executor, resolved once per codegen
+  * instance), never the serialized plan. */
+case class BloomMightContainUtf8(
+    child: Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  @transient private lazy val bf = bloomBc.value
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && bf.mightContainBinary(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      "org.apache.spark.broadcast.Broadcast")
+    // Resolve the broadcast once per codegen instance, not per row: value()
+    // re-checks the block manager on every call.
+    val bloomField = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "graftBloom",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        boolean ${ev.value} = !${childGen.isNull} &&
+          $bloomField.mightContainBinary(${childGen.value}.getBytes());
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-API entry points for the native kernels. */
 object NativeKernels {
+  def bloomMightContainUtf8(
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      hash: Column): Column =
+    columnOf(BloomMightContainUtf8(expressionOf(hash), bc))
   def cosineSim(a: Column, b: Column): Column =
     columnOf(CosineSimF(expressionOf(a), expressionOf(b)))
   def minhashSig(hashed: Column): Column =

@@ -948,4 +948,36 @@ object Extra {
         round(sum($"o_totalprice"), 2).as("revenue"))
       .orderBy($"channel")
   }
+
+  /** q203: TYPE-WIDENING schema evolution read — q159's sibling for the
+    * harder drift: `o_qty` was INT32 in delivery 0 and BIGINT in delivery 1
+    * ([[graft.sources.Staged.widenedOrdersDir]]; the new values genuinely
+    * exceed Int.MaxValue). `mergeSchema` refuses conflicting primitive
+    * types by design, and that is the RIGHT production posture anyway: the
+    * table of record pins its CURRENT schema explicitly, and the parquet
+    * reader upcasts each old file's int32 pages to the declared BIGINT
+    * losslessly — same per-file adaptation, zero footer-merge planning
+    * cost. This is the scan-path twin of the hazard
+    * `BloomIndex.recordedType` defends on the index path: a reader that
+    * instead re-hashed/read old files AT the widened type without upcast
+    * would corrupt exactly those rows. min/max/sum straddling both
+    * generations prove the upcast is value-exact. */
+  def q203WidenedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.sources.Staged.widenedOrdersDir(spark, dir)
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_qty",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("delivery",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.read.schema(widened).parquet(root)
+      .groupBy($"delivery")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_qty").as("sum_qty"),
+        min($"o_qty").as("min_qty"),
+        max($"o_qty").as("max_qty"))
+      .orderBy($"delivery")
+  }
 }

@@ -28,6 +28,7 @@ object ParityRegistry {
     "q100_cdc_apply" -> (Extra.q100CdcApply _),
     "q159_schema_evolution" -> (Extra.q159SchemaEvolution _),
     "q202_partitioned_upsert" -> (Parity.q202PartitionedUpsert _),
+    "q203_widened_read" -> (Extra.q203WidenedRead _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -122,6 +123,21 @@ object ParityRegistry {
         |  count(DISTINCT o_orderkey % 2) AS n_deliveries,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY channel ORDER BY channel""".stripMargin,
+    // q203: the staged deliveries are pure functions of the orders table
+    // (parity split; delivery-0 qty = key%1000 as INT, delivery-1 qty =
+    // 3e9 + key%1000 as BIGINT), so the oracle rebuilds the widened read
+    // from `orders` directly. A lost upcast on the old int32 files would
+    // corrupt delivery 0's sum/min/max.
+    "q203_widened_read" ->
+      """SELECT CAST(o_orderkey % 2 AS INTEGER) AS delivery,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+        |    ELSE 3000000000 + o_orderkey % 1000 END) AS BIGINT) AS sum_qty,
+        |  CAST(min(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+        |    ELSE 3000000000 + o_orderkey % 1000 END) AS BIGINT) AS min_qty,
+        |  CAST(max(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+        |    ELSE 3000000000 + o_orderkey % 1000 END) AS BIGINT) AS max_qty
+        |FROM orders GROUP BY delivery ORDER BY delivery""".stripMargin,
     "q87_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,

@@ -441,6 +441,30 @@ object Staged {
       root.toString
     }
 
+  /** q203's layout: the TYPE-WIDENING sibling of [[evolvedOrdersDir]] —
+    * one dataset whose `o_qty` column was INT in delivery 0 and widened to
+    * BIGINT in delivery 1 (the migration every lake makes the day a value
+    * outgrows its type; delivery 1's values actually exceed Int.MaxValue,
+    * so the widening is load-bearing, not cosmetic). This is the exact
+    * hazard `BloomIndex.recordedType` defends the INDEX path against;
+    * q203 proves the SCAN path: an explicit widened read schema makes the
+    * parquet reader upcast old int32 pages losslessly. Returns the root. */
+  def widenedOrdersDir(spark: SparkSession, dir: String): String =
+    getOrStage(s"widened_orders:$dir") {
+      import spark.implicits._
+      val root = TempDirs.create("graft_widened_")
+      val o = Tables.orders(spark, dir).select($"o_orderkey")
+      o.filter(pmod($"o_orderkey", lit(2L)) === 0)
+        .withColumn("o_qty", pmod($"o_orderkey", lit(1000L)).cast("int"))
+        .write.mode("overwrite")
+        .parquet(root.resolve("delivery=0").toString)
+      o.filter(pmod($"o_orderkey", lit(2L)) === 1)
+        .withColumn("o_qty", pmod($"o_orderkey", lit(1000L)) + lit(3000000000L))
+        .write.mode("overwrite")
+        .parquet(root.resolve("delivery=1").toString)
+      root.toString
+    }
+
   /** q157's landing dir: events staged as two chronological slices where
     * the SECOND slice re-delivers every 7th event of the first — the
     * at-least-once delivery duplication (source retries, upstream replays)
@@ -549,6 +573,7 @@ object Staged {
         timed("ssjoinWatch")(ssjoinWatchDir(spark, dir)),
         timed("dedupWatch")(dedupWatchDir(spark, dir)),
         timed("evolvedOrders")(evolvedOrdersDir(spark, dir)),
+        timed("widenedOrders")(widenedOrdersDir(spark, dir)),
         timed("ppmFiles")(ppmFilesDir(spark, dir)),
         timed("ndingestWatch")(neardupIngestWatchDir(spark, dir)),
         timed("ndlearnWatch")(learningIngestWatchDir(spark, dir)),

@@ -33,7 +33,7 @@ object Tables {
     * live sessions can collide and silently share cached frames / staged
     * catalog tables. (Entries still pin their session for the JVM lifetime;
     * that is the registry's deliberate design, same as Staged.) */
-  private[sources] def sessionKey(spark: SparkSession): String = spark match {
+  private[graft] def sessionKey(spark: SparkSession): String = spark match {
     case c: org.apache.spark.sql.classic.SparkSession =>
       org.apache.spark.sql.graftshim.sessionUUIDOf(c)
     case other => System.identityHashCode(other.sessionState).toHexString

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Upper bound on input-derived streaming state partitions
+    * ([[pinnedPartitionsFor]]). Default 32 = the single-JVM run-once
+    * bound; a continuous cluster deployment raises it toward 2-3× its
+    * core count, same posture as [[graft.Tuning.MaxPartitionsKey]]. */
+  val MaxStatePartitionsKey = "spark.graft.streaming.maxStatePartitions"
+
   /** Raw parquet schema of events (ns timestamps read as long). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -101,12 +107,19 @@ object EventsStream {
     * not for a data lake root), no data read; bench-scale dirs still
     * resolve to 4, so pinned-partition results and timings are unchanged
     * there. */
-  private def pinnedPartitionsFor(spark: SparkSession, watchDir: String): Int = {
+  private[graft] def pinnedPartitionsFor(spark: SparkSession, watchDir: String): Int = {
     // Shared probe ([[graft.Tuning.probeDirBytes]]): per-call, NonFatal
     // only, failure logged — a silent floor of 4 would re-create exactly
     // the serialized-state pathology this function exists to prevent.
     val bytes = graft.Tuning.probeDirBytes(spark, watchDir, "graft-stream")
-    math.max(4, math.min(32, (bytes / (8L << 20)).toInt))
+    // The cap is CONF-derived, not a hard-coded cluster assumption: 32 is
+    // the single-JVM run-once default; a continuous cluster deployment
+    // raises it toward its core count (state instances parallelize across
+    // executors there, and the per-instance overhead amortizes over a
+    // long-lived query instead of a two-micro-batch replay).
+    val cap = try spark.conf.get(MaxStatePartitionsKey, "32").toInt
+      catch { case scala.util.control.NonFatal(_) => 32 }
+    math.max(4, math.min(cap, (bytes / (8L << 20)).toInt))
   }
 
   /** Sessionization as a streaming query — session windows (30-minute gap)

@@ -5,10 +5,12 @@ import graft.GraftSession
 import graft.ext.{IvfPq, Pq, Similarity}
 
 /** Print each ANN method's realized recall@5 vs the exact brute force at a
-  * given SF dir — the margin audit behind q149's floors (ivf 0.25,
-  * ivfpq 0.3, lsh 0.3, pq 0.5). Run after any fixture regeneration: a
-  * floor within ~1.5× of the realized value deserves a second look before
-  * the driver's oracle does it for you.
+  * given SF dir — the margin audit behind q149's floors (since round 16:
+  * ivf 0.35, ivfpq 0.45, lsh 0.4, pq 0.8 — measured-minus-margin, ~10–25%
+  * under the realized minimum at both oracle SFs, so a genuine recall
+  * regression fails the oracle while regeneration jitter does not). Run
+  * after any fixture regeneration and RE-DERIVE the floors from what this
+  * prints — a floor within ~10% of realized deserves a second look.
   *
   * `runMain graft.tools.AnnRecallProbe [sfDir...]` (default sf0.001+sf0.01).
   */

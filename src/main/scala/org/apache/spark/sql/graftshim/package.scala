@@ -31,6 +31,13 @@ package object graftshim {
   def sessionUUIDOf(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID // verified Spark 4.1.2
 
+  /** Clone a session: same SparkContext + shared state (so JIT/codegen/
+    * footer caches and staged layouts stay shared), own copy of the session
+    * state — conf, temp views, registered functions — taken at call time
+    * (`cloneSession` is private[sql]). */
+  def cloneSessionOf(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession() // verified Spark 4.1.2
+
   /** Wrap a logical plan as a DataFrame (Dataset.ofRows is private[sql]). */
   def dfFromPlan(spark: SparkSession,
                  plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =

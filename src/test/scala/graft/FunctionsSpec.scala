@@ -94,6 +94,42 @@ class FunctionsSpec extends SparkSpec {
     assert(ext != null)
   }
 
+  test("bloom_might_contain: codegen'd probe agrees with the sketch API, null reads false") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bloom = Seq("a", "b", "c").toDF("content_hash")
+      .stat.bloomFilter("content_hash", 100L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    def probe = graft.functions.NativeKernels.bloomMightContainUtf8(bc, col("h"))
+    val inputs = Seq(Some("a"), Some("b"), Some("definitely-not-in-history"), None)
+    val out = inputs.toDF("h").select(col("h"), probe.as("hit"))
+    // non-nullable output: null hash reads FALSE, never null — downstream
+    // NOT-filters must not need three-valued-logic care
+    assert(!out.schema("hit").nullable)
+    val got = out.collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(got(Some("a")) && got(Some("b")))
+    assert(got(None) == false)
+    // byte-path agreement with the sketch's own String probe (the build
+    // inserted via the String path; a divergence here is the silent
+    // false-negative failure mode)
+    inputs.flatten.foreach(s => assert(got(Some(s)) == bloom.mightContain(s)))
+    // and the filter stays inside whole-stage codegen — the entire point.
+    // (A local Seq frame constant-folds through ConvertToLocalRelation —
+    // which exercises the interpreted eval path — so assert on a range
+    // scan, the shape the real batch prefilter has.)
+    val exec = spark.range(10)
+      .select(org.apache.spark.sql.functions.format_string("h%d", col("id")).as("h"))
+      .filter(probe).queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContainUtf8])
+      case _ => false
+    })
+    assert(inCodegen, s"probe filter not in a codegen span:\n$exec")
+  }
+
   test("TopK rejects k <= 0 at construction, not with an executor-side .last crash") {
     intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(0) }
     intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(-3) }

@@ -326,4 +326,25 @@ class StreamingSpec extends SparkSpec {
           s"not a drained memory sink: fileBacked=$fileBacked hasLogicalRDD=$hasRdd")
     }
   }
+
+  test("streaming state partitioning derives from landing-dir volume, conf-capped (rule #6)") {
+    import graft.streaming.EventsStream
+    // bench-scale landing dir: floors at 4 — the run-once shape q134 et al
+    // ship with, so pinned-partition results and timings are unchanged
+    val watch = graft.sources.Staged.ssjoinWatchDir(spark, sf0001)
+    assert(EventsStream.pinnedPartitionsFor(spark, watch) == 4)
+    // a bigger landing dir derives more state instances (48 MB / 8 MiB = 6)
+    val big = java.nio.file.Files.createTempDirectory("graft_state_derive_")
+    java.nio.file.Files.write(big.resolve("slice.bin"), new Array[Byte](48 << 20))
+    assert(EventsStream.pinnedPartitionsFor(spark, big.toString) == 6,
+      "state partitions must scale with landing-dir bytes")
+    // the cap is a session conf, not a hard-coded cluster assumption
+    try {
+      spark.conf.set(EventsStream.MaxStatePartitionsKey, "5")
+      assert(EventsStream.pinnedPartitionsFor(spark, big.toString) == 5)
+    } finally spark.conf.unset(EventsStream.MaxStatePartitionsKey)
+    // a missing dir keeps the floor instead of throwing (probe logs, never
+    // silently serializes state)
+    assert(EventsStream.pinnedPartitionsFor(spark, "/nonexistent/graft/watch") == 4)
+  }
 }
