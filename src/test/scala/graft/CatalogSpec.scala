@@ -88,4 +88,24 @@ class CatalogSpec extends SparkSpec {
       assert(cached == uncached)
     } finally spark.sql("UNCACHE TABLE orders_cache_t")
   }
+
+  test("Tables.dropSession evicts one session's memoized frames; others untouched") {
+    import graft.sources.Tables
+    // A session-per-request driver churns sessions; without the teardown
+    // hook each discarded session leaks its registration entry plus cached
+    // table frames (which pin the session) for the JVM's lifetime.
+    val s2 = org.apache.spark.sql.graftshim.cloneSessionOf(spark)
+    val a = Tables.nation(s2, sf0001)
+    assert(Tables.nation(s2, sf0001) eq a, "frames memoize per session")
+    Tables.registerAll(s2, sf0001)
+    val keep = Tables.nation(spark, sf0001)
+    Tables.dropSession(s2)
+    assert(Tables.nation(s2, sf0001) ne a,
+      "dropSession must evict the session's cached frames")
+    assert(Tables.nation(spark, sf0001) eq keep,
+      "dropping one session must not evict another's frames")
+    // re-registration after a drop works (state entry rebuilt)
+    Tables.registerAll(s2, sf0001)
+    assert(s2.sql("SELECT count(*) FROM nation").head().getLong(0) == 25L)
+  }
 }
