@@ -381,4 +381,45 @@ object TextAnalysis {
         / (($"n" * $"sxx" - $"sx" * $"sx").cast("double")
           * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
   }
+
+  /** q204: intra-document repetition audit — the Gopher-family quality
+    * filter the inventory lacked (Rae et al. 2021 §A1.1 "repetition"
+    * filters; also C4's heuristics): per document, the fraction of word
+    * trigrams that are DUPLICATES of an earlier trigram in the same
+    * document. Boilerplate, keyword stuffing, and decoding loops all show
+    * up as high trigram dup fractions long before any cross-document
+    * signal fires; `flagged` applies the conventional 0.2 threshold.
+    *
+    * Fixture device (planted-copy convention, cf. q39/q145/q152): the
+    * natural corpus tops out at dup_frac ≈ 0.04, so docs 0-19 get a
+    * planted sibling (doc_id + 500000) whose text is its first 6 words
+    * repeated 12 times — id-arithmetic-derived, so the DuckDB oracle
+    * rebuilds the identical corpus and the flagged set is exactly the 20
+    * planted rows. Fully scan-local: grams, distinct-count and fraction
+    * are per-row array expressions (zero shuffle until the output sort);
+    * at 100 TB this is scan-speed work, the shape a quality-filter pass
+    * must have. */
+  def q204DocRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", lower($"text").as("text"))
+    val planted = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 500000L).as("doc_id"),
+        concat_ws(" ", flatten(array_repeat(
+          slice(split($"text", "\\s+"), 1, 6), 12))).as("text"))
+    val ws = split($"text", "\\s+")
+    val grams = when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - 3), i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    docs.unionByName(planted)
+      .select($"doc_id",
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"))
+      .withColumn("dup_frac",
+        when($"n_grams" > 0,
+          round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 6)))
+      .withColumn("flagged", coalesce($"dup_frac" >= 0.2, lit(false)))
+      .orderBy($"doc_id")
+  }
 }

@@ -16,6 +16,7 @@ object TextRegistry {
     "q62_neardup_corpus" -> (Dedup.q62NearDupCorpus _),
     "q52_bpe_token_estimate" -> (TextAnalysis.q52BpeTokenEstimate _),
     "q30_text_stats" -> (TextAnalysis.q30TextStats _),
+    "q204_doc_repetition" -> (TextAnalysis.q204DocRepetition _),
     "q31_lang_id" -> (TextAnalysis.q31LangId _),
     "q32_exact_dedup" -> (Dedup.q32ExactDedup _),
     "q33_fingerprint" -> (TextAnalysis.q33Fingerprint _),
@@ -56,6 +57,42 @@ object TextRegistry {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q204: the planted repetitive docs are id-arithmetic functions of the
+    // base corpus (first 6 words repeated 12x, doc_id + 500000), so the
+    // oracle rebuilds the identical corpus; the flagged set must be
+    // exactly the 20 planted rows plus any natural doc past 0.2 (none in
+    // this fixture family — natural max ~0.04).
+    "q204_doc_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |), planted AS (
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    array_to_string(flatten(list_transform(generate_series(1, 12),
+        |      i -> list_slice(regexp_split_to_array(text, '\s+'), 1, 6))),
+        |      ' ') AS text
+        |  FROM base WHERE doc_id < 20
+        |), corpus AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM planted
+        |), w AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM corpus
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 3 THEN list_transform(
+        |      generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |    ELSE [] END AS grams
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INTEGER) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+        |  CASE WHEN len(grams) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |      / len(grams), 6) END AS dup_frac,
+        |  coalesce(CASE WHEN len(grams) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |      / len(grams), 6) >= 0.2 END, false) AS flagged
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q58_dedup_stats" ->
       """WITH corpus AS (
         |  SELECT text FROM documents

@@ -531,4 +531,32 @@ class QualitySpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("q204: flagged set is exactly the planted repetitive docs; fractions match a scala recount") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.ext.TextAnalysis.q204DocRepetition(spark, sf0001).collect()
+    val flagged = out.filter(_.getAs[Boolean]("flagged")).map(_.getLong(0)).toSet
+    assert(flagged == (0L until 20L).map(_ + 500000L).toSet,
+      s"flagged must be the 20 planted docs, got ${flagged.toSeq.sorted.take(25)}")
+    // planted docs: 6 words repeated 12x = 72 words = 70 trigrams; the
+    // sequence is 6-periodic so distinct <= 6 (exactly 6 unless the base
+    // doc's own first words repeat), dup_frac >= 1 - 6/70 ≈ 0.914 — far
+    // past the 0.2 flag line by construction
+    val planted = out.filter(_.getLong(0) >= 500000L)
+    assert(planted.length == 20)
+    planted.foreach { r =>
+      assert(r.getInt(1) == 70 && r.getInt(2) <= 6,
+        s"doc ${r.getLong(0)}: grams=${r.getInt(1)} distinct=${r.getInt(2)}")
+      assert(r.getDouble(3) >= 0.9)
+      assert(r.getDouble(3) == BigDecimal(1.0 - r.getInt(2) / 70.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // natural docs: recount one doc's trigram dup fraction in plain scala
+    val doc0 = graft.sources.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val ws = doc0.toLowerCase.split("\\s+").toSeq
+    val grams = ws.sliding(3).map(_.mkString(" ")).toSeq
+    val row0 = out.find(_.getLong(0) == 0L).get
+    assert(row0.getInt(1) == grams.size && row0.getInt(2) == grams.distinct.size)
+  }
 }
