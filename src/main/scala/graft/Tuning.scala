@@ -125,6 +125,23 @@ object Tuning {
   private val tunedSessions =
     new ConcurrentHashMap[(String, Int), SparkSession]()
 
+  /** Evict the tuned clones derived from one parent session, handing each
+    * to `dropOne` so the caller can purge the clone's own per-session
+    * state — the Tuning half of `Tables.dropSession` teardown (a clone
+    * pins its parent, so dropping a session without dropping its clones
+    * would keep the parent reachable). */
+  private[graft] def dropClonesOf(parentKey: String)
+                                 (dropOne: SparkSession => Unit): Unit = {
+    val it = tunedSessions.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == parentKey) {
+        dropOne(e.getValue)
+        it.remove()
+      }
+    }
+  }
+
   /** The session a query over `dir` should be BUILT with — which, because
     * `spark.sql.shuffle.partitions` is read at frame EXECUTION, is also the
     * session it executes under. Returns the parent itself when its current

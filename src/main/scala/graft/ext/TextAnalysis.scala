@@ -413,9 +413,13 @@ object TextAnalysis {
           element_at(ws, i + 3))))
       .otherwise(array().cast("array<string>"))
     docs.unionByName(planted)
+      // grams aliased in its OWN projection: referenced twice below, and
+      // CollapseProject would otherwise inline the transform(...) into both
+      // consumers — building every gram string twice per row.
+      .select($"doc_id", grams.as("grams"))
       .select($"doc_id",
-        size(grams).as("n_grams"),
-        size(array_distinct(grams)).as("n_distinct"))
+        size($"grams").as("n_grams"),
+        size(array_distinct($"grams")).as("n_distinct"))
       .withColumn("dup_frac",
         when($"n_grams" > 0,
           round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 6)))

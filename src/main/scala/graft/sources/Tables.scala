@@ -181,15 +181,22 @@ object Tables {
 
   /** Teardown hook for a long-lived driver that churns sessions (the
     * MvRewrite.clear posture): drops this session's registration state
-    * here AND its memoized frames in [[Staged]]. Without it, each
-    * discarded session leaks one registration entry plus its cached
-    * table frames (which pin the session itself) for the JVM's lifetime —
-    * the deliberate default for the bench/verify single-session shape,
-    * wrong for a session-per-request server. Staged DISK artifacts are
-    * keyed per corpus, not per session, and are untouched (still shared,
-    * still TempDirs-cleaned at JVM exit). */
+    * here, its memoized frames in [[Staged]], AND the tuned clones
+    * [[graft.Tuning.sessionFor]] derived from it (each clone pins the
+    * parent, so skipping them would keep the dropped session reachable).
+    * Without it, each discarded session leaks one registration entry plus
+    * its cached table frames for the JVM's lifetime — the deliberate
+    * default for the bench/verify single-session shape, wrong for a
+    * session-per-request server. Staged DISK artifacts are keyed per
+    * corpus, not per session, and are untouched (still shared, still
+    * TempDirs-cleaned at JVM exit). */
   def dropSession(spark: SparkSession): Unit = {
     val key = sessionKey(spark)
+    graft.Tuning.dropClonesOf(key)(clone => dropState(sessionKey(clone)))
+    dropState(key)
+  }
+
+  private def dropState(key: String): Unit = {
     registrations.remove(key)
     Staged.dropSession(key)
   }

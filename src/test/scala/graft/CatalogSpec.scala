@@ -107,5 +107,16 @@ class CatalogSpec extends SparkSpec {
     // re-registration after a drop works (state entry rebuilt)
     Tables.registerAll(s2, sf0001)
     assert(s2.sql("SELECT count(*) FROM nation").head().getLong(0) == 25L)
+    // tuned clones derived from the dropped session are evicted with it
+    // (a clone pins its parent — leaving it cached would keep the dropped
+    // session reachable)
+    val dir = java.nio.file.Files.createTempDirectory("graft_drop_clone_")
+    java.nio.file.Files.write(dir.resolve("blob.bin"), new Array[Byte](48 << 20))
+    val cloneA = Tuning.sessionForWith(s2, dir.toString, Some("9"))
+    assert(cloneA ne s2)
+    assert(Tuning.sessionForWith(s2, dir.toString, Some("9")) eq cloneA)
+    Tables.dropSession(s2)
+    assert(Tuning.sessionForWith(s2, dir.toString, Some("9")) ne cloneA,
+      "dropSession must evict the session's tuned clones")
   }
 }

@@ -118,6 +118,25 @@ class TuningSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism, exchanges)
   }
 
+  test("custom-strategy and injected-rule queries execute correctly on a tuned clone") {
+    // The riskiest part of clone-scoped tuning: queries that register
+    // planner strategies (q19's NativeAsOfJoin) or optimizer rules (q21's
+    // ApproxDistinctRewrite) at BUILD time must register on the CLONE's
+    // experimental methods and produce parent-identical results.
+    val clone = Tuning.sessionForWith(spark, bigDir("graft_tune_ext_"),
+      envOverride = Some("7"))
+    assert(clone ne spark)
+    val asof = RelationalRegistry.queries("q19_asof_join")(clone, sf0001)
+    assert(asof.sparkSession eq clone)
+    val fromClone = asof.collect().toSeq
+    assert(fromClone.nonEmpty)
+    assert(fromClone ==
+      RelationalRegistry.queries("q19_asof_join")(spark, sf0001).collect().toSeq,
+      "clone execution must match parent execution")
+    assert(RelationalRegistry.queries("q21_approx_distinct")(clone, sf0001)
+      .count() > 0)
+  }
+
   test("explicit env override wins over the derivation") {
     val dir = bigDir("graft_tune_env_")
     val tuned = Tuning.sessionForWith(spark, dir, envOverride = Some("77"))
