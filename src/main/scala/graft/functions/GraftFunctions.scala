@@ -47,7 +47,8 @@ object GraftFunctions {
     "shingle_hashes" -> arity("shingle_hashes", 2)(es =>
       ShingleHashes(es(0), intLit(es(1), "shingle width"))),
     "rolling_hash_min" -> arity("rolling_hash_min", 2)(es =>
-      RollingHashMin(es(0), intLit(es(1), "window width"))))
+      RollingHashMin(es(0), intLit(es(1), "window width"))),
+    "trigram_stats" -> arity("trigram_stats", 1)(es => TrigramStats(es(0))))
 
   /** Register every native function as a temp function on a live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -444,6 +444,36 @@ object Kernels {
     * shift — bucket keys unchanged). */
   def lshSignatures(emb: ArrayData): ArrayData =
     lshProject(emb, Planes, LshTables, LshPlanes, tableShift = 16)
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Word-trigram repetition stats — {n_grams, n_distinct} — in ONE pass
+    * over the words array (q204's hot loop). The composable form
+    * (`transform` over an index `sequence` building every gram string,
+    * then `size` + `array_distinct`) materializes the gram array and walks
+    * it again for the distinct pass; at the 64× octave that op measured
+    * 42.8× vs 64× data — honest compute, but twice the necessary work.
+    * Here each gram is built once (exact UTF8String equality — identical
+    * to the `concat_ws(' ')` semantics the DuckDB oracle states, and
+    * injective because `split(\\s+)` words contain no spaces) and counted
+    * in a single hash-set pass. Null/absent grams cannot occur (split
+    * never yields null elements). */
+  def trigramStats(ws: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = ws.numElements() - 2
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0))
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.min(n * 2, 1 << 17))
+    var i = 0
+    while (i < n) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
+        ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, seen.size))
+  }
 }
 
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
@@ -670,6 +700,21 @@ case class LshSigs(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-pass word-trigram repetition stats (see [[Kernels.trigramStats]]):
+  * array<string> words → struct(n_grams int, n_distinct int). */
+case class TrigramStats(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
+  override def nullSafeEval(a: Any): Any =
+    Kernels.trigramStats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.trigramStats($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Broadcast-bloom membership probe over a STRING column — the incremental
   * dedup prefilter (`ext/Dedup.dedupAgainstHashes`) as a native expression.
   * The boxed-UDF form it replaces deserialized every row's UTF8String into a
@@ -743,6 +788,8 @@ object NativeKernels {
     columnOf(LshSigsCfg(expressionOf(emb), numTables, planesPerTable))
   def shingleHashes(text: Column, k: Int): Column =
     columnOf(ShingleHashes(expressionOf(text), k))
+  def trigramStats(words: Column): Column =
+    columnOf(TrigramStats(expressionOf(words)))
   def md5U32Components(h: Column, k: Int): Column =
     columnOf(Md5U32Components(expressionOf(h), k))
   def pqEncode(emb: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =

@@ -133,6 +133,11 @@ object ScaleProbe {
       // schema-evolution merge read (footer merge + null-fill) and the
       // per-user-shard lateness window
       "q159_schema_evolution", "q160_lateness_audit",
+      // type-widening read (explicit-schema scan, per-file int32 upcast)
+      "q203_widened_read",
+      // intra-doc repetition: scan-local array expressions, zero shuffle
+      // before the output sort — must track the scan ratio
+      "q204_doc_repetition",
       // streaming MV maintenance: 2 micro-batches of dedup+agg state plus
       // per-batch versioned merges — fixed overhead, batch-bounded work
       "q162_streaming_mv",

@@ -90,8 +90,22 @@ class FunctionsSpec extends SparkSpec {
     val ext = new graft.functions.GraftExtensions
     assert(GraftFunctions.builders.map(_._1).toSet ==
       Set("cosine_sim", "minhash_sig", "simhash64", "normalize_l2", "lsh_sigs",
-        "shingle_hashes", "rolling_hash_min"))
+        "shingle_hashes", "rolling_hash_min", "trigram_stats"))
     assert(ext != null)
+  }
+
+  test("trigram_stats SQL surface: one-pass kernel matches a composable recount") {
+    // K7 coverage for the q204 kernel, plus a semantics pin independent of
+    // the q204 oracle: grams and distinct grams over a hand-built text.
+    val r = spark.sql(
+      """SELECT trigram_stats(split('a b a b a b c', '\\s+')) AS ts""").head()
+    val ts = r.getStruct(0)
+    // grams: "a b a","b a b","a b a","b a b","a b c" -> 5 total, 3 distinct
+    assert(ts.getInt(0) == 5 && ts.getInt(1) == 3, ts.toString)
+    // under-length input: zero grams, not a crash
+    val short = spark.sql(
+      "SELECT trigram_stats(split('one two', ' ')) AS ts").head().getStruct(0)
+    assert(short.getInt(0) == 0 && short.getInt(1) == 0)
   }
 
   test("bloom_might_contain: codegen'd probe agrees with the sketch API, null reads false") {
