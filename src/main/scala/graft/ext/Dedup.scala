@@ -287,13 +287,15 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** Distinct word k-shingles over a PRE-SPLIT token-array column. 0-based
-    * `get` (not `element_at`): out-of-range reads on degenerate short docs
-    * yield null — skipped by concat_ws — instead of an ANSI-mode error. */
+  /** Distinct word k-shingles over a PRE-SPLIT token-array column. Native
+    * one-pass kernel since round 16: the composable form —
+    * `array_distinct(transform(sequence(...), concat_ws over k gets))` —
+    * ran its per-element lambda INTERPRETED and measured 40× at the 64×
+    * octave through q86's index build. Semantics preserved exactly, incl.
+    * the degenerate short-doc window (out-of-range slots read null and
+    * concat_ws skipped them; the kernel's window just ends at the array). */
   def wordShinglesFromTokens(toks: Column, k: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => concat_ws(" ", (0 until k).map(j => get(toks, i + j)): _*)))
+    graft.functions.NativeKernels.wordShingles(toks, k)
 
   /** Distinct word k-shingles of a text column.
     *
@@ -941,8 +943,17 @@ object Dedup {
         explode(wordShinglesFromTokens($"toks", k)).as("sh"))
     val ei = index(base.filter($"doc_id" < 5), "eval_id")
     val ci = index(base.filter($"doc_id" >= 5), "corpus_id")
-    // shingle sets are distinct, so the pair count IS the intersection size
-    val shared = ei.join(ci, "sh")
+    // shingle sets are distinct, so the pair count IS the intersection size.
+    // broadcast(ei), EXPLICITLY: both indexes derive from the same table
+    // with opaque-selectivity doc_id filters, and the estimator picked the
+    // CORPUS index as the build side — at the 64× octave that broadcast
+    // built an 80M-row hashed relation (18.6 s, 35× vs 64× data) while the
+    // 5-doc eval index streamed. The eval side is the benchmark: bounded
+    // by construction (an eval SET is thousands of docs at any corpus
+    // scale), so it is the broadcast side by design, making the whole
+    // containment count one map-side probe over the corpus index scan.
+    // Measured at 64×: 18.6 s (35×) → 2.1 s (3.9×).
+    val shared = broadcast(ei).join(ci, "sh")
       .groupBy($"eval_id", $"corpus_id").agg(count(lit(1)).as("n_shared"))
     // |eval shingles| from the exploded index itself — no second shingle pass
     val evalSize = ei.groupBy($"eval_id").agg(count(lit(1)).as("n_eval"))

@@ -54,12 +54,18 @@ object TextAnalysis {
     // letter class would treat each UPPERCASE letter as a single-char
     // punctuation piece ("Hello" -> "H","ello"), inflating the estimate on
     // any natural-case corpus (the fixture happens to be all-lowercase).
-    val pieces = regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    // Native one-pass kernel (Kernels.bpeEstimate) since round 16: the
+    // regexp_extract_all + aggregate-HOF form ran its lambda interpreted
+    // per piece and measured 25.3x at the 64x octave. Lowering stays here
+    // (codegen'd, Unicode-correct); the kernel reproduces the piece regex
+    // byte-exactly. Struct aliased in its own projection so the kernel
+    // runs once per row.
     Tables.documents(spark, dir)
       .select($"doc_id",
-        size(pieces).as("n_pieces"),
-        aggregate(pieces, lit(0L),
-          (acc, w) => acc + ceil(length(w) / 4.0).cast("long")).as("bpe_estimate"))
+        graft.functions.NativeKernels.bpeEstimate(lower($"text")).as("bs"))
+      .select($"doc_id",
+        $"bs.n_pieces".as("n_pieces"),
+        $"bs.bpe_estimate".as("bpe_estimate"))
       .orderBy($"doc_id")
   }
 

@@ -447,6 +447,80 @@ object Kernels {
 
   private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
+  /** Distinct word k-shingle STRINGS over a pre-split token array, one
+    * pass — the exact-strings sibling of [[shingleHashes]] (which hashes;
+    * the decontamination/Jaccard paths need the strings for exact set
+    * counts). Replaces the composable
+    * `array_distinct(transform(sequence(...), concat_ws over k gets))`
+    * form, whose per-element lambda runs INTERPRETED (q86 measured 40× at
+    * the 64× octave from exactly this). Semantics preserved bit-for-bit:
+    * windows = max(n-k, 0)+1 (degenerate short docs produce ONE truncated
+    * shingle — out-of-range slots were null and concat_ws skipped them;
+    * here the window just ends at n); null tokens are skipped like
+    * concat_ws does; first-occurrence order, matching array_distinct. */
+  def wordShingles(toks: ArrayData, k: Int): ArrayData = {
+    require(k > 0, s"shingle width must be positive, got $k")
+    val n = toks.numElements()
+    val windows = math.max(n - k, 0) + 1
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.min(windows * 2, 1 << 17))
+    var i = 0
+    while (i < windows) {
+      val end = math.min(i + k, n)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - i)
+      var j = i
+      while (j < end) {
+        // explicit null check: getUTF8String on a null slot is undefined
+        // for UnsafeArrayData; concatWs then skips the null like the
+        // composable concat_ws did
+        parts(j - i) = if (toks.isNullAt(j)) null else toks.getUTF8String(j)
+        j += 1
+      }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(
+      new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
+  }
+
+  /** BPE-ish token-count estimate — {n_pieces, bpe_estimate} — in ONE byte
+    * pass over ALREADY-LOWERCASED text (q52's hot loop; lowering stays
+    * upstream where it is codegen'd and Unicode-correct). Reproduces the
+    * GPT-style pre-tokenizer regex `[a-z]+|[0-9]+|[^a-z0-9 ]` exactly:
+    * letter runs and digit runs are one piece charged ceil(len/4) subword
+    * tokens; any OTHER character (one CODE POINT — continuation bytes are
+    * consumed with their lead byte, matching the regex's per-character
+    * semantics) is its own piece charged 1. The composable form
+    * (`regexp_extract_all` + an `aggregate` HOF whose lambda runs
+    * interpreted per piece) measured 25.3× at the 64× octave. */
+  def bpeEstimate(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var pieces = 0
+    var est = 0L
+    while (i < n) {
+      val b = bytes(i)
+      if (b == ' ') i += 1
+      else if (b >= 'a' && b <= 'z') {
+        var len = 0
+        while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') { i += 1; len += 1 }
+        pieces += 1; est += (len + 3) / 4
+      } else if (b >= '0' && b <= '9') {
+        var len = 0
+        while (i < n && bytes(i) >= '0' && bytes(i) <= '9') { i += 1; len += 1 }
+        pieces += 1; est += (len + 3) / 4
+      } else {
+        i += 1
+        while (i < n && (bytes(i) & 0xC0) == 0x80) i += 1
+        pieces += 1; est += 1L
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](pieces, est))
+  }
+
   /** Word-trigram repetition stats — {n_grams, n_distinct} — in ONE pass
     * over the words array (q204's hot loop). The composable form
     * (`transform` over an index `sequence` building every gram string,
@@ -700,6 +774,34 @@ case class LshSigs(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-pass BPE-ish token estimate (see [[Kernels.bpeEstimate]]):
+  * lowercased string → struct(n_pieces int, bpe_estimate bigint). */
+case class BpeEstimate(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", IntegerType, nullable = false),
+    StructField("bpe_estimate", LongType, nullable = false)))
+  override def nullSafeEval(a: Any): Any =
+    Kernels.bpeEstimate(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bpeEstimate($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** One-pass distinct word k-shingle strings (see [[Kernels.wordShingles]]):
+  * array<string> words → array<string> shingles. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    Kernels.wordShingles(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** One-pass word-trigram repetition stats (see [[Kernels.trigramStats]]):
   * array<string> words → struct(n_grams int, n_distinct int). */
 case class TrigramStats(child: Expression) extends UnaryExpression
@@ -790,6 +892,10 @@ object NativeKernels {
     columnOf(ShingleHashes(expressionOf(text), k))
   def trigramStats(words: Column): Column =
     columnOf(TrigramStats(expressionOf(words)))
+  def wordShingles(words: Column, k: Int): Column =
+    columnOf(WordShingles(expressionOf(words), k))
+  def bpeEstimate(loweredText: Column): Column =
+    columnOf(BpeEstimate(expressionOf(loweredText)))
   def md5U32Components(h: Column, k: Int): Column =
     columnOf(Md5U32Components(expressionOf(h), k))
   def pqEncode(emb: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =

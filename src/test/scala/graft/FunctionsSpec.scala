@@ -144,6 +144,47 @@ class FunctionsSpec extends SparkSpec {
     assert(inCodegen, s"probe filter not in a codegen span:\n$exec")
   }
 
+  test("bpe_estimate kernel equals the regex+aggregate formulation it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tricky shapes: mixed runs, multi-byte chars (é, ü consume their
+    // continuation bytes as ONE piece), caps (lowered upstream), empties
+    val texts = Seq("hello world42 a.b.c café", "", "   ", "ALL CAPS 99",
+      "aaaaaaaaa 12345", "münchen straße!?", "x", "42", "...", "a é b")
+    val df = texts.toDF("text")
+    val kernel = df.select(
+        graft.functions.NativeKernels.bpeEstimate(lower($"text")).as("bs"))
+      .select($"bs.n_pieces", $"bs.bpe_estimate").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val pieces = regexp_extract_all(lower($"text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    val ref = df.select(size(pieces).as("n"),
+        aggregate(pieces, lit(0L),
+          (acc, w) => acc + ceil(length(w) / 4.0).cast("long")).as("est"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(kernel == ref, s"kernel=$kernel ref=$ref")
+  }
+
+  test("word_shingles kernel equals the array_distinct+transform formulation it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      Seq("a", "b", "a", "b", "c"),       // duplicate shingles collapse
+      Seq("one", "two"),                   // short doc: one truncated shingle
+      Seq("x"), Seq[String](),             // degenerate
+      Seq("a", null, "b", "a", null, "b")) // null tokens skipped in-place
+    val df = rows.toDF("toks")
+    def composable = array_distinct(
+      transform(sequence(lit(0), greatest(size($"toks") - 3, lit(0))),
+        i => concat_ws(" ", (0 until 3).map(j => get($"toks", i + j)): _*)))
+    val kernel = df.select(
+        graft.functions.NativeKernels.wordShingles($"toks", 3).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val ref = df.select(composable.as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(kernel == ref, s"kernel=$kernel ref=$ref")
+  }
+
   test("TopK rejects k <= 0 at construction, not with an executor-side .last crash") {
     intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(0) }
     intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(-3) }
