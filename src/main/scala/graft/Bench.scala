@@ -332,6 +332,13 @@ object Bench {
     // dirs skip the compare; a contended window (high task_cpu_ratio)
     // flags broadly — read the ratio next to the list before blaming code.
     val RegressionFactor = 1.5
+    // Absolute-delta floor: a contended window inflates EVERY sub-second
+    // query ~uniformly (the 133.8 s / ratio-1.69 run flagged 12 queries,
+    // all 0.2-1.3 s walls at 1.5-1.8x — weather, not code), and a
+    // 0.2 s -> 0.35 s move carries no signal at this timer's noise floor.
+    // A real regression either costs absolute time or shows up at scale
+    // (the 64x sweep is the instrument for cheap queries).
+    val RegressionMinDeltaSec = 0.25
     val baseline: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
         "BENCH_BASELINE_PERQ.json")
@@ -358,7 +365,8 @@ object Bench {
     }
     val regressions = results.flatMap { case (k, d) =>
       baseline.get(k).collect {
-        case b if b > 0.0 && d.wall > b * RegressionFactor => (k, d.wall, b)
+        case b if b > 0.0 && d.wall > b * RegressionFactor &&
+          d.wall - b > RegressionMinDeltaSec => (k, d.wall, b)
       }
     }.sortBy { case (_, w, b) => -(w / b) }
     regressions.foreach { case (k, w, b) => System.err.println(
