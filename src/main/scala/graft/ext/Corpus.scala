@@ -290,6 +290,41 @@ object Corpus {
       .orderBy($"shard", $"pos")
   }
 
+  /** q205: sequence PACKING — the complement of q94's chunking: combine
+    * (shuffled) short documents into fixed-capacity training sequences,
+    * the packed-pretraining batch layout. Policy: contiguous greedy fill
+    * in shuffled shard order (q155's md5-u32 order — packing wants
+    * decorrelated neighbors), sequence id = floor(tokens-before-this-doc /
+    * capacity): deterministic, engine-neutral, and crucially ONE window
+    * cumsum per shard — no iterative per-bin state, which is what makes
+    * packing distributable (each shard packs independently; parallelism =
+    * shard count, which scales with the corpus exactly like q155's). A
+    * document may straddle a capacity boundary (its tail tokens spill into
+    * the next sequence) — the standard streaming-packing cut-every-C
+    * behavior, as opposed to first-fit bin packing, whose per-bin state
+    * serializes the shard. Output: one row per (shard, seq_id) with doc
+    * count, packed tokens, and utilization vs capacity. */
+  def q205SequencePacking(spark: SparkSession, dir: String,
+                          nShards: Int = 8, capacity: Int = 2048): DataFrame = {
+    import spark.implicits._
+    val u32 = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy($"shard").orderBy($"okey".asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select($"doc_id", size(split($"text", "\\s+")).as("n_tokens"),
+        u32.as("okey"))
+      .withColumn("shard", pmod($"okey", lit(nShards.toLong)).cast("int"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", floor($"cum_before" / capacity).cast("int"))
+      .groupBy($"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens_packed"))
+      .withColumn("utilization",
+        round($"n_tokens_packed".cast("double") / capacity, 6))
+      .orderBy($"shard", $"seq_id")
+  }
+
   /** Global top-n of an (id, score) frame as (id, rank) rows, rank 1-based
     * under (score desc, id asc) — the bounded-buffer replacement for
     * `row_number().over(Window.orderBy(...))` + `filter(rank <= n)`:

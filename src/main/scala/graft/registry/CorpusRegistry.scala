@@ -21,6 +21,8 @@ object CorpusRegistry {
       ((s: SparkSession, d: String) => Corpus.q154TemperatureMixing(s, d)),
     "q155_corpus_shuffle" ->
       ((s: SparkSession, d: String) => Corpus.q155CorpusShuffle(s, d)),
+    "q205_sequence_packing" ->
+      ((s: SparkSession, d: String) => Corpus.q205SequencePacking(s, d)),
     "q158_filter_funnel" ->
       ((s: SparkSession, d: String) => ext.Quality.q158FilterFunnel(s, d)),
     "q167_bpe_train" ->
@@ -110,6 +112,34 @@ object CorpusRegistry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
         |    AS INTEGER) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // q205: the packing policy is pure window arithmetic over q155's
+    // shuffled order, so the oracle restates it verbatim — sequence id =
+    // floor(tokens-before / capacity) within the shard's md5-u32 order.
+    "q205_sequence_packing" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) AS okey
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n_tokens, okey,
+        |    CAST(okey % 8 AS INTEGER) AS shard
+        |  FROM k
+        |), c AS (
+        |  SELECT shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY okey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM s
+        |)
+        |SELECT shard,
+        |  CAST(floor(cum_before / 2048.0) AS INTEGER) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 6) AS utilization
+        |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     // q200: the composed curation funnel — each stage's CTE mirrors the
     // corresponding Spark stage expression for expression.
     "q200_curation_pipeline" ->

@@ -126,6 +126,9 @@ object ScaleProbe {
       // work constant, corpus side scan-bound through the sig table
       "q201_learning_ingest",
       "q154_temperature_mixing", "q155_corpus_shuffle",
+      // sequence packing: one window cumsum per shard; shard count scales
+      // with the corpus so the per-shard sort stays bounded
+      "q205_sequence_packing",
       // round-10 additions: header strip (scan + broadcast flag-back),
       // streaming dedup (state ∝ in-horizon ids, micro-batch overhead
       // fixed), filter funnel (pure scan + bounded-key agg)

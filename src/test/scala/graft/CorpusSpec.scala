@@ -430,4 +430,25 @@ class CorpusSpec extends SparkSpec {
     assert(byStage("2_quality") == pass.toLong)
     assert(byStage("1_raw") == docs.length.toLong)
   }
+
+  test("q205: packing conserves docs and tokens; every shard starts at sequence 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Corpus.q205SequencePacking(spark, sf0001).collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // conservation: every document lands in exactly one sequence, no token
+    // appears twice or vanishes
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(out.map(_.getAs[Long]("n_tokens_packed")).sum ==
+      docs.select(sum(size(split($"text", "\\s+")))).head().getLong(0))
+    // each shard's packing starts at sequence 0 (cum_before of the first
+    // doc is 0 by the 1-PRECEDING frame); ids may legitimately SKIP when a
+    // single doc straddles multiple capacities, so no contiguity assert
+    out.groupBy(_.getInt(0)).foreach { case (s, rows) =>
+      assert(rows.map(_.getInt(1)).min == 0, s"shard $s missing seq 0") }
+    // utilization restates packed tokens vs the 2048 capacity
+    out.foreach(r => assert(r.getAs[Double]("utilization") ==
+      BigDecimal(r.getAs[Long]("n_tokens_packed").toDouble / 2048)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }
