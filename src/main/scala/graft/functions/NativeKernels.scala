@@ -539,10 +539,16 @@ object Kernels {
         Array[Any](0, 0))
     val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
       math.min(n * 2, 1 << 17))
+    // explicit null checks, same as wordShingles: the function is on the
+    // SQL surface (trigram_stats), so arbitrary arrays with null elements
+    // reach it, and getUTF8String on a null slot is undefined for
+    // UnsafeArrayData; concatWs then skips the null (concat_ws semantics)
+    def word(j: Int): org.apache.spark.unsafe.types.UTF8String =
+      if (ws.isNullAt(j)) null else ws.getUTF8String(j)
     var i = 0
     while (i < n) {
       seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space,
-        ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2)))
+        word(i), word(i + 1), word(i + 2)))
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -106,6 +106,14 @@ class FunctionsSpec extends SparkSpec {
     val short = spark.sql(
       "SELECT trigram_stats(split('one two', ' ')) AS ts").head().getStruct(0)
     assert(short.getInt(0) == 0 && short.getInt(1) == 0)
+    // SQL-surface arrays may carry NULL elements: skipped like concat_ws,
+    // never an undefined UnsafeArrayData read. words a,NULL,b,a,NULL,b ->
+    // grams "a b","b a"(NULL skipped),"b a","a b" -> 4 total, 2 distinct
+    val withNulls = spark.sql(
+      "SELECT trigram_stats(array('a', CAST(NULL AS STRING), 'b', 'a', " +
+        "CAST(NULL AS STRING), 'b')) AS ts").head().getStruct(0)
+    assert(withNulls.getInt(0) == 4 && withNulls.getInt(1) == 2,
+      withNulls.toString)
   }
 
   test("bloom_might_contain: codegen'd probe agrees with the sketch API, null reads false") {
