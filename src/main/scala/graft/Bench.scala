@@ -342,7 +342,10 @@ object Bench {
     val baseline: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
         "BENCH_BASELINE_PERQ.json")
-      if (!sfDir.contains("sf0.1") ||
+      // Exact-basename match: the recorded medians are sf0.1-specific, and a
+      // substring test would also apply them to e.g. sf0.12 or sf0.1-alt
+      // dirs, producing spurious cross-scale regression flags.
+      if (new java.io.File(sfDir).getName != "sf0.1" ||
           !java.nio.file.Files.exists(java.nio.file.Paths.get(path))) Map.empty
       else try {
         import org.json4s._

@@ -160,9 +160,12 @@ object Tuning {
     *
     * Clone cost: one SessionState copy — same SparkContext, same shared
     * state, same staged table layouts ([[graft.sources.Staged]] disk keys
-    * are corpus-scoped). Parent conf changes made AFTER a clone exists do
-    * not propagate to it; tuned clones exist only for above-floor dirs,
-    * where the conf of record is the derivation itself.
+    * are corpus-scoped). Parent PERFORMANCE-conf changes made AFTER a clone
+    * exists do not propagate to it (the conf of record for an above-floor
+    * dir is the derivation itself), but SEMANTICS-bearing confs
+    * ([[SemanticsConfs]]: ANSI mode, session timezone, case sensitivity)
+    * are re-synced from the parent on every memoized hit — a query must
+    * never change meaning based on whether its dir floors at the default.
     *
     * Never throws: tuning is an optimization — a failed probe or clone
     * returns the parent unchanged. Disabled via [[EnabledKey]]=false; the
@@ -196,11 +199,39 @@ object Tuning {
         // inferred from timings.
         if (created) System.err.println(
           s"[graft-tuning] shuffle partitions -> $target (tuned session) for $dir")
+        // Memoized clones snapshot the parent's conf at first derivation;
+        // without this, a parent conf change made AFTER the clone exists
+        // (ANSI mode, session timezone) would silently not apply to queries
+        // over above-floor dirs — the same query running under different
+        // SEMANTICS depending on whether its dir floors at the default.
+        // Re-sync the semantics-bearing allowlist on every hit; the tuned
+        // shuffle partitioning stays the clone's own.
+        if (!created) syncSemanticsConfs(spark, tuned)
         tuned
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft-tuning] sessionFor($dir) failed: ${e.getMessage}")
         spark
+    }
+
+  /** Confs that change query SEMANTICS (not performance) and must therefore
+    * track the parent session even on memoized-clone hits. Deliberately
+    * small: performance confs staying snapshot-stable on a clone is the
+    * point of the clone; semantics diverging is a correctness bug. */
+  private[graft] val SemanticsConfs: Seq[String] = Seq(
+    "spark.sql.ansi.enabled",
+    "spark.sql.session.timeZone",
+    "spark.sql.caseSensitive")
+
+  private def syncSemanticsConfs(parent: SparkSession, tuned: SparkSession): Unit =
+    SemanticsConfs.foreach { k =>
+      // getOption resolves defaults too, so parent-unset falls back to the
+      // same global default on both sessions — set only on real divergence.
+      val pv = parent.conf.getOption(k)
+      if (pv != tuned.conf.getOption(k)) pv match {
+        case Some(v) => tuned.conf.set(k, v)
+        case None => tuned.conf.unset(k)
+      }
     }
 }

@@ -459,7 +459,8 @@ object Kernels {
     * here the window just ends at n); null tokens are skipped like
     * concat_ws does; first-occurrence order, matching array_distinct. */
   def wordShingles(toks: ArrayData, k: Int): ArrayData = {
-    require(k > 0, s"shingle width must be positive, got $k")
+    // k > 0 is validated ONCE at WordShingles construction (k is a
+    // plan-time constant) — no per-row branch in the shingling hot loop.
     val n = toks.numElements()
     val windows = math.max(n - k, 0) + 1
     val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String](
@@ -799,6 +800,7 @@ case class BpeEstimate(child: Expression) extends UnaryExpression
   * array<string> words → array<string> shingles. */
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression
     with ImplicitCastInputTypes {
+  require(k > 0, s"shingle width must be positive, got $k")
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(a: Any): Any =

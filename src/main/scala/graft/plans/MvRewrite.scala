@@ -110,6 +110,14 @@ object MvRewrite {
       val sumType = rollups.schema(s"sum_$m").dataType
       val wide = sum(rollups(s"sum_$m"))
       val narrowed = wide.cast(sumType)
+      // Two overflow signatures, both fail loudly: (a) the widened sum is
+      // fine but narrows to null (cast-back overflow); (b) the widened
+      // Decimal(p+10) aggregate ITSELF overflows — under non-ANSI that
+      // returns null, which `wide.isNotNull` alone would silently commit.
+      // Non-null inputs existed (sum(cnt_m) > 0) yet the sum is null is
+      // exactly that aggregate-overflow signature; a legitimately-null sum
+      // (all inputs null) has sum(cnt_m) == 0 and passes through.
+      val cnt = sum(rollups(s"cnt_$m"))
       Seq(
         when(wide.isNotNull && narrowed.isNull,
           raise_error(concat(
@@ -117,6 +125,11 @@ object MvRewrite {
               + "(cumulative refreshes exceeded define-time precision); "
               + "redefine the MV with a wider measure type. Value: "),
             wide.cast("string"))).cast(sumType))
+          .when(wide.isNull && cnt > lit(0L),
+            raise_error(lit(
+              s"MV rollup sum_$m overflowed even the WIDENED accumulator "
+                + s"(non-null inputs present but the widened sum is null); "
+                + "redefine the MV with a wider measure type.")).cast(sumType))
           .otherwise(narrowed).as(s"sum_$m"),
         sum(rollups(s"cnt_$m")).as(s"cnt_$m"),
         min(rollups(s"min_$m")).as(s"min_$m"), max(rollups(s"max_$m")).as(s"max_$m"))

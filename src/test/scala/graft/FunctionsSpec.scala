@@ -193,6 +193,12 @@ class FunctionsSpec extends SparkSpec {
     assert(kernel == ref, s"kernel=$kernel ref=$ref")
   }
 
+  test("WordShingles rejects k <= 0 at construction, not per-row in the kernel") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    intercept[IllegalArgumentException] { graft.functions.WordShingles(Literal(null), 0) }
+    intercept[IllegalArgumentException] { graft.functions.WordShingles(Literal(null), -2) }
+  }
+
   test("TopK rejects k <= 0 at construction, not with an executor-side .last crash") {
     intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(0) }
     intercept[IllegalArgumentException] { new graft.functions.TopKAggregator.TopK(-3) }

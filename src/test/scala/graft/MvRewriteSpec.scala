@@ -268,6 +268,41 @@ class MvRewriteSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
+  test("overflow of the WIDENED accumulator itself also fails loudly") {
+    import spark.implicits._
+    // At stored decimal(38,0) the widened sum cannot widen further (38 is
+    // the cap), so under non-ANSI the AGGREGATE overflows straight to null
+    // — `wide.isNotNull` never sees it. Non-null inputs present
+    // (sum(cnt_m) > 0) with a null widened sum is that signature; the
+    // refresh must abort, not commit a silently-nulled sum.
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val d = new java.math.BigDecimal("9" + "0" * 37) // 9e37; 2x > 38-digit cap
+      val rollup = Seq(("a", 1L, d, 1L, d, d), ("a", 1L, d, 1L, d, d))
+        .toDF("g", "cnt_star", "sum_m", "cnt_m", "min_m", "max_m")
+        .select($"g", $"cnt_star", $"sum_m".cast("decimal(38,0)").as("sum_m"),
+          $"cnt_m", $"min_m".cast("decimal(38,0)").as("min_m"),
+          $"max_m".cast("decimal(38,0)").as("max_m"))
+      val ex = intercept[Exception] {
+        MvRewrite.combineRollups(rollup, Seq("g"), Seq("m")).collect()
+      }
+      val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("WIDENED accumulator"), s"wrong failure: $chain")
+      // an all-null measure column still folds to a legitimate null sum
+      val allNull = Seq(("a", 1L, null: java.math.BigDecimal, 0L,
+          null: java.math.BigDecimal, null: java.math.BigDecimal))
+        .toDF("g", "cnt_star", "sum_m", "cnt_m", "min_m", "max_m")
+        .select($"g", $"cnt_star", $"sum_m".cast("decimal(38,0)").as("sum_m"),
+          $"cnt_m", $"min_m".cast("decimal(38,0)").as("min_m"),
+          $"max_m".cast("decimal(38,0)").as("max_m"))
+      val folded = MvRewrite.combineRollups(allNull, Seq("g"), Seq("m")).collect()
+      assert(folded.length == 1 && folded(0).isNullAt(folded(0).fieldIndex("sum_m")),
+        "an all-null measure must fold to null, not raise")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("null measures: AVG/COUNT/SUM rollup algebra matches Spark's ignore-null semantics") {
     import spark.implicits._
     val factDir = Files.createTempDirectory("graft_mvnull_").toString + "/fact"

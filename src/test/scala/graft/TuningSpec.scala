@@ -145,6 +145,39 @@ class TuningSpec extends SparkSpec {
     assert(shufflePartitionsOf(spark) != 77, "parent must stay untouched")
   }
 
+  test("semantics confs re-sync from parent to a memoized clone on every hit") {
+    val dir = bigDir("graft_tune_sync_")
+    val tuned = Tuning.sessionFor(spark, dir)
+    assert(tuned ne spark)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
+    try {
+      // Parent conf changed AFTER the clone exists: a memoized hit must
+      // carry the new semantics — a query must never change meaning based
+      // on whether its dir floors at the default.
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val hit = Tuning.sessionFor(spark, dir)
+      assert(hit eq tuned, "same (parent, derivation) must stay memoized")
+      assert(hit.conf.get("spark.sql.session.timeZone") == "America/New_York",
+        "session timezone must re-sync on a memoized hit")
+      assert(hit.conf.get("spark.sql.ansi.enabled") == "true",
+        "ANSI mode must re-sync on a memoized hit")
+      // the tuned shuffle partitioning is the clone's own — never re-synced
+      assert(shufflePartitionsOf(hit) == 12,
+        "re-sync must not clobber the clone's derived partitioning")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      prevAnsi match {
+        case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+        case None => spark.conf.unset("spark.sql.ansi.enabled")
+      }
+      // drain the parent change back into the clone so later suites see
+      // the restored semantics too
+      Tuning.sessionFor(spark, dir)
+    }
+  }
+
   test("every SparkEntry query passes through the tuner") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
