@@ -133,8 +133,16 @@ object PartitionedTable {
     // containing the delimiters would round-trip corrupted.
     require(keys.forall(k => !k.exists(c => c == ',' || c == '=' || c == '\n')),
       s"merge key names must not contain ',', '=' or newline: $keys")
+    // Explicit partition count: a bare repartition(col) lets AQE coalesce
+    // the write shuffle down to ONE partition whenever the table is under
+    // the advisory size — a SERIAL write of all nBuckets files (measured
+    // 0.53 s of q202's wall at sf0.1). The bucket layout wants exactly
+    // bucket-count write parallelism: each bucket still lands in exactly
+    // one task (hash of the bucket value), so the one-file-per-bucket
+    // invariant is unchanged, and at production scale the write is
+    // nBuckets-wide instead of advisory-size-wide.
     df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
-      .repartition(col(BucketCol))
+      .repartition(nBuckets, col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(root)
     writeMeta(spark, root, keys, nBuckets)
   }
@@ -184,7 +192,10 @@ object PartitionedTable {
     }
     graft.JobStage.named(spark, s"partitioned-table: dynamic overwrite ${touched.length} buckets") {
       merged
-        .repartition(col(BucketCol))
+        // touched-bucket-wide write parallelism (same rationale as create's
+        // explicit count: AQE would coalesce the sub-advisory shuffle to
+        // one serial writer)
+        .repartition(touched.length, col(BucketCol))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BucketCol)
