@@ -395,6 +395,28 @@ object Bench {
     val sumTask = results.map(_._2.taskSec).sum
     val sumCpu = results.map(_._2.cpuSec).sum
     val contention = if (sumCpu > 0) sumTask / sumCpu else 0.0
+    // Octave-ledger pointer: the 64x scaling sweep is too heavy to run in
+    // the per-round bench, but its recorded ledger (OCTAVE_BASELINE.json,
+    // committed; ScaleProbe compares against it and flags >1.5x-recorded
+    // scaling) is surfaced here so the bench artifact names the scale
+    // instrument and its coverage alongside the wall-time ledger.
+    val octaveNote: String = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OCTAVE_BASELINE", "OCTAVE_BASELINE.json"))
+      if (!java.nio.file.Files.exists(p)) "absent"
+      else {
+        import org.json4s._
+        val doc = org.json4s.jackson.JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+        val reps = (doc \ "_meta" \ "replicas") match {
+          case JInt(n) => n.toString case JDouble(n) => n.toInt.toString case _ => "?"
+        }
+        val nq = (doc \ "_meta" \ "n_queries") match {
+          case JInt(n) => n.toString case _ => "?"
+        }
+        s"${p.getFileName}: ${reps}x replicas, $nq queries recorded"
+      }
+    } catch { case scala.util.control.NonFatal(_) => "unreadable" }
     // The driver captures only a ~2000-char TAIL of stdout, so a single line
     // carrying all ~141 per-query timings (~4.5 KB) arrives with its head cut
     // off and never parses (BENCH_r04/r05 both show `parsed: null`). Split the
@@ -417,6 +439,7 @@ object Bench {
       s""","task_cpu_ratio":${sec(contention)}""" +
       s""","regressions_vs_recorded":${regressions.size}""" +
       s""","worst_regressions":${regJson(regressions.take(8))}""" +
+      s""","octave_ledger":"$octaveNote"""" +
       s""","full_map":"bench_out.json","value":${sec(total)}}"""
     println(compact)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +

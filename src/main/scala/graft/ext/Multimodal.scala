@@ -138,6 +138,46 @@ object Multimodal {
     }.toDF().orderBy($"media_id")
   }
 
+  case class BmpMedia(media_id: Long, payload: Array[Byte])
+  case class BmpDecoded(media_id: Long, n_bytes: Int, width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double,
+                        top_g: Double)
+
+  /** q206: REAL image decode over the SECOND raster family — uncompressed
+    * 24-bpp Windows BMP through [[Bmp]] (pure-JVM, no libraries). Where
+    * q140's P6 PPM is a raw byte dump behind an ASCII header, BMP carries
+    * the decode traps production rasters have: bottom-up row storage, BGR
+    * channel order, 4-byte row padding, and a header-declared pixel offset
+    * — each of which this query's oracle can catch (see below). One image
+    * per document (w = 16 + id mod 61 — all four pad residues occur;
+    * h = 16 + 2·(id mod 41), even so the top-half statistic has an exact
+    * closed form), decoded on executor byte arrays in the
+    * [[decodeBatched]] mapPartitions shape.
+    *
+    * Oracle-checked: no channel value wraps (w + h ≤ 172 < 256), so
+    * mean_r = (w−1)/2, mean_g = (h−1)/2, mean_b = (w+h−2)/2, file length
+    * = 54 + h·ceil4(3w), and the row-order witness top_g = (h/2 − 1)/2 —
+    * whole-image means are row-order-invariant, so top_g (mean green over
+    * the logical top half) is the column that breaks if the bottom-up flip
+    * is skipped, while mean_r vs mean_b breaks if the BGR swap is. */
+  def q206BmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter($"doc_id" < 2000).select($"doc_id").as[Long]
+    val media = ids.mapPartitions(_.map { d =>
+      BmpMedia(d, Bmp.encode((16 + d % 61).toInt, (16 + 2 * (d % 41)).toInt))
+    })
+    media.mapPartitions { records =>
+      records.map { m =>
+        val img = Bmp.decode(m.payload)
+        val (r, g, b) = Bmp.channelMeans(img)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        BmpDecoded(m.media_id, m.payload.length, img.width, img.height,
+          r6(r), r6(g), r6(b), r6(Bmp.topHalfGreenMean(img)))
+      }
+    }.toDF().orderBy($"media_id")
+  }
+
   case class WavMedia(media_id: Long, payload: Array[Byte])
   case class WavDecoded(media_id: Long, n_samples: Int, sample_rate: Int,
                         duration_s: Double, mean_amp: Double, rms: Double,

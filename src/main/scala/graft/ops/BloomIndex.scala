@@ -103,6 +103,18 @@ object BloomIndex {
     * exactly once), returning every indexed file with its probe verdict.
     * Type resolution per row: `overrideType` wins, else the row's recorded
     * `key_type`, else `fallbackType`, else the keys' runtime types. */
+  /** Driver-side envelope on the per-file (name, verdict) metadata collect:
+    * ~100 B/row means the default 4M-file cap bounds the probe result near
+    * ~400 MB — planner-metadata scale, same order as the file listing a
+    * scan of that table needs anyway. An index past the cap fails LOUDLY
+    * (the limit+1 collect never materializes more than cap+1 rows, so the
+    * failure is an exception, not a driver OOM): at that file count the
+    * per-file-bloom design wants partitioning (one index per table
+    * partition, probed under the partition predicate), not a bigger
+    * collect. Override per session via [[MaxProbedFilesKey]]. */
+  val MaxProbedFilesKey = "spark.graft.bloomIndex.maxProbedFiles"
+  val MaxProbedFilesDefault: Int = 4000000
+
   private def probeAll(index: DataFrame, keys: Seq[Any],
                        overrideType: Option[DataType],
                        fallbackType: Option[DataType]): Seq[ProbedFile] = {
@@ -111,9 +123,17 @@ object BloomIndex {
       if (index.columns.contains("key_type")) col("key_type")
       else lit(null).cast("string")
     val probeFn = udf(new BloomProbe(keys, overrideType, fallbackType))
-    index.select(col("file"), probeFn(col("bloom"), typeCol).as("hit"))
+    val cap = index.sparkSession.conf.getOption(MaxProbedFilesKey)
+      .flatMap(_.toIntOption).getOrElse(MaxProbedFilesDefault)
+    val rows = index.select(col("file"), probeFn(col("bloom"), typeCol).as("hit"))
+      .limit(cap + 1)
       .collect()
-      .map(r => ProbedFile(r.getString(0), r.getBoolean(1))).toSeq
+    if (rows.length > cap) throw new IllegalStateException(
+      s"bloom index holds more than $cap indexed files — past the driver " +
+        s"metadata envelope (~100 B/file). Partition the index (one per " +
+        s"table partition, probed under the partition predicate) or raise " +
+        s"$MaxProbedFilesKey.")
+    rows.map(r => ProbedFile(r.getString(0), r.getBoolean(1))).toSeq
   }
 
   /** Executor-side bloom probe. Hash sets are memoized per recorded type

@@ -27,6 +27,7 @@ object SimilarityRegistry {
     "q99_ann_ivfpq" -> ((s: SparkSession, d: String) => IvfPq.q99AnnIvfPq(s, d)),
     "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
     "q141_wav_decode" -> (Multimodal.q141WavDecode _),
+    "q206_bmp_decode" -> (Multimodal.q206BmpDecode _),
     "q142_video_frames" -> (Multimodal.q142VideoFrames _),
     "q149_ann_recall_floors" -> (Similarity.q149AnnRecallFloors _),
     "q151_incremental_embedding_neardup" ->
@@ -418,6 +419,26 @@ object SimilarityRegistry {
         |  round(rx + ry, 6) AS rz_mean_b
         |FROM m JOIN rz USING (media_id)
         |ORDER BY media_id""".stripMargin,
+    // q206: BMP closed forms (Bmp scaladoc) — means identical to q140's
+    // model (no wrap: w <= 76, h <= 96, w+h <= 172); file length counts the
+    // two headers plus h padded rows; top_g = (h/2 - 1)/2 (h always even by
+    // construction) is the row-order witness — a decoder that skips the
+    // bottom-up flip reports the BOTTOM half's mean instead.
+    "q206_bmp_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 61 AS INTEGER) AS width,
+        |    CAST(16 + 2 * (doc_id % 41) AS INTEGER) AS height
+        |  FROM documents WHERE doc_id < 2000
+        |)
+        |SELECT media_id,
+        |  CAST(54 + height * (((3 * width + 3) // 4) * 4) AS INTEGER) AS n_bytes,
+        |  width, height,
+        |  round((width - 1) / 2.0, 6) AS mean_r,
+        |  round((height - 1) / 2.0, 6) AS mean_g,
+        |  round((width + height - 2) / 2.0, 6) AS mean_b,
+        |  round((height // 2 - 1) / 2.0, 6) AS top_g
+        |FROM m ORDER BY media_id""".stripMargin,
     // q141: sawtooth partial-cycle sums — S1 = -100 per full cycle and
     // T1(r) = r(r-1)/2 - 100r; S2 = 666700 per cycle and
     // T2(r) = r(r-1)(2r-1)/6 - 100r(r-1) + 10000r. Integer sums divide in

@@ -169,6 +169,29 @@ class BloomIndexSpec extends SparkSpec {
     assert(pruned.df.select("k").as[Long].collect().sorted.toSeq == Seq(7L, 4777L))
   }
 
+  test("probe envelope: an index past the indexed-file cap fails loudly, at the cap it works") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloomcap_").toString + "/t"
+    (0L until 600L).map(i => (i, i.toString)).toDF("k", "v")
+      .repartition(6, $"k").write.parquet(dir)
+    val idx = BloomIndex.build(spark, dir, "k",
+      expectedItems = 200L, numBits = 1L << 14).cache()
+    try {
+      // boundary: cap == file count probes fine (the limit(cap+1) collect
+      // sees exactly cap rows)
+      spark.conf.set(BloomIndex.MaxProbedFilesKey, "6")
+      assert(BloomIndex.candidateFiles(idx, Seq(7L)).nonEmpty)
+      // one past: the collect is BOUNDED (cap+1 rows, never the index) and
+      // the failure is the documented exception, not a driver OOM
+      spark.conf.set(BloomIndex.MaxProbedFilesKey, "5")
+      val ex = intercept[IllegalStateException] {
+        BloomIndex.candidateFiles(idx, Seq(7L))
+      }
+      assert(ex.getMessage.contains("more than 5 indexed files"), ex.getMessage)
+      assert(ex.getMessage.contains(BloomIndex.MaxProbedFilesKey), ex.getMessage)
+    } finally spark.conf.unset(BloomIndex.MaxProbedFilesKey)
+  }
+
   test("candidateFiles derives the key type from the index: Int keys probe a BIGINT column safely") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bloomtype_").toString + "/t"
