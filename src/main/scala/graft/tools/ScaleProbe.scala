@@ -42,7 +42,21 @@ object ScaleProbe {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)); d
       case None => graft.sources.TempDirs.create(s"graft_sf${replicas}x_").toString
     }
-    val stagedMarker = java.nio.file.Paths.get(big, s"_graft_replicas_ok_$replicas")
+    // Layout note (round-17 experiments, both REJECTED — the natural
+    // one-file-per-upstream-partition layout below is the recorded one):
+    // the direct write lands 64 replicas x 32 splits = 2048 ~400 KB files
+    // at 64x, and per-query driver listing/split planning of those files
+    // is visible in scan-heavy walls (q10's 64x JobTime: 1.8 s of executor
+    // jobs under a 6.6 s wall). Two "fixes" were tried and measured WORSE:
+    // repartition(64) randomized row order corpus-wide and tripled+ every
+    // sort/window/SMJ wall (q02 4.1x -> 42x, q05 8.9x -> 53x — real tables
+    // are roughly key/time-ordered and sorters exploit runs); coalesce(64)
+    // preserved order but produced single-10-MB-row-group files whose scan
+    // parallelism is row-group-bound (64 decode units instead of 2048;
+    // q02 steady-state 2.0 -> 3.5 s, probe-context 19 s). The listing
+    // overhead is the smaller and better-understood distortion, and the
+    // committed OCTAVE_BASELINE was recorded on this layout — keep it.
+    val stagedMarker = java.nio.file.Paths.get(big, s"_graft_replicas_ok_${replicas}_v3")
     val OffsetStep = 100000000L
     val docs = Tables.documents(spark, base)
 
