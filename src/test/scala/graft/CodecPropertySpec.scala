@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.ext.{Ppm, Wav, Y4m}
+import graft.ext.{Bmp, Ppm, Wav, Y4m}
 
 /** Property tests for the codec-free trio: encode→decode is the identity
   * and the scan statistics match their closed forms at EVERY dimension in
@@ -56,6 +56,30 @@ class CodecPropertySpec extends SparkSpec {
         rms == math.sqrt(s2.toDouble / n) &&
         peak == 100 // sample k = 0 is always present
     }, "wav")
+  }
+
+  test("property: BMP round-trip + closed forms at every size, pad residue, and row order") {
+    val dims = for { w <- Gen.choose(1, 60); h <- Gen.choose(1, 60) } yield (w, h)
+    check(Prop.forAll(dims) { case (w, h) =>
+      val img = Bmp.decode(Bmp.encode(w, h))
+      val (r, g, b) = Bmp.channelMeans(img)
+      val stride = ((3 * w + 3) / 4) * 4
+      // every pixel recovered through the bottom-up BGR padded storage
+      val pixelsOk = (0 until h).forall { y =>
+        (0 until w).forall { x =>
+          val o = (y * w + x) * 3
+          (img.pixels(o) & 0xff) == x % 256 &&
+            (img.pixels(o + 1) & 0xff) == y % 256 &&
+            (img.pixels(o + 2) & 0xff) == (x + y) % 256
+        }
+      }
+      img.width == w && img.height == h && pixelsOk &&
+        Bmp.encode(w, h).length == 54 + h * stride &&
+        r == (w - 1) / 2.0 && g == (h - 1) / 2.0 &&
+        (w + h > 257 || b == (w + h - 2) / 2.0) &&
+        // the row-order witness: top ⌊h/2⌋ rows' green mean (h >= 2)
+        (h < 2 || Bmp.topHalfGreenMean(img) == (h / 2 - 1) / 2.0)
+    }, "bmp")
   }
 
   test("property: y4m round-trip + per-frame luma closed forms for all small streams") {
