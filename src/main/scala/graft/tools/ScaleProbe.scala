@@ -296,7 +296,21 @@ object ScaleProbe {
       try graft.sources.Staged.prepare(spark, d)
       catch { case e: Throwable => System.err.println(s"[probe-prepare] $d: ${e.getMessage}") }
     val sweep = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    headline.foreach(q => time(q, base)) // warmup
+    // Warm BOTH dirs, single-shot and untimed. The big dir's first
+    // post-staging executions measure page-cache/writeback settling, not
+    // scaling: two independent runs measured their first 1-2 timed rows at
+    // 10-25x the settled walls (q01 19.1x vs a settled 1.7x, q100 46.7x vs
+    // 13.8x; the round-17 full sweep's first ~15 alphabetical rows were all
+    // inflated this way, q05 at 113x vs ~9x settled). Warming base-only —
+    // the pre-round-17 shape — left every big-dir first touch inside the
+    // timed window.
+    def warmOnce(name: String, dir: String): Unit =
+      try graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[probe-warm] $name on $dir: ${e.getMessage}") }
+    headline.foreach(q => warmOnce(q, base))
+    headline.foreach(q => warmOnce(q, big))
     println(f"${"query"}%-30s ${"sf0.1"}%8s ${s"${replicas}x"}%8s  ratio (data ${replicas}x)")
     headline.foreach { q =>
       val t1 = time(q, base)
