@@ -408,12 +408,17 @@ object Bench {
         import org.json4s._
         val doc = org.json4s.jackson.JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
-        val reps = (doc \ "_meta" \ "replicas") match {
-          case JInt(n) => n.toString case JDouble(n) => n.toInt.toString case _ => "?"
+        // Matcher set kept in sync with ScaleProbe's ledger reader (JInt /
+        // JDouble / JDecimal) so the two consumers of the same file cannot
+        // drift on a writer's number representation.
+        def num(v: JValue): String = v match {
+          case JInt(n) => n.toString
+          case JDouble(n) => n.toInt.toString
+          case JDecimal(n) => n.toInt.toString
+          case _ => "?"
         }
-        val nq = (doc \ "_meta" \ "n_queries") match {
-          case JInt(n) => n.toString case _ => "?"
-        }
+        val reps = num(doc \ "_meta" \ "replicas")
+        val nq = num(doc \ "_meta" \ "n_queries")
         s"${p.getFileName}: ${reps}x replicas, $nq queries recorded"
       }
     } catch { case scala.util.control.NonFatal(_) => "unreadable" }
@@ -439,7 +444,7 @@ object Bench {
       s""","task_cpu_ratio":${sec(contention)}""" +
       s""","regressions_vs_recorded":${regressions.size}""" +
       s""","worst_regressions":${regJson(regressions.take(8))}""" +
-      s""","octave_ledger":"$octaveNote"""" +
+      s""","octave_ledger":"${octaveNote.replace("\\", "\\\\").replace("\"", "\\\"")}"""" +
       s""","full_map":"bench_out.json","value":${sec(total)}}"""
     println(compact)
     val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +

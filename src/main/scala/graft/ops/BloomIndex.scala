@@ -123,8 +123,12 @@ object BloomIndex {
       if (index.columns.contains("key_type")) col("key_type")
       else lit(null).cast("string")
     val probeFn = udf(new BloomProbe(keys, overrideType, fallbackType))
+    // Clamp: cap + 1 must not overflow Int (a user "disabling" the cap
+    // with Int.MaxValue would otherwise turn limit() negative), and a
+    // nonpositive cap would fail every probe of any non-empty index.
     val cap = index.sparkSession.conf.getOption(MaxProbedFilesKey)
       .flatMap(_.toIntOption).getOrElse(MaxProbedFilesDefault)
+      .max(1).min(Int.MaxValue - 1)
     val rows = index.select(col("file"), probeFn(col("bloom"), typeCol).as("hit"))
       .limit(cap + 1)
       .collect()

@@ -136,11 +136,13 @@ object PartitionedTable {
     // Explicit partition count: a bare repartition(col) lets AQE coalesce
     // the write shuffle down to ONE partition whenever the table is under
     // the advisory size — a SERIAL write of all nBuckets files (measured
-    // 0.53 s of q202's wall at sf0.1). The bucket layout wants exactly
-    // bucket-count write parallelism: each bucket still lands in exactly
-    // one task (hash of the bucket value), so the one-file-per-bucket
-    // invariant is unchanged, and at production scale the write is
-    // nBuckets-wide instead of advisory-size-wide.
+    // 0.53 s of q202's wall at sf0.1). Each bucket still lands wholly in
+    // one task (hash partitioning of the bucket value), so the
+    // one-file-per-bucket invariant is unchanged. Note the width is
+    // APPROXIMATE: partitions receive hash(bucketId) % nBuckets, not
+    // bucketId itself, so ~1/e of the nBuckets tasks are expected empty
+    // and the fullest writes ~3 buckets serially — still ~0.6·nBuckets
+    // effective writers vs AQE's one.
     df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
       .repartition(nBuckets, col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(root)
@@ -192,9 +194,9 @@ object PartitionedTable {
     }
     graft.JobStage.named(spark, s"partitioned-table: dynamic overwrite ${touched.length} buckets") {
       merged
-        // touched-bucket-wide write parallelism (same rationale as create's
-        // explicit count: AQE would coalesce the sub-advisory shuffle to
-        // one serial writer)
+        // touched-bucket-wide write parallelism, approximate for the same
+        // hash-collision reason as create's (same rationale too: AQE would
+        // coalesce the sub-advisory shuffle to one serial writer)
         .repartition(touched.length, col(BucketCol))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
