@@ -31,7 +31,13 @@ import org.apache.spark.sql.SparkSession
   * its run-order index, every rep's wall time, summed executor task time,
   * task/JVM GC time and CPU time next to wall time, so a contended run
   * (wall ≫ task time, or GC spike) is provably machine noise rather than
-  * arguably so.
+  * arguably so. Round 18 adds per-query EXTERNAL-load telemetry
+  * (`ext_cores`: host busy CPU minus this JVM's, per second of the query's
+  * timed windows — /proc/stat vs ProcessCpuTime) and a regression REQUEUE:
+  * queries flagged against the recorded ledger are re-measured at suite
+  * end (median over up to 5 reps spanning two points in the run), so a
+  * mid-run contention burst (the r17 q85–q97 block) adjudicates itself in
+  * the artifact instead of requiring a next-round autopsy.
   */
 object Bench {
 
@@ -61,13 +67,54 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
+  /** Host-wide busy CPU seconds since boot (all cores, non-idle/non-iowait
+    * jiffies from /proc/stat at the Linux-universal USER_HZ=100). Sampled
+    * around each query so a flag line can carry its own weather evidence:
+    * host busy minus THIS process's CPU over the window is CPU burned by
+    * something else — external load, named in the artifact instead of
+    * inferred from a next-round autopsy. -1 when unreadable (non-Linux). */
+  private def hostBusySec(): Double =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // fields: user nice system idle iowait irq softirq steal guest ...
+      val busy = f.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 => v }.sum
+      busy / 100.0
+    } catch { case _: Throwable => -1.0 }
+
+  /** This JVM's total CPU seconds (all threads). -1 when the platform bean
+    * doesn't expose it. */
+  private def selfCpuSec(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    } catch { case _: Throwable => -1.0 }
+
   /** `wall` is the median of `walls` (one entry per rep); task/GC/CPU
     * metrics are summed across ALL reps of the query. `extraReps` counts
-    * the suite-end re-runs the spread guard added (0 = unflagged). */
+    * the suite-end re-runs the spread/regression guards added (0 =
+    * unflagged). `extCpuSec` is CPU burned by OTHER processes during the
+    * query's timed windows (host busy minus self); `windowSec` is the
+    * summed wall of those windows, so extCpuSec/windowSec reads as
+    * "external cores running alongside this query" — the per-query
+    * contention figure. Both -1 when the platform counters are absent. */
   private final case class Diag(order: Int, wall: Double, walls: Seq[Double],
                                 taskSec: Double, taskGcSec: Double,
                                 jvmGcSec: Double, cpuSec: Double, nTasks: Long,
-                                extraReps: Int = 0)
+                                extraReps: Int = 0,
+                                extCpuSec: Double = -1.0, windowSec: Double = 0.0) {
+    /** External cores alongside this query's reps (≥0; -1 = unmeasured).
+      * A quiet box reads ~0; a flag measured at 3+ is storm evidence. */
+    def extCores: Double =
+      if (extCpuSec < 0 || windowSec <= 0) -1.0 else extCpuSec / windowSec
+    /** Per-query task run/CPU ratio — same fingerprint as the suite-level
+      * one, attributable to a single flag line. 0 when no CPU recorded. */
+    def taskCpuRatio: Double = if (cpuSec > 0) taskSec / cpuSec else 0.0
+  }
 
   /** Max/min rep spread — the per-query weather fingerprint. A query whose
     * reps agree reads ~1; a one-rep storm burst reads its full magnitude. */
@@ -255,6 +302,7 @@ object Bench {
       // query while looking like a fast rep. Failed attempts are kept only
       // as a last resort when NO rep succeeded, so the artifact still has a
       // number next to the stderr error instead of an unparseable hole.
+      val hb0 = hostBusySec(); val sc0 = selfCpuSec()
       val attempts = (1 to reps).flatMap { i =>
         if (i > 1 && elapsedSec() > deadlineSec) None
         else {
@@ -266,6 +314,7 @@ object Bench {
           Some(((System.nanoTime() - t0) / 1e9, ok))
         }
       }
+      val hb1 = hostBusySec(); val sc1 = selfCpuSec()
       val walls = {
         val good = attempts.collect { case (w, true) => w }
         if (good.nonEmpty) good else attempts.map(_._1)
@@ -273,9 +322,13 @@ object Bench {
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
       order += 1
+      val ext =
+        if (hb0 < 0 || hb1 < 0 || sc0 < 0 || sc1 < 0) -1.0
+        else math.max(0.0, (hb1 - hb0) - (sc1 - sc0))
       resultsBuf(name) = Diag(order, medianOf(walls), walls,
         (r1 - r0) / 1e3, (g1 - g0) / 1e3,
-        (j1 - j0) / 1e3, (c1 - c0) / 1e9, n1 - n0)
+        (j1 - j0) / 1e3, (c1 - c0) / 1e9, n1 - n0,
+        extCpuSec = ext, windowSec = attempts.map(_._1).sum)
     }
     // Storm-rep guard: a query whose reps spread >SpreadLimit× had at least
     // one rep inflated by host weather — its 3-rep median may still rest on
@@ -286,43 +339,52 @@ object Bench {
     // the slow-host case the deadline failsafe triggers on, and flagged
     // rows are few by construction.
     val rerunGraceSec = 120.0
-    val flagged = resultsBuf.collect {
-      case (n, d) if spreadOf(d.walls) > SpreadLimit => n }.toSeq
-    for (name <- flagged) {
+    // Shared suite-end re-measurement: up to `maxExtra` extra reps for one
+    // query, merged into its Diag (median over ALL reps, metrics summed).
+    // Failed re-runs are DISCARDED outright (unlike the main loop there is
+    // no all-failed fallback to cover): a near-zero failure wall entering
+    // a median-of-5 would select the minimum real rep — corrupting the
+    // very number the guard exists to protect, with extra_reps lending it
+    // false credibility.
+    def remeasure(name: String, tag: String, graceSec: Double,
+                  maxExtra: Int): Unit = {
       System.gc()
       val (r0, g0, c0, n0) = settled()
       val j0 = jvmGcMs()
-      // Failed re-runs are DISCARDED outright (unlike the main loop there is
-      // no all-failed fallback to cover): a near-zero failure wall entering
-      // a median-of-5 would select the minimum real rep — corrupting the
-      // very number the guard exists to protect, with extra_reps lending it
-      // false credibility.
-      val extra = (1 to 2).flatMap { _ =>
-        if (elapsedSec() > deadlineSec + rerunGraceSec) None
+      val hb0 = hostBusySec(); val sc0 = selfCpuSec()
+      val extra = (1 to maxExtra).flatMap { _ =>
+        if (elapsedSec() > deadlineSec + graceSec) None
         else {
           val t0 = System.nanoTime()
           try { run(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
-            System.err.println(s"[bench-respread] $name: ${e.getMessage}"); None }
+            System.err.println(s"[$tag] $name: ${e.getMessage}"); None }
         }
       }
+      val hb1 = hostBusySec(); val sc1 = selfCpuSec()
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
       val d = resultsBuf(name)
       val walls = d.walls ++ extra
+      val ext =
+        if (d.extCpuSec < 0 || hb0 < 0 || hb1 < 0 || sc0 < 0 || sc1 < 0) d.extCpuSec
+        else d.extCpuSec + math.max(0.0, (hb1 - hb0) - (sc1 - sc0))
       resultsBuf(name) = d.copy(
         wall = medianOf(walls), walls = walls,
         taskSec = d.taskSec + (r1 - r0) / 1e3, taskGcSec = d.taskGcSec + (g1 - g0) / 1e3,
         jvmGcSec = d.jvmGcSec + (j1 - j0) / 1e3, cpuSec = d.cpuSec + (c1 - c0) / 1e9,
-        nTasks = d.nTasks + (n1 - n0), extraReps = extra.size)
-      System.err.println(f"[bench-respread] $name spread ${spreadOf(d.walls)}%.1fx -> " +
-        f"+${extra.size} reps, median ${d.wall}%.3f -> ${resultsBuf(name).wall}%.3f s")
+        nTasks = d.nTasks + (n1 - n0), extraReps = d.extraReps + extra.size,
+        extCpuSec = ext, windowSec = d.windowSec + extra.sum)
+      System.err.println(f"[$tag] $name +${extra.size} reps, " +
+        f"median ${d.wall}%.3f -> ${resultsBuf(name).wall}%.3f s")
     }
-    // Queries that actually GOT extra reps — not merely flagged: when the
-    // grace window expires (or every re-run fails) the artifact must not
-    // claim re-measurement that never happened.
-    val rerunCount = resultsBuf.count(_._2.extraReps > 0)
-    val results = resultsBuf.toSeq
+    val flagged = resultsBuf.collect {
+      case (n, d) if spreadOf(d.walls) > SpreadLimit => n }.toSeq
+    for (name <- flagged) {
+      val spread = spreadOf(resultsBuf(name).walls)
+      System.err.println(f"[bench-respread] $name spread ${spread}%.1fx")
+      remeasure(name, "bench-respread", rerunGraceSec, maxExtra = 2)
+    }
 
     // Per-query regression ledger (round 16): compare each median against
     // the recorded quiet-window baseline (BENCH_BASELINE_PERQ.json, the
@@ -366,14 +428,41 @@ object Bench {
           Map.empty
       }
     }
-    val regressions = results.flatMap { case (k, d) =>
-      baseline.get(k).collect {
-        case b if b > 0.0 && d.wall > b * RegressionFactor &&
-          d.wall - b > RegressionMinDeltaSec => (k, d.wall, b)
-      }
-    }.sortBy { case (_, w, b) => -(w / b) }
+    def regressionsOf(rs: Seq[(String, Diag)]): Seq[(String, Double, Double)] =
+      rs.flatMap { case (k, d) =>
+        baseline.get(k).collect {
+          case b if b > 0.0 && d.wall > b * RegressionFactor &&
+            d.wall - b > RegressionMinDeltaSec => (k, d.wall, b)
+        }
+      }.sortBy { case (_, w, b) => -(w / b) }
+    // Regression requeue (round 18): a ledger flag measured mid-storm should
+    // adjudicate ITSELF where the run can still afford it. The r17 artifact
+    // flagged 12 queries — 7 >2×, all in one contiguous run-order stretch,
+    // all later reading at recorded level in isolation; re-running each
+    // flagged query at suite end (after the burst has had the whole suite
+    // to pass) folds that adjudication into the artifact. A flag that
+    // SURVIVES the requeue (median over up to 5 reps spanning two points
+    // in the run) is much stronger evidence of a real regression.
+    val preRegressions = regressionsOf(resultsBuf.toSeq)
+    for ((k, w, b) <- preRegressions) {
+      System.err.println(
+        f"[bench-requeue] $k ${w}%.3f s vs recorded ${b}%.3f s (${w / b}%.2fx) — re-measuring")
+      remeasure(k, "bench-requeue", rerunGraceSec * 2, maxExtra = 2)
+    }
+    // Queries that actually GOT extra reps — not merely flagged: when the
+    // grace window expires (or every re-run fails) the artifact must not
+    // claim re-measurement that never happened.
+    val rerunCount = resultsBuf.count(_._2.extraReps > 0)
+    val results = resultsBuf.toSeq
+    val regressions = regressionsOf(results)
+    val requeueCleared = preRegressions.size - regressions.size
+    def contTag(d: Diag): String = {
+      val ec = if (d.extCores < 0) "n/a" else f"${d.extCores}%.1f"
+      f"ext_cores $ec, task_cpu ${d.taskCpuRatio}%.2f"
+    }
     regressions.foreach { case (k, w, b) => System.err.println(
-      f"[bench-regression] $k ${w}%.3f s vs recorded ${b}%.3f s (${w / b}%.2fx)") }
+      f"[bench-regression] $k ${w}%.3f s vs recorded ${b}%.3f s (${w / b}%.2fx) " +
+        s"[${contTag(resultsBuf(k))}]") }
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Diag)]): String =
       rs.map { case (k, d) => "\"" + k + "\":" + sec(d.wall) }.mkString("{", ",", "}")
@@ -385,7 +474,10 @@ object Bench {
           ",\"extra_reps\":" + d.extraReps +
           ",\"task_sec\":" + sec(d.taskSec) + ",\"task_gc_sec\":" + sec(d.taskGcSec) +
           ",\"jvm_gc_sec\":" + sec(d.jvmGcSec) + ",\"cpu_sec\":" + sec(d.cpuSec) +
-          ",\"n_tasks\":" + d.nTasks + "}"
+          ",\"n_tasks\":" + d.nTasks +
+          ",\"task_cpu_ratio\":" + sec(d.taskCpuRatio) +
+          ",\"ext_cpu_sec\":" + sec(d.extCpuSec) +
+          ",\"ext_cores\":" + sec(d.extCores) + "}"
       }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
     // Suite-level contention fingerprint: executor task run time vs task CPU
@@ -432,9 +524,15 @@ object Bench {
     // Compact line carries the regression COUNT plus the 8 worst offenders
     // (bounded: the stdout tail is ~2000 chars); the full list with both
     // sides of every compare goes to bench_out.json.
+    // Each surviving flag carries its own weather evidence: external cores
+    // observed alongside the query's reps and its task/CPU ratio — the
+    // self-adjudication VERDICT r17 #2 asked for.
     def regJson(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (k, w, b) =>
-        "\"" + k + "\":{\"sec\":" + sec(w) + ",\"baseline_sec\":" + sec(b) + "}"
+        val d = resultsBuf(k)
+        "\"" + k + "\":{\"sec\":" + sec(w) + ",\"baseline_sec\":" + sec(b) +
+          ",\"ext_cores\":" + sec(d.extCores) +
+          ",\"task_cpu_ratio\":" + sec(d.taskCpuRatio) + "}"
       }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","n_queries":${results.size},"queries":${toJson(slowest)}""" +
@@ -443,6 +541,8 @@ object Bench {
       s""","reps":$reps,"respread_reruns":$rerunCount""" +
       s""","task_cpu_ratio":${sec(contention)}""" +
       s""","regressions_vs_recorded":${regressions.size}""" +
+      s""","regressions_pre_requeue":${preRegressions.size}""" +
+      s""","requeue_cleared":$requeueCleared""" +
       s""","worst_regressions":${regJson(regressions.take(8))}""" +
       s""","octave_ledger":"${octaveNote.replace("\\", "\\\\").replace("\"", "\\\"")}"""" +
       s""","full_map":"bench_out.json","value":${sec(total)}}"""
@@ -453,6 +553,8 @@ object Bench {
       s""","reps":$reps,"respread_reruns":$rerunCount""" +
       s""","task_cpu_ratio":${sec(contention)}""" +
       s""","regressions_vs_recorded":${regressions.size}""" +
+      s""","regressions_pre_requeue":${preRegressions.size}""" +
+      s""","requeue_cleared":$requeueCleared""" +
       s""","regressions":${regJson(regressions)}""" +
       s""","diag":${toDiagJson(results)},"value":${sec(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

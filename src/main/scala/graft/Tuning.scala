@@ -169,7 +169,19 @@ object Tuning {
     *
     * Never throws: tuning is an optimization — a failed probe or clone
     * returns the parent unchanged. Disabled via [[EnabledKey]]=false; the
-    * env override, when present, is applied verbatim, derivation skipped. */
+    * env override, when present, is applied verbatim, derivation skipped.
+    *
+    * Concurrency contract: the semantics re-sync mutates the SHARED
+    * memoized clone's conf on every hit, and SQLConf is read at frame
+    * execution — so two callers running queries over same-clone dirs
+    * CONCURRENTLY, under a parent whose ANSI/timezone conf differs between
+    * their calls, could flip one query's semantics mid-flight. Every
+    * in-repo caller (bench, verify, the query registries) executes
+    * serially per session, and callers that never touch [[SemanticsConfs]]
+    * between calls are unaffected; a deployment that wants concurrent
+    * per-query semantics divergence should pass distinct PARENT sessions
+    * (each gets its own clone key via `Tables.sessionKey`), which is the
+    * supported isolation boundary. */
   def sessionFor(spark: SparkSession, dir: String): SparkSession =
     sessionForWith(spark, dir, sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
 

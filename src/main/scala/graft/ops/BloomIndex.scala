@@ -123,12 +123,20 @@ object BloomIndex {
       if (index.columns.contains("key_type")) col("key_type")
       else lit(null).cast("string")
     val probeFn = udf(new BloomProbe(keys, overrideType, fallbackType))
-    // Clamp: cap + 1 must not overflow Int (a user "disabling" the cap
-    // with Int.MaxValue would otherwise turn limit() negative), and a
-    // nonpositive cap would fail every probe of any non-empty index.
-    val cap = index.sparkSession.conf.getOption(MaxProbedFilesKey)
-      .flatMap(_.toIntOption).getOrElse(MaxProbedFilesDefault)
-      .max(1).min(Int.MaxValue - 1)
+    // An unparseable or nonpositive cap fails LOUDLY: a user raising the
+    // cap past Int.MaxValue (or typo-ing it) must hear "your conf was
+    // ignored", not hit the default-cap exception with no hint why. The
+    // Int.MaxValue - 1 clamp keeps cap + 1 from overflowing limit().
+    val cap = index.sparkSession.conf.getOption(MaxProbedFilesKey) match {
+      case None => MaxProbedFilesDefault
+      case Some(s) => s.toIntOption.filter(_ > 0) match {
+        case Some(n) => n.min(Int.MaxValue - 1)
+        case None => throw new IllegalArgumentException(
+          s"$MaxProbedFilesKey='$s' is not a positive Int " +
+            s"(max ${Int.MaxValue - 1}); set a valid value or unset it " +
+            s"to use the default $MaxProbedFilesDefault")
+      }
+    }
     val rows = index.select(col("file"), probeFn(col("bloom"), typeCol).as("hit"))
       .limit(cap + 1)
       .collect()

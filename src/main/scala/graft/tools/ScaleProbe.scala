@@ -56,7 +56,32 @@ object ScaleProbe {
     // q02 steady-state 2.0 -> 3.5 s, probe-context 19 s). The listing
     // overhead is the smaller and better-understood distortion, and the
     // committed OCTAVE_BASELINE was recorded on this layout — keep it.
-    val stagedMarker = java.nio.file.Paths.get(big, s"_graft_replicas_ok_${replicas}_v3")
+    // The marker name carries (replica count, base-corpus fingerprint): a
+    // reused stable dir staged from a SINCE-REGENERATED base would otherwise
+    // pass the replica-count check and silently time stale data under a
+    // current-looking label — the same wrong-scale hazard the marker's
+    // versioning exists to prevent. The fingerprint hashes the base path
+    // plus the size/mtime of every file under base/lineitem.parquet (the
+    // largest staged table; any regeneration rewrites it).
+    val baseFingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(base.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val li = java.nio.file.Paths.get(base, "lineitem.parquet")
+      if (java.nio.file.Files.exists(li)) {
+        val walk = java.nio.file.Files.walk(li)
+        try walk.filter(java.nio.file.Files.isRegularFile(_))
+          .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+          .forEach { p =>
+            val stamp = s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+            md.update(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        finally walk.close()
+      }
+      md.digest().take(6).map("%02x".format(_)).mkString
+    }
+    val stagedMarker = java.nio.file.Paths.get(big,
+      s"_graft_replicas_ok_${replicas}_${baseFingerprint}_v4")
     val OffsetStep = 100000000L
     val docs = Tables.documents(spark, base)
 
@@ -382,8 +407,15 @@ object ScaleProbe {
           import org.json4s._
           val doc = org.json4s.jackson.JsonMethods.parse(new String(
             java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+          // JInt/JDouble/JDecimal — the same matcher set Bench.scala's
+          // octaveNote reader uses. A ledger writer that serializes the
+          // replica count as a decimal would otherwise read as replicas=0
+          // here and silently disable the gate as "no comparable ledger".
           val reps = (doc \ "_meta" \ "replicas") match {
-            case JInt(n) => n.toInt case JDouble(n) => n.toInt case _ => 0
+            case JInt(n) => n.toInt
+            case JDouble(n) => n.toInt
+            case JDecimal(n) => n.toInt
+            case _ => 0
           }
           val m = (doc \ "queries") match {
             case JObject(fields) => fields.collect {
@@ -417,14 +449,19 @@ object ScaleProbe {
         s"(factor $OctaveFactor, floor ${OctaveMinDeltaSec}s, ${sweep.size} queries)")
       else println(s"[octave] no comparable ledger at $recPath for replicas=$replicas " +
         s"(recorded replicas=${recorded._1}) — ledger compare skipped")
+      // JSON-escape every interpolated string (same escape Bench.scala
+      // applies to octaveNote): base_dir is operator-chosen and query keys
+      // reach here from args — a quote or backslash in either would emit
+      // a document the downstream ledger tooling can't parse.
+      def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
       val rows = sweep.map { case (q, (t1, t8)) =>
-        s""""$q":{"base":${j(t1)},"big":${j(t8)},"ratio":${j(t8 / math.max(t1, 0.05))}}"""
+        s""""${esc(q)}":{"base":${j(t1)},"big":${j(t8)},"ratio":${j(t8 / math.max(t1, 0.05))}}"""
       }.mkString(",")
       val flagRows = flags.map { case (q, r1, r0) =>
-        s""""$q":{"ratio":${j(r1)},"recorded_ratio":${j(r0)}}""" }.mkString(",")
+        s""""${esc(q)}":{"ratio":${j(r1)},"recorded_ratio":${j(r0)}}""" }.mkString(",")
       val outPath = sys.env.getOrElse("SPARK_GRAFT_OCTAVE_OUT", "octave_out.json")
       val doc = s"""{"_meta":{"replicas":$replicas,"reps":$probeReps,""" +
-        s""""base_dir":"$base","n_queries":${sweep.size},""" +
+        s""""base_dir":"${esc(base)}","n_queries":${sweep.size},""" +
         s""""octave_regressions":${flags.size}},""" +
         s""""flags":{$flagRows},"queries":{$rows}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

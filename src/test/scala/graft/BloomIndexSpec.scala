@@ -189,6 +189,16 @@ class BloomIndexSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("more than 5 indexed files"), ex.getMessage)
       assert(ex.getMessage.contains(BloomIndex.MaxProbedFilesKey), ex.getMessage)
+      // an UNPARSEABLE cap fails loudly naming the conf — a user raising it
+      // past Int.MaxValue must hear "ignored", not hit the default-cap path
+      for (bad <- Seq("5000000000", "lots", "0", "-3")) {
+        spark.conf.set(BloomIndex.MaxProbedFilesKey, bad)
+        val e2 = intercept[IllegalArgumentException] {
+          BloomIndex.candidateFiles(idx, Seq(7L))
+        }
+        assert(e2.getMessage.contains(BloomIndex.MaxProbedFilesKey), e2.getMessage)
+        assert(e2.getMessage.contains(bad), e2.getMessage)
+      }
     } finally spark.conf.unset(BloomIndex.MaxProbedFilesKey)
   }
 
