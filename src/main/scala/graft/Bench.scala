@@ -67,13 +67,22 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
-  /** Host-wide busy CPU seconds since boot (all cores, non-idle/non-iowait
-    * jiffies from /proc/stat at the Linux-universal USER_HZ=100). Sampled
-    * around each query so a flag line can carry its own weather evidence:
-    * host busy minus THIS process's CPU over the window is CPU burned by
-    * something else — external load, named in the artifact instead of
-    * inferred from a next-round autopsy. -1 when unreadable (non-Linux). */
-  private def hostBusySec(): Double =
+  /** Host-wide (busy, steal) CPU seconds since boot (all cores, jiffies
+    * from /proc/stat at the Linux-universal USER_HZ=100; busy = non-idle/
+    * non-iowait INCLUDING steal). Sampled around each query so a flag line
+    * carries its own weather evidence, split into the two storm classes:
+    *
+    *  - `steal` — cycles the HYPERVISOR took from this guest. Measured in
+    *    anger: a bench run on this box accrued 1,518 s of steal over a
+    *    ~1,530 s window (≈1 full core taken continuously), inflating every
+    *    wall ~1.5× with zero other-process CPU — invisible to any
+    *    process-level accounting, because a KVM guest charges stolen
+    *    slices to the running process's utime/stime too.
+    *  - `ext` = busy − steal − this JVM's CPU — cycles burned by OTHER
+    *    processes inside this VM.
+    *
+    * (-1, -1) when unreadable (non-Linux). */
+  private def hostCpuSec(): (Double, Double) =
     try {
       val line = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0)
@@ -81,8 +90,9 @@ object Bench {
       // fields: user nice system idle iowait irq softirq steal guest ...
       val busy = f.zipWithIndex.collect {
         case (v, i) if i != 3 && i != 4 => v }.sum
-      busy / 100.0
-    } catch { case _: Throwable => -1.0 }
+      val steal = if (f.length > 7) f(7) else 0L
+      (busy / 100.0, steal / 100.0)
+    } catch { case _: Throwable => (-1.0, -1.0) }
 
   /** This JVM's total CPU seconds (all threads). -1 when the platform bean
     * doesn't expose it. */
@@ -97,20 +107,29 @@ object Bench {
   /** `wall` is the median of `walls` (one entry per rep); task/GC/CPU
     * metrics are summed across ALL reps of the query. `extraReps` counts
     * the suite-end re-runs the spread/regression guards added (0 =
-    * unflagged). `extCpuSec` is CPU burned by OTHER processes during the
-    * query's timed windows (host busy minus self); `windowSec` is the
-    * summed wall of those windows, so extCpuSec/windowSec reads as
-    * "external cores running alongside this query" — the per-query
-    * contention figure. Both -1 when the platform counters are absent. */
+    * unflagged). `extCpuSec` is CPU burned by OTHER processes in this VM
+    * during the query's timed windows (host busy minus steal minus self);
+    * `stealCpuSec` is CPU the hypervisor took from the guest in those
+    * windows; `windowSec` is the summed wall of the windows, so the
+    * per-window quotients read as "external / stolen cores running
+    * alongside this query" — the per-query contention figures. -1 when
+    * the platform counters are absent. */
   private final case class Diag(order: Int, wall: Double, walls: Seq[Double],
                                 taskSec: Double, taskGcSec: Double,
                                 jvmGcSec: Double, cpuSec: Double, nTasks: Long,
                                 extraReps: Int = 0,
-                                extCpuSec: Double = -1.0, windowSec: Double = 0.0) {
-    /** External cores alongside this query's reps (≥0; -1 = unmeasured).
-      * A quiet box reads ~0; a flag measured at 3+ is storm evidence. */
+                                extCpuSec: Double = -1.0,
+                                stealCpuSec: Double = -1.0,
+                                windowSec: Double = 0.0) {
+    /** External in-VM cores alongside this query's reps (≥0; -1 =
+      * unmeasured). A quiet box reads ~0. */
     def extCores: Double =
       if (extCpuSec < 0 || windowSec <= 0) -1.0 else extCpuSec / windowSec
+    /** Hypervisor-stolen cores alongside this query's reps (≥0; -1 =
+      * unmeasured). ≳0.5 = the guest is throttled and walls overstate
+      * the code. */
+    def stealCores: Double =
+      if (stealCpuSec < 0 || windowSec <= 0) -1.0 else stealCpuSec / windowSec
     /** Per-query task run/CPU ratio — same fingerprint as the suite-level
       * one, attributable to a single flag line. 0 when no CPU recorded. */
     def taskCpuRatio: Double = if (cpuSec > 0) taskSec / cpuSec else 0.0
@@ -302,33 +321,54 @@ object Bench {
       // query while looking like a fast rep. Failed attempts are kept only
       // as a last resort when NO rep succeeded, so the artifact still has a
       // number next to the stderr error instead of an unparseable hole.
-      val hb0 = hostBusySec(); val sc0 = selfCpuSec()
-      val attempts = (1 to reps).flatMap { i =>
-        if (i > 1 && elapsedSec() > deadlineSec) None
+      val (hb0, hs0) = hostCpuSec(); val sc0 = selfCpuSec()
+      // Deadline degradation is rep-COST-aware (round 18): the alphabetical
+      // tail (q85–q99) lands last in run order, so a slow run used to
+      // single-rep exactly those queries every time — the official r17
+      // artifact's entire q85–q97 "regression block" was single-shot walls
+      // taken past the deadline at peak late-run contention (q93 task/cpu
+      // 8.98). A sub-second query's extra reps cost ~a second and are
+      // precisely the median protection those flags needed, so cheap
+      // queries keep their reps inside a small bounded grace; only
+      // multi-second reps degrade to single-shot at the deadline.
+      val CheapRepSec = 1.0
+      val cheapGraceSec = 90.0
+      val attempts = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+      var rep = 1
+      var halted = false
+      while (rep <= reps && !halted) {
+        if (rep > 1 && elapsedSec() > deadlineSec &&
+            !(attempts.head._1 < CheapRepSec &&
+              elapsedSec() < deadlineSec + cheapGraceSec)) halted = true
         else {
           val t0 = System.nanoTime()
           val ok =
             try { run(name, sfDir); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-          Some(((System.nanoTime() - t0) / 1e9, ok))
+          attempts += (((System.nanoTime() - t0) / 1e9, ok))
+          rep += 1
         }
       }
-      val hb1 = hostBusySec(); val sc1 = selfCpuSec()
-      val walls = {
+      val (hb1, hs1) = hostCpuSec(); val sc1 = selfCpuSec()
+      val walls: Seq[Double] = {
         val good = attempts.collect { case (w, true) => w }
-        if (good.nonEmpty) good else attempts.map(_._1)
+        (if (good.nonEmpty) good else attempts.map(_._1)).toSeq
       }
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
       order += 1
-      val ext =
-        if (hb0 < 0 || hb1 < 0 || sc0 < 0 || sc1 < 0) -1.0
-        else math.max(0.0, (hb1 - hb0) - (sc1 - sc0))
+      // Self CPU includes slices the hypervisor stole mid-run (the guest
+      // can't tell), so external in-VM CPU subtracts steal separately.
+      val (ext, steal) =
+        if (hb0 < 0 || hb1 < 0 || sc0 < 0 || sc1 < 0) (-1.0, -1.0)
+        else (math.max(0.0, (hb1 - hb0) - (hs1 - hs0) - (sc1 - sc0)),
+              math.max(0.0, hs1 - hs0))
       resultsBuf(name) = Diag(order, medianOf(walls), walls,
         (r1 - r0) / 1e3, (g1 - g0) / 1e3,
         (j1 - j0) / 1e3, (c1 - c0) / 1e9, n1 - n0,
-        extCpuSec = ext, windowSec = attempts.map(_._1).sum)
+        extCpuSec = ext, stealCpuSec = steal,
+        windowSec = attempts.map(_._1).sum)
     }
     // Storm-rep guard: a query whose reps spread >SpreadLimit× had at least
     // one rep inflated by host weather — its 3-rep median may still rest on
@@ -351,7 +391,7 @@ object Bench {
       System.gc()
       val (r0, g0, c0, n0) = settled()
       val j0 = jvmGcMs()
-      val hb0 = hostBusySec(); val sc0 = selfCpuSec()
+      val (hb0, hs0) = hostCpuSec(); val sc0 = selfCpuSec()
       val extra = (1 to maxExtra).flatMap { _ =>
         if (elapsedSec() > deadlineSec + graceSec) None
         else {
@@ -361,20 +401,23 @@ object Bench {
             System.err.println(s"[$tag] $name: ${e.getMessage}"); None }
         }
       }
-      val hb1 = hostBusySec(); val sc1 = selfCpuSec()
+      val (hb1, hs1) = hostCpuSec(); val sc1 = selfCpuSec()
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
       val d = resultsBuf(name)
       val walls = d.walls ++ extra
-      val ext =
-        if (d.extCpuSec < 0 || hb0 < 0 || hb1 < 0 || sc0 < 0 || sc1 < 0) d.extCpuSec
-        else d.extCpuSec + math.max(0.0, (hb1 - hb0) - (sc1 - sc0))
+      val (ext, steal) =
+        if (d.extCpuSec < 0 || hb0 < 0 || hb1 < 0 || sc0 < 0 || sc1 < 0)
+          (d.extCpuSec, d.stealCpuSec)
+        else (d.extCpuSec +
+                math.max(0.0, (hb1 - hb0) - (hs1 - hs0) - (sc1 - sc0)),
+              math.max(0.0, d.stealCpuSec) + math.max(0.0, hs1 - hs0))
       resultsBuf(name) = d.copy(
         wall = medianOf(walls), walls = walls,
         taskSec = d.taskSec + (r1 - r0) / 1e3, taskGcSec = d.taskGcSec + (g1 - g0) / 1e3,
         jvmGcSec = d.jvmGcSec + (j1 - j0) / 1e3, cpuSec = d.cpuSec + (c1 - c0) / 1e9,
         nTasks = d.nTasks + (n1 - n0), extraReps = d.extraReps + extra.size,
-        extCpuSec = ext, windowSec = d.windowSec + extra.sum)
+        extCpuSec = ext, stealCpuSec = steal, windowSec = d.windowSec + extra.sum)
       System.err.println(f"[$tag] $name +${extra.size} reps, " +
         f"median ${d.wall}%.3f -> ${resultsBuf(name).wall}%.3f s")
     }
@@ -458,7 +501,9 @@ object Bench {
     val requeueCleared = preRegressions.size - regressions.size
     def contTag(d: Diag): String = {
       val ec = if (d.extCores < 0) "n/a" else f"${d.extCores}%.1f"
-      f"ext_cores $ec, task_cpu ${d.taskCpuRatio}%.2f"
+      val st = if (d.stealCores < 0) "n/a" else f"${d.stealCores}%.2f"
+      f"steal_cores $st, ext_cores $ec, task_cpu ${d.taskCpuRatio}%.2f, " +
+        s"reps ${d.walls.size}"
     }
     regressions.foreach { case (k, w, b) => System.err.println(
       f"[bench-regression] $k ${w}%.3f s vs recorded ${b}%.3f s (${w / b}%.2fx) " +
@@ -477,7 +522,9 @@ object Bench {
           ",\"n_tasks\":" + d.nTasks +
           ",\"task_cpu_ratio\":" + sec(d.taskCpuRatio) +
           ",\"ext_cpu_sec\":" + sec(d.extCpuSec) +
-          ",\"ext_cores\":" + sec(d.extCores) + "}"
+          ",\"ext_cores\":" + sec(d.extCores) +
+          ",\"steal_cpu_sec\":" + sec(d.stealCpuSec) +
+          ",\"steal_cores\":" + sec(d.stealCores) + "}"
       }.mkString("{", ",", "}")
     val total = results.map(_._2.wall).sum
     // Suite-level contention fingerprint: executor task run time vs task CPU
@@ -487,6 +534,16 @@ object Bench {
     val sumTask = results.map(_._2.taskSec).sum
     val sumCpu = results.map(_._2.cpuSec).sum
     val contention = if (sumCpu > 0) sumTask / sumCpu else 0.0
+    // Suite-level hypervisor-steal figure: stolen cores averaged over the
+    // timed windows. The r18 storm that motivated this measured ~1.0 here
+    // (1,518 s of steal over a ~1,530 s run — every wall ~1.5× inflated
+    // with ext_cores ~0); a quiet window reads ~0.00–0.05.
+    val sumSteal = results.map(d => math.max(0.0, d._2.stealCpuSec)).sum
+    val sumWindow = results.map(_._2.windowSec).sum
+    val stealSuite =
+      if (results.exists(_._2.stealCpuSec >= 0) && sumWindow > 0)
+        sumSteal / sumWindow
+      else -1.0
     // Octave-ledger pointer: the 64x scaling sweep is too heavy to run in
     // the per-round bench, but its recorded ledger (OCTAVE_BASELINE.json,
     // committed; ScaleProbe compares against it and flags >1.5x-recorded
@@ -531,8 +588,10 @@ object Bench {
       rs.map { case (k, w, b) =>
         val d = resultsBuf(k)
         "\"" + k + "\":{\"sec\":" + sec(w) + ",\"baseline_sec\":" + sec(b) +
+          ",\"steal_cores\":" + sec(d.stealCores) +
           ",\"ext_cores\":" + sec(d.extCores) +
-          ",\"task_cpu_ratio\":" + sec(d.taskCpuRatio) + "}"
+          ",\"task_cpu_ratio\":" + sec(d.taskCpuRatio) +
+          ",\"reps_measured\":" + d.walls.size + "}"
       }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","unit":"sec","sf":"$sfDir"""" +
       s""","n_queries":${results.size},"queries":${toJson(slowest)}""" +
@@ -540,6 +599,7 @@ object Bench {
       s""","prepare_sec":${sec(prepareSec)},"prepare_failed":$prepareFailed""" +
       s""","reps":$reps,"respread_reruns":$rerunCount""" +
       s""","task_cpu_ratio":${sec(contention)}""" +
+      s""","steal_cores":${sec(stealSuite)}""" +
       s""","regressions_vs_recorded":${regressions.size}""" +
       s""","regressions_pre_requeue":${preRegressions.size}""" +
       s""","requeue_cleared":$requeueCleared""" +
@@ -552,6 +612,7 @@ object Bench {
       s""","prepare_failed":$prepareFailed""" +
       s""","reps":$reps,"respread_reruns":$rerunCount""" +
       s""","task_cpu_ratio":${sec(contention)}""" +
+      s""","steal_cores":${sec(stealSuite)}""" +
       s""","regressions_vs_recorded":${regressions.size}""" +
       s""","regressions_pre_requeue":${preRegressions.size}""" +
       s""","requeue_cleared":$requeueCleared""" +

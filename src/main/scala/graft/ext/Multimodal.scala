@@ -178,6 +178,49 @@ object Multimodal {
     }.toDF().orderBy($"media_id")
   }
 
+  case class GifMedia(media_id: Long, payload: Array[Byte])
+  case class GifDecoded(media_id: Long, width: Int, height: Int,
+                        interlaced: Boolean,
+                        mean_r: Double, mean_g: Double, mean_b: Double,
+                        top_r: Double)
+
+  /** q207: REAL image decode over the THIRD raster family — GIF87a through
+    * [[Gif]] (pure-JVM LZW, no libraries). The first ENTROPY-CODED member
+    * of the codec trio: where q140's PPM is a raw dump and q206's BMP is a
+    * layout exercise, the GIF pixel array only exists after a real
+    * variable-width LZW decompression (9→12-bit codes, dictionary build,
+    * KwKwK case, sub-block reassembly) — a desync anywhere corrupts every
+    * downstream pixel and the oracle catches it arithmetically. One image
+    * per document (w = 16 + id mod 31, h = 16 + id mod 25 — odd heights
+    * occur, exercising the ⌊h/2⌋ witness; ODD ids store INTERLACED, so
+    * both row orders are decoded in every run), decoded on executor byte
+    * arrays in the [[decodeBatched]] mapPartitions shape.
+    *
+    * Oracle-checked: index(x,y) = x + y never wraps (w + h ≤ 70), palette
+    * entry i = (i, i+85, i+170) never wraps either, so mean_r =
+    * (w+h−2)/2, mean_g = mean_r + 85, mean_b = mean_r + 170, and the
+    * interlace witness top_r = (w−1)/2 + (⌊h/2⌋−1)/2 — whole-image means
+    * are row-order-invariant, so top_r is the column that breaks if the
+    * 4-pass deinterlace is skipped. */
+  def q207GifDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter($"doc_id" < 2000).select($"doc_id").as[Long]
+    val media = ids.mapPartitions(_.map { d =>
+      GifMedia(d, Gif.encode((16 + d % 31).toInt, (16 + d % 25).toInt,
+        interlaced = d % 2 == 1))
+    })
+    media.mapPartitions { records =>
+      records.map { m =>
+        val img = Gif.decode(m.payload)
+        val (r, g, b) = Gif.channelMeans(img)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        GifDecoded(m.media_id, img.width, img.height, m.media_id % 2 == 1,
+          r6(r), r6(g), r6(b), r6(Gif.topHalfRedMean(img)))
+      }
+    }.toDF().orderBy($"media_id")
+  }
+
   case class WavMedia(media_id: Long, payload: Array[Byte])
   case class WavDecoded(media_id: Long, n_samples: Int, sample_rate: Int,
                         duration_s: Double, mean_amp: Double, rms: Double,

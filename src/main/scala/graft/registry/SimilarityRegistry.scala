@@ -28,6 +28,7 @@ object SimilarityRegistry {
     "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
     "q141_wav_decode" -> (Multimodal.q141WavDecode _),
     "q206_bmp_decode" -> (Multimodal.q206BmpDecode _),
+    "q207_gif_decode" -> (Multimodal.q207GifDecode _),
     "q142_video_frames" -> (Multimodal.q142VideoFrames _),
     "q149_ann_recall_floors" -> (Similarity.q149AnnRecallFloors _),
     "q151_incremental_embedding_neardup" ->
@@ -438,6 +439,25 @@ object SimilarityRegistry {
         |  round((height - 1) / 2.0, 6) AS mean_g,
         |  round((width + height - 2) / 2.0, 6) AS mean_b,
         |  round((height // 2 - 1) / 2.0, 6) AS top_g
+        |FROM m ORDER BY media_id""".stripMargin,
+    // q207: GIF87a closed forms (Gif scaladoc) — index(x,y) = x+y with no
+    // wrap (w+h <= 70) over palette (i, i+85, i+170), so every channel
+    // mean is mean_idx = (w+h-2)/2 plus the palette offset; top_r is the
+    // interlace witness (odd ids store interlaced; the logical image — and
+    // so every oracle column — must not depend on that storage order).
+    "q207_gif_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 31 AS INTEGER) AS width,
+        |    CAST(16 + doc_id % 25 AS INTEGER) AS height,
+        |    doc_id % 2 = 1 AS interlaced
+        |  FROM documents WHERE doc_id < 2000
+        |)
+        |SELECT media_id, width, height, interlaced,
+        |  round((width + height - 2) / 2.0, 6) AS mean_r,
+        |  round((width + height - 2) / 2.0 + 85, 6) AS mean_g,
+        |  round((width + height - 2) / 2.0 + 170, 6) AS mean_b,
+        |  round((width - 1) / 2.0 + (height // 2 - 1) / 2.0, 6) AS top_r
         |FROM m ORDER BY media_id""".stripMargin,
     // q141: sawtooth partial-cycle sums — S1 = -100 per full cycle and
     // T1(r) = r(r-1)/2 - 100r; S2 = 666700 per cycle and

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.ext.{Bmp, Ppm, Wav, Y4m}
+import graft.ext.{Bmp, Gif, Ppm, Wav, Y4m}
 
 /** Property tests for the codec-free trio: encode→decode is the identity
   * and the scan statistics match their closed forms at EVERY dimension in
@@ -41,6 +41,23 @@ class CodecPropertySpec extends SparkSpec {
         }
       }
     }, "ppm-resize")
+  }
+
+  test("property: GIF round-trip + closed-form means for all small dimensions, both interlace modes") {
+    val dims = for {
+      w <- Gen.choose(1, 60); h <- Gen.choose(1, 60)
+      il <- Gen.oneOf(true, false)
+    } yield (w, h, il)
+    check(Prop.forAll(dims) { case (w, h, il) =>
+      val img = Gif.decode(Gif.encode(w, h, il))
+      val (r, g, b) = Gif.channelMeans(img)
+      val m = (w + h - 2) / 2.0
+      img.width == w && img.height == h &&
+        r == m &&
+        (w + h > 172 || g == m + 85) && // palette green wraps past idx 170
+        (w + h > 87 || b == m + 170) && // palette blue wraps past idx 85
+        (h < 2 || Gif.topHalfRedMean(img) == (w - 1) / 2.0 + (h / 2 - 1) / 2.0)
+    }, "gif")
   }
 
   test("property: WAV round-trip + sawtooth closed forms for all sample counts") {
