@@ -555,6 +555,55 @@ object Kernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, seen.size))
   }
+
+  /** All unordered value-ordered pairs of a long array (see
+    * [[SortedLongPairs]]): sort once, emit (a(i), a(j)) structs for i < j.
+    * Output size n(n−1)/2 — callers bound n (basket size). */
+  def sortedLongPairs(xs: ArrayData): ArrayData = {
+    val a = xs.toLongArray()
+    java.util.Arrays.sort(a)
+    val n = a.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a(i), a(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All unordered pairs of a long-array, value-ordered within each pair —
+  * q122's basket pair expansion as ONE scan-local kernel pass: the array
+  * is sorted once and every (a(i), a(j)) with i < j is emitted as a
+  * struct, so `a < b` pair orientation holds by construction. Replaces
+  * the basket self-join (distinct shuffle + join re-shuffle on the order
+  * key); output mass is the same Σ b(b−1)/2, bounded by basket size. A
+  * nested-`transform` HOF form would run its per-element lambdas
+  * interpreted — the q86-class penalty this file exists to avoid. */
+case class SortedLongPairs(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  // Raw long-slot reads (see MinHashSig): pin the element type so narrower
+  // integrals auto-cast at analysis instead of misreading slots.
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def foldable: Boolean = child.foldable
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("part_a", LongType, nullable = false),
+      StructField("part_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.sortedLongPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sortedLongPairs($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class CosineSimF(left: Expression, right: Expression) extends BinaryExpression {
@@ -906,6 +955,8 @@ object NativeKernels {
     columnOf(BpeEstimate(expressionOf(loweredText)))
   def md5U32Components(h: Column, k: Int): Column =
     columnOf(Md5U32Components(expressionOf(h), k))
+  def sortedLongPairs(xs: Column): Column =
+    columnOf(SortedLongPairs(expressionOf(xs)))
   def pqEncode(emb: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
     columnOf(PqEncode(expressionOf(emb), codebook, m, k, subDim))
   def pqAdcScore(code: Column, tbl: Column, k: Int): Column =

@@ -698,9 +698,11 @@ object Extra {
     * support, confidence and lift over order baskets, the first level of the
     * Apriori lattice and the classic "frequently bought together" query.
     *
-    * The pair expansion is a self-join on the order key, so its output is
+    * Baskets are aggregated into arrays in ONE shuffle (`collect_set`
+    * dedups within-basket repeats map-side) and the pair expansion is a
+    * scan-local native kernel over each array, so its output is
     * Σ basket·(basket−1)/2 — bounded by basket size (single digits here),
-    * NOT N², and it aggregates by (part_a, part_b) with map-side partials
+    * NOT N² — and it aggregates by (part_a, part_b) with map-side partials
     * before anything wide moves. Item supports and the basket total ride
     * along as bounded frames. Confidence and lift divide exact longs
     * (lift's numerator/denominator stay in long range by construction), so
@@ -708,9 +710,12 @@ object Extra {
     *
     * Apriori level-1 support pushdown: n_ab ≤ min(n_a, n_b), so an item in
     * fewer than `minSupport` baskets cannot contribute a pair with
-    * n_ab ≥ minSupport — such items drop BEFORE the self-join expansion,
+    * n_ab ≥ minSupport — such items drop BEFORE the pair expansion,
     * where the superlinear mass lives (the long tail of rare items
-    * dominates the raw pair count). The pruned run is provably exact when
+    * dominates the raw pair count). The prune branch engages only when
+    * the support aggregate shows it removes at least one item (a no-op
+    * prune would rebuild the identical basket table through an extra
+    * join). The pruned run is provably exact when
     * every returned pair has n_ab ≥ minSupport (pruning only ever removes
     * sub-threshold pairs, which sort strictly after them); the guard
     * checks exactly that on the ≤ topK result rows and falls back to the
@@ -719,32 +724,46 @@ object Extra {
   def q122MarketBasket(spark: SparkSession, dir: String, topK: Int = 20,
                        minSupport: Long = 2L): DataFrame = {
     import spark.implicits._
-    // The deduped basket table feeds FOUR sinks (n_orders, item supports,
-    // both sides of the pair self-join) and the pruned pipeline
-    // materializes inside this call (localCheckpoint + guard count below),
-    // so caching it trades one in-memory copy of two long columns for
-    // three recomputed scan+distinct stages — and the cache is dropped
-    // before returning. The minSupport<=1 path stays UNcached: it returns
-    // a lazy plan (nothing in this call materializes it), so a cache would
-    // linger unpersisted on the session.
-    val basket = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val li = if (minSupport <= 1L) basket else basket.cache()
-    val nOrders = li.select($"l_orderkey").distinct()
-      .agg(count(lit(1)).as("n_orders"))
+    // Baskets as arrays, ONE shuffle (round 18): the pre-r18 shape built a
+    // DISTINCT (order, part) table and self-joined it on the order key —
+    // three corpus-sized exchanges (distinct, join re-shuffle of both
+    // sides, pair aggregation) before any support math. `collect_set`
+    // dedups within-basket repeats map-side in the SAME aggregation that
+    // groups the basket, and the pair expansion becomes a scan-local
+    // native kernel over each basket array (SortedLongPairs: sort once,
+    // emit value-ordered (a, b) structs — identical semantics to the
+    // self-join's `part_a < part_b` over distinct items). Pair mass is
+    // unchanged (Σ b(b−1)/2, bounded by basket size); what disappears is
+    // two of the three wide exchanges. Same-window A/B at sf0.1
+    // (q121 as the weather control): 1.36× → 0.91× of the control —
+    // ~30% relative — with the no-op-prune skip below contributing the
+    // larger half. The irreducible mass is the pair aggregation itself:
+    // 1.196M of the fixture's 1.2M pairs are distinct (n_ab = 1 tail).
+    val flat = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    def baskets(src: DataFrame): DataFrame =
+      src.groupBy($"l_orderkey")
+        .agg(collect_set($"l_partkey".cast("long")).as("items"))
+    // The basket table feeds three sinks (n_orders, item supports, the
+    // pair expansion) and the pruned pipeline materializes inside this
+    // call (localCheckpoint + guard count below) — cache it and drop the
+    // cache before returning. The minSupport<=1 path stays UNcached: it
+    // returns a lazy plan, so a cache would linger unpersisted.
+    val full = if (minSupport <= 1L) baskets(flat) else baskets(flat).cache()
+    val nOrders = full.agg(count(lit(1)).as("n_orders"))
     // Item supports always come from the FULL basket table: the pushdown
     // narrows the pair expansion only, never the reported n_a/n_b (and so
     // never confidence or lift).
-    val itemN = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+    val itemN = full.select(explode($"items").as("l_partkey"))
+      .groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
     // `minAb`: pair-count floor applied right after the pair aggregation.
     // On the pruned path the exactness guard ALREADY requires every
     // returned pair to clear minSupport, so dropping sub-threshold pairs
     // early is free — and they are the mass (the n_ab = 1 long tail), so
     // the support joins and the top-K sort see a fraction of the pairs.
     def report(src: DataFrame, minAb: Long): DataFrame = {
-      val pairs = src.select($"l_orderkey", $"l_partkey".as("part_a"))
-        .join(src.select($"l_orderkey", $"l_partkey".as("part_b")), "l_orderkey")
-        .filter($"part_a" < $"part_b")
+      val pairs = src
+        .select(explode(graft.functions.NativeKernels.sortedLongPairs($"items")).as("p"))
+        .select($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
         .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_ab"))
         .filter($"n_ab" >= minAb)
       pairs
@@ -757,19 +776,32 @@ object Extra {
         .orderBy($"n_ab".desc, $"part_a", $"part_b")
         .limit(topK)
     }
-    if (minSupport <= 1L) return report(li, 1L)
-    val frequent = itemN.filter($"n_item" >= minSupport).select($"l_partkey")
+    if (minSupport <= 1L) return report(full, 1L)
+    // Engage the Apriori item-prune only when it REMOVES something: one
+    // count over the (cached-input, |items|-row) support aggregate decides.
+    // On a corpus whose every item is frequent — this fixture at sf0.1:
+    // 20,000 of 20,000 items clear minSupport=2 — the pruned path used to
+    // rebuild the identical basket table through an extra join and
+    // aggregation just to expand the same pairs; the long-tail corpus the
+    // pushdown is FOR (most items in one basket only) still takes the
+    // pruned branch, where the join pays for itself by shrinking the
+    // superlinear pair mass.
+    val nInfrequent = itemN.filter($"n_item" < minSupport).count()
     // Result-sized leaf: the exactness guard reads it here AND the caller
-    // materializes it — without the checkpoint the pruned pipeline would
-    // execute twice.
-    val pruned = report(li.join(frequent, "l_partkey"), minSupport).localCheckpoint()
+    // materializes it — without the checkpoint the pipeline would execute
+    // twice.
+    val candidate = (if (nInfrequent == 0L) report(full, minSupport)
+      else {
+        val frequent = itemN.filter($"n_item" >= minSupport).select($"l_partkey")
+        report(baskets(flat.join(frequent, "l_partkey")), minSupport)
+      }).localCheckpoint()
     // Exactness guard: the minAb floor already guarantees every surviving
     // row has n_ab >= minSupport, so a FULL top-K means no pruned-away
     // (necessarily sub-threshold) pair could have placed — only a short
     // result can hide one, and that falls back to the unpruned expansion.
-    val out = if (pruned.count() >= topK) pruned
-              else report(li, 1L).localCheckpoint()
-    li.unpersist(blocking = false)
+    val out = if (candidate.count() >= topK) candidate
+              else report(full, 1L).localCheckpoint()
+    full.unpersist(blocking = false)
     out
   }
 

@@ -291,11 +291,16 @@ class PlanSpec extends SparkSpec {
       "per-lang top-k not pushed below the window — full groups would shuffle")
   }
 
-  test("q122: basket pair expansion joins hash-equi, never nested-loop") {
+  test("q122: basket pair expansion is scan-local explode; support joins hash-equi, never nested-loop") {
     // minSupport = 1 exercises the report pipeline directly: the default
-    // pruned path returns a checkpointed result leaf whose plan is just a
-    // scan (the pipeline shape is identical plus one item-filter join).
+    // guarded path returns a checkpointed result leaf whose plan is just a
+    // scan (the pipeline shape is identical plus the support-floor filter).
     val plan = planOf(graft.queries.Extra.q122MarketBasket(spark, sf0001, 20, 1L))
+    // round 18: pairs come from the SortedLongPairs kernel exploded over
+    // basket arrays — a Generate over the one basket aggregation, not a
+    // basket self-join
+    assert(plan.contains("Generate"),
+      "pair expansion must be the scan-local explode, not a self-join")
     // The ONLY non-equi join allowed is the broadcast cross with the 1-row
     // totals frame; a second nested-loop/cartesian means the pair expansion
     // or an item-support join lost its equi key. Count node-detail headers
