@@ -193,6 +193,43 @@ class FunctionsSpec extends SparkSpec {
     assert(kernel == ref, s"kernel=$kernel ref=$ref")
   }
 
+  test("sorted_long_pairs kernel equals the self-join formulation it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Seq(5L, 2L, 9L)),   // unsorted input: pairs must be value-ordered
+      (2L, Seq(7L, 7L, 1L)),   // duplicates (collect_set never yields them,
+                               //  but the kernel is on the Column surface)
+      (3L, Seq(4L)),           // singleton: no pairs
+      (4L, Seq[Long]()),       // empty: no pairs
+      (5L, Seq(3L, 1L, 4L, 1L, 5L))) // 5 items -> C(5,2)=10 incl. dup pair
+    val df = rows.toDF("id", "items")
+    val kernel = df.select($"id",
+        explode(graft.functions.NativeKernels.sortedLongPairs($"items")).as("p"))
+      .select($"id", $"p.part_a", $"p.part_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val flat = df.select($"id", explode($"items").as("v"))
+    // the strict-< self-join drops equal-VALUE pairs, which distinct
+    // basket items never produce; the dup rows are asserted separately
+    val ref = flat.as("a").join(flat.as("b"), Seq("id"))
+      .where($"a.v" < $"b.v")
+      .select($"id", $"a.v".as("pa"), $"b.v".as("pb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // compare on the dup-free rows (ids 1, 3, 4, 5 minus the dup pair);
+    // dup-pair semantics asserted directly below
+    val kernelNoDups = kernel.filter { case (_, a, b) => a != b }
+    assert(kernelNoDups == ref, s"kernel=$kernelNoDups ref=$ref")
+    // duplicates: i < j over the sorted array emits (v, v) once per
+    // duplicated value pair — id 2's [7,7,1] gives (1,7),(1,7)? no:
+    // sorted [1,7,7] -> (1,7),(1,7),(7,7)
+    assert(kernel.filter(_._1 == 2L) ==
+      Seq((2L, 1L, 7L), (2L, 1L, 7L), (2L, 7L, 7L)))
+    assert(kernel.count(_._1 == 5L) == 10)
+    assert(!kernel.exists(t => t._1 == 3L || t._1 == 4L))
+  }
+
   test("WordShingles rejects k <= 0 at construction, not per-row in the kernel") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     intercept[IllegalArgumentException] { graft.functions.WordShingles(Literal(null), 0) }
