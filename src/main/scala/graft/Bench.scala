@@ -32,8 +32,10 @@ import org.apache.spark.sql.SparkSession
   * task/JVM GC time and CPU time next to wall time, so a contended run
   * (wall ≫ task time, or GC spike) is provably machine noise rather than
   * arguably so. Round 18 adds per-query EXTERNAL-load telemetry
-  * (`ext_cores`: host busy CPU minus this JVM's, per second of the query's
-  * timed windows — /proc/stat vs ProcessCpuTime) and a regression REQUEUE:
+  * (`steal_cores`: hypervisor-stolen CPU from /proc/stat's steal field;
+  * `ext_cores`: host busy minus steal minus this JVM's CPU — other
+  * processes in this VM; both per second of the query's timed windows)
+  * and a regression REQUEUE:
   * queries flagged against the recorded ledger are re-measured at suite
   * end (median over up to 5 reps spanning two points in the run), so a
   * mid-run contention burst (the r17 q85–q97 block) adjudicates itself in
