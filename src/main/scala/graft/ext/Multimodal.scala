@@ -221,6 +221,53 @@ object Multimodal {
     }.toDF().orderBy($"media_id")
   }
 
+  case class PngMedia(media_id: Long, payload: Array[Byte])
+  case class PngDecoded(media_id: Long, width: Int, height: Int,
+                        interlaced: Boolean,
+                        mean_r: Double, mean_g: Double, mean_b: Double,
+                        top_r: Double)
+
+  /** q208: REAL image decode over the FOURTH raster family — 8-bit
+    * truecolor PNG through [[Png]] (pure-JVM; the DEFLATE layer is the
+    * JDK's `Inflater`, no libraries). PNG completes the codec family's
+    * trap taxonomy: where q140's PPM is a raw dump, q206's BMP is layout
+    * traps and q207's GIF is dictionary entropy coding, the PNG pixel
+    * array only exists after CRC-validated big-endian chunk walking,
+    * multi-IDAT zlib reassembly, and per-scanline PREDICTIVE FILTER
+    * reconstruction — the encoder cycles all five filter types
+    * (None/Sub/Up/Average/Paeth) across rows, and filters chain on the
+    * reconstructed prior row, so one wrong byte corrupts every later row
+    * and lands in the means. One image per document (w = 16 + id mod 31,
+    * h = 16 + id mod 25 — odd heights exercise the ⌊h/2⌋ witness; ODD ids
+    * store Adam7-INTERLACED, so both layouts decode in every run), decoded
+    * on executor byte arrays in the [[decodeBatched]] mapPartitions shape.
+    *
+    * Oracle-checked: r(x,y) = x + y, g = x, b = y, none wrapping
+    * (w + h ≤ 70), so mean_r = (w+h−2)/2, mean_g = (w−1)/2, mean_b =
+    * (h−1)/2, and the Adam7 witness top_r = (w−1)/2 + (⌊h/2⌋−1)/2 —
+    * whole-image means are placement-invariant, so top_r is the column
+    * that breaks if pass geometry is wrong. `n_bytes` has no closed form
+    * (DEFLATE output length is content-dependent), so the byte-length
+    * check lives in PngSpec, not the oracle. */
+  def q208PngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter($"doc_id" < 2000).select($"doc_id").as[Long]
+    val media = ids.mapPartitions(_.map { d =>
+      PngMedia(d, Png.encode((16 + d % 31).toInt, (16 + d % 25).toInt,
+        interlaced = d % 2 == 1))
+    })
+    media.mapPartitions { records =>
+      records.map { m =>
+        val img = Png.decode(m.payload)
+        val (r, g, b) = Png.channelMeans(img)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        PngDecoded(m.media_id, img.width, img.height, m.media_id % 2 == 1,
+          r6(r), r6(g), r6(b), r6(Png.topHalfRedMean(img)))
+      }
+    }.toDF().orderBy($"media_id")
+  }
+
   case class WavMedia(media_id: Long, payload: Array[Byte])
   case class WavDecoded(media_id: Long, n_samples: Int, sample_rate: Int,
                         duration_s: Double, mean_amp: Double, rms: Double,

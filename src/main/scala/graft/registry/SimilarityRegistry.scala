@@ -29,6 +29,7 @@ object SimilarityRegistry {
     "q141_wav_decode" -> (Multimodal.q141WavDecode _),
     "q206_bmp_decode" -> (Multimodal.q206BmpDecode _),
     "q207_gif_decode" -> (Multimodal.q207GifDecode _),
+    "q208_png_decode" -> (Multimodal.q208PngDecode _),
     "q142_video_frames" -> (Multimodal.q142VideoFrames _),
     "q149_ann_recall_floors" -> (Similarity.q149AnnRecallFloors _),
     "q151_incremental_embedding_neardup" ->
@@ -457,6 +458,26 @@ object SimilarityRegistry {
         |  round((width + height - 2) / 2.0, 6) AS mean_r,
         |  round((width + height - 2) / 2.0 + 85, 6) AS mean_g,
         |  round((width + height - 2) / 2.0 + 170, 6) AS mean_b,
+        |  round((width - 1) / 2.0 + (height // 2 - 1) / 2.0, 6) AS top_r
+        |FROM m ORDER BY media_id""".stripMargin,
+    // q208: PNG closed forms (Png scaladoc) — r(x,y) = x+y, g = x, b = y,
+    // none wrapping (w+h <= 70), so the channel means are the ramp means
+    // and top_r is the Adam7-placement witness (odd ids store interlaced;
+    // the logical image — and so every oracle column — must not depend on
+    // that storage order). n_bytes has no closed form (DEFLATE length is
+    // content-dependent) so the byte-length check lives in PngSpec.
+    "q208_png_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 31 AS INTEGER) AS width,
+        |    CAST(16 + doc_id % 25 AS INTEGER) AS height,
+        |    doc_id % 2 = 1 AS interlaced
+        |  FROM documents WHERE doc_id < 2000
+        |)
+        |SELECT media_id, width, height, interlaced,
+        |  round((width + height - 2) / 2.0, 6) AS mean_r,
+        |  round((width - 1) / 2.0, 6) AS mean_g,
+        |  round((height - 1) / 2.0, 6) AS mean_b,
         |  round((width - 1) / 2.0 + (height // 2 - 1) / 2.0, 6) AS top_r
         |FROM m ORDER BY media_id""".stripMargin,
     // q141: sawtooth partial-cycle sums — S1 = -100 per full cycle and

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
-import graft.ext.{Bmp, Gif, Ppm, Wav, Y4m}
+import graft.ext.{Bmp, Gif, Png, Ppm, Wav, Y4m}
 
 /** Property tests for the codec-free trio: encode→decode is the identity
   * and the scan statistics match their closed forms at EVERY dimension in
@@ -97,6 +97,34 @@ class CodecPropertySpec extends SparkSpec {
         // the row-order witness: top ⌊h/2⌋ rows' green mean (h >= 2)
         (h < 2 || Bmp.topHalfGreenMean(img) == (h / 2 - 1) / 2.0)
     }, "bmp")
+  }
+
+  test("property: PNG round-trip + closed-form means at every size, both interlace modes") {
+    val dims = for {
+      w <- Gen.choose(1, 60); h <- Gen.choose(1, 60)
+      il <- Gen.oneOf(true, false)
+    } yield (w, h, il)
+    check(Prop.forAll(dims) { case (w, h, il) =>
+      val img = Png.decode(Png.encode(w, h, il))
+      val (r, g, b) = Png.channelMeans(img)
+      img.width == w && img.height == h &&
+        r == (w + h - 2) / 2.0 && // x+y <= 118, never wraps in range
+        g == (w - 1) / 2.0 && b == (h - 1) / 2.0 &&
+        (h < 2 || Png.topHalfRedMean(img) == (w - 1) / 2.0 + (h / 2 - 1) / 2.0)
+    }, "png")
+  }
+
+  test("property: Adam7 places every pixel exactly once at every size") {
+    val dims = for { w <- Gen.choose(1, 40); h <- Gen.choose(1, 40) } yield (w, h)
+    check(Prop.forAll(dims) { case (w, h) =>
+      val hits = new Array[Int](w * h)
+      for (pass @ (x0, y0, dx, dy) <- Png.Adam7) {
+        val (pw, ph) = Png.passDims(w, h, pass)
+        for (j <- 0 until ph; i <- 0 until pw)
+          hits((y0 + j * dy) * w + (x0 + i * dx)) += 1
+      }
+      hits.forall(_ == 1)
+    }, "adam7-coverage")
   }
 
   test("property: y4m round-trip + per-frame luma closed forms for all small streams") {
