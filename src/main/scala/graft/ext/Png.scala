@@ -258,7 +258,9 @@ object Png {
     while (!sawIend) {
       if (p + 8 > bytes.length) fail("truncated chunk header")
       val len = be(p)
-      if (len < 0 || p + 12 + len > bytes.length) fail("chunk past end of file")
+      // bound via subtraction: `p + 12 + len` could overflow Int on a
+      // hostile length and slip past a direct comparison
+      if (len < 0 || len > bytes.length - 12 - p) fail("chunk past end of file")
       val typ = new String(bytes, p + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32()
       crc.update(bytes, p + 4, 4 + len)
@@ -269,6 +271,9 @@ object Png {
           if (len != 13) fail(s"IHDR length $len")
           w = be(p + 8); h = be(p + 12)
           if (w <= 0 || h <= 0) fail(s"bad dims $w x $h")
+          // keeps every later size product (pass geometry, pixel buffer)
+          // inside positive Int/Long range on hostile headers
+          if (w > (1 << 24) || h > (1 << 24)) fail(s"unreasonable dims $w x $h")
           if ((bytes(p + 16) & 0xff) != 8) fail("unsupported bit depth (8 only)")
           if ((bytes(p + 17) & 0xff) != 2) fail("unsupported color type (truecolor RGB only)")
           if ((bytes(p + 18) & 0xff) != 0) fail("unsupported compression method")
@@ -306,6 +311,7 @@ object Png {
     try {
       while (got < filtered.length && !inflater.finished()) {
         val n = inflater.inflate(filtered, got, filtered.length - got)
+        if (n == 0 && inflater.needsDictionary()) fail("preset zlib dictionary unsupported")
         if (n == 0 && inflater.needsInput()) fail("zlib stream truncated")
         got += n
       }

@@ -123,6 +123,10 @@ class PngSpec extends SparkSpec {
       intercept[Exception](Png.decode(b))
     }
     bad(b => b(0) = 'X')                         // bad signature
+    bad { b =>                                   // hostile chunk length (Int-overflow bait)
+      b(8 + 25) = 0x7f.toByte; b(8 + 25 + 1) = 0xff.toByte
+      b(8 + 25 + 2) = 0xff.toByte; b(8 + 25 + 3) = 0xff.toByte
+    }
     bad(b => b(8 + 12 + 13 + 12 + 10) = (b(8 + 12 + 13 + 12 + 10) ^ 1).toByte) // IDAT data bit flip -> bad CRC
     bad(b => b(8 + 8 + 9) = 3)                   // palette color type unsupported
     intercept[Exception](Png.decode(good.take(good.length - 4))) // truncated IEND
@@ -144,5 +148,20 @@ class PngSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Png.decode(b))
     assert(e.getMessage.contains("inflated") || e.getMessage.contains("truncated"),
       s"wrong failure: ${e.getMessage}")
+  }
+
+  test("hostile IHDR dims fail the sanity bound, not an allocation") {
+    val good = Png.encode(5, 5, interlaced = false)
+    val b = good.clone()
+    // width := 2^24 + 1 (big-endian bytes 16..19), CRC fixed up so the
+    // parse reaches the dims check rather than dying on the checksum
+    b(16) = 1; b(17) = 0; b(18) = 0; b(19) = 1
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 17)
+    val v = crc.getValue.toInt
+    b(29) = (v >>> 24).toByte; b(30) = (v >>> 16).toByte
+    b(31) = (v >>> 8).toByte; b(32) = v.toByte
+    val e = intercept[IllegalArgumentException](Png.decode(b))
+    assert(e.getMessage.contains("unreasonable dims"), e.getMessage)
   }
 }
