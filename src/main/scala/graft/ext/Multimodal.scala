@@ -298,6 +298,43 @@ object Multimodal {
     }.toDF().orderBy($"media_id")
   }
 
+  /** q209: REAL audio decode over the SECOND audio codec — ITU-T G.711
+    * µ-law in the WAV container through [[Wav]] (format tag 7, the
+    * telephony companding standard; pure-JVM, no libraries). Where q141's
+    * PCM16 is a raw little-endian sample walk, the µ-law sample array
+    * only exists after the logarithmic EXPANSION (complement /
+    * segment / mantissa → 14-bit-magnitude linear), and the non-PCM WAV
+    * grammar adds two real parser traps: the 18-byte WAVEFORMATEX fmt
+    * shape (cbSize tail) and the REQUIRED `fact` chunk, which the decoder
+    * cross-checks against the data payload. One waveform per document
+    * (n = 800 + 3·(id mod 555) code bytes, code_k = (7k) mod 256 —
+    * coprime step, so every 256-sample cycle visits ALL 256 codes: both
+    * sign halves, every segment, every mantissa), decoded on executor
+    * byte arrays in the [[decodeBatched]] mapPartitions shape.
+    *
+    * Oracle-checked BYTE-FOR-BYTE: the expansion has the closed form
+    * mag = (8·man + 132)·2^exp − 132, which the DuckDB oracle evaluates
+    * over the same generated code stream and aggregates — mean, RMS and
+    * peak (32124, from code 0 at k = 0) must match the Scala expansion
+    * exactly, so a wrong complement, segment shift, or bias breaks the
+    * hash. */
+  def q209MulawDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter($"doc_id" < 2000).select($"doc_id").as[Long]
+    val media = ids.mapPartitions(_.map { d =>
+      WavMedia(d, Wav.encodeMulaw((800 + 3 * (d % 555)).toInt))
+    })
+    media.mapPartitions { records =>
+      records.map { m =>
+        val audio = Wav.decode(m.payload)
+        val (n, dur, mean, rms, peak) = Wav.stats(audio)
+        def r6(v: Double) = math.rint(v * 1e6) / 1e6
+        WavDecoded(m.media_id, n, audio.sampleRate, r6(dur), r6(mean), r6(rms), peak)
+      }
+    }.toDF().orderBy($"media_id")
+  }
+
   case class Y4mMedia(media_id: Long, payload: Array[Byte])
   case class FrameRow(media_id: Long, width: Int, height: Int, n_frames: Int,
                       frame_idx: Int, luma_mean: Double)

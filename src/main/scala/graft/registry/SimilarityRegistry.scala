@@ -27,6 +27,7 @@ object SimilarityRegistry {
     "q99_ann_ivfpq" -> ((s: SparkSession, d: String) => IvfPq.q99AnnIvfPq(s, d)),
     "q140_ppm_decode" -> (Multimodal.q140PpmDecode _),
     "q141_wav_decode" -> (Multimodal.q141WavDecode _),
+    "q209_mulaw_decode" -> (Multimodal.q209MulawDecode _),
     "q206_bmp_decode" -> (Multimodal.q206BmpDecode _),
     "q207_gif_decode" -> (Multimodal.q207GifDecode _),
     "q208_png_decode" -> (Multimodal.q208PngDecode _),
@@ -480,6 +481,36 @@ object SimilarityRegistry {
         |  round((height - 1) / 2.0, 6) AS mean_b,
         |  round((width - 1) / 2.0 + (height // 2 - 1) / 2.0, 6) AS top_r
         |FROM m ORDER BY media_id""".stripMargin,
+    // q209: the G.711 µ-law expansion has the closed form
+    // mag = (8*man + 132) * 2^exp - 132 over u = 255 - code, so the oracle
+    // regenerates the SAME code stream (code_k = 7k mod 256) and evaluates
+    // the expansion byte-for-byte in SQL — a wrong complement, segment
+    // shift, or bias constant breaks mean/rms/peak. Integer sums divide in
+    // IEEE doubles identically on both engines; peak is 32124 everywhere
+    // (code 0 at k = 0 expands to -32124) but is COMPUTED, not assumed.
+    "q209_mulaw_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    800 + (doc_id % 555) * 3 AS n
+        |  FROM documents WHERE doc_id < 2000
+        |), s AS (
+        |  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS k FROM m
+        |), d AS (
+        |  SELECT media_id, n,
+        |    CASE WHEN u >= 128 THEN -mag ELSE mag END AS lin
+        |  FROM (
+        |    SELECT media_id, n, u,
+        |      (8 * (u % 16) + 132) * (1 << ((u // 16) % 8)) - 132 AS mag
+        |    FROM (SELECT media_id, n, 255 - ((7 * k) % 256) AS u FROM s)
+        |  )
+        |)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_samples,
+        |  8000 AS sample_rate,
+        |  round(n / 8000.0, 6) AS duration_s,
+        |  round(sum(lin) / CAST(n AS DOUBLE), 6) AS mean_amp,
+        |  round(sqrt(sum(lin * lin) / CAST(n AS DOUBLE)), 6) AS rms,
+        |  CAST(max(abs(lin)) AS INTEGER) AS peak
+        |FROM d GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     // q141: sawtooth partial-cycle sums — S1 = -100 per full cycle and
     // T1(r) = r(r-1)/2 - 100r; S2 = 666700 per cycle and
     // T2(r) = r(r-1)(2r-1)/6 - 100r(r-1) + 10000r. Integer sums divide in

@@ -69,4 +69,59 @@ class WavSpec extends SparkSpec {
     assert(checked.isEmpty, "decoded means/peak must match the closed forms")
     assert(out.count() == 500)
   }
+
+  test("mu-law expansion matches the ITU table at the anchor codes and is odd-symmetric") {
+    // anchors from the G.711 tables: code 0xFF = +0 (quiet), 0x7F = -0,
+    // code 0x80 = +32124 (max), 0x00 = -32124
+    assert(Wav.mulawExpand(0xff) == 0)
+    assert(Wav.mulawExpand(0x7f) == 0)
+    assert(Wav.mulawExpand(0x80) == 32124)
+    assert(Wav.mulawExpand(0x00) == -32124)
+    // sign symmetry: flipping bit 7 of the code negates the sample
+    for (c <- 0 until 128)
+      assert(Wav.mulawExpand(c) == -Wav.mulawExpand(c | 0x80), s"code $c")
+    // monotone within the positive half: smaller code = larger magnitude
+    // (codes are complemented), strictly until the two zero codes meet
+    for (c <- 0x80 until 0xff)
+      assert(Wav.mulawExpand(c) > Wav.mulawExpand(c + 1), s"code $c order")
+  }
+
+  test("mu-law WAV round-trip: fact/WAVEFORMATEX grammar parses and every code expands") {
+    val a = Wav.decode(Wav.encodeMulaw(600))
+    assert(a.sampleRate == 8000 && a.samples.length == 600)
+    for (k <- 0 until 600)
+      assert(a.samples(k) == Wav.mulawExpand((7 * k) % 256).toShort, s"sample $k")
+  }
+
+  test("a lying fact chunk is a loud parse error, not silent truncation") {
+    val good = Wav.encodeMulaw(100)
+    // fact payload lives right after fmt: 12 + (8 + 18) + 8 = 46
+    val b = good.clone()
+    b(46) = 99
+    val e = intercept[IllegalArgumentException](Wav.decode(b))
+    assert(e.getMessage.contains("fact declares"), e.getMessage)
+    // and a PCM16 file with a mu-law tag (or vice versa) fails on bit depth
+    val cross = Wav.encode(64).clone()
+    cross(20) = 7 // format tag PCM -> mu-law, but bits/sample still 16
+    intercept[IllegalArgumentException](Wav.decode(cross))
+  }
+
+  test("q209 decoded stats equal the expansion recomputed in-test over the same code stream") {
+    val out = graft.ext.Multimodal.q209MulawDecode(spark, sf0001).collect()
+    assert(out.length == 500)
+    for (row <- out.take(50)) {
+      val id = row.getLong(0)
+      val n = (800 + 3 * (id % 555)).toInt
+      var sum = 0L; var sumSq = 0L
+      for (k <- 0 until n) {
+        val l = Wav.mulawExpand((7 * k) % 256)
+        sum += l; sumSq += l.toLong * l
+      }
+      def r6(v: Double) = math.rint(v * 1e6) / 1e6
+      assert(row.getInt(1) == n)
+      assert(row.getDouble(4) == r6(sum.toDouble / n), s"mean at id $id")
+      assert(row.getDouble(5) == r6(math.sqrt(sumSq.toDouble / n)), s"rms at id $id")
+      assert(row.getInt(6) == 32124, s"peak at id $id")
+    }
+  }
 }
