@@ -85,16 +85,7 @@ object Bench {
     *
     * (-1, -1) when unreadable (non-Linux). */
   private def hostCpuSec(): (Double, Double) =
-    try {
-      val line = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/stat")).get(0)
-      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-      // fields: user nice system idle iowait irq softirq steal guest ...
-      val busy = f.zipWithIndex.collect {
-        case (v, i) if i != 3 && i != 4 => v }.sum
-      val steal = if (f.length > 7) f(7) else 0L
-      (busy / 100.0, steal / 100.0)
-    } catch { case _: Throwable => (-1.0, -1.0) }
+    graft.tools.ProcStat.busyAndStealSec()
 
   /** This JVM's total CPU seconds (all threads). -1 when the platform bean
     * doesn't expose it. */
@@ -394,15 +385,23 @@ object Bench {
       val (r0, g0, c0, n0) = settled()
       val j0 = jvmGcMs()
       val (hb0, hs0) = hostCpuSec(); val sc0 = selfCpuSec()
-      val extra = (1 to maxExtra).flatMap { _ =>
+      // (wall, succeeded) per attempt: failed walls stay OUT of the median
+      // (see above) but IN windowSec — the host/self CPU deltas below span
+      // failed attempts too, and a window that excluded their wall would
+      // inflate ext_cores/steal_cores for exactly the flagged queries this
+      // telemetry adjudicates (the main rep loop already counts all
+      // attempt walls in its window).
+      val attempts = (1 to maxExtra).flatMap { _ =>
         if (elapsedSec() > deadlineSec + graceSec) None
         else {
           val t0 = System.nanoTime()
-          try { run(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+          try { run(name, sfDir); Some(((System.nanoTime() - t0) / 1e9, true)) }
           catch { case e: Throwable =>
-            System.err.println(s"[$tag] $name: ${e.getMessage}"); None }
+            System.err.println(s"[$tag] $name: ${e.getMessage}")
+            Some(((System.nanoTime() - t0) / 1e9, false)) }
         }
       }
+      val extra = attempts.collect { case (w, true) => w }
       val (hb1, hs1) = hostCpuSec(); val sc1 = selfCpuSec()
       val (r1, g1, c1, n1) = settled()
       val j1 = jvmGcMs()
@@ -419,7 +418,8 @@ object Bench {
         taskSec = d.taskSec + (r1 - r0) / 1e3, taskGcSec = d.taskGcSec + (g1 - g0) / 1e3,
         jvmGcSec = d.jvmGcSec + (j1 - j0) / 1e3, cpuSec = d.cpuSec + (c1 - c0) / 1e9,
         nTasks = d.nTasks + (n1 - n0), extraReps = d.extraReps + extra.size,
-        extCpuSec = ext, stealCpuSec = steal, windowSec = d.windowSec + extra.sum)
+        extCpuSec = ext, stealCpuSec = steal,
+        windowSec = d.windowSec + attempts.map(_._1).sum)
       System.err.println(f"[$tag] $name +${extra.size} reps, " +
         f"median ${d.wall}%.3f -> ${resultsBuf(name).wall}%.3f s")
     }

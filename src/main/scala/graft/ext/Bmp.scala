@@ -139,32 +139,12 @@ object Bmp {
   }
 
   /** Per-channel means over the decoded pixels (unsigned bytes). */
-  def channelMeans(img: Image): (Double, Double, Double) = {
-    var r = 0L; var g = 0L; var b = 0L
-    var i = 0
-    val px = img.pixels
-    while (i < px.length) {
-      r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
-      i += 3
-    }
-    val n = (px.length / 3).toDouble
-    (r / n, g / n, b / n)
-  }
+  def channelMeans(img: Image): (Double, Double, Double) =
+    Raster.channelMeans(img.pixels)
 
   /** Mean green over the TOP ⌊h/2⌋ logical rows — the row-order witness:
     * whole-image means are row-order-invariant, so this is the statistic
     * that catches a missed bottom-up flip (see object scaladoc). */
-  def topHalfGreenMean(img: Image): Double = {
-    val rows = img.height / 2
-    require(rows > 0, "image too short for a top-half statistic")
-    var g = 0L
-    var y = 0
-    while (y < rows) {
-      var i = (y * img.width) * 3 + 1
-      val end = ((y + 1) * img.width) * 3
-      while (i < end) { g += img.pixels(i) & 0xff; i += 3 }
-      y += 1
-    }
-    g.toDouble / (rows.toLong * img.width)
-  }
+  def topHalfGreenMean(img: Image): Double =
+    Raster.topRowsChannelMean(img.pixels, img.width, img.height / 2, 1)
 }

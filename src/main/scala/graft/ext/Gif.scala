@@ -22,6 +22,8 @@ package graft.ext
   * Pixel model (q207's synthetic corpus): index(x, y) = x + y (never wraps:
   * w + h ≤ 255 enforced at encode), global palette entry i =
   * (r = i, g = i + 85, b = i + 170) — all without wrap for the q207 sizes,
+  * though blue's margin is exactly ONE (max index 84 at the 46×40 grid
+  * corner vs the i + 170 wrap at 86 — re-check before widening the grid),
   * so mean_r = (w−1)/2 + (h−1)/2, mean_g = mean_r + 85, mean_b =
   * mean_r + 170, and the interlace witness top_r (mean red over the top
   * ⌊h/2⌋ logical rows) = (w−1)/2 + (⌊h/2⌋−1)/2.
@@ -189,7 +191,10 @@ object Gif {
   def decode(bytes: Array[Byte]): Image = {
     def fail(msg: String) =
       throw new IllegalArgumentException(s"GIF parse error: $msg")
-    if (bytes.length < 13 + 768 + 10) fail("shorter than the fixed headers")
+    // + 2: the min-code-size byte and the first sub-block length live
+    // right after the 10-byte image descriptor — a file cut exactly there
+    // must be a parse error, not a raw ArrayIndexOutOfBoundsException
+    if (bytes.length < 13 + 768 + 10 + 2) fail("shorter than the fixed headers")
     var i = 0
     while (i < 6) { if (bytes(i) != Header(i)) fail("not GIF87a"); i += 1 }
     def u16(at: Int): Int = (bytes(at) & 0xff) | ((bytes(at + 1) & 0xff) << 8)
@@ -319,8 +324,13 @@ object Gif {
       var x = 0
       while (x < w) {
         val idx = indices(s) & 0xff
-        px(d) = paletteR(idx).toByte
-        px(d + 1) = bytes(gctAt + 3 * idx + 1) // G straight from the file's GCT
+        // ALL THREE channels come from the file's actual global color
+        // table — a decoder must honor the palette it was handed, not the
+        // synthetic ramp this repo's encoder happens to write (the two
+        // agree on the q207 corpus, which is why a formula-for-red slip
+        // here was invisible to every round-trip test)
+        px(d) = bytes(gctAt + 3 * idx)
+        px(d + 1) = bytes(gctAt + 3 * idx + 1)
         px(d + 2) = bytes(gctAt + 3 * idx + 2)
         s += 1
         d += 3
@@ -339,32 +349,12 @@ object Gif {
   }
 
   /** Per-channel means over the decoded pixels (unsigned bytes). */
-  def channelMeans(img: Image): (Double, Double, Double) = {
-    var r = 0L; var g = 0L; var b = 0L
-    var i = 0
-    val px = img.pixels
-    while (i < px.length) {
-      r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
-      i += 3
-    }
-    val n = (px.length / 3).toDouble
-    (r / n, g / n, b / n)
-  }
+  def channelMeans(img: Image): (Double, Double, Double) =
+    Raster.channelMeans(img.pixels)
 
   /** Mean red over the TOP ⌊h/2⌋ logical rows — the interlace witness:
     * whole-image means are row-order-invariant, so this is the statistic
     * that breaks if the 4-pass deinterlace is skipped. */
-  def topHalfRedMean(img: Image): Double = {
-    val rows = img.height / 2
-    require(rows > 0, "image too short for a top-half statistic")
-    var r = 0L
-    var y = 0
-    while (y < rows) {
-      var i = (y * img.width) * 3
-      val end = ((y + 1) * img.width) * 3
-      while (i < end) { r += img.pixels(i) & 0xff; i += 3 }
-      y += 1
-    }
-    r.toDouble / (rows.toLong * img.width)
-  }
+  def topHalfRedMean(img: Image): Double =
+    Raster.topRowsChannelMean(img.pixels, img.width, img.height / 2, 0)
 }

@@ -196,8 +196,10 @@ object Multimodal {
     * both row orders are decoded in every run), decoded on executor byte
     * arrays in the [[decodeBatched]] mapPartitions shape.
     *
-    * Oracle-checked: index(x,y) = x + y never wraps (w + h ≤ 70), palette
-    * entry i = (i, i+85, i+170) never wraps either, so mean_r =
+    * Oracle-checked: index(x,y) = x + y never wraps (max index w+h−2 = 84
+    * at the 46×40 grid corner), and palette blue i+170 stays unwrapped by
+    * a margin of exactly ONE (wrap starts at index 86) — widen the size
+    * grid only with that bound re-checked. So mean_r =
     * (w+h−2)/2, mean_g = mean_r + 85, mean_b = mean_r + 170, and the
     * interlace witness top_r = (w−1)/2 + (⌊h/2⌋−1)/2 — whole-image means
     * are row-order-invariant, so top_r is the column that breaks if the
@@ -242,8 +244,9 @@ object Multimodal {
     * store Adam7-INTERLACED, so both layouts decode in every run), decoded
     * on executor byte arrays in the [[decodeBatched]] mapPartitions shape.
     *
-    * Oracle-checked: r(x,y) = x + y, g = x, b = y, none wrapping
-    * (w + h ≤ 70), so mean_r = (w+h−2)/2, mean_g = (w−1)/2, mean_b =
+    * Oracle-checked: r(x,y) = x + y, g = x, b = y, none wrapping (max
+    * channel value 84 at the 46×40 grid corner, far under 255), so
+    * mean_r = (w+h−2)/2, mean_g = (w−1)/2, mean_b =
     * (h−1)/2, and the Adam7 witness top_r = (w−1)/2 + (⌊h/2⌋−1)/2 —
     * whole-image means are placement-invariant, so top_r is the column
     * that breaks if pass geometry is wrong. `n_bytes` has no closed form

@@ -29,7 +29,8 @@ package graft.ext
   *    or 0-tall for small images) must contribute NO bytes at all.
   *
   * Pixel model (q208's synthetic corpus): r(x,y) = x + y, g(x,y) = x,
-  * b(x,y) = y — none wraps for q208's sizes (w + h ≤ 70 < 256), so
+  * b(x,y) = y — none wraps for q208's sizes (max value w+h−2 = 84 at the
+  * 46×40 grid corner, far under 256), so
   * mean_r = (w−1)/2 + (h−1)/2, mean_g = (w−1)/2, mean_b = (h−1)/2, and
   * the interlace witness top_r (mean red over the top ⌊h/2⌋ logical rows)
   * = (w−1)/2 + (⌊h/2⌋−1)/2.
@@ -357,32 +358,12 @@ object Png {
   }
 
   /** Per-channel means over the decoded pixels (unsigned bytes). */
-  def channelMeans(img: Image): (Double, Double, Double) = {
-    var r = 0L; var g = 0L; var b = 0L
-    var i = 0
-    val px = img.pixels
-    while (i < px.length) {
-      r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
-      i += 3
-    }
-    val n = (px.length / 3).toDouble
-    (r / n, g / n, b / n)
-  }
+  def channelMeans(img: Image): (Double, Double, Double) =
+    Raster.channelMeans(img.pixels)
 
   /** Mean red over the TOP ⌊h/2⌋ logical rows — the Adam7 witness:
     * whole-image means are placement-invariant, so this is the statistic
     * that breaks if pass geometry puts rows in the wrong place. */
-  def topHalfRedMean(img: Image): Double = {
-    val rows = img.height / 2
-    require(rows > 0, "image too short for a top-half statistic")
-    var r = 0L
-    var y = 0
-    while (y < rows) {
-      var i = (y * img.width) * 3
-      val end = ((y + 1) * img.width) * 3
-      while (i < end) { r += img.pixels(i) & 0xff; i += 3 }
-      y += 1
-    }
-    r.toDouble / (rows.toLong * img.width)
-  }
+  def topHalfRedMean(img: Image): Double =
+    Raster.topRowsChannelMean(img.pixels, img.width, img.height / 2, 0)
 }

@@ -99,17 +99,8 @@ object Ppm {
     b == ' ' || b == '\n' || b == '\r' || b == '\t'
 
   /** Per-channel means over the raw pixel scan (unsigned bytes). */
-  def channelMeans(img: Image): (Double, Double, Double) = {
-    var r = 0L; var g = 0L; var b = 0L
-    var i = 0
-    val px = img.pixels
-    while (i < px.length) {
-      r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
-      i += 3
-    }
-    val n = (px.length / 3).toDouble
-    (r / n, g / n, b / n)
-  }
+  def channelMeans(img: Image): (Double, Double, Double) =
+    Raster.channelMeans(img.pixels)
 
   /** Nearest-neighbor resample: output pixel (ix, iy) reads source
     * (⌊ix·w/ow⌋, ⌊iy·h/oh⌋) — the standard vision-preprocessor downsample,

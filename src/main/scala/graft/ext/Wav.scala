@@ -165,9 +165,11 @@ object Wav {
         out
       case 7 => // G.711 µ-law: 8-bit codes, logarithmic expansion
         if (bits != 8) fail(s"unsupported mu-law bit depth $bits")
-        // the fact chunk is REQUIRED for non-PCM formats; when the declared
-        // sample count disagrees with the data payload, the file is lying
-        if (factSamples >= 0 && factSamples != dataSize)
+        // the fact chunk is REQUIRED for non-PCM formats — enforced, so
+        // the documented parser trap is real: a missing count and a lying
+        // count are both loud
+        if (factSamples < 0) fail("non-PCM format missing its fact chunk")
+        if (factSamples != dataSize)
           fail(s"fact declares $factSamples samples, data has $dataSize")
         val out = new Array[Short](dataSize)
         var i = 0

@@ -443,7 +443,8 @@ object SimilarityRegistry {
         |  round((height // 2 - 1) / 2.0, 6) AS top_g
         |FROM m ORDER BY media_id""".stripMargin,
     // q207: GIF87a closed forms (Gif scaladoc) — index(x,y) = x+y with no
-    // wrap (w+h <= 70) over palette (i, i+85, i+170), so every channel
+    // wrap (max index 84 at the 46x40 grid corner; the blue entry i+170
+    // wraps at 86, a margin of ONE) over palette (i, i+85, i+170), so every channel
     // mean is mean_idx = (w+h-2)/2 plus the palette offset; top_r is the
     // interlace witness (odd ids store interlaced; the logical image — and
     // so every oracle column — must not depend on that storage order).
@@ -462,7 +463,7 @@ object SimilarityRegistry {
         |  round((width - 1) / 2.0 + (height // 2 - 1) / 2.0, 6) AS top_r
         |FROM m ORDER BY media_id""".stripMargin,
     // q208: PNG closed forms (Png scaladoc) — r(x,y) = x+y, g = x, b = y,
-    // none wrapping (w+h <= 70), so the channel means are the ramp means
+    // none wrapping (max value 84 at the 46x40 corner), so the channel means are the ramp means
     // and top_r is the Adam7-placement witness (odd ids store interlaced;
     // the logical image — and so every oracle column — must not depend on
     // that storage order). n_bytes has no closed form (DEFLATE length is

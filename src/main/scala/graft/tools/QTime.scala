@@ -29,12 +29,7 @@ object QTime {
     // the timed reps, printed next to the walls — an isolation median
     // taken in a steal storm (measured up to ~1 stolen core on this box)
     // should carry that fact, not get quoted as a quiet-window number.
-    def stealSec(): Double =
-      try {
-        val f = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        if (f.length > 8) f(8).toLong / 100.0 else -1.0
-      } catch { case _: Throwable => -1.0 }
+    def stealSec(): Double = ProcStat.stealSec()
     for (name <- args) {
       try run(name) catch { case e: Throwable => println(s"$name warmup: ${e.getMessage}") }
       val s0 = stealSec()

@@ -73,6 +73,25 @@ class GifSpec extends SparkSpec {
     assert(img.pixels.grouped(3).forall(p => (p(0) & 0xff) == 7))
   }
 
+  test("decode honors the FILE's palette, not the synthetic ramp (all three channels)") {
+    // rewrite GCT entry 0's red from 0 to 200: pixel (0,0) has index 0,
+    // and a decoder that computes any channel from the encoder's formula
+    // instead of the handed palette won't see the edit
+    val b = Gif.encode(8, 8, interlaced = false).clone()
+    b(13) = 200.toByte // GCT entry 0, red component
+    val img = Gif.decode(b)
+    assert((img.pixels(0) & 0xff) == 200, "red must come from the file's GCT")
+    assert((img.pixels(1) & 0xff) == 85 && (img.pixels(2) & 0xff) == 170)
+    // pixel (1,0) has index 1 — untouched entries still decode normally
+    assert((img.pixels(3) & 0xff) == 1)
+  }
+
+  test("a file cut right after the image descriptor is a parse error, not an AIOOBE") {
+    val good = Gif.encode(10, 10, interlaced = false)
+    val e = intercept[IllegalArgumentException](Gif.decode(good.take(13 + 768 + 10)))
+    assert(e.getMessage.contains("GIF parse error"), e.getMessage)
+  }
+
   test("malformed input throws, never returns garbage") {
     val good = Gif.encode(10, 10, interlaced = false)
     def bad(mutate: Array[Byte] => Unit): Unit = {

@@ -100,6 +100,11 @@ class WavSpec extends SparkSpec {
     b(46) = 99
     val e = intercept[IllegalArgumentException](Wav.decode(b))
     assert(e.getMessage.contains("fact declares"), e.getMessage)
+    // and a MISSING fact chunk is equally loud for non-PCM (the chunk is
+    // required by the WAV spec and the docs claim enforcement)
+    val noFact = good.take(38) ++ good.drop(50) // excise the 12-byte fact chunk
+    val e2 = intercept[IllegalArgumentException](Wav.decode(noFact))
+    assert(e2.getMessage.contains("missing its fact chunk"), e2.getMessage)
     // and a PCM16 file with a mu-law tag (or vice versa) fails on bit depth
     val cross = Wav.encode(64).clone()
     cross(20) = 7 // format tag PCM -> mu-law, but bits/sample still 16
