@@ -190,8 +190,11 @@ object Bench {
     // artifact (r11: 637 s wall).
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "600").toDouble
     def elapsedSec(): Double = (System.nanoTime() - tMain) / 1e9
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Shuffle/spill scratch on the fastest local storage (see
+    // GraftSession.localDir): the sandbox's default /tmp is a slow overlay
+    // whose shuffle-file churn dominated small-stage walls.
+    val spark = GraftSession.withLocalDir(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

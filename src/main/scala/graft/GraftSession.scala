@@ -10,11 +10,45 @@ import org.apache.spark.sql.SparkSession
   * auto-broadcast enabled so dimension joins never shuffle the fact side.
   */
 object GraftSession {
+
+  /** Scratch root for shuffle/spill block files (`spark.local.dir`).
+    *
+    * Shuffle files are create-write-read-delete churn, and their cost is
+    * bounded by the LOCAL filesystem, not the data (guide §2.1/§6): on this
+    * sandbox the default `/tmp` is a slow overlay mount — a 32-map-task
+    * shuffle stage measured 3-8 s of summed shuffle-write time for a few
+    * thousand KB-sized records, and moving the local dir to the RAM-backed
+    * `/dev/shm` cut q114's wall 2.55 s → 1.40 s with identical plans (the
+    * "CPU" the overlay burned in write() syscalls disappeared too).
+    * Production guidance is the same idea at cluster scale: point
+    * `spark.local.dir` at the fastest ephemeral storage available (NVMe on
+    * real nodes — tmpfs is only sane where shuffle volume ≪ RAM, as here:
+    * bench shuffles are MBs against a 128 GiB box).
+    *
+    * `SPARK_GRAFT_LOCAL_DIR` overrides (empty string = keep Spark's
+    * default); otherwise `/dev/shm/graft_local` when writable, else the
+    * platform default. Applied by every engine entry point (GraftSession /
+    * Bench / Verify / tools) so measurements and production defaults agree. */
+  def localDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(_.trim).filter(_.nonEmpty).orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (sys.env.get("SPARK_GRAFT_LOCAL_DIR").exists(_.trim.isEmpty)) None
+      else if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, "graft_local")
+        d.mkdirs()
+        Some(d.getAbsolutePath)
+      } else None
+    }
+
+  /** Apply [[localDir]] to a session builder (no-op when None). */
+  def withLocalDir(b: SparkSession.Builder): SparkSession.Builder =
+    localDir.fold(b)(d => b.config("spark.local.dir", d))
+
   def build(appName: String = "graft",
             cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val spark = SparkSession.builder()
+    val spark = withLocalDir(SparkSession.builder()
       .master(s"local[$cores]")
-      .appName(appName)
+      .appName(appName))
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

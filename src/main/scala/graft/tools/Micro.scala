@@ -15,8 +15,8 @@ object Micro {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = graft.GraftSession.withLocalDir(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", shuf)
       // An EXPLICIT shuffle sweep must measure what it set: disable the
       // per-query derived re-tune, which would otherwise silently reset
