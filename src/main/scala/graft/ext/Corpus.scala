@@ -148,22 +148,36 @@ object Corpus {
     * final top-k) — shared by q114 and the hybrid-retrieval fusion (q125). */
   def bm25Scores(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
-      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
-      .filter($"term" =!= "")
-    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(
+    // ONE tokenize kernel pass per consumer (r18): the explode form
+    // re-tokenized the corpus in every branch — dl, tf and df each walked
+    // their own scan+exchange (4 corpus scans, 3 corpus-keyed shuffles,
+    // plus a dl join) — where every number this query needs is a per-ROW
+    // statistic: dl = token count, tf = per-term count (term_counts
+    // kernel, byte-run tokenization ≡ split(lower,'[^a-z]+') minus
+    // empties). Now: one scan feeds the corpus stats aggregate, one scan
+    // feeds the (term-bearing docs only) tf stream with dl inline — no
+    // (doc,term) shuffle, no dl join; df remains a tiny broadcast agg over
+    // tf rows (identical to the distinct-pair count: tf rows ARE one row
+    // per (doc, term) present). Values are bit-identical: same tokens,
+    // same counts, same double chain, same fixed-point rounding.
+    val tc = Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.NativeKernels.termCounts(lower($"text"), terms).as("tc"))
+      .select($"doc_id", $"tc.dl".as("dl"), $"tc.cnt".as("cnt"))
+      .filter($"dl" > 0)
+    val stats = tc.agg(
       count(lit(1)).as("n_docs"),
       (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
-    val qtok = tok.filter($"term".isin(terms: _*))
-    val tf = qtok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = qtok.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val termArr = array(terms.map(lit): _*)
+    val tf = tc
+      .select($"doc_id", $"dl", posexplode($"cnt").as(Seq("ti", "tf")))
+      .filter($"tf" > 0)
+      .select($"doc_id", $"dl", element_at(termArr, $"ti" + 1).as("term"), $"tf")
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
     val wtf = ($"tf" * lit(2.2)) /
       ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * $"dl" / $"avgdl"))
     tf.join(broadcast(df), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("c_fp", round(idf * wtf * lit(1000000)).cast("long"))
       .groupBy($"doc_id")

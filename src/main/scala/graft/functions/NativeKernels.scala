@@ -556,6 +556,46 @@ object Kernels {
       Array[Any](n, seen.size))
   }
 
+  /** Per-term token counts + total token count over ALREADY-LOWERCASED
+    * text in ONE byte pass (q114/q125's hot loop; lowering stays upstream
+    * where it is codegen'd and Unicode-correct, the bpeEstimate device).
+    * A token is a maximal [a-z] byte run — exactly the non-empty segments
+    * of `split(text, '[^a-z]+')`: the regex class is ASCII-only, and UTF-8
+    * continuation bytes (≥ 0x80) can never read as a-z, so byte-level run
+    * scanning splits identically on any input. Output: dl = token count,
+    * cnt(i) = occurrences equal to terms(i) (exact byte equality ≡ string
+    * equality on the token). Replaces the explode-three-ways form whose
+    * every branch re-tokenized the corpus (4 scans + a dl join → 2 scans,
+    * no join). */
+  def termCounts(s: org.apache.spark.unsafe.types.UTF8String,
+                 terms: Array[Array[Byte]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val cnt = new Array[Long](terms.length)
+    var dl = 0L
+    var i = 0
+    while (i < n) {
+      if (bytes(i) >= 'a' && bytes(i) <= 'z') {
+        val start = i
+        while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+        dl += 1
+        val len = i - start
+        var t = 0
+        while (t < terms.length) {
+          val tb = terms(t)
+          if (tb.length == len) {
+            var j = 0
+            while (j < len && tb(j) == bytes(start + j)) j += 1
+            if (j == len) cnt(t) += 1
+          }
+          t += 1
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dl, new GenericArrayData(cnt)))
+  }
+
   /** All unordered value-ordered pairs of a long array (see
     * [[SortedLongPairs]]): sort once, emit (a(i), a(j)) structs for i < j.
     * Output size n(n−1)/2 — callers bound n (basket size). */
@@ -874,6 +914,29 @@ case class TrigramStats(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** One-pass per-term token counts over lowercased text (see
+  * [[Kernels.termCounts]]): string → struct(dl bigint, cnt array<bigint>),
+  * cnt aligned with the plan-time `terms`. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(terms.nonEmpty, "termCounts needs at least one term")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("cnt", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    terms.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override def nullSafeEval(a: Any): Any =
+    Kernels.termCounts(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termBytes", termBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.termCounts($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Broadcast-bloom membership probe over a STRING column — the incremental
   * dedup prefilter (`ext/Dedup.dedupAgainstHashes`) as a native expression.
   * The boxed-UDF form it replaces deserialized every row's UTF8String into a
@@ -957,6 +1020,8 @@ object NativeKernels {
     columnOf(Md5U32Components(expressionOf(h), k))
   def sortedLongPairs(xs: Column): Column =
     columnOf(SortedLongPairs(expressionOf(xs)))
+  def termCounts(loweredText: Column, terms: Seq[String]): Column =
+    columnOf(TermCounts(expressionOf(loweredText), terms))
   def pqEncode(emb: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
     columnOf(PqEncode(expressionOf(emb), codebook, m, k, subDim))
   def pqAdcScore(code: Column, tbl: Column, k: Int): Column =

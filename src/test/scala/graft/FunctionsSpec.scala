@@ -230,6 +230,41 @@ class FunctionsSpec extends SparkSpec {
     assert(!kernel.exists(t => t._1 == 3L || t._1 == 4L))
   }
 
+  test("term_counts kernel equals the split/filter/explode formulation it replaced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val terms = Seq("merge", "stream", "window")
+    val rows = Seq(
+      (1L, "Merge the stream; merge the WINDOW, stream-merge!"),
+      (2L, "no query terms at all here"),
+      (3L, ""),                      // empty text: dl = 0
+      (4L, "123 456 --- ..."),       // no [a-z] runs at all
+      (5L, "stream"),                // exact single token
+      (6L, "xstreamx streams窗口stream"), // embedded runs are NOT the term
+      (7L, "mergé merge"),           // unicode neighbor splits the run
+      (8L, "MERGESTREAMWINDOW merge1stream2window"))
+    val df = rows.toDF("doc_id", "text")
+    val kernel = df.select($"doc_id",
+        graft.functions.NativeKernels.termCounts(lower($"text"), terms).as("tc"))
+      .select($"doc_id", $"tc.dl", $"tc.cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1).toSeq
+    val tok = df.select($"doc_id",
+        explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter($"term" =!= "")
+    val dlRef = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tfRef = tok.filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    for ((id, dl, cnt) <- kernel) {
+      assert(dl == dlRef.getOrElse(id, 0L), s"dl mismatch for doc $id")
+      for ((t, i) <- terms.zipWithIndex)
+        assert(cnt(i) == tfRef.getOrElse((id, t), 0L),
+          s"tf mismatch for doc $id term $t")
+    }
+  }
+
   test("WordShingles rejects k <= 0 at construction, not per-row in the kernel") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     intercept[IllegalArgumentException] { graft.functions.WordShingles(Literal(null), 0) }
