@@ -679,25 +679,39 @@ object Corpus {
     import spark.implicits._
     val Fp = 1000000L
     val docs = Tables.documents(spark, dir)
-    val mass = docs
-      .select($"source", size(split($"text", "\\s+")).cast("long").as("n"))
+    // ONE scan for mass + language mix (r18): both are aggregates over the
+    // (source, lang)-bounded table, so the per-doc token count rides the
+    // same groupBy that counts languages — the separate mass scan (and its
+    // second corpus tokenize) folds away. localCheckpoint: the tiny table
+    // feeds two consumers; lazy it would re-run the corpus scan per
+    // consumer.
+    val perLang = docs
+      .select($"source", $"lang",
+        size(split($"text", "\\s+")).cast("long").as("n"))
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("c"), sum($"n").as("nt"))
+      .localCheckpoint()
+    val mass = perLang
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .agg(sum($"c").as("n_docs"), sum($"nt").as("n_tokens"))
       .withColumn("mean_doc_tokens",
         round($"n_tokens".cast("double") / $"n_docs", 2))
-    val langEnt = docs
-      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+    val langEnt = perLang
       .withColumn("cfp", $"c" * round(log($"c") * Fp).cast("long"))
       .groupBy($"source")
       .agg(sum($"c").as("nd"), sum($"cfp").as("s"))
       .select($"source", round(
         (round(log($"nd") * Fp).cast("long") * $"nd" - $"s")
           / (lit(Fp.toDouble) * $"nd"), 6).as("lang_entropy"))
+    // Materialized once (r18): the distinct span table feeds BOTH the
+    // per-span source count and the join probe side — lazy, each consumer
+    // re-ran the span explode + distinct over the corpus.
     val spans = docs
       .select($"source", split($"text", "\\s+").as("t"))
       .select($"source",
         explode(transform(Dedup.spanTexts($"t", width), t => md5(t))).as("h"))
       .distinct()
+      .localCheckpoint()
     val nSources = spans.groupBy($"h")
       .agg(count(lit(1)).as("ns"))
     val sharing = spans.join(nSources, Seq("h"))

@@ -363,15 +363,26 @@ object Quality {
       .select(Corpus.splitOf($"doc_id").as("split"),
         expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("tk"))
       .filter(size($"tk") >= 2)
-    val bigrams = docs.select($"split",
-      explode(expr(bigramStructs("tk"))).as("b"))
-      .select($"split", $"b.w1", $"b.w2")
-    val train = bigrams.filter($"split" === "train")
-    val cuni = train.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val cbi = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    // ONE corpus scan (r18): the occurrence-level form re-tokenized the
+    // corpus in every consumer (cuni, cbi, vocab, heldout — 4 scans) and
+    // joined the models onto every bigram OCCURRENCE. A bigram's NLL
+    // depends only on (w1, w2), so aggregate (split, w1, w2) → n first:
+    // one scan, one bigram-keyed shuffle, and every model table plus the
+    // holdout scoring derives from the bounded count table (weighting each
+    // distinct bigram's fp by n — exact integer arithmetic, bit-identical
+    // to the per-occurrence sum). localCheckpoint: four consumers,
+    // broadcast subtrees race a lazy plan (the q121 device).
+    val bc = docs.select($"split",
+        explode(expr(bigramStructs("tk"))).as("b"))
+      .groupBy($"split", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val train = bc.filter($"split" === "train")
+    val cuni = train.groupBy($"w1").agg(sum($"n").as("c1"))
+    val cbi = train.select($"w1", $"w2", $"n".as("c12"))
     val vocab = train.select($"w1".as("w")).union(train.select($"w2"))
       .distinct().agg(count(lit(1)).as("v"))
-    bigrams.filter($"split" =!= "train")
+    bc.filter($"split" =!= "train")
       .join(broadcast(cuni), Seq("w1"), "left")
       .join(broadcast(cbi), Seq("w1", "w2"), "left")
       .crossJoin(broadcast(vocab))
@@ -380,11 +391,11 @@ object Quality {
           / (coalesce($"c12", lit(0L)) + 1).cast("double")) * lit(1000000L))
         .cast("long"))
       .groupBy($"split")
-      // per-split Σfp scales with holdout bigram mass — exact
+      // per-split Σ n·fp scales with holdout bigram mass — exact
       // decimal(38,0) sum (q166/q195 device; in-range identical)
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum($"fp".cast("decimal(38,0)")).cast("double")
-          / (lit(1000000.0) * count(lit(1))), 6)
+      .agg(sum($"n").as("n_bigrams"),
+        round(sum($"fp".cast("decimal(38,0)") * $"n").cast("double")
+          / (lit(1000000.0) * sum($"n")), 6)
           .as("avg_nll"))
       .orderBy($"split")
   }
@@ -412,19 +423,31 @@ object Quality {
                         targetSource: String = "src0",
                         topK: Int = 15): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
+    // ONE corpus tokenize (r18): the occurrence-level form scanned the
+    // corpus twice (model counts + scoring) and joined the model onto
+    // every token OCCURRENCE. A token's log-ratio depends only on the
+    // term, so aggregate (doc, term) → n in the tokenize pass's own
+    // shuffle: the model tables derive from the SAME (doc, term) count
+    // table (one scan total) and scoring weights each distinct pair's fp
+    // by n — exact integer arithmetic, bit-identical to the
+    // per-occurrence sum. localCheckpoint: three consumers, broadcast
+    // subtrees race a lazy plan (the q121 device).
+    val dt = Tables.documents(spark, dir)
       .select($"doc_id", ($"source" === targetSource).as("is_target"),
         explode(
           expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')"))
           .as("term"))
-    val counts = tok.groupBy($"term").agg(
-      sum(when($"is_target", 1L).otherwise(0L)).as("ct"),
-      sum(when(!$"is_target", 1L).otherwise(0L)).as("cr"))
+      .groupBy($"doc_id", $"is_target", $"term")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val counts = dt.groupBy($"term").agg(
+      sum(when($"is_target", $"n").otherwise(0L)).as("ct"),
+      sum(when(!$"is_target", $"n").otherwise(0L)).as("cr"))
     // Vocabulary-bounded model state: |V| and the two token masses ride
     // along as a broadcast one-row frame, never a driver collect.
     val stats = counts.agg(count(lit(1)).as("v"),
       sum($"ct").as("nt"), sum($"cr").as("nr"))
-    tok.filter(!$"is_target")
+    dt.filter(!$"is_target")
       .join(broadcast(counts), Seq("term"))
       .crossJoin(broadcast(stats))
       // exact decimal(38,0) products: (c+1)·(N+V) crosses 2⁶³ once both
@@ -436,8 +459,8 @@ object Quality {
           * lit(1000000L))
         .cast("long"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum($"fp") / (lit(1000000.0) * count(lit(1))), 6)
+      .agg(sum($"n").as("n_tokens"),
+        round(sum($"fp" * $"n") / (lit(1000000.0) * sum($"n")), 6)
           .as("dsir_score"))
       .orderBy($"dsir_score".desc, $"doc_id")
       .limit(topK)

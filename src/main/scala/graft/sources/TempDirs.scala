@@ -26,10 +26,36 @@ object TempDirs {
     }, "graft-tempdir-cleanup"))
   }
 
+  /** Scratch root: the engine's ephemeral staging (streaming checkpoints +
+    * state stores, staged table copies, sink dirs) is create-write-read-
+    * delete churn whose cost is bounded by the local filesystem — the same
+    * finding as GraftSession.localDir (the sandbox's /tmp is a slow overlay
+    * mount; streaming micro-batches pay it per offset-log/commit-log/state
+    * delta file). SPARK_GRAFT_TMP overrides (empty = platform default);
+    * otherwise /dev/shm/graft_tmp when writable, else the platform default.
+    * Capacity note: everything here is MB-scale per run and deleted at JVM
+    * exit; a deployment with big staging keeps a disk path via the env. */
+  private lazy val root: Option[Path] =
+    sys.env.get("SPARK_GRAFT_TMP").map(_.trim) match {
+      case Some("") => None
+      case Some(d) =>
+        val p = java.nio.file.Paths.get(d); Files.createDirectories(p); Some(p)
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) {
+          val p = java.nio.file.Paths.get("/dev/shm/graft_tmp")
+          Files.createDirectories(p)
+          Some(p)
+        } else None
+    }
+
   /** Create a temp directory that is removed (recursively) at JVM exit. */
   def create(prefix: String): Path = {
     hookInstalled
-    val p = Files.createTempDirectory(prefix)
+    val p = root match {
+      case Some(r) => Files.createTempDirectory(r, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     registered.add(p)
     p
   }
