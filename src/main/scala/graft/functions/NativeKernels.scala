@@ -596,6 +596,36 @@ object Kernels {
       Array[Any](dl, new GenericArrayData(cnt)))
   }
 
+  /** [[sortedLongPairs]] with the pair PACKED into one long —
+    * (a << 32) | b for 0 ≤ a ≤ b < 2³² (checked; callers guard the range
+    * from their own stats, see q122). Downstream the pair-count
+    * aggregation keys on ONE 8-byte long instead of a 2-long struct —
+    * no per-pair row allocation in the expansion, half the agg key bytes
+    * (guide §2.3 "narrower types") — and unpacking is two bit ops after
+    * the count filter has discarded the mass. */
+  def packedLongPairs(xs: ArrayData): ArrayData = {
+    val a = xs.toLongArray()
+    java.util.Arrays.sort(a)
+    val n = a.length
+    if (n > 0 && (a(0) < 0L || a(n - 1) > 0xFFFFFFFFL))
+      throw new IllegalArgumentException(
+        s"packed_long_pairs needs values in [0, 2^32), got [${a(0)}, ${a(n - 1)}]")
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val hi = a(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(k) = hi | a(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All unordered value-ordered pairs of a long array (see
     * [[SortedLongPairs]]): sort once, emit (a(i), a(j)) structs for i < j.
     * Output size n(n−1)/2 — callers bound n (basket size). */
@@ -643,6 +673,20 @@ case class SortedLongPairs(child: Expression) extends UnaryExpression
     Kernels.sortedLongPairs(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sortedLongPairs($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Packed variant of [[SortedLongPairs]] (see [[Kernels.packedLongPairs]]):
+  * array<long> in [0, 2³²) → array<long> of (a << 32) | b pair keys. */
+case class PackedLongPairs(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def foldable: Boolean = child.foldable
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.packedLongPairs(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.packedLongPairs($c)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -1022,6 +1066,8 @@ object NativeKernels {
     columnOf(SortedLongPairs(expressionOf(xs)))
   def termCounts(loweredText: Column, terms: Seq[String]): Column =
     columnOf(TermCounts(expressionOf(loweredText), terms))
+  def packedLongPairs(xs: Column): Column =
+    columnOf(PackedLongPairs(expressionOf(xs)))
   def pqEncode(emb: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
     columnOf(PqEncode(expressionOf(emb), codebook, m, k, subDim))
   def pqAdcScore(code: Column, tbl: Column, k: Int): Column =

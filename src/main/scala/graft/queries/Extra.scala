@@ -760,12 +760,29 @@ object Extra {
     // returned pair to clear minSupport, so dropping sub-threshold pairs
     // early is free — and they are the mass (the n_ab = 1 long tail), so
     // the support joins and the top-K sort see a fraction of the pairs.
-    def report(src: DataFrame, minAb: Long): DataFrame = {
-      val pairs = src
-        .select(explode(graft.functions.NativeKernels.sortedLongPairs($"items")).as("p"))
-        .select($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
-        .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_ab"))
-        .filter($"n_ab" >= minAb)
+    def report(src: DataFrame, minAb: Long, packed: Boolean): DataFrame = {
+      // Packed pair keys (r18, guide §2.3): when every item id fits an
+      // unsigned 32-bit slot (checked below from the SAME stats action the
+      // prune decision reads — true of any real part-key domain), the pair
+      // expansion emits (a << 32) | b longs instead of 2-long structs: no
+      // per-pair row allocation, an 8-byte aggregation key instead of 16,
+      // and the unpack is two bit ops AFTER the minAb filter has dropped
+      // the n_ab = 1 tail. Identical pair set and counts — packing is
+      // injective on the guarded range and value order is preserved.
+      val pairs = (if (packed)
+        src
+          .select(explode(
+            graft.functions.NativeKernels.packedLongPairs($"items")).as("p"))
+          .groupBy($"p").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= minAb)
+          .select(shiftrightunsigned($"p", 32).as("part_a"),
+            ($"p".bitwiseAND(lit(0xFFFFFFFFL))).as("part_b"), $"n_ab")
+      else
+        src
+          .select(explode(graft.functions.NativeKernels.sortedLongPairs($"items")).as("p"))
+          .select($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
+          .groupBy($"part_a", $"part_b").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= minAb))
       pairs
         .join(itemN.select($"l_partkey".as("part_a"), $"n_item".as("n_a")), "part_a")
         .join(itemN.select($"l_partkey".as("part_b"), $"n_item".as("n_b")), "part_b")
@@ -776,9 +793,11 @@ object Extra {
         .orderBy($"n_ab".desc, $"part_a", $"part_b")
         .limit(topK)
     }
-    if (minSupport <= 1L) return report(full, 1L)
+    if (minSupport <= 1L) return report(full, 1L, packed = false)
     // Engage the Apriori item-prune only when it REMOVES something: one
-    // count over the (cached-input, |items|-row) support aggregate decides.
+    // aggregate over the (cached-input, |items|-row) support table decides
+    // — and the same action reads the item-id range so the packed pair
+    // path can engage without an extra job.
     // On a corpus whose every item is frequent — this fixture at sf0.1:
     // 20,000 of 20,000 items clear minSupport=2 — the pruned path used to
     // rebuild the identical basket table through an extra join and
@@ -786,21 +805,26 @@ object Extra {
     // pushdown is FOR (most items in one basket only) still takes the
     // pruned branch, where the join pays for itself by shrinking the
     // superlinear pair mass.
-    val nInfrequent = itemN.filter($"n_item" < minSupport).count()
+    val statsRow = itemN.agg(
+      sum(when($"n_item" < minSupport, 1L).otherwise(0L)).as("n_infrequent"),
+      min($"l_partkey").as("min_k"), max($"l_partkey").as("max_k")).collect().head
+    val nInfrequent = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val packed = !statsRow.isNullAt(1) && statsRow.getLong(1) >= 0L &&
+      statsRow.getLong(2) <= 0xFFFFFFFFL
     // Result-sized leaf: the exactness guard reads it here AND the caller
     // materializes it — without the checkpoint the pipeline would execute
     // twice.
-    val candidate = (if (nInfrequent == 0L) report(full, minSupport)
+    val candidate = (if (nInfrequent == 0L) report(full, minSupport, packed)
       else {
         val frequent = itemN.filter($"n_item" >= minSupport).select($"l_partkey")
-        report(baskets(flat.join(frequent, "l_partkey")), minSupport)
+        report(baskets(flat.join(frequent, "l_partkey")), minSupport, packed)
       }).localCheckpoint()
     // Exactness guard: the minAb floor already guarantees every surviving
     // row has n_ab >= minSupport, so a FULL top-K means no pruned-away
     // (necessarily sub-threshold) pair could have placed — only a short
     // result can hide one, and that falls back to the unpruned expansion.
     val out = if (candidate.count() >= topK) candidate
-              else report(full, 1L).localCheckpoint()
+              else report(full, 1L, packed).localCheckpoint()
     full.unpersist(blocking = false)
     out
   }

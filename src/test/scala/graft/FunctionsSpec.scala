@@ -230,6 +230,40 @@ class FunctionsSpec extends SparkSpec {
     assert(!kernel.exists(t => t._1 == 3L || t._1 == 4L))
   }
 
+  test("packed_long_pairs equals sorted_long_pairs under the 32-bit guard, rejects out-of-range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Seq(5L, 2L, 9L)),
+      (2L, Seq(7L, 7L, 1L)),
+      (3L, Seq(4L)),
+      (4L, Seq[Long]()),
+      (5L, Seq(0L, 0xFFFFFFFFL, 3L))) // full guarded range incl. bounds
+    val df = rows.toDF("id", "items")
+    val packed = df.select($"id",
+        explode(graft.functions.NativeKernels.packedLongPairs($"items")).as("p"))
+      .select($"id", shiftrightunsigned($"p", 32).as("a"),
+        $"p".bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val struct = df.select($"id",
+        explode(graft.functions.NativeKernels.sortedLongPairs($"items")).as("p"))
+      .select($"id", $"p.part_a", $"p.part_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(packed == struct)
+    val neg = intercept[Exception] {
+      Seq((1L, Seq(-1L, 2L))).toDF("id", "items")
+        .select(graft.functions.NativeKernels.packedLongPairs($"items")).collect()
+    }
+    assert(neg.getMessage.contains("packed_long_pairs") ||
+      Option(neg.getCause).exists(_.getMessage.contains("packed_long_pairs")))
+    val big = intercept[Exception] {
+      Seq((1L, Seq(1L, 0x100000000L))).toDF("id", "items")
+        .select(graft.functions.NativeKernels.packedLongPairs($"items")).collect()
+    }
+    assert(big.getMessage.contains("packed_long_pairs") ||
+      Option(big.getCause).exists(_.getMessage.contains("packed_long_pairs")))
+  }
+
   test("term_counts kernel equals the split/filter/explode formulation it replaced") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
