@@ -52,6 +52,31 @@ object Bpe {
       .orderBy($"step")
   }
 
+  /** Exact local twin of [[applyMerge]]'s string fold (pinned in BpeSpec):
+    * greedy left-to-right, merging extends the accumulator's last token. */
+  private[ext] def applyMergeLocal(w: String, lhs: String, rhs: String): String = {
+    var acc = ""
+    for (x <- w.split(" ", -1)) {
+      if (acc.isEmpty) acc = x
+      else if ((acc == lhs || acc.endsWith(" " + lhs)) && x == rhs) acc += rhs
+      else acc = acc + " " + x
+    }
+    acc
+  }
+
+  /** Binary UTF-8 comparison — the order Spark's string `orderBy` uses, so
+    * the local tie-break picks the same pair the distributed `orderBy(a, b)`
+    * would (equal to String.compareTo on the ASCII symbols BPE produces,
+    * but pinned to the engine's order for any input). */
+  private def utf8Lt(x: String, y: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+
+  /** Vocabulary-row cap for the in-driver merge loop (conf
+    * `spark.graft.bpe.localVocabCap`); above it the distributed per-round
+    * loop runs instead. */
+  private val LocalVocabCapKey = "spark.graft.bpe.localVocabCap"
+
   /** Runs the merge loop; returns the FINAL segmented vocabulary
     * (`word`, space-joined symbols `w`, count `c`) and the learned merge
     * list. The final vocabulary IS the trained tokenizer applied to every
@@ -69,6 +94,53 @@ object Bpe {
         concat(array_join(split($"word", ""), " "), lit(" </w>")).as("w"),
         $"c")
       .cache()
+    // Bounded-model fast path (r18): BPE training state is the distinct-
+    // word frequency table, and every production BPE trainer runs the
+    // merge loop in memory over exactly that table. Under the cap, collect
+    // it ONCE and loop on the driver — 2 jobs total instead of 1-2 per
+    // merge round (each round's pair-count job cost ~100 ms of pure
+    // scheduling latency on a vocabulary of a few thousand rows). The
+    // distributed loop below remains the >cap path (same math, same
+    // tie-break, pinned by BpeSpec equality on the classic corpus and by
+    // the q167/q168 oracles at both gate SFs).
+    val cap = spark.conf.getOption(LocalVocabCapKey).flatMap(_.toIntOption)
+      .getOrElse(1 << 20)
+    // ONE bounded action decides AND fetches: limit(cap+1) can never OOM
+    // the driver, and when it returns ≤ cap rows those ARE the whole
+    // vocabulary — no separate count job.
+    val fetched = vocab0.limit(cap + 1).collect()
+    if (fetched.length <= cap) {
+      var rows = fetched.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      vocab0.unpersist(blocking = false)
+      val learned = Seq.newBuilder[(Int, String, String, String, Long)]
+      var exhausted = false
+      for (step <- 1 to merges if !exhausted) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((_, w, c) <- rows) {
+          val syms = w.split(" ", -1)
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + c)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          var best: ((String, String), Long) = null
+          for ((k, v) <- counts) {
+            if (best == null || v > best._2 ||
+              (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+                (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+              best = (k, v)
+          }
+          val ((a, b), n) = best
+          learned += ((step, a, b, a + b, n))
+          rows = rows.map { case (word, w, c) => (word, applyMergeLocal(w, a, b), c) }
+        }
+      }
+      return (rows.toSeq.toDF("word", "w", "c"), learned.result())
+    }
     var vocab = vocab0
     val learned = Seq.newBuilder[(Int, String, String, String, Long)]
     var exhausted = false

@@ -43,6 +43,31 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(1, 2))
   }
 
+  test("in-driver merge loop equals the distributed loop (merges, vocab, encode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The local path (default: vocab under the cap) against the
+    // distributed path (cap 0 forces it) on the fixture corpus: identical
+    // learned merges, identical final segmented vocabulary, identical
+    // q168 encode output.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def run(): (Seq[(Int, String, String, String, Long)],
+                Seq[(String, String, Long)], Seq[org.apache.spark.sql.Row]) = {
+      val (vocab, learned) = Bpe.learnMerges(spark, docs, 6)
+      (learned,
+        vocab.orderBy($"word").as[(String, String, Long)].collect().toSeq,
+        Bpe.encode(spark, docs, 6).collect().toSeq)
+    }
+    val (lmLocal, vLocal, eLocal) = run()
+    spark.conf.set("spark.graft.bpe.localVocabCap", "0")
+    try {
+      val (lmDist, vDist, eDist) = run()
+      assert(lmLocal == lmDist)
+      assert(vLocal == vDist)
+      assert(eLocal == eDist)
+    } finally spark.conf.unset("spark.graft.bpe.localVocabCap")
+  }
+
   test("q167: fixture-corpus merge table is monotone and well-formed") {
     import spark.implicits._
     val rows = Bpe.q167BpeTrain(spark, sf0001)
