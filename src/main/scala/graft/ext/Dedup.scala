@@ -813,10 +813,53 @@ object Dedup {
   /** `roundProbe` (default no-op) observes each round's just-materialized
     * label generation — the scale-probe hook for measuring per-round
     * checkpoint footprint; production callers never pass it. */
+  /** Edge cap for the in-driver union–find fast path of
+    * [[connectedComponents]] (conf `spark.graft.cc.localEdgeCap`). */
+  private val LocalEdgeCapKey = "spark.graft.cc.localEdgeCap"
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
                           roundProbe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // Bounded-model fast path (r18, the BPE device): the near-dup PAIR set
+    // is orders of magnitude smaller than the corpus it came from, and a
+    // min-label union–find over it is the textbook in-memory algorithm.
+    // Under the cap, ONE bounded fetch (limit(cap+1) — can never OOM the
+    // driver; ≤ cap rows means that IS the whole edge list) replaces the
+    // per-round join+jump loop (3-4 jobs a round, pure scheduling latency
+    // on a few hundred edges at bench scale). Labels are identical: both
+    // algorithms assign every touched node the MINIMUM id of its connected
+    // component. The distributed loop below remains the >cap path (specs
+    // pin equality via the cap conf; the 64× octave probes exercise it).
+    val cap = spark.conf.getOption(LocalEdgeCapKey).flatMap(_.toIntOption)
+      .getOrElse(1 << 22)
+    if (cap > 0) {
+      val fetched = pairs
+        .select($"left_id".cast("long"), $"right_id".cast("long"))
+        .limit(cap + 1).collect()
+      if (fetched.length <= cap) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        for (row <- fetched) {
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // min-id representative so labels match the propagation loop
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.forEach((id, _) => out += ((id, find(id))))
+        return out.toSeq.toDF("id", "label")
+      }
+    }
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def checkpointed(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()

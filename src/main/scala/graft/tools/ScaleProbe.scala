@@ -482,6 +482,9 @@ object ScaleProbe {
         val pairs = graft.ext.Dedup.minhashNearDupPairs(corpus)
           .select($"left_id", $"right_id")
         val t0 = System.nanoTime()
+        // This probe measures the DISTRIBUTED loop's per-round footprint;
+        // force past the in-driver union-find fast path.
+        spark.conf.set("spark.graft.cc.localEdgeCap", "0")
         graft.ext.Dedup.connectedComponents(pairs, roundProbe = (i, next) => {
           val bytes = org.apache.spark.sql.graftshim.checkpointRddOf(next)
             .flatMap(r => spark.sparkContext.getRDDStorageInfo.find(_.id == r.id))
@@ -493,6 +496,7 @@ object ScaleProbe {
       }
       ccBytes("base", base)
       ccBytes(s"${replicas}x", big)
+      spark.conf.unset("spark.graft.cc.localEdgeCap")
     }
 
     // The partitioned merge target's scaling claim is about the MERGE, not

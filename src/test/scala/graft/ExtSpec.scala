@@ -281,11 +281,35 @@ class ExtSpec extends SparkSpec {
     // rounds and blow a maxIters of 15. With the label-of-label jump the
     // effective distance roughly doubles per round — convergence in ~log2(64)
     // rounds. This test FAILS (IllegalStateException) without the jump.
-    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("left_id", "right_id")
-    val labels = Dedup.connectedComponents(chain, maxIters = 15).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 64)
-    assert(labels.values.forall(_ == 0L), "all chain nodes must label to the min id")
+    // cap=0 forces the DISTRIBUTED loop (the r18 in-driver union-find
+    // would satisfy this vacuously).
+    spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+    try {
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+      val labels = Dedup.connectedComponents(chain, maxIters = 15).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 64)
+      assert(labels.values.forall(_ == 0L), "all chain nodes must label to the min id")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+  }
+
+  test("in-driver union-find equals the distributed CC loop on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 30
+      val edges = (1 to n).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("left_id", "right_id")
+      val local = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+      val dist =
+        try Dedup.connectedComponents(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+      assert(local == dist, s"trial $trial: local=$local dist=$dist")
+    }
   }
 
   test("count-min heavy hitters: estimates never undercount and respect the eps*N bound") {
