@@ -633,10 +633,14 @@ object Corpus {
       .filter($"rn" === 1)
       .select($"doc_id", $"t", $"n_tok")
       .localCheckpoint()
+    // Materialized once (r18, the q189 device): the distinct span table
+    // feeds the per-span doc count AND the join probe — lazy, each
+    // consumer re-ran the explode + md5 + distinct over the survivors.
     val spans = exact
       .select($"doc_id",
         explode(transform(Dedup.spanTexts($"t", width), t => md5(t))).as("h"))
       .distinct()
+      .localCheckpoint()
     val shared = spans.groupBy($"h").agg(count(lit(1)).as("nd"))
     val novelty = spans.join(shared, Seq("h"))
       .groupBy($"doc_id")

@@ -1483,11 +1483,14 @@ object Dedup {
   def q184SpanNovelty(spark: SparkSession, dir: String, width: Int = 8,
                       topK: Int = 15): DataFrame = {
     import spark.implicits._
+    // Materialized once (r18, the q189/q200 device): the span table feeds
+    // the per-hash doc count AND the join probe.
     val spans = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", "\\s+").as("t"))
       .select($"doc_id",
         explode(transform(spanTexts($"t", width), t => md5(t))).as("h"))
       .distinct()
+      .localCheckpoint()
     val shared = spans.groupBy($"h")
       .agg(count(lit(1)).as("n_docs_with"))
     spans
@@ -1534,7 +1537,10 @@ object Dedup {
 
   def q165SourceOverlap(spark: SparkSession, dir: String, width: Int = 8,
                         topN: Int = 20): DataFrame =
-    overlapFromSpans(sourceSpans(spark, dir, width), topN)
+    // Materialized once (r18, the q189/q200 device): overlapFromSpans
+    // consumes the span table twice (per-source totals + the pair path);
+    // lazy, each consumer re-ran the corpus explode + md5 + distinct.
+    overlapFromSpans(sourceSpans(spark, dir, width).localCheckpoint(), topN)
 
   /** The q165 exact pairwise overlap matrix over a prebuilt span frame. */
   def overlapFromSpans(spans: DataFrame, topN: Int = 20): DataFrame = {
