@@ -809,7 +809,10 @@ object Extra {
       sum(when($"n_item" < minSupport, 1L).otherwise(0L)).as("n_infrequent"),
       min($"l_partkey").as("min_k"), max($"l_partkey").as("max_k")).collect().head
     val nInfrequent = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
-    val packed = !statsRow.isNullAt(1) && statsRow.getLong(1) >= 0L &&
+    // A/B seam: spark.graft.q122.packedPairs=false forces the struct path
+    // (measurement tooling; the stats guard is the production decision).
+    val packed = spark.conf.get("spark.graft.q122.packedPairs", "auto") != "false" &&
+      !statsRow.isNullAt(1) && statsRow.getLong(1) >= 0L &&
       statsRow.getLong(2) <= 0xFFFFFFFFL
     // Result-sized leaf: the exactness guard reads it here AND the caller
     // materializes it — without the checkpoint the pipeline would execute
