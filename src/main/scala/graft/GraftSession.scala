@@ -26,18 +26,34 @@ object GraftSession {
     * bench shuffles are MBs against a 128 GiB box).
     *
     * `SPARK_GRAFT_LOCAL_DIR` overrides (empty string = keep Spark's
-    * default); otherwise `/dev/shm/graft_local` when writable, else the
-    * platform default. Applied by every engine entry point (GraftSession /
-    * Bench / Verify / tools) so measurements and production defaults agree. */
-  def localDir: Option[String] =
-    sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(_.trim).filter(_.nonEmpty).orElse {
-      val shm = new java.io.File("/dev/shm")
-      if (sys.env.get("SPARK_GRAFT_LOCAL_DIR").exists(_.trim.isEmpty)) None
-      else if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm, "graft_local")
-        d.mkdirs()
-        Some(d.getAbsolutePath)
-      } else None
+    * default); otherwise `/dev/shm/graft_local` when writable AND big
+    * enough, else the platform default. Applied by every engine entry
+    * point (GraftSession / Bench / Verify / tools) so measurements and
+    * production defaults agree. */
+  def localDir: Option[String] = scratchRoot("SPARK_GRAFT_LOCAL_DIR", "graft_local")
+
+  /** Shared scratch-root policy (this and [[graft.sources.TempDirs]]):
+    * env override wins (empty/blank = platform default); otherwise
+    * /dev/shm/<dirName> when writable and with >= 4 GiB usable — a plain
+    * writability check would happily adopt the 64 MB tmpfs default Docker
+    * mounts, and a full scratch device fails far worse than a slow one. */
+  private[graft] def scratchRoot(envVar: String, dirName: String): Option[String] =
+    sys.env.get(envVar).map(_.trim) match {
+      case Some("") => None
+      case Some(d) =>
+        val f = new java.io.File(d); f.mkdirs(); Some(f.getAbsolutePath)
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        val bigEnough =
+          try shm.isDirectory && shm.canWrite &&
+            java.nio.file.Files.getFileStore(shm.toPath)
+              .getUsableSpace >= 4L * 1024 * 1024 * 1024
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (bigEnough) {
+          val d = new java.io.File(shm, dirName)
+          d.mkdirs()
+          Some(d.getAbsolutePath)
+        } else None
     }
 
   /** Apply [[localDir]] to a session builder (no-op when None). */

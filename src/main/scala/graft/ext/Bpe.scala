@@ -105,11 +105,16 @@ object Bpe {
     // the q167/q168 oracles at both gate SFs).
     val cap = spark.conf.getOption(LocalVocabCapKey).flatMap(_.toIntOption)
       .getOrElse(1 << 20)
-    // ONE bounded action decides AND fetches: limit(cap+1) can never OOM
-    // the driver, and when it returns ≤ cap rows those ARE the whole
-    // vocabulary — no separate count job.
-    val fetched = vocab0.limit(cap + 1).collect()
-    if (fetched.length <= cap) {
+    // ONE bounded action decides AND fetches: the limit(cap+1) collect is
+    // ROW-bounded (the cap is a sizing assumption — ~100 B/row at the 1M
+    // default ≈ 100 MB of driver heap; size it to the driver, the loop
+    // itself is vocabulary-bounded either way), and when it returns
+    // ≤ cap rows those ARE the whole vocabulary — no separate count job.
+    // cap <= 0 forces the distributed path unconditionally (the spec
+    // seam), matching the CC fast path's contract.
+    val fetched =
+      if (cap > 0) vocab0.limit(cap + 1).collect() else Array.empty[org.apache.spark.sql.Row]
+    if (cap > 0 && fetched.length <= cap) {
       var rows = fetched.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       vocab0.unpersist(blocking = false)
       val learned = Seq.newBuilder[(Int, String, String, String, Long)]

@@ -160,15 +160,20 @@ object Corpus {
     // tf rows (identical to the distinct-pair count: tf rows ARE one row
     // per (doc, term) present). Values are bit-identical: same tokens,
     // same counts, same double chain, same fixed-point rounding.
+    // Distinct terms: the old isin+groupBy form deduplicated a repeated
+    // query term by construction (isin matches the VALUE); a per-index
+    // count array would give each duplicate its own slot, row and df
+    // increment — dedupe at entry so the two forms agree for any caller.
+    val qTerms = terms.distinct
     val tc = Tables.documents(spark, dir)
       .select($"doc_id",
-        graft.functions.NativeKernels.termCounts(lower($"text"), terms).as("tc"))
+        graft.functions.NativeKernels.termCounts(lower($"text"), qTerms).as("tc"))
       .select($"doc_id", $"tc.dl".as("dl"), $"tc.cnt".as("cnt"))
       .filter($"dl" > 0)
     val stats = tc.agg(
       count(lit(1)).as("n_docs"),
       (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
-    val termArr = array(terms.map(lit): _*)
+    val termArr = array(qTerms.map(lit): _*)
     val tf = tc
       .select($"doc_id", $"dl", posexplode($"cnt").as(Seq("ti", "tf")))
       .filter($"tf" > 0)

@@ -817,15 +817,22 @@ object Dedup {
     * [[connectedComponents]] (conf `spark.graft.cc.localEdgeCap`). */
   private val LocalEdgeCapKey = "spark.graft.cc.localEdgeCap"
 
+  /** Sentinel default: a caller-supplied probe means "observe the
+    * DISTRIBUTED loop's rounds" — the fast path must step aside for it,
+    * not silently swallow the observations. */
+  private val NoRoundProbe: (Int, DataFrame) => Unit = (_, _) => ()
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
-                          roundProbe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+                          roundProbe: (Int, DataFrame) => Unit = NoRoundProbe): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // Bounded-model fast path (r18, the BPE device): the near-dup PAIR set
     // is orders of magnitude smaller than the corpus it came from, and a
     // min-label union–find over it is the textbook in-memory algorithm.
-    // Under the cap, ONE bounded fetch (limit(cap+1) — can never OOM the
-    // driver; ≤ cap rows means that IS the whole edge list) replaces the
+    // Under the cap, ONE bounded fetch (limit(cap+1) — ROW-bounded; the
+    // cap is a driver-heap sizing assumption, ~16 B/edge at the 4M
+    // default ≈ 64 MB; ≤ cap rows means that IS the whole edge list)
+    // replaces the
     // per-round join+jump loop (3-4 jobs a round, pure scheduling latency
     // on a few hundred edges at bench scale). Labels are identical: both
     // algorithms assign every touched node the MINIMUM id of its connected
@@ -833,7 +840,7 @@ object Dedup {
     // pin equality via the cap conf; the 64× octave probes exercise it).
     val cap = spark.conf.getOption(LocalEdgeCapKey).flatMap(_.toIntOption)
       .getOrElse(1 << 22)
-    if (cap > 0) {
+    if (cap > 0 && (roundProbe eq NoRoundProbe)) {
       val fetched = pairs
         .select($"left_id".cast("long"), $"right_id".cast("long"))
         .limit(cap + 1).collect()

@@ -36,18 +36,8 @@ object TempDirs {
     * Capacity note: everything here is MB-scale per run and deleted at JVM
     * exit; a deployment with big staging keeps a disk path via the env. */
   private lazy val root: Option[Path] =
-    sys.env.get("SPARK_GRAFT_TMP").map(_.trim) match {
-      case Some("") => None
-      case Some(d) =>
-        val p = java.nio.file.Paths.get(d); Files.createDirectories(p); Some(p)
-      case None =>
-        val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite) {
-          val p = java.nio.file.Paths.get("/dev/shm/graft_tmp")
-          Files.createDirectories(p)
-          Some(p)
-        } else None
-    }
+    graft.GraftSession.scratchRoot("SPARK_GRAFT_TMP", "graft_tmp")
+      .map(java.nio.file.Paths.get(_))
 
   /** Create a temp directory that is removed (recursively) at JVM exit. */
   def create(prefix: String): Path = {

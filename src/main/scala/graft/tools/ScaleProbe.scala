@@ -482,9 +482,8 @@ object ScaleProbe {
         val pairs = graft.ext.Dedup.minhashNearDupPairs(corpus)
           .select($"left_id", $"right_id")
         val t0 = System.nanoTime()
-        // This probe measures the DISTRIBUTED loop's per-round footprint;
-        // force past the in-driver union-find fast path.
-        spark.conf.set("spark.graft.cc.localEdgeCap", "0")
+        // A caller-supplied roundProbe makes connectedComponents take the
+        // distributed loop (the fast path steps aside for observation).
         graft.ext.Dedup.connectedComponents(pairs, roundProbe = (i, next) => {
           val bytes = org.apache.spark.sql.graftshim.checkpointRddOf(next)
             .flatMap(r => spark.sparkContext.getRDDStorageInfo.find(_.id == r.id))
@@ -496,7 +495,6 @@ object ScaleProbe {
       }
       ccBytes("base", base)
       ccBytes(s"${replicas}x", big)
-      spark.conf.unset("spark.graft.cc.localEdgeCap")
     }
 
     // The partitioned merge target's scaling claim is about the MERGE, not

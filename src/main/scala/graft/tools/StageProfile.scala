@@ -29,7 +29,6 @@ object StageProfile {
         val Array(k, v) = kv.split("=", 2); (k, v) }
     val b0 = graft.GraftSession.withLocalDir(SparkSession.builder()
       .master(s"local[$cpus]"))
-    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -38,6 +37,9 @@ object StageProfile {
       .config("spark.sql.files.maxPartitionBytes", (4L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // XCONF LAST so an experiment override of a fixed default (e.g. AQE
+    // off) actually wins — builder semantics are last-set-wins.
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.Bench.muteBenignWarns()
