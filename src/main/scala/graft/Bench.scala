@@ -193,7 +193,7 @@ object Bench {
     // Shuffle/spill scratch on the fastest local storage (see
     // GraftSession.localDir): the sandbox's default /tmp is a slow overlay
     // whose shuffle-file churn dominated small-stage walls.
-    val spark = GraftSession.withLocalDir(SparkSession.builder()
+    val spark = GraftSession.withStatics(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -492,6 +492,20 @@ object Bench {
             d.wall - b > RegressionMinDeltaSec => (k, d.wall, b)
         }
       }.sortBy { case (_, w, b) => -(w / b) }
+    // Mirror of regressionsOf: queries reading SUSPICIOUSLY FAST against the
+    // recorded ledger (same factor and absolute floor, inverted). Exists so
+    // the requeue below is symmetric (VERDICT r18 #2): a one-sided requeue
+    // re-measures only slow-flagged queries and can therefore only LOWER the
+    // published total; lucky-fast medians (two storm-quiet reps on a query
+    // whose recorded median was itself inflated, or a sub-second query's
+    // timer noise) deserve the same extra-rep adjudication.
+    def speedupsOf(rs: Seq[(String, Diag)]): Seq[(String, Double, Double)] =
+      rs.flatMap { case (k, d) =>
+        baseline.get(k).collect {
+          case b if b > 0.0 && d.wall * RegressionFactor < b &&
+            b - d.wall > RegressionMinDeltaSec => (k, d.wall, b)
+        }
+      }.sortBy { case (_, w, b) => -(b / w) }
     // Regression requeue (round 18): a ledger flag measured mid-storm should
     // adjudicate ITSELF where the run can still afford it. The r17 artifact
     // flagged 12 queries — 7 >2×, all in one contiguous run-order stretch,
@@ -506,6 +520,19 @@ object Bench {
         f"[bench-requeue] $k ${w}%.3f s vs recorded ${b}%.3f s (${w / b}%.2fx) — re-measuring")
       remeasure(k, "bench-requeue", rerunGraceSec * 2, maxExtra = 2)
     }
+    // SYMMETRIC side of the requeue (VERDICT r18 #2): queries reading
+    // >RegressionFactor FASTER than recorded get the same extra-rep
+    // treatment, so re-measurement is conditioned on disagreement with the
+    // ledger in EITHER direction and the published total can move both
+    // ways. A genuine optimization survives its extra reps (the median over
+    // 5 fast reps is still fast); a lucky-fast median gets corrected upward
+    // exactly like a storm-slow median gets corrected downward.
+    val preSpeedups = speedupsOf(resultsBuf.toSeq)
+    for ((k, w, b) <- preSpeedups) {
+      System.err.println(
+        f"[bench-requeue-fast] $k ${w}%.3f s vs recorded ${b}%.3f s (${b / w}%.2fx fast) — re-measuring")
+      remeasure(k, "bench-requeue-fast", rerunGraceSec * 2, maxExtra = 2)
+    }
     // Queries that actually GOT extra reps — not merely flagged: when the
     // grace window expires (or every re-run fails) the artifact must not
     // claim re-measurement that never happened.
@@ -513,6 +540,11 @@ object Bench {
     val results = resultsBuf.toSeq
     val regressions = regressionsOf(results)
     val requeueCleared = preRegressions.size - regressions.size
+    // Fast-side ledger disagreements that SURVIVED their extra reps —
+    // reported next to the regression count so the artifact discloses both
+    // directions of ledger drift, not only the unfavorable one.
+    val speedups = speedupsOf(results)
+    val fastRequeueCleared = preSpeedups.size - speedups.size
     def contTag(d: Diag): String = {
       val ec = if (d.extCores < 0) "n/a" else f"${d.extCores}%.1f"
       val st = if (d.stealCores < 0) "n/a" else f"${d.stealCores}%.2f"
@@ -641,6 +673,9 @@ object Bench {
       s""","regressions_vs_recorded":${regressions.size}""" +
       s""","regressions_pre_requeue":${preRegressions.size}""" +
       s""","requeue_cleared":$requeueCleared""" +
+      s""","speedups_vs_recorded":${speedups.size}""" +
+      s""","speedups_pre_requeue":${preSpeedups.size}""" +
+      s""","fast_requeue_cleared":$fastRequeueCleared""" +
       s""","median_inflation_vs_recorded":${sec(medianInflation)}""" +
       s""","flags_weather_attributed":$weatherCount""" +
       s""","worst_regressions":${regJson(regressions.take(8))}""" +
@@ -656,9 +691,13 @@ object Bench {
       s""","regressions_vs_recorded":${regressions.size}""" +
       s""","regressions_pre_requeue":${preRegressions.size}""" +
       s""","requeue_cleared":$requeueCleared""" +
+      s""","speedups_vs_recorded":${speedups.size}""" +
+      s""","speedups_pre_requeue":${preSpeedups.size}""" +
+      s""","fast_requeue_cleared":$fastRequeueCleared""" +
       s""","median_inflation_vs_recorded":${sec(medianInflation)}""" +
       s""","flags_weather_attributed":$weatherCount""" +
       s""","regressions":${regJson(regressions)}""" +
+      s""","speedups":${regJson(speedups)}""" +
       s""","diag":${toDiagJson(results)},"value":${sec(total)}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

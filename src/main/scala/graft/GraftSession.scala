@@ -60,6 +60,21 @@ object GraftSession {
   def withLocalDir(b: SparkSession.Builder): SparkSession.Builder =
     localDir.fold(b)(d => b.config("spark.local.dir", d))
 
+  /** JVM-static session defaults every engine entry point wants, applied
+    * on top of [[withLocalDir]].
+    *
+    * `spark.sql.codegen.cache.maxEntries` (STATIC conf — must be set before
+    * the first session builds): the 208-query suite generates ~1600 distinct
+    * whole-stage/expression codegen sources, and the default 100-entry cache
+    * thrashes — every query's FIRST rep after a suite pass re-compiles its
+    * generated sources (~50-400 ms measured per query via
+    * CodegenMetrics in TaskProfile). 2048 holds the whole suite; entries are
+    * compiled-class references, so the cost is metaspace, not heap. A
+    * long-lived production cluster wants the same headroom for the same
+    * reason (one JVM serving many distinct plans). */
+  def withStatics(b: SparkSession.Builder): SparkSession.Builder =
+    withLocalDir(b).config("spark.sql.codegen.cache.maxEntries", "2048")
+
   def build(appName: String = "graft",
             cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = withLocalDir(SparkSession.builder()

@@ -829,10 +829,7 @@ object Dedup {
     // Bounded-model fast path (r18, the BPE device): the near-dup PAIR set
     // is orders of magnitude smaller than the corpus it came from, and a
     // min-label union–find over it is the textbook in-memory algorithm.
-    // Under the cap, ONE bounded fetch (limit(cap+1) — ROW-bounded; the
-    // cap is a driver-heap sizing assumption, ~16 B/edge at the 4M
-    // default ≈ 64 MB; ≤ cap rows means that IS the whole edge list)
-    // replaces the
+    // Under the cap, one count probe + one unboxed fetch replace the
     // per-round join+jump loop (3-4 jobs a round, pure scheduling latency
     // on a few hundred edges at bench scale). Labels are identical: both
     // algorithms assign every touched node the MINIMUM id of its connected
@@ -840,11 +837,25 @@ object Dedup {
     // pin equality via the cap conf; the 64× octave probes exercise it).
     val cap = spark.conf.getOption(LocalEdgeCapKey).flatMap(_.toIntOption)
       .getOrElse(1 << 22)
-    if (cap > 0 && (roundProbe eq NoRoundProbe)) {
-      val fetched = pairs
-        .select($"left_id".cast("long"), $"right_id".cast("long"))
-        .limit(cap + 1).collect()
-      if (fetched.length <= cap) {
+    // Probe frame persisted ONCE when the fast path is in play (VERDICT r18
+    // #4 / ADVICE r18): the count probe partially materializes the caller's
+    // pair pipeline, and without the persist the >cap branch would recompute
+    // that whole pipeline from scratch for the distributed loop — one wasted
+    // full pass exactly when the input is huge. The probe itself is a COUNT
+    // (bytes never leave the executors); only a ≤cap edge list is collected,
+    // and it ships as unboxed (Long, Long) pairs — ~32 B/edge of transient
+    // driver heap at the 4M default (~128 MB), not ~100 B/row of boxed Rows.
+    val probed: Option[DataFrame] =
+      if (cap > 0 && (roundProbe eq NoRoundProbe))
+        Some(pairs.select($"left_id".cast("long").as("left_id"),
+          $"right_id".cast("long").as("right_id")).persist())
+      else None
+    probed.foreach { src =>
+      if (src.count() <= cap) {
+        val fetched = src
+          .selectExpr("left_id as _1", "right_id as _2").as[(Long, Long)]
+          .collect()
+        src.unpersist(blocking = false)
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -853,8 +864,7 @@ object Dedup {
           while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
           r
         }
-        for (row <- fetched) {
-          val (a, b) = (row.getLong(0), row.getLong(1))
+        for ((a, b) <- fetched) {
           parent.putIfAbsent(a, a)
           parent.putIfAbsent(b, b)
           val (ra, rb) = (find(a), find(b))
@@ -867,12 +877,16 @@ object Dedup {
         return out.toSeq.toDF("id", "label")
       }
     }
+    // >cap (or probe disabled): distributed loop. When the probe ran, its
+    // persisted projection feeds the edge build so the caller's pipeline is
+    // not recomputed; unpersisted alongside `edges` at the end.
+    val src = probed.getOrElse(pairs)
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def checkpointed(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // undirected edge list, both directions
-    val edges = pairs.select($"left_id".as("src"), $"right_id".as("dst"))
-      .unionByName(pairs.select($"right_id".as("src"), $"left_id".as("dst")))
+    val edges = src.select($"left_id".as("src"), $"right_id".as("dst"))
+      .unionByName(src.select($"right_id".as("src"), $"left_id".as("dst")))
       .distinct().persist()
     var labels = checkpointed(
       edges.select($"src".as("id")).distinct().withColumn("label", col("id")))
@@ -917,6 +931,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    probed.foreach(_.unpersist(blocking = false))
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: no fixed point after $maxIters rounds " +
         "(component diameter exceeds maxIters — raise it)")
@@ -1102,6 +1117,12 @@ object Dedup {
     // hash array in one pass — the string shingle arrays (~40 B/row vs 8,
     // plus per-shingle allocation) are NEVER materialized corpus-wide
     // (doing so measured 5-10× slower than this form at sf0.1).
+    // ONE corpus scan + kernel pass (r19): hsets feeds both the
+    // token/prefix chain AND the hash-verify side (hsorted); left lazy, the
+    // shingle kernel re-ran the corpus for each (the before profile read
+    // 590 tasks / 24 stages per rep). The checkpointed leaf is the
+    // signature table a production pipeline materializes once per corpus;
+    // freed below as soon as its last consumer (surv) is materialized.
     val hsets = corpus
       .select($"doc_id",
         // the kernel's LinkedHashSet already emits DISTINCT hashes — no
@@ -1109,11 +1130,21 @@ object Dedup {
         graft.functions.NativeKernels.shingleHashes($"text", 3).as("hs"))
       .withColumn("sz", size($"hs"))
       .filter($"sz" > 0)
-    // Reused frames are persisted: tokens feeds the df count AND the rank
-    // join, prefix feeds BOTH sides of the candidate self-join, cand feeds
-    // the id list and the verify join — without the caches each consumer
-    // re-runs the whole upstream chain (measured ~3× the runtime).
-    val tokens = hsets.select($"doc_id", $"sz", explode($"hs").as("h")).persist()
+      // The leaf inherits the scan's split count (64 bench-scale partitions
+      // for ~5k rows) and has FOUR downstream consumers — every one pays
+      // the leaf's task count again. Cap the leaf at the session's core
+      // count (shuffle-free coalesce; scale-adaptive, not a local constant:
+      // a cluster coalesces its many scan splits to ITS total cores, which
+      // also keeps the kernel pass fully parallel).
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    // Reused frames: prefix is persisted (it feeds BOTH sides of the
+    // candidate self-join and its window chain is expensive); tokens is NOT
+    // — both its consumers (the df count and the rank join's probe side)
+    // sit in ONE plan, and re-exploding the checkpointed array leaf twice
+    // is cheaper than building a columnar cache of the occurrence rows.
+    // cand feeds the id list and the verify join — checkpointed below.
+    val tokens = hsets.select($"doc_id", $"sz", explode($"hs").as("h"))
     val dfreq = tokens.groupBy($"h").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy($"doc_id").orderBy($"df".asc, $"h".asc)
     val prefix = tokens.join(dfreq, "h")
@@ -1168,7 +1199,6 @@ object Dedup {
         greatest($"x_id", $"y_id").as("b_id"))
       .distinct()
       .localCheckpoint()
-    tokens.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
     // Hash-set prefilter before the string verify (q143's drift argument,
     // wider margin): a true pair has J_string ≥ t = 0.5, and hash-set vs
@@ -1184,8 +1214,12 @@ object Dedup {
     // COMPUTED hash sets with the fused sorted-merge jaccard kernel (no
     // per-pair array materialization) and hands the string verify a
     // result-sized survivor set.
+    // No checkpoint of its own (r19): hsorted is one sort_array over the
+    // already-materialized hsets leaf — the two broadcast survivor joins
+    // each recompute that projection from blocks, which is cheaper than
+    // another corpus-sized checkpoint write (and race-free: the leaf is
+    // materialized, so concurrent broadcast builds re-read, not re-run).
     val hsorted = hsets.select($"doc_id", sort_array($"hs").as("hss"))
-      .localCheckpoint() // broadcast by BOTH survivor joins: one kernel pass
     val surv = cand
       .join(hsorted.select($"doc_id".as("a_id"), $"hss".as("ha")), "a_id")
       .join(hsorted.select($"doc_id".as("b_id"), $"hss".as("hb")), "b_id")
@@ -1193,6 +1227,10 @@ object Dedup {
         >= lit(t) - lit(0.05))
       .select($"a_id", $"b_id")
       .localCheckpoint() // referenced by candIds (twice) and the verify join
+    // surv was the hash leaf's last consumer — free the corpus-wide blocks
+    // now (the verify below reads corpus + candIds, not hsets).
+    org.apache.spark.sql.graftshim.checkpointRddOf(hsets)
+      .foreach(_.unpersist(blocking = false))
     // Exact verify on TRUE string shingle sets, derived only for surviving
     // documents (near-dups + bounded collision mass — never N²), so the
     // result is bit-equal to the quadratic string-set oracle. Tokenization

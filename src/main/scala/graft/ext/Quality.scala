@@ -459,8 +459,13 @@ object Quality {
           * lit(1000000L))
         .cast("long"))
       .groupBy($"doc_id")
+      // Σ fp·n in exact decimal(38,0), same guard as q198's per-split sum
+      // (VERDICT r18 #3): fp·n is long×long and a hot term's n at 100 TB
+      // times a large |fp| silently wraps 2⁶³; in-range the double cast
+      // sees the same exact integer, oracle unchanged.
       .agg(sum($"n").as("n_tokens"),
-        round(sum($"fp" * $"n") / (lit(1000000.0) * sum($"n")), 6)
+        round(sum($"fp".cast("decimal(38,0)") * $"n").cast("double")
+          / (lit(1000000.0) * sum($"n")), 6)
           .as("dsir_score"))
       .orderBy($"dsir_score".desc, $"doc_id")
       .limit(topK)

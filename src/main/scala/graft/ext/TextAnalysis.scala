@@ -234,7 +234,15 @@ object TextAnalysis {
   def q190LexicalCosine(spark: SparkSession, dir: String, nQueries: Int = 5,
                         k: Int = 5, dim: Int = 1024): DataFrame = {
     import spark.implicits._
-    val vec = hashedBow(Tables.documents(spark, dir), dim)
+    // ONE corpus tokenize (r19): the vector table has four consumers (both
+    // norm2 uses, the broadcast query side, the join probe side), and a lazy
+    // plan re-ran the tokenize+hash+aggregate chain for each — the before
+    // plan shows 8 parquet scans / 24 Exchanges. localCheckpoint the bounded
+    // (doc, bucket, c) table once (≤ docs×dim rows — the materialized
+    // feature table a production retrieval layer stores anyway); every
+    // consumer, including both norm2 aggregates, derives from the leaf.
+    // The q121/q198 device; values and oracle unchanged.
+    val vec = hashedBow(Tables.documents(spark, dir), dim).localCheckpoint()
     val norm2 = vec.groupBy($"doc_id").agg(sum($"c" * $"c").as("n2"))
     val q = vec.filter($"doc_id" < nQueries)
       .select($"doc_id".as("query_id"), $"bucket", $"c".as("cq"))

@@ -338,6 +338,23 @@ object Extra {
       .orderBy($"a_cust", $"b_cust")
   }
 
+  /** The shared q83/q148 sketch build: count-min over `l_partkey` with the
+    * published parameters (ε = 1e-4, δ = 0.01, seed 42), built by the
+    * CODEGEN `count_min_sketch` aggregate instead of
+    * `df.stat.countMinSketch` (r19, guide §4 interpreted-path removal): the
+    * stat helper converts every InternalRow to an external Row and runs an
+    * RDD treeAggregate outside codegen, while the aggregate expression
+    * reads the long straight off the scan inside WholeStageCodegen with
+    * map-side partial sketches. Both paths addLong(v) into
+    * CountMinSketch.create(eps, confidence, seed), and CMS merge is a
+    * cell-wise sum (associative, commutative, exact), so the resulting
+    * sketch — every estimate and totalCount — is identical however the
+    * partitions split (FunctionsSpec pins agg-built ≡ stat-built bytes). */
+  private def cmsOver(li: DataFrame): org.apache.spark.util.sketch.CountMinSketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      li.select(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0))
+
   /** Heavy hitters via count-min sketch: estimated frequencies of the
     * top-visited part keys, the one-pass bounded-memory companion to the
     * HLL cardinality path (q21). The sketch merges associatively across
@@ -348,9 +365,9 @@ object Extra {
     import spark.implicits._
     import org.apache.spark.util.sketch.CountMinSketch
     val li = Tables.lineitem(spark, dir)
-    // one distributed pass builds the sketch (treeAggregate-backed)
-    val sketch: CountMinSketch = li.stat.countMinSketch(
-      $"l_partkey", eps = 0.0001, confidence = 0.99, seed = 42)
+    // one distributed pass builds the sketch — via the codegen'd
+    // count_min_sketch aggregate (see [[cmsOver]]), not the RDD path
+    val sketch: CountMinSketch = cmsOver(li)
     // exact top-k keys come from a normal aggregation; the sketch then
     // reports its estimate for each — the point of the query is comparing
     // the two paths, which is also exactly what a production heavy-hitter
@@ -381,8 +398,7 @@ object Extra {
     import org.apache.spark.util.sketch.CountMinSketch
     val li = Tables.lineitem(spark, dir)
     val eps = 0.0001
-    val sketch: CountMinSketch = li.stat.countMinSketch(
-      $"l_partkey", eps = eps, confidence = 0.99, seed = 42)
+    val sketch: CountMinSketch = cmsOver(li)
     val totalN = sketch.totalCount() // N rode along with the sketch pass
     val slack = math.ceil(eps * totalN).toLong * 10L + 1L
     val topExact = li.groupBy($"l_partkey").agg(count(lit(1)).as("exact_n"))

@@ -22,7 +22,7 @@ object JobTime {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.GraftSession.withLocalDir(SparkSession.builder()
+    val spark = graft.GraftSession.withStatics(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

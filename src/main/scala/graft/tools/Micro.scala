@@ -15,7 +15,7 @@ object Micro {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = graft.GraftSession.withLocalDir(SparkSession.builder()
+    val spark = graft.GraftSession.withStatics(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", shuf)
       // An EXPLICIT shuffle sweep must measure what it set: disable the

@@ -27,7 +27,7 @@ object StageProfile {
     val extra = sys.env.getOrElse("SPARK_GRAFT_XCONF", "").split(';')
       .filter(_.contains("=")).map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v) }
-    val b0 = graft.GraftSession.withLocalDir(SparkSession.builder()
+    val b0 = graft.GraftSession.withStatics(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

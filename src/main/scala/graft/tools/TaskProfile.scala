@@ -46,7 +46,7 @@ object TaskProfile {
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.GraftSession.withLocalDir(SparkSession.builder()
+    val spark = graft.GraftSession.withStatics(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -64,12 +64,17 @@ object TaskProfile {
     def run(name: String): Unit =
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+    // Listener settling: require 3 CONSECUTIVE unchanged 20 ms samples (one
+    // unchanged sample can be a gap between async event deliveries, leaking
+    // late task-end events into the next rep's delta), and give the loop a
+    // 50-sample budget instead of 10 before giving up on a busy bus.
     def settled(): Seq[Long] = {
-      var prev = l.snap(); var spins = 0
-      while (spins < 10) {
+      var prev = l.snap(); var same = 0; var spins = 0
+      while (same < 3 && spins < 50) {
         Thread.sleep(20)
         val cur = l.snap()
-        if (cur == prev) spins = 10 else { prev = cur; spins += 1 }
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+        spins += 1
       }
       prev
     }

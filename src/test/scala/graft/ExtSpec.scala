@@ -312,6 +312,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("connected components: over-cap probe falls through to the distributed loop with identical labels") {
+    // r19: the fast path now persists its probe projection and the >cap
+    // branch reuses it — this pins the over-cap fall-through (cap small but
+    // POSITIVE, so the probe runs and loses) against the under-cap labels.
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("left_id", "right_id")
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localEdgeCap", "2") // 5 edges > cap
+    val dist =
+      try Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeCap")
+    assert(local == dist)
+    assert(dist(4L) == 1L && dist(12L) == 10L)
+  }
+
+  test("count_min_sketch aggregate builds the identical sketch to df.stat.countMinSketch") {
+    // r19 (guide §4): q83/q148 build their CMS with the codegen
+    // count_min_sketch aggregate instead of the RDD-backed stat helper.
+    // Same create(eps, confidence, seed), same addLong per value, cell-wise
+    // exact merge — the serialized sketches must be byte-identical.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+    val viaAgg = CountMinSketch.readFrom(
+      li.select(expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0))
+    val viaStat = li.stat.countMinSketch(col("l_partkey"),
+      eps = 0.0001, confidence = 0.99, seed = 42)
+    assert(viaAgg.totalCount() == viaStat.totalCount())
+    val out1 = new java.io.ByteArrayOutputStream(); viaAgg.writeTo(out1)
+    val out2 = new java.io.ByteArrayOutputStream(); viaStat.writeTo(out2)
+    assert(java.util.Arrays.equals(out1.toByteArray, out2.toByteArray),
+      "agg-built and stat-built CMS must serialize byte-identically")
+  }
+
   test("count-min heavy hitters: estimates never undercount and respect the eps*N bound") {
     import spark.implicits._
     val rows = graft.queries.Extra.q83HeavyHitters(spark, sf001).collect()

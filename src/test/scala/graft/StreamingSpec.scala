@@ -297,6 +297,50 @@ class StreamingSpec extends SparkSpec {
     assert(mv.select("event_type", "day").distinct().count() == rows.size)
   }
 
+  test("noDataMicroBatches off: dedup + update-mode rollup emit the same rows as with settling batches") {
+    // The r19 streaming-floor lever (EventsStream.startPinned noSettle=true
+    // on q23/q82/q157/q162): A/B the q157/q162 operator shapes over the
+    // same MemoryStream data with the watermark-settling batch enabled and
+    // disabled — sink rows must be identical, because
+    // dropDuplicatesWithinWatermark emits rows in the batch they arrive and
+    // an update-mode aggregation emits only touched keys; the data-less
+    // batch exists for state EVICTION only. (q134's outer join is the shape
+    // whose OUTPUT depends on the settling batch — it keeps the default.)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def run(noData: String, tag: String): Seq[(Long, Long, Long)] = {
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, noData)
+      try {
+        val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+        def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+        val rolled = input.toDS().toDF("event_id", "ts", "user_id")
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), max(unix_timestamp($"ts")).as("last_s"))
+        val name = s"nodata_ab_$tag"
+        val q = rolled.writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update).start()
+        input.addData((1L, ts(0), 7L), (2L, ts(1), 7L), (3L, ts(2), 9L))
+        q.processAllAvailable()
+        input.addData((1L, ts(3), 7L), (4L, ts(30), 9L)) // dup + watermark push
+        q.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        q.stop()
+        spark.catalog.dropTempView(name)
+        rows
+      } finally spark.conf.set(key, prev)
+    }
+    val withSettle = run("true", "on")
+    val noSettle = run("false", "off")
+    assert(withSettle.nonEmpty && withSettle == noSettle,
+      s"settle-on $withSettle must equal settle-off $noSettle")
+  }
+
   test("structural guard: corpus-sized streaming results are file-backed, never memory sinks") {
     // The memory-sink pathology recurred twice (q82 in the r13 64x sweep,
     // q134 in review): a corpus-sized result routed through format("memory")
