@@ -105,18 +105,22 @@ object Bpe {
     // the q167/q168 oracles at both gate SFs).
     val cap = spark.conf.getOption(LocalVocabCapKey).flatMap(_.toIntOption)
       .getOrElse(1 << 20)
-    // COUNT probe decides, collect fetches only when under the cap (ADVICE
-    // r18): the old limit(cap+1).collect() shipped up to ~100 MB of rows to
-    // the driver and threw them away whenever the vocabulary exceeded the
-    // cap — i.e. on every over-cap learnMerges call, including q168's
-    // retrain. The count runs on the cached vocab table (materializing the
-    // cache the distributed loop needs anyway), so the over-cap path now
-    // pays one scalar instead of a discarded fetch, and the under-cap fetch
-    // reads straight from cache. cap <= 0 forces the distributed path
-    // unconditionally (the spec seam), matching the CC fast path's contract.
-    val underCap = cap > 0 && vocab0.count() <= cap
-    if (underCap) {
-      val fetched = vocab0.collect()
+    // ONE bounded action decides AND fetches: the limit(cap+1) collect is
+    // ROW-bounded (the cap is a sizing assumption — ~100 B/row at the 1M
+    // default ≈ 100 MB of driver heap; size it to the driver, the loop
+    // itself is vocabulary-bounded either way), and when it returns
+    // ≤ cap rows those ARE the whole vocabulary — no separate count job.
+    // A count-probe variant (decide first, fetch only under cap — the r18
+    // ADVICE suggestion) was MEASURED at +0.2 s per call at bench scale
+    // (the decision pays a second job against the still-cold cache), so
+    // the one-action fetch stands: the over-cap discarded fetch it was
+    // meant to avoid is bounded by the cap's own driver-heap sizing and
+    // only occurs on the distributed path, whose cost dwarfs it.
+    // cap <= 0 forces the distributed path unconditionally (the spec
+    // seam), matching the CC fast path's contract.
+    val fetched =
+      if (cap > 0) vocab0.limit(cap + 1).collect() else Array.empty[org.apache.spark.sql.Row]
+    if (cap > 0 && fetched.length <= cap) {
       var rows = fetched.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       vocab0.unpersist(blocking = false)
       val learned = Seq.newBuilder[(Int, String, String, String, Long)]

@@ -829,7 +829,7 @@ object Dedup {
     // Bounded-model fast path (r18, the BPE device): the near-dup PAIR set
     // is orders of magnitude smaller than the corpus it came from, and a
     // min-label union–find over it is the textbook in-memory algorithm.
-    // Under the cap, one count probe + one unboxed fetch replace the
+    // Under the cap, ONE bounded unboxed fetch replaces the
     // per-round join+jump loop (3-4 jobs a round, pure scheduling latency
     // on a few hundred edges at bench scale). Labels are identical: both
     // algorithms assign every touched node the MINIMUM id of its connected
@@ -838,23 +838,26 @@ object Dedup {
     val cap = spark.conf.getOption(LocalEdgeCapKey).flatMap(_.toIntOption)
       .getOrElse(1 << 22)
     // Probe frame persisted ONCE when the fast path is in play (VERDICT r18
-    // #4 / ADVICE r18): the count probe partially materializes the caller's
+    // #4 / ADVICE r18): the limit probe partially materializes the caller's
     // pair pipeline, and without the persist the >cap branch would recompute
     // that whole pipeline from scratch for the distributed loop — one wasted
-    // full pass exactly when the input is huge. The probe itself is a COUNT
-    // (bytes never leave the executors); only a ≤cap edge list is collected,
-    // and it ships as unboxed (Long, Long) pairs — ~32 B/edge of transient
-    // driver heap at the 4M default (~128 MB), not ~100 B/row of boxed Rows.
+    // full pass exactly when the input is huge. With the persist, partitions
+    // the probe fully scanned are cached and the distributed loop reuses
+    // them. The fetch stays ONE row-bounded action (a separate count-probe
+    // job measured +0.1-0.2 s at bench scale) and ships unboxed
+    // (Long, Long) pairs — ~32 B/edge of transient driver heap at the 4M
+    // default (~128 MB), not ~100 B/row of boxed Rows.
     val probed: Option[DataFrame] =
       if (cap > 0 && (roundProbe eq NoRoundProbe))
         Some(pairs.select($"left_id".cast("long").as("left_id"),
           $"right_id".cast("long").as("right_id")).persist())
       else None
     probed.foreach { src =>
-      if (src.count() <= cap) {
-        val fetched = src
-          .selectExpr("left_id as _1", "right_id as _2").as[(Long, Long)]
-          .collect()
+      val fetched = src
+        .selectExpr("left_id as _1", "right_id as _2").as[(Long, Long)]
+        .limit(cap + 1)
+        .collect()
+      if (fetched.length <= cap) {
         src.unpersist(blocking = false)
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {

@@ -9,9 +9,13 @@ import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Honors SPARK_GRAFT_CPUS (r19) so the core-scaling sweep can time the
+    // same queries at 8 vs 32 cores — a hard-coded master ruins exactly
+    // that measurement (the bench-harness rule, applied to the tool too).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.withStatics(SparkSession.builder()
-      .master("local[32]"))
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
