@@ -1141,13 +1141,12 @@ object Dedup {
       // also keeps the kernel pass fully parallel).
       .coalesce(spark.sparkContext.defaultParallelism)
       .localCheckpoint()
-    // Reused frames: prefix is persisted (it feeds BOTH sides of the
-    // candidate self-join and its window chain is expensive); tokens is NOT
-    // — both its consumers (the df count and the rank join's probe side)
-    // sit in ONE plan, and re-exploding the checkpointed array leaf twice
-    // is cheaper than building a columnar cache of the occurrence rows.
-    // cand feeds the id list and the verify join — checkpointed below.
-    val tokens = hsets.select($"doc_id", $"sz", explode($"hs").as("h"))
+    // Reused frames are persisted: tokens feeds the df count AND the rank
+    // join's probe side (re-exploding the 64× leaf twice measured ~+2-3 s
+    // at the data octave — the columnar cache pays for itself as data
+    // grows), prefix feeds BOTH sides of the candidate self-join, cand
+    // feeds the id list and the verify join.
+    val tokens = hsets.select($"doc_id", $"sz", explode($"hs").as("h")).persist()
     val dfreq = tokens.groupBy($"h").agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy($"doc_id").orderBy($"df".asc, $"h".asc)
     val prefix = tokens.join(dfreq, "h")
@@ -1202,6 +1201,7 @@ object Dedup {
         greatest($"x_id", $"y_id").as("b_id"))
       .distinct()
       .localCheckpoint()
+    tokens.unpersist(blocking = false)
     prefix.unpersist(blocking = false)
     // Hash-set prefilter before the string verify (q143's drift argument,
     // wider margin): a true pair has J_string ≥ t = 0.5, and hash-set vs
@@ -1217,12 +1217,18 @@ object Dedup {
     // COMPUTED hash sets with the fused sorted-merge jaccard kernel (no
     // per-pair array materialization) and hands the string verify a
     // result-sized survivor set.
-    // No checkpoint of its own (r19): hsorted is one sort_array over the
-    // already-materialized hsets leaf — the two broadcast survivor joins
-    // each recompute that projection from blocks, which is cheaper than
-    // another corpus-sized checkpoint write (and race-free: the leaf is
-    // materialized, so concurrent broadcast builds re-read, not re-run).
+    // Checkpointed: consumed by BOTH broadcast survivor joins — at the 64×
+    // octave, re-deriving the sorted projection from the leaf per build
+    // costs two extra corpus-array passes (part of a measured +10 s 64×
+    // regression in the leaf-re-derivation variant); one materialization
+    // amortizes them, and the upstream kernel still runs ONCE (hsets).
     val hsorted = hsets.select($"doc_id", sort_array($"hs").as("hss"))
+      .localCheckpoint()
+    // hsorted's eager checkpoint was the hash leaf's last consumer — free
+    // the corpus-wide blocks now (everything downstream reads hsorted,
+    // corpus, or candIds, not hsets).
+    org.apache.spark.sql.graftshim.checkpointRddOf(hsets)
+      .foreach(_.unpersist(blocking = false))
     val surv = cand
       .join(hsorted.select($"doc_id".as("a_id"), $"hss".as("ha")), "a_id")
       .join(hsorted.select($"doc_id".as("b_id"), $"hss".as("hb")), "b_id")
@@ -1230,10 +1236,6 @@ object Dedup {
         >= lit(t) - lit(0.05))
       .select($"a_id", $"b_id")
       .localCheckpoint() // referenced by candIds (twice) and the verify join
-    // surv was the hash leaf's last consumer — free the corpus-wide blocks
-    // now (the verify below reads corpus + candIds, not hsets).
-    org.apache.spark.sql.graftshim.checkpointRddOf(hsets)
-      .foreach(_.unpersist(blocking = false))
     // Exact verify on TRUE string shingle sets, derived only for surviving
     // documents (near-dups + bounded collision mass — never N²), so the
     // result is bit-equal to the quadratic string-set oracle. Tokenization
